@@ -1,24 +1,51 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline queries on
+  * `sys.env("SPARK_GRAFT_SF_DIR")` and prints ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * The headline set excludes the deliberately-quadratic ground-truth
+  * operators (d4 exact all-pairs Jaccard, n3 all-pairs cosine) — their
+  * scalable counterparts (d2 MinHash-LSH, d5 SimHash bands, n2 LSH-ANN)
+  * are what runs at sf0.1+.
+  */
 object Bench {
+  val headline: Seq[String] = Seq(
+    "s1_cast_projection", "s2_json_extract_filter", "s3_base64_roundtrip",
+    "s4_array_index", "s5_split_year", "s6_inner_join", "s7_to_json",
+    "q1_pricing_summary", "q2_star_join_revenue", "q3_top_orders",
+    "q4_semi_join", "q5_anti_join", "q6_distinct", "q7_set_ops", "q8_rollup",
+    "q9_window_running", "q10_count_distinct", "q11_tumbling_window",
+    "q12_range_join",
+    "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
+    "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
+    "n1_ann_bruteforce", "n2_ann_lsh", "m1_binary_meta")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val qs = SparkEntry.queries
+    val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qjson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

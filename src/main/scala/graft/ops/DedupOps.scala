@@ -1,0 +1,146 @@
+package graft.ops
+
+import graft.ops.TextOps._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpus curation:
+  *
+  *  - exact dedup (content-hash groupBy),
+  *  - MinHash + LSH banding (the 100 TB near-dup path: candidate generation
+  *    is a hash-bucket equi-join, never an all-pairs comparison),
+  *  - SimHash (bit-sketch) with byte-band candidate generation,
+  *  - exact n-gram Jaccard (ground truth / small-scale verifier),
+  *  - embedding-cosine near-dup.
+  *
+  * Hashing is the md5-derived 60-bit family ([[TextOps.hash60]]) so every
+  * operator has a bit-exact DuckDB oracle ([[graft.queries.DedupQueries]]).
+  *
+  * Scale design: signatures/sketches are computed per-row (narrow, one pass,
+  * higher-order functions — no explode of the hash family); the only
+  * shuffles are (a) the distinct-shingle explode feeding the signature
+  * aggregation and (b) the band-bucket join, both keyed well-distributed by
+  * construction (md5 buckets). Skew: a degenerate band bucket (all-identical
+  * docs) is the one hot key; AQE skew-join splitting handles it.
+  */
+object DedupOps {
+
+  /** 3-word shingles of the token array; documents with <3 tokens fall back
+    * to one whole-text shingle. 1-based `element_at` indexing to mirror
+    * DuckDB list semantics. */
+  def shingles(toks: Column, text: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2))))
+      .otherwise(array(trim(text)))
+
+  /** (doc_id, shingle) pairs, set-distinct per document. */
+  def explodedShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"), col("text"))
+      .select(col("doc_id"), explode(shingles(col("toks"), col("text"))).as("sh"))
+      .distinct()
+
+  /** MinHash signature: one row per doc with columns h0..h{n-1}
+    * (min over shingles of each salted hash). Partial (map-side) min
+    * aggregation → only |docs| × n longs shuffle. */
+  def minhashSignature(shingled: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(i =>
+      min(saltedHash60(col("sh"), i)).as(s"h$i"))
+    shingled.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: (doc_id, band_idx, band_hash) — band_hash is md5 of the
+    * band's R concatenated minhashes. Docs sharing any band collide. */
+  def lshBands(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val hs = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      md5(concat_ws(",", hs: _*).cast("binary")).as(s"band$b")
+    }
+    sig.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until bands).map(b => col(s"band$b")): _*))
+          .as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Candidate pairs (a < b) sharing at least one LSH band bucket. */
+  def candidatePairs(bands: DataFrame): DataFrame = {
+    val l = bands.select(col("band_idx"), col("band_hash"), col("doc_id").as("doc_a"))
+    val r = bands.select(col("band_idx").as("bi"), col("band_hash").as("bh"),
+      col("doc_id").as("doc_b"))
+    l.join(r, col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Exact Jaccard over distinct shingle sets for given pairs.
+    * Output: doc_a, doc_b, inter, union_sz, jaccard. */
+  def jaccardVerify(pairs: DataFrame, shingled: DataFrame): DataFrame = {
+    val sizes = shingled.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = shingled.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = shingled.select(col("doc_id").as("doc_b"), col("sh"))
+    val inter = pairs.join(a, "doc_a").join(b, Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("n_a") + col("n_b") - col("inter")).as("union_sz"))
+      .withColumn("jaccard", col("inter").cast("double") / col("union_sz"))
+  }
+
+  /** All pairs with exact shingle-Jaccard ≥ tau (no LSH — every qualifying
+    * pair shares ≥1 shingle, so the shingle equi-join enumerates a superset;
+    * exact but quadratic in bucket sizes: the small-scale ground truth the
+    * LSH path is validated against). */
+  def exactJaccardPairs(shingled: DataFrame, tau: Double): DataFrame = {
+    val a = shingled.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = shingled.select(col("doc_id").as("doc_b"), col("sh"))
+    val pairs = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    jaccardVerify(pairs, shingled).filter(col("jaccard") >= tau)
+  }
+
+  /** Distinct-token 60-bit hash array (materialize once — md5 per token is
+    * the expensive part; the 32 bit-tests below reuse it). Order-insensitive
+    * downstream, so Spark's first-occurrence `array_distinct` order vs
+    * DuckDB's `list_distinct` order doesn't matter. */
+  def tokenHashes(toks: Column): Column =
+    transform(array_distinct(toks), t => hash60(t))
+
+  /** Per-row 32-bit SimHash over a precomputed token-hash array — pure
+    * higher-order functions, no row explosion: bit j of the sketch is set
+    * iff more than half the token hashes have bit j set. Static Scala loop
+    * over bit positions keeps every shift a codegen'd constant. */
+  def simhash32(hs: Column): Column =
+    (0 until 32).map { j =>
+      when(lit(2) * size(filter(hs, h =>
+          shiftright(h, j).bitwiseAND(lit(1L)) === 1L)) > size(hs),
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** SimHash byte-bands (4 × 8 bits) for candidate generation: pairs within
+    * Hamming ≤ 3 are guaranteed to share a band (pigeonhole); the ≤ maxHamming
+    * filter afterwards makes the candidate step the only recall loss. */
+  def simhashBands(df: DataFrame, sh: Column): DataFrame =
+    df.select(col("doc_id"), sh.as("simhash"))
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*))
+          .as(Seq("band_idx", "band_val")))
+
+  def simhashPairs(bands: DataFrame, maxHamming: Int): DataFrame = {
+    val l = bands.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val r = bands.select(col("band_idx").as("bi"), col("band_val").as("bv"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    l.join(r, col("band_idx") === col("bi") && col("band_val") === col("bv") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

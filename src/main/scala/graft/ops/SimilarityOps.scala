@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`ARRAY<FLOAT>`).
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k — the baseline. The query set is
+  *    broadcast, so the big side never shuffles; ranking is a per-query-key
+  *    window over (queries × N) scored rows.
+  *  - [[lshTopK]]: sign-random-projection LSH variant — the scale path:
+  *    each vector maps to a bucket signature; candidates are bucket
+  *    collisions, cost ~ N · (bucket size), not N².
+  *
+  * Determinism: all vector math folds left-to-right in DOUBLE (element
+  * order), so scores are bit-identical across engines/partitionings; LSH
+  * hyperplanes are md5-derived pseudo-randoms (seeded, engine-portable), not
+  * `rand()`.
+  */
+object SimilarityOps {
+
+  /** Array<Float> → Array<Double> (all math in double). */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Left-to-right dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+
+  /** Squared L2 norm. */
+  def norm2(a: Column): Column = aggregate(transform(a, x => x * x), lit(0.0), _ + _)
+
+  /** cos(a,b) given precomputed squared norms: dot / sqrt(na2 * nb2). */
+  def cosine(dotAb: Column, na2: Column, nb2: Column): Column =
+    dotAb / sqrt(na2 * nb2)
+
+  /** Exact cosine top-k: `queries` and `candidates` must both have columns
+    * (id, emb) with emb already double. Excludes self-matches. */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("emb").as("q_emb"),
+      norm2(col("emb")).as("q_n2"))
+    val c = candidates.select(col("id").as("neighbor_id"), col("emb").as("c_emb"),
+      norm2(col("emb")).as("c_n2"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(dot(col("q_emb"), col("c_emb")),
+        col("q_n2"), col("c_n2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Deterministic hyperplane weights for plane `p`: md5-derived integers in
+    * [-1000, 1000], computed ONCE in Scala at plan-build time and embedded
+    * as an array literal — zero per-row hashing cost, and reproducible from
+    * the seed string `plane<p>/<dim>` in any engine. */
+  def planeWeights(p: Int, dims: Int): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dims).map { i =>
+      val hex = md.digest(s"plane$p/$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L).toDouble
+    }
+  }
+
+  /** Sign-LSH bucket signature (one bit per hyperplane), computed per-row
+    * from the embedding against literal weight arrays — narrow, fully
+    * codegen'd, no shuffle. */
+  def lshSignature(emb: Column, planes: Int, dims: Int): Column =
+    (0 until planes).map { p =>
+      val w = typedLit(planeWeights(p, dims))
+      val d = aggregate(zip_with(emb, w, (x, y) => x * y), lit(0.0), _ + _)
+      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: exact ranking within the query's bucket. Trades
+    * recall for a bucket-equi-join; recall vs [[bruteForceTopK]] is asserted
+    * in `SimilaritySpec`. */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      planes: Int, dims: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("emb").as("q_emb"),
+      norm2(col("emb")).as("q_n2"), lshSignature(col("emb"), planes, dims).as("sig"))
+    val c = candidates.select(col("id").as("neighbor_id"), col("emb").as("c_emb"),
+      norm2(col("emb")).as("c_n2"), lshSignature(col("emb"), planes, dims).as("csig"))
+    val scored = c.join(broadcast(q), col("csig") === col("sig") &&
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(dot(col("q_emb"), col("c_emb")),
+        col("q_n2"), col("c_n2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ tau. Exact all-pairs form —
+    * ground truth at test scale; at 100 TB use `lshSignature` buckets as the
+    * candidate filter first (same verify step). */
+  def cosineNearDupPairs(vecs: DataFrame, tau: Double): DataFrame = {
+    val a = vecs.select(col("id").as("id_a"), col("emb").as("emb_a"),
+      norm2(col("emb")).as("n2_a"))
+    val b = vecs.select(col("id").as("id_b"), col("emb").as("emb_b"),
+      norm2(col("emb")).as("n2_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(dot(col("emb_a"), col("emb_b")),
+        col("n2_a"), col("n2_b")))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * All operators are built-in Catalyst expressions (split / transform /
+  * aggregate / md5 / conv) — fully whole-stage-codegen'd, no UDFs, so a
+  * 100 TB `documents` scan stays a single narrow stage with zero shuffle.
+  * Every function has an exact DuckDB-SQL mirror (see
+  * [[graft.queries.TextQueries]]) so results are oracle-verifiable
+  * cross-engine: hashing goes through md5 (identical bytes-in/hex-out in
+  * both engines) rather than engine-private hash functions.
+  *
+  * Determinism: all per-row math (folds over token lists) runs in a fixed
+  * left-to-right order — results are bit-identical regardless of
+  * partitioning, unlike cross-row double aggregation.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer: `split(trim(text), "\s+")`. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** Punctuation count over an explicit char class (portable regex —
+    * `\p{Punct}` and POSIX `[[:punct:]]` differ across engines). */
+  def punctCount(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "[.,!?;:]", ""))).cast("long")
+
+  /** 60-bit hash shared across engines: first 15 hex chars of md5 as BIGINT.
+    * DuckDB mirror: `('0x' || substr(md5(x), 1, 15))::BIGINT`. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Salted member of the md5 hash family (salt selects the function) —
+    * used by MinHash signatures. */
+  def saltedHash60(c: Column, salt: Int): Column =
+    hash60(concat(lit(s"$salt|"), c))
+
+  /** Count of tokens that appear in `words`. */
+  def wordSetCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*))).cast("long")
+
+  /** Sum of token lengths (exact integer — safe to ratio later). */
+  def totalTokenLen(toks: Column): Column =
+    aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _)
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** 60-bit whole-document fingerprint. */
+  def fingerprint64(c: Column): Column = hash60(c)
+
+  /** Rolling (Rabin-Karp-style) fingerprint over the token stream:
+    * fold-left `acc = (acc*31 + h(tok)) % P`, P = 1e9+7. Order-sensitive —
+    * same bag of words in a different order fingerprints differently,
+    * unlike the whole-document md5. */
+  def rollingFingerprint(toks: Column): Column =
+    aggregate(
+      transform(toks, t => hash60(t) % 1000000007L),
+      lit(0L),
+      (acc, h) => (acc * 31 + h) % 1000000007L)
+
+  /** Language-ID marker sets (tiny n-gram/function-word heuristic). */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "los", "es"))
+
+  /** Deterministic 3-way argmax with fixed precedence en > de > es. */
+  def langPredict(sEn: Column, sDe: Column, sEs: Column): Column =
+    when(sEn >= sDe && sEn >= sEs, "en")
+      .when(sDe >= sEs, "de")
+      .otherwise("es")
+}

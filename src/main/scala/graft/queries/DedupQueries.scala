@@ -1,0 +1,182 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.DedupOps._
+import graft.ops.TextOps._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication queries over `documents`, each with a bit-exact DuckDB
+  * oracle (shared md5 hash family — see [[graft.ops.DedupOps]]).
+  *
+  * d2 (MinHash+LSH) is the 100 TB path: cost is linear in corpus size plus a
+  * band-bucket equi-join. d4 (exact Jaccard) is its small-scale ground
+  * truth. */
+object DedupQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand = 4
+  val JaccardTau = 0.5
+  val MaxHamming = 6
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: content-hash groupBy; keeper = min doc_id. At scale:
+    // hash-partitioned shuffle on a 32-hex key — perfectly distributed.
+    "d1_exact_dedup" -> ((s, d) => {
+      docs(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("content_md5"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keeper_id"))
+    }),
+
+    // MinHash + LSH banding: candidate pairs from band-bucket collisions,
+    // then exact-Jaccard verification of candidates only.
+    "d2_minhash_lsh" -> ((s, d) => {
+      val sh = explodedShingles(docs(s, d))
+      val sig = minhashSignature(sh, NumHashes)
+      val pairs = candidatePairs(lshBands(sig, Bands, RowsPerBand))
+      jaccardVerify(pairs, sh)
+        .filter(col("jaccard") >= JaccardTau)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // SimHash sketch per document (oracle-checked bit-for-bit).
+    "d3_simhash" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("hs", tokenHashes(tokens(col("text"))))
+        .select(col("doc_id"), simhash32(col("hs")).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact n-gram (3-shingle) Jaccard pairs ≥ tau — LSH-free ground truth.
+    "d4_ngram_jaccard" -> ((s, d) => {
+      exactJaccardPairs(explodedShingles(docs(s, d)), JaccardTau)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // SimHash near-dup pairs via byte-band candidates + Hamming filter.
+    "d5_simhash_pairs" -> ((s, d) => {
+      val df = docs(s, d).withColumn("hs", tokenHashes(tokens(col("text"))))
+      simhashPairs(simhashBands(df, simhash32(col("hs"))), MaxHamming)
+        .orderBy(col("doc_a"), col("doc_b"))
+    })
+  )
+
+  // ---- DuckDB oracle SQL (generated to mirror the Scala plans exactly) ----
+
+  private val dkToks = "string_split_regex(trim(text), '\\s+')"
+  private def dkHash60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  /** Shared CTE: (doc_id, sh) distinct 3-shingles. */
+  private val dkShingled =
+    s"""sh0 AS (
+       |  SELECT doc_id, text, $dkToks AS toks FROM documents),
+       |sh1 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) >= 3
+       |      THEN list_transform(generate_series(1, len(toks) - 2),
+       |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |      ELSE [trim(text)] END AS shingles
+       |  FROM sh0),
+       |shingled AS (
+       |  SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM sh1)""".stripMargin
+
+  private val dkJaccardTail =
+    s"""sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+       |  FROM pairs p
+       |  JOIN shingled a ON a.doc_id = p.doc_a
+       |  JOIN shingled b ON b.doc_id = p.doc_b AND b.sh = a.sh
+       |  GROUP BY p.doc_a, p.doc_b)
+       |SELECT i.doc_a, i.doc_b, i.inter,
+       |  sa.n_sh + sb.n_sh - i.inter AS union_sz,
+       |  round(CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter), 4) AS jaccard
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.doc_a
+       |JOIN sizes sb ON sb.doc_id = i.doc_b
+       |WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) >= $JaccardTau
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val dkMinhashLsh: String = {
+    val minAggs = (0 until NumHashes)
+      .map(i => s"min(${dkHash60(s"'$i|' || sh")}) AS h$i").mkString(",\n    ")
+    val bandCols = (0 until Bands).map { b =>
+      val hs = (0 until RowsPerBand).map(r => s"h${b * RowsPerBand + r}::VARCHAR")
+      s"md5(concat_ws(',', ${hs.mkString(", ")})) AS band$b"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until Bands)
+      .map(b => s"SELECT doc_id, $b AS band_idx, band$b AS band_hash FROM sig_bands")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $dkShingled,
+       |sig AS (
+       |  SELECT doc_id,
+       |    $minAggs
+       |  FROM shingled GROUP BY doc_id),
+       |sig_bands AS (
+       |  SELECT doc_id,
+       |    $bandCols
+       |  FROM sig),
+       |bands AS (
+       |  $bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+       |   AND l.doc_id < r.doc_id),
+       |$dkJaccardTail""".stripMargin
+  }
+
+  private val dkSimhashExpr: String = {
+    val terms = (0 until 32).map { j =>
+      s"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $j) & 1) = 1)) > len(hs) THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"($terms)::BIGINT"
+  }
+
+  private val dkTokenHashes =
+    s"list_transform(list_distinct($dkToks), t -> ${dkHash60("t")})"
+
+  val oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id,
+        |       COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
+    "d2_minhash_lsh" -> dkMinhashLsh,
+    "d3_simhash" ->
+      s"""WITH h AS (SELECT doc_id, $dkTokenHashes AS hs FROM documents)
+         |SELECT doc_id, $dkSimhashExpr AS simhash FROM h
+         |ORDER BY doc_id""".stripMargin,
+    "d4_ngram_jaccard" ->
+      s"""WITH $dkShingled,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM shingled a JOIN shingled b
+         |    ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |$dkJaccardTail""".stripMargin,
+    "d5_simhash_pairs" ->
+      s"""WITH h AS (SELECT doc_id, $dkTokenHashes AS hs FROM documents),
+         |sh AS (SELECT doc_id, $dkSimhashExpr AS simhash FROM h),
+         |bands AS (
+         |  SELECT doc_id, simhash, b.band_idx,
+         |         (simhash >> (b.band_idx * 8)) & 255 AS band_val
+         |  FROM sh, (SELECT unnest([0,1,2,3]) AS band_idx) b),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         |         l.simhash AS sh_a, r.simhash AS sh_b
+         |  FROM bands l JOIN bands r
+         |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+         |   AND l.doc_id < r.doc_id)
+         |SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
+         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= $MaxHamming
+         |ORDER BY doc_a, doc_b""".stripMargin
+  )
+}

@@ -1,0 +1,35 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.MultimodalOps._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column queries: binary payload plumbing that IS oracle-
+  * expressible (byte lengths, checksums, sliced windows) — the codegen'd
+  * part of the media pipeline. The stubbed decode path is covered by
+  * `MultimodalSpec`, not the oracle (mapPartitions isn't SQL). */
+object MultimodalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Opaque-binary metadata: byte length, md5 checksum, head-slice encoded
+    // base64 (the "thumbnail bytes" shape).
+    "m1_binary_meta" -> ((s, d) => {
+      asMediaRecords(Tables.documents(s, d), "doc_id", "text", "doc")
+        .select(col("media_id"), col("kind"), col("byte_len"),
+          md5(col("payload")).as("checksum"),
+          base64(substring(col("payload"), 1, 8)).as("head_b64"))
+        .orderBy(col("media_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "m1_binary_meta" ->
+      """SELECT doc_id AS media_id, 'doc' AS kind,
+        |  octet_length(encode(text)) AS byte_len,
+        |  md5(text) AS checksum,
+        |  base64(encode(substring(text, 1, 8))) AS head_b64
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+}

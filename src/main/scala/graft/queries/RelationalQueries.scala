@@ -1,0 +1,261 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation / window / join / set-op surface (SURVEY.md §2.4 — absent in
+  * the reference, built from Spark primitives with DuckDB-oracle checks).
+  *
+  * Determinism contract with the oracle:
+  *  - double aggregates are computed over DECIMAL(18,4) casts — decimal sums
+  *    are exact and independent of partial-aggregation order, so Spark (tree
+  *    aggregation over 32 partitions) and DuckDB (sequential) agree bit-for-bit
+  *    after the final cast to DOUBLE;
+  *  - timestamps are emitted as formatted strings (engine-native timestamp
+  *    precisions differ: parquet ns vs µs);
+  *  - every ORDER BY is total (ties broken by a unique key) and spells out
+  *    null ordering (Spark defaults NULLS FIRST asc, DuckDB NULLS LAST).
+  *
+  * Scale notes are inline per query.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** SUM over an exact decimal view of a double column, surfaced as DOUBLE. */
+  private def dsum(e: String): org.apache.spark.sql.Column =
+    expr(s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)")
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1-shaped pricing summary. Map-side partial aggregation on
+    // (returnflag, linestatus) — only |groups| rows shuffle, so this scans
+    // 100 TB with a shuffle measured in kilobytes.
+    "q1_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum("l_quantity").as("sum_qty"),
+          dsum("l_extendedprice").as("sum_base_price"),
+          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Multi-way star join: fact (lineitem→orders) with broadcast dims.
+    // region/nation/customer are tiny → broadcast hash join everywhere; only
+    // lineitem⋈orders shuffles on orderkey (AQE coalesces post-shuffle).
+    "q2_star_join_revenue" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // Aggregate + orderBy + limit (top-k): Spark's TakeOrderedAndProject —
+    // per-partition top-k then a k-row merge on the driver; no full sort at
+    // any scale.
+    "q3_top_orders" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(dsum("l_extendedprice").as("order_value"),
+             count(lit(1)).as("n_lines"))
+        .orderBy(col("order_value").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Semi join (EXISTS): customers having ≥1 'O' order.
+    "q4_semi_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Anti join (NOT EXISTS): customers with no orders at all.
+    "q5_anti_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // distinct / countDistinct.
+    "q6_distinct" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
+    // Set ops: INTERSECT / EXCEPT / UNION with tags. Spark intersect/except
+    // are set-distinct, matching SQL semantics.
+    "q7_set_ops" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val highBal = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+      val building = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val both = highBal.intersect(building).withColumn("tag", lit("both"))
+      val onlyHigh = highBal.except(building).withColumn("tag", lit("only_high"))
+      val onlyBld = building.except(highBal).withColumn("tag", lit("only_building"))
+      both.union(onlyHigh).union(onlyBld)
+        .orderBy(col("tag"), col("c_custkey"))
+    }),
+
+    // ROLLUP subtotals + grand total.
+    "q8_rollup" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .rollup(col("n_name"), col("o_orderstatus"))
+        .agg(dsum("o_totalprice").as("total_price"), count(lit(1)).as("n_orders"))
+        .orderBy(col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+    }),
+
+    // Window functions: per-supplier rank + running total over a total order.
+    "q9_window_running" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_suppkey") <= 3)
+      val ord = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li.select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          row_number().over(ord).cast("long").as("rn"),
+          expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)").as("running_qty"))
+        .orderBy(col("l_suppkey"), col("rn"))
+    }),
+
+    // Exact count distinct (shuffle on expand) — the approx variant
+    // (approx_count_distinct/HLL) is covered by ScalaTest error-bound tests,
+    // not the oracle (sketches aren't cross-engine comparable).
+    "q10_count_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+             countDistinct(col("l_partkey")).as("n_parts"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Tumbling event-time window (batch analog of the streaming
+    // groupBy(window($"ts","1 hour")) — same bucketing arithmetic).
+    "q11_tumbling_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum("value").as("total_value"))
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour_str"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("hour_str"), col("event_type"))
+    }),
+
+    // Range (interval) join: events of the same user within 1 hour after a
+    // 'signup'. Equi key user_id keeps it a hash join + residual range
+    // predicate — no cartesian blowup; at scale, salting the hot users or a
+    // bucketed-by-user layout keeps partitions balanced.
+    "q12_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val signup = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("su_user"), col("event_id").as("signup_id"),
+                col("ts").as("su_ts"))
+      val follow = ev.select(col("user_id"), col("event_id"), col("ts"))
+      signup.join(follow,
+          col("su_user") === col("user_id") &&
+          col("ts") > col("su_ts") &&
+          col("ts") <= col("su_ts") + expr("INTERVAL 1 HOUR"))
+        .groupBy(col("signup_id"))
+        .agg(count(lit(1)).as("n_follow"))
+        .orderBy(col("signup_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_star_join_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS order_value,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem GROUP BY l_orderkey
+        |ORDER BY order_value DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q4_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+    "q5_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q6_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q7_set_ops" ->
+      """WITH high AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+        |     bld AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |SELECT c_custkey, 'both' AS tag FROM (SELECT * FROM high INTERSECT SELECT * FROM bld)
+        |UNION ALL
+        |SELECT c_custkey, 'only_high' AS tag FROM (SELECT * FROM high EXCEPT SELECT * FROM bld)
+        |UNION ALL
+        |SELECT c_custkey, 'only_building' AS tag FROM (SELECT * FROM bld EXCEPT SELECT * FROM high)
+        |ORDER BY tag, c_custkey""".stripMargin,
+    "q8_rollup" ->
+      """SELECT n_name, o_orderstatus,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, o_orderstatus)
+        |ORDER BY n_name ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+    "q9_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem WHERE l_suppkey <= 3
+        |ORDER BY l_suppkey, rn""".stripMargin,
+    "q10_count_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders,
+        |       COUNT(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q11_tumbling_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_str,
+        |       event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_str, event_type""".stripMargin,
+    "q12_range_join" ->
+      """SELECT s.event_id AS signup_id, COUNT(*) AS n_follow
+        |FROM (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events
+        |      WHERE event_type = 'signup') s
+        |JOIN (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events) f
+        |  ON f.user_id = s.user_id
+        |  AND f.ts > s.ts AND f.ts <= s.ts + INTERVAL 1 HOUR
+        |GROUP BY s.event_id ORDER BY signup_id""".stripMargin
+  )
+}

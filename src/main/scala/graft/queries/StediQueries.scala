@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch-expressible analogs of every STEDI operator (SURVEY.md §2.2-2.5),
+  * phrased against the driver corpus so the DuckDB oracle can verify them.
+  * The streaming forms of the same transforms are covered by
+  * [[graft.stedi.Transforms]] + ScalaTest (`StediPipelineSpec`).
+  *
+  * Every query ends with a deterministic ORDER BY matching its oracle, and
+  * every computed column is aliased identically on both sides (driver
+  * hash-compares after sorting columns by name).
+  */
+object StediQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // CAST(value AS STRING) projection (sparkpykafkajoin.py:72)
+    "s1_cast_projection" -> ((s, d) => {
+      Tables.events(s, d)
+        .selectExpr("CAST(event_id AS STRING) AS event_id_str",
+                    "event_type", "props")
+        .orderBy(col("event_id_str"))
+    }),
+
+    // from_json + struct flatten + null-filter (sparkpykafkajoin.py:105-149):
+    // events.props plays the JSON envelope role.
+    "s2_json_extract_filter" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("parsed", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .select(col("event_id"), col("parsed.k").as("k"))
+        .filter(col("k").isNotNull)
+        .orderBy(col("event_id"))
+    }),
+
+    // base64 encode → unbase64 decode round-trip (sparkpykafkajoin.py:121-123)
+    "s3_base64_roundtrip" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          base64(col("c_name").cast("binary")).as("enc"))
+        .withColumn("decoded", unbase64(col("enc")).cast("string"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // array subscript [0] on a split result (sparkpykafkajoin.py:111-113,152)
+    "s4_array_index" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          split(col("p_type"), " ").getItem(0).as("type_head"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // birthYear extraction: split(dateString, "-")[0] (sparkpykafkajoin.py:152-154)
+    "s5_split_year" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          split(col("o_orderdate").cast("date").cast("string"), "-")
+            .getItem(0).as("order_year"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // flagship-shaped inner equi-join: events (risk) × customer on key
+    // (sparkpykafkajoin.py:196-198). customer is the small dim → broadcast:
+    // no shuffle of the big fact side at any scale.
+    "s6_inner_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cust = Tables.customer(s, d)
+      ev.join(broadcast(cust), ev("user_id") === cust("c_custkey"))
+        .select(col("event_id"), col("c_name").as("customer"),
+          col("c_mktsegment").as("segment"),
+          round(col("value"), 4).as("score"))
+        .orderBy(col("event_id"))
+    }),
+
+    // TO_JSON(struct(...)) reserialization (sparkpykafkajoin.py:212)
+    "s7_to_json" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          to_json(struct(col("event_id"), col("event_type"))).as("value"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_cast_projection" ->
+      """SELECT CAST(event_id AS VARCHAR) AS event_id_str, event_type, props
+        |FROM events ORDER BY event_id_str""".stripMargin,
+    "s2_json_extract_filter" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k
+        |FROM events WHERE CAST(json_extract(props, '$.k') AS INT) IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "s3_base64_roundtrip" ->
+      """SELECT c_custkey, base64(encode(c_name)) AS enc,
+        |       decode(from_base64(base64(encode(c_name)))) AS decoded
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "s4_array_index" ->
+      """SELECT p_partkey, split_part(p_type, ' ', 1) AS type_head
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "s5_split_year" ->
+      """SELECT o_orderkey,
+        |       split_part(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), '-', 1) AS order_year
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "s6_inner_join" ->
+      """SELECT e.event_id, c.c_name AS customer, c.c_mktsegment AS segment,
+        |       round(e.value, 4) AS score
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
+    "s7_to_json" ->
+      """SELECT event_id,
+        |       to_json(struct_pack(event_id := event_id, event_type := event_type)) AS value
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.TextOps._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries over `documents` (training-data-pipeline surface:
+  * token counting, quality scoring, language ID, fingerprinting), each with
+  * an exact DuckDB oracle. All are narrow per-row pipelines: one codegen'd
+  * stage over the scan, no shuffle — the 100 TB plan is identical to the
+  * 60k-row plan. */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // Shared DuckDB fragments (mirror of TextOps)
+  private val dkToks = "string_split_regex(trim(text), '\\s+')"
+  private def dkHash60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+  private def dkWordSet(words: Seq[String]) =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val queries: Map[String, Q] = Map(
+    // Token counting + mean token length.
+    "t1_token_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", tokens(col("text")))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_text"),
+          totalTokenLen(col("toks")).as("total_tok_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: punctuation + stopword ratios (doubles derived from
+    // exact per-row integers → deterministic).
+    "t2_quality_score" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_stop", wordSetCount(col("toks"), stopwords))
+        .withColumn("n_punct", punctCount(col("text")))
+        .select(
+          col("doc_id"), col("n_tokens"), col("n_stop"), col("n_punct"),
+          round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stop_ratio"),
+          round(col("n_punct").cast("double") / length(col("text")), 6).as("punct_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language ID: function-word marker counts, deterministic argmax.
+    "t3_lang_id" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("s_en", wordSetCount(col("toks"), langMarkers("en")))
+        .withColumn("s_de", wordSetCount(col("toks"), langMarkers("de")))
+        .withColumn("s_es", wordSetCount(col("toks"), langMarkers("es")))
+        .select(col("doc_id"), col("s_en"), col("s_de"), col("s_es"),
+          langPredict(col("s_en"), col("s_de"), col("s_es")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Fingerprinting: whole-document 60-bit md5 fingerprint + order-
+    // sensitive rolling hash over the token stream.
+    "t4_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", tokens(col("text")))
+        .select(col("doc_id"),
+          fingerprint64(col("text")).as("fp64"),
+          rollingFingerprint(col("toks")).as("rolling_fp"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t1_token_stats" ->
+      s"""SELECT doc_id,
+         |  len($dkToks) AS n_tokens,
+         |  length(text) AS n_chars_text,
+         |  list_sum(list_transform($dkToks, t -> length(t))) AS total_tok_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t2_quality_score" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, $dkToks AS toks FROM documents),
+         |stats AS (
+         |  SELECT doc_id, text, len(toks) AS n_tokens,
+         |    len(list_filter(toks, t -> t IN ${dkWordSet(stopwords)})) AS n_stop,
+         |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+         |  FROM base)
+         |SELECT doc_id, n_tokens, n_stop, n_punct,
+         |  round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+         |  round(CAST(n_punct AS DOUBLE) / length(text), 6) AS punct_ratio
+         |FROM stats ORDER BY doc_id""".stripMargin,
+    "t3_lang_id" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $dkToks AS toks FROM documents),
+         |sc AS (
+         |  SELECT doc_id,
+         |    len(list_filter(toks, t -> t IN ${dkWordSet(langMarkers("en"))})) AS s_en,
+         |    len(list_filter(toks, t -> t IN ${dkWordSet(langMarkers("de"))})) AS s_de,
+         |    len(list_filter(toks, t -> t IN ${dkWordSet(langMarkers("es"))})) AS s_es
+         |  FROM base)
+         |SELECT doc_id, s_en, s_de, s_es,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS lang_pred
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "t4_fingerprint" ->
+      s"""SELECT doc_id,
+         |  ${dkHash60("text")} AS fp64,
+         |  list_reduce(
+         |    list_prepend(0::BIGINT,
+         |      list_transform($dkToks, t -> ${dkHash60("t")} % 1000000007)),
+         |    (acc, h) -> (acc * 31 + h) % 1000000007) AS rolling_fp
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
