@@ -66,29 +66,45 @@ object SimilarityOps {
     }
   }
 
-  /** Sign-LSH bucket signature (one bit per hyperplane), computed per-row
-    * from the embedding against literal weight arrays — narrow, fully
-    * codegen'd, no shuffle. */
-  def lshSignature(emb: Column, planes: Int, dims: Int): Column =
+  /** Sign-LSH bucket signature for one hash table (one bit per hyperplane),
+    * computed per-row against literal weight arrays — narrow, fully
+    * codegen'd, no shuffle. `table` seeds the plane family. */
+  def lshSignature(emb: Column, table: Int, planes: Int, dims: Int): Column =
     (0 until planes).map { p =>
-      val w = typedLit(planeWeights(p, dims))
+      val w = typedLit(planeWeights(table * 1000 + p, dims))
       val d = aggregate(zip_with(emb, w, (x, y) => x * y), lit(0.0), _ + _)
       when(d >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** LSH-bucketed ANN: exact ranking within the query's bucket. Trades
-    * recall for a bucket-equi-join; recall vs [[bruteForceTopK]] is asserted
-    * in `SimilaritySpec`. */
+  /** Array of signatures, one per hash table — the standard multi-table LSH
+    * construction: a true neighbor is recalled if it collides in ANY table,
+    * so recall ≈ 1-(1-p^planes)^tables. */
+  def lshSignatures(emb: Column, tables: Int, planes: Int, dims: Int): Column =
+    array((0 until tables).map(t => lshSignature(emb, t, planes, dims)): _*)
+
+  /** LSH-bucketed ANN: candidates = union over hash tables of bucket
+    * collisions; exact cosine ranking within candidates. Trades recall for
+    * replacing the N² scan with a bucket equi-join; recall vs
+    * [[bruteForceTopK]] is asserted in `SimilaritySpec`. */
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-      planes: Int, dims: Int): DataFrame = {
-    val q = queries.select(col("id").as("query_id"), col("emb").as("q_emb"),
-      norm2(col("emb")).as("q_n2"), lshSignature(col("emb"), planes, dims).as("sig"))
-    val c = candidates.select(col("id").as("neighbor_id"), col("emb").as("c_emb"),
-      norm2(col("emb")).as("c_n2"), lshSignature(col("emb"), planes, dims).as("csig"))
-    val scored = c.join(broadcast(q), col("csig") === col("sig") &&
+      tables: Int, planes: Int, dims: Int): DataFrame = {
+    def withSigs(df: DataFrame, idName: String, embName: String, n2Name: String) =
+      df.select(col("id").as(idName), col("emb").as(embName),
+          norm2(col("emb")).as(n2Name),
+          posexplode(lshSignatures(col("emb"), tables, planes, dims))
+            .as(Seq("table_idx", "sig")))
+    val q = withSigs(queries, "query_id", "q_emb", "q_n2")
+    val c = withSigs(candidates, "neighbor_id", "c_emb", "c_n2")
+      .withColumnRenamed("table_idx", "c_table_idx")
+      .withColumnRenamed("sig", "c_sig")
+    val scored = c.join(broadcast(q),
+        col("c_table_idx") === col("table_idx") && col("c_sig") === col("sig") &&
         col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosine(dot(col("q_emb"), col("c_emb")),
         col("q_n2"), col("c_n2")))
+      // a pair colliding in several tables scores identically — dedupe on
+      // the narrow (ids, score) tuple, not the embedding arrays
+      .select(col("query_id"), col("neighbor_id"), col("cos")).distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

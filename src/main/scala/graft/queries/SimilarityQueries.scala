@@ -18,7 +18,8 @@ object SimilarityQueries {
   val K = 10
   val NumQueries = 8       // query set = vec_id < 8
   val NearDupTau = 0.9
-  val Planes = 12
+  val LshTables = 8   // LSH hash tables
+  val Planes = 8   // hyperplanes (bits) per table
   val Dims = 64
 
   private def vecs(s: SparkSession, d: String) =
@@ -36,7 +37,7 @@ object SimilarityQueries {
     // LSH-bucketed ANN (rows-only driver check; recall vs n1 in ScalaTest).
     "n2_ann_lsh" -> ((s, d) => {
       val v = vecs(s, d)
-      lshTopK(v.filter(col("id") < NumQueries), v, K, Planes, Dims)
+      lshTopK(v.filter(col("id") < NumQueries), v, K, LshTables, Planes, Dims)
         .orderBy(col("query_id"), col("rank"))
     }),
 

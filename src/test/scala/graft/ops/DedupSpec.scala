@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkSpecBase
+import graft.ops.DedupOps._
+import graft.ops.TextOps._
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup (1 token)
+    (3L, "completely different words about spark catalyst optimizer and shuffles here"),
+    (4L, "tiny doc")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = docs.groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n"))
+    val byKeeper = out.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(byKeeper(0L) == 2)   // docs 0 and 1 collapse
+    assert(byKeeper(2L) == 1)
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val sh = explodedShingles(docs)
+    val sig = minhashSignature(sh, 16)
+    val pairs = candidatePairs(lshBands(sig, 4, 4))
+    val verified = jaccardVerify(pairs, sh).filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(verified.contains((0L, 1L)), "exact dup must collide in every band")
+    assert(verified.contains((0L, 2L)) == verified.contains((1L, 2L)))
+    assert(!verified.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc must not pair")
+  }
+
+  test("identical docs have jaccard exactly 1.0") {
+    val sh = explodedShingles(docs)
+    val j = jaccardVerify(Seq((0L, 1L)).toDF("doc_a", "doc_b"), sh)
+      .select("jaccard").as[Double].collect()
+    assert(j.sameElements(Array(1.0)))
+  }
+
+  test("simhash: identical docs equal, near dups close, unrelated far") {
+    val withSh = docs.withColumn("hs", tokenHashes(tokens(col("text"))))
+      .select(col("doc_id"), simhash32(col("hs")).as("sh"))
+    val m = withSh.as[(Long, Long)].collect().toMap
+    assert(m(0L) == m(1L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(m(0L), m(2L)) < hamming(m(0L), m(3L)),
+      "near dup must be closer in hamming space than unrelated doc")
+    // sketch must stay within 32 bits
+    assert(withSh.as[(Long, Long)].collect().forall(x => x._2 >= 0 && x._2 < (1L << 32)))
+  }
+
+  test("exact jaccard pairs at tau=0.5 = {(0,1),(0,2),(1,2)}") {
+    val got = exactJaccardPairs(explodedShingles(docs), 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
+  test("shingles fall back to whole text for <3-token docs") {
+    val sh = explodedShingles(docs.filter(col("doc_id") === 4))
+      .select("sh").as[String].collect()
+    assert(sh.sameElements(Array("tiny doc")))
+  }
+}

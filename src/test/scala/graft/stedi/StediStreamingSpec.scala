@@ -1,0 +1,96 @@
+package graft.stedi
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.util.Base64
+
+/** Structured-Streaming semantics of P1/P2/P3 over MemoryStream — the
+  * streaming behaviors the DuckDB oracle can't check: per-micro-batch
+  * append output, cross-batch join state retention (the reference's
+  * unwatermarked join never drops state), and the watermarked variant. */
+class StediStreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def b64(s: String) = Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def envelope(customerJson: String): String = {
+    val e = b64(customerJson)
+    s"""{"key":"${b64("Customer")}","existType":"NONE","ch":false,"incr":false,"zSetEntries":[{"element":"$e","score":0.0}]}"""
+  }
+  private def customerJson(name: String, email: String, birthDay: String) =
+    s"""{"customerName":"$name","email":"$email","phone":"8015551212","birthDay":"$birthDay"}"""
+  private def riskJson(customer: String, score: Double) =
+    s"""{"customer":"$customer","score":$score,"riskDate":"2020-09-14T07:54:06.417Z"}"""
+
+  test("P1 streams envelopes to {email, birthYear} per micro-batch") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = Pipelines.memorySink(
+      Pipelines.p1CustomerDecode(in.toDF().withColumnRenamed("value", "value")),
+      "p1_out").start()
+    try {
+      in.addData(envelope(customerJson("A B", "a@test.com", "1950-02-03")))
+      q.processAllAvailable()
+      val batch1 = spark.table("p1_out").as[(String, String)].collect().toSet
+      assert(batch1 == Set(("a@test.com", "1950")))
+      in.addData(envelope(customerJson("C D", "c@test.com", "1961-07-09")))
+      q.processAllAvailable()
+      val batch2 = spark.table("p1_out").as[(String, String)].collect().toSet
+      assert(batch2 == Set(("a@test.com", "1950"), ("c@test.com", "1961")))
+    } finally q.stop()
+  }
+
+  test("P3 unwatermarked stream-stream join retains state across batches") {
+    implicit val ctx = spark.sqlContext
+    val redisIn = MemoryStream[String]
+    val riskIn = MemoryStream[String]
+    val joined = Pipelines.p3JoinToJson(riskIn.toDF(), redisIn.toDF())
+    val q = Pipelines.memorySink(joined, "p3_out").start()
+    try {
+      // customer arrives in batch 0 — no risk yet → no output
+      redisIn.addData(envelope(customerJson("Santosh F", "s@test.com", "1963-01-03")))
+      q.processAllAvailable()
+      assert(spark.table("p3_out").count() == 0)
+      // risk arrives in a LATER batch — unwatermarked state must still match
+      riskIn.addData(riskJson("s@test.com", 28.5))
+      q.processAllAvailable()
+      val rows = spark.table("p3_out").as[String].collect()
+      assert(rows.length == 1)
+      assert(rows(0).contains(""""email":"s@test.com""""))
+      assert(rows(0).contains(""""birthYear":"1963""""))
+      // reference semantics: EVERY customer version ever seen still matches
+      riskIn.addData(riskJson("s@test.com", 30.0))
+      q.processAllAvailable()
+      assert(spark.table("p3_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("watermarked join variant still matches in-time data") {
+    implicit val ctx = spark.sqlContext
+    val redisIn = MemoryStream[String]
+    val riskIn = MemoryStream[String]
+    val cust = Pipelines.p1CustomerDecode(redisIn.toDF())
+    val risk = Pipelines.p2RiskEvents(riskIn.toDF())
+    val joined = Transforms.joinRiskWithCustomerWatermarked(
+      risk, current_timestamp(), cust, current_timestamp(), "10 minutes")
+    val q = Pipelines.memorySink(Transforms.toJsonValue(joined), "p3_wm_out").start()
+    try {
+      redisIn.addData(envelope(customerJson("Santosh F", "s@test.com", "1963-01-03")))
+      riskIn.addData(riskJson("s@test.com", 28.5))
+      q.processAllAvailable()
+      assert(spark.table("p3_wm_out").count() == 1)
+    } finally q.stop()
+  }
+
+  test("P2 streaming risk events parse per batch") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = Pipelines.memorySink(Pipelines.p2RiskEvents(in.toDF()), "p2_out").start()
+    try {
+      in.addData(riskJson("x@test.com", -5.0), riskJson("y@test.com", 18.5))
+      q.processAllAvailable()
+      val got = spark.table("p2_out").as[(String, Float)].collect().toSet
+      assert(got == Set(("x@test.com", -5.0f), ("y@test.com", 18.5f)))
+    } finally q.stop()
+  }
+}
