@@ -36,6 +36,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = SparkEntry.queries
+    // JIT/codegen warmup on a tiny slice so the first timed query doesn't
+    // absorb one-time session costs (classloading, codegen compiler init).
+    qs("s1_cast_projection")(spark, sfDir).limit(100)
+      .write.format("noop").mode("overwrite").save()
     val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
       try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save() }

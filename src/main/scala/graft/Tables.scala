@@ -14,6 +14,18 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Spread a narrow scan across all cores before CPU-heavy per-row work.
+    *
+    * The test corpus writes each table as ONE parquet row group, and parquet
+    * can't split below a row group — so every scan is a single partition and
+    * md5/higher-order-function pipelines would run on one core. A round-robin
+    * repartition of the (small) raw bytes buys full parallelism. At 100 TB
+    * inputs arrive as many files/row groups and this shuffle is a no-op
+    * cost-wise relative to the compute it unblocks; results are unaffected
+    * (everything downstream is per-row math or key aggregation). */
+  def fanout(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

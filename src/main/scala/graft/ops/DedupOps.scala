@@ -50,6 +50,37 @@ object DedupOps {
     shingled.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-document shingle arrays (no explode): doc_id, sh_arr. */
+  def shingleArrays(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"), col("text"))
+      .select(col("doc_id"), shingles(col("toks"), col("text")).as("sh_arr"))
+
+  /** Narrow MinHash signature: same h0..h{n-1} minima computed per-row from
+    * the shingle array with higher-order functions — ZERO shuffle (min over
+    * a multiset equals min over its distinct set, so no dedupe needed).
+    * This is the 100 TB path: signatures stream out of the scan stage. */
+  def minhashSignatureNarrow(shingleArr: DataFrame, numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map(i =>
+      array_min(transform(col("sh_arr"), s => saltedHash60(s, i))).as(s"h$i"))
+    shingleArr.select(col("doc_id") +: mins: _*)
+  }
+
+  /** Exact Jaccard for candidate pairs from per-doc shingle ARRAYS (set
+    * semantics via array_distinct/array_intersect) — joins only the
+    * candidate docs, no corpus-wide explode+distinct shuffle. */
+  def jaccardVerifyArrays(pairs: DataFrame, shingleArr: DataFrame): DataFrame = {
+    val sets = shingleArr.select(col("doc_id"),
+      array_distinct(col("sh_arr")).as("sh_set"))
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh_set").as("set_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh_set").as("set_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("union_sz",
+        (size(col("set_a")) + size(col("set_b"))).cast("long") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("union_sz"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"), col("jaccard"))
+  }
+
   /** LSH banding: (doc_id, band_idx, band_hash) — band_hash is md5 of the
     * band's R concatenated minhashes. Docs sharing any band collide. */
   def lshBands(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
@@ -61,6 +92,11 @@ object DedupOps {
       .select(col("doc_id"),
         posexplode(array((0 until bands).map(b => col(s"band$b")): _*))
           .as(Seq("band_idx", "band_hash")))
+      // Keyed exchange: (a) exactly the distribution the candidate self-join
+      // needs, so no further shuffle; (b) a materialization barrier — both
+      // join sides share ONE ReusedExchange instead of recomputing the
+      // md5-heavy signature expressions twice.
+      .repartition(col("band_idx"), col("band_hash"))
   }
 
   /** Candidate pairs (a < b) sharing at least one LSH band bucket. */
@@ -130,17 +166,40 @@ object DedupOps {
         posexplode(array((0 until 4).map(b =>
           shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*))
           .as(Seq("band_idx", "band_val")))
+      // same reasoning as lshBands: join-aligned exchange + sketch-expression
+      // materialization barrier (ReusedExchange on both self-join sides)
+      .repartition(col("band_idx"), col("band_val"))
 
-  def simhashPairs(bands: DataFrame, maxHamming: Int): DataFrame = {
-    val l = bands.select(col("band_idx"), col("band_val"),
-      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-    val r = bands.select(col("band_idx").as("bi"), col("band_val").as("bv"),
-      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    l.join(r, col("band_idx") === col("bi") && col("band_val") === col("bv") &&
+  /** SimHash candidate pairs with symmetric skew salting.
+    *
+    * A dense band bucket (many near-identical docs sharing a sketch byte)
+    * would enumerate its n² pairs in ONE join task. Triangle partitioning
+    * fixes that: each doc gets a cell `doc_id % salt`; the left side
+    * replicates each row across the partner's possible cells and the join
+    * key becomes (band, bucket, cell_a, cell_b) — every pair still matches
+    * exactly once per shared band, but the hot bucket's pair space is spread
+    * over salt² shuffle keys. Replication cost: 2·salt copies of the tiny
+    * (doc_id, sketch) rows. Hamming filter runs BEFORE the distinct so only
+    * qualifying pairs shuffle. */
+  def simhashPairs(bands: DataFrame, maxHamming: Int, salt: Int = 8): DataFrame = {
+    val cells = array((0 until salt).map(lit): _*)
+    val l = bands
+      .withColumn("cell_a", pmod(col("doc_id"), lit(salt)).cast("int"))
+      .withColumn("cell_b", explode(cells))
+      .select(col("band_idx"), col("band_val"), col("cell_a"), col("cell_b"),
+        col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val r = bands
+      .withColumn("rcell_b", pmod(col("doc_id"), lit(salt)).cast("int"))
+      .withColumn("rcell_a", explode(cells))
+      .select(col("band_idx").as("bi"), col("band_val").as("bv"),
+        col("rcell_a"), col("rcell_b"),
+        col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    l.join(r,
+        col("band_idx") === col("bi") && col("band_val") === col("bv") &&
+        col("cell_a") === col("rcell_a") && col("cell_b") === col("rcell_b") &&
         col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .select(col("doc_a"), col("doc_b"), col("hamming")).distinct()
   }
 }

@@ -19,9 +19,10 @@ object DedupQueries {
   val Bands = 4
   val RowsPerBand = 4
   val JaccardTau = 0.5
-  val MaxHamming = 6
+  val MaxHamming = 3  // ≤3 with 4 byte-bands ⇒ banding is EXACT (pigeonhole: some band survives)
 
-  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def docs(s: SparkSession, d: String) =
+    Tables.fanout(Tables.documents(s, d))
 
   val queries: Map[String, Q] = Map(
     // Exact dedup: content-hash groupBy; keeper = min doc_id. At scale:
@@ -33,13 +34,15 @@ object DedupQueries {
         .orderBy(col("keeper_id"))
     }),
 
-    // MinHash + LSH banding: candidate pairs from band-bucket collisions,
-    // then exact-Jaccard verification of candidates only.
+    // MinHash + LSH banding: signatures computed per-row (no shuffle),
+    // candidate pairs from band-bucket collisions, then exact-Jaccard
+    // verification of the candidates only (array set-ops, no corpus-wide
+    // explode).
     "d2_minhash_lsh" -> ((s, d) => {
-      val sh = explodedShingles(docs(s, d))
-      val sig = minhashSignature(sh, NumHashes)
+      val arr = shingleArrays(docs(s, d))
+      val sig = minhashSignatureNarrow(arr, NumHashes)
       val pairs = candidatePairs(lshBands(sig, Bands, RowsPerBand))
-      jaccardVerify(pairs, sh)
+      jaccardVerifyArrays(pairs, arr)
         .filter(col("jaccard") >= JaccardTau)
         .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"),
           round(col("jaccard"), 4).as("jaccard"))

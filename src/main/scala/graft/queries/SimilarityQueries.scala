@@ -23,7 +23,7 @@ object SimilarityQueries {
   val Dims = 64
 
   private def vecs(s: SparkSession, d: String) =
-    Tables.embeddings(s, d)
+    Tables.fanout(Tables.embeddings(s, d))
       .select(col("vec_id").as("id"), toDouble(col("embedding")).as("emb"))
 
   val queries: Map[String, Q] = Map(

@@ -28,7 +28,7 @@ object StediQueries {
     // from_json + struct flatten + null-filter (sparkpykafkajoin.py:105-149):
     // events.props plays the JSON envelope role.
     "s2_json_extract_filter" -> ((s, d) => {
-      Tables.events(s, d)
+      Tables.fanout(Tables.events(s, d))
         .withColumn("parsed", from_json(col("props"),
           org.apache.spark.sql.types.StructType.fromDDL("k INT")))
         .select(col("event_id"), col("parsed.k").as("k"))

@@ -22,7 +22,7 @@ object TextQueries {
   val queries: Map[String, Q] = Map(
     // Token counting + mean token length.
     "t1_token_stats" -> ((s, d) => {
-      Tables.documents(s, d)
+      Tables.fanout(Tables.documents(s, d))
         .withColumn("toks", tokens(col("text")))
         .select(
           col("doc_id"),
@@ -35,7 +35,7 @@ object TextQueries {
     // Quality scoring: punctuation + stopword ratios (doubles derived from
     // exact per-row integers → deterministic).
     "t2_quality_score" -> ((s, d) => {
-      Tables.documents(s, d)
+      Tables.fanout(Tables.documents(s, d))
         .withColumn("toks", tokens(col("text")))
         .withColumn("n_tokens", size(col("toks")).cast("long"))
         .withColumn("n_stop", wordSetCount(col("toks"), stopwords))
@@ -49,7 +49,7 @@ object TextQueries {
 
     // Language ID: function-word marker counts, deterministic argmax.
     "t3_lang_id" -> ((s, d) => {
-      Tables.documents(s, d)
+      Tables.fanout(Tables.documents(s, d))
         .withColumn("toks", tokens(col("text")))
         .withColumn("s_en", wordSetCount(col("toks"), langMarkers("en")))
         .withColumn("s_de", wordSetCount(col("toks"), langMarkers("de")))
@@ -62,7 +62,7 @@ object TextQueries {
     // Fingerprinting: whole-document 60-bit md5 fingerprint + order-
     // sensitive rolling hash over the token stream.
     "t4_fingerprint" -> ((s, d) => {
-      Tables.documents(s, d)
+      Tables.fanout(Tables.documents(s, d))
         .withColumn("toks", tokens(col("text")))
         .select(col("doc_id"),
           fingerprint64(col("text")).as("fp64"),
