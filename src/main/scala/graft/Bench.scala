@@ -18,10 +18,11 @@ object Bench {
     "q1_pricing_summary", "q2_star_join_revenue", "q3_top_orders",
     "q4_semi_join", "q5_anti_join", "q6_distinct", "q7_set_ops", "q8_rollup",
     "q9_window_running", "q10_count_distinct", "q11_tumbling_window",
-    "q12_range_join",
+    "q12_range_join", "q13_asof_join", "q14_sessionize", "q15_pivot",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
+    "t5_regex_tokens",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
-    "n1_ann_bruteforce", "n2_ann_lsh", "m1_binary_meta")
+    "n1_ann_bruteforce", "n2_ann_lsh", "n3_embedding_neardup", "m1_binary_meta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

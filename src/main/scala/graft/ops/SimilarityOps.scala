@@ -23,12 +23,22 @@ object SimilarityOps {
   /** Array<Float> → Array<Double> (all math in double). */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Left-to-right dot product of two double arrays. */
+  /** Left-to-right dot product of two double arrays — native codegen'd
+    * kernel ([[graft.functions.VectorExpressions.DotProduct]]); bit-identical
+    * to the higher-order-function formulation below. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+    graft.functions.VectorExpressions.dot_product(a, b)
 
-  /** Squared L2 norm. */
-  def norm2(a: Column): Column = aggregate(transform(a, x => x * x), lit(0.0), _ + _)
+  /** Squared L2 norm (native kernel). */
+  def norm2(a: Column): Column = graft.functions.VectorExpressions.vec_norm2(a)
+
+  /** Interpreted HOF reference implementations — kept for the equality
+    * cross-check in `SimilaritySpec` (native kernels must match these
+    * bit-for-bit). */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+  def norm2Hof(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0.0), _ + _)
 
   /** cos(a,b) given precomputed squared norms: dot / sqrt(na2 * nb2). */
   def cosine(dotAb: Column, na2: Column, nb2: Column): Column =
@@ -72,7 +82,7 @@ object SimilarityOps {
   def lshSignature(emb: Column, table: Int, planes: Int, dims: Int): Column =
     (0 until planes).map { p =>
       val w = typedLit(planeWeights(table * 1000 + p, dims))
-      val d = aggregate(zip_with(emb, w, (x, y) => x * y), lit(0.0), _ + _)
+      val d = graft.functions.VectorExpressions.dot_product(emb, w)
       when(d >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 

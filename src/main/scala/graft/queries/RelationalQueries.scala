@@ -160,6 +160,65 @@ object RelationalQueries {
         .orderBy(col("hour_str"), col("event_type"))
     }),
 
+    // As-of join (Spark has no native ASOF): for each 'error' event, the
+    // most recent 'click' by the same user at-or-before it. Implemented as
+    // the scalable union+window composition — ONE shuffle on user_id, then a
+    // running last-non-null — instead of a per-row range join. The sort key
+    // (ts, tag, coalesce(click_id, error_id)) is total and null-free so both
+    // engines order identically.
+    "q13_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("tag"),
+          col("event_id").as("click_id"), lit(null).cast("long").as("error_id"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), lit(1).as("tag"),
+          lit(null).cast("long").as("click_id"), col("event_id").as("error_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"), coalesce(col("click_id"), col("error_id")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.union(errors)
+        .withColumn("prev_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+        .filter(col("error_id").isNotNull)
+        .select(col("error_id").as("event_id"), col("user_id"), col("prev_click_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Gap-based sessionization (30-min inactivity closes a session): the
+    // batch analog of streaming session_window. lag + running sum of
+    // session-start flags — one shuffle on user_id.
+    "q14_sessionize" -> ((s, d) => {
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(ord))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_idx", sum(col("new_sess")).over(cum))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event_id"),
+          (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+            .as("dur_s"))
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+
+    // Pivot: daily counts per event type as columns (explicit value list →
+    // deterministic schema; absent cells filled to 0 to match FILTER-count
+    // semantics).
+    "q15_pivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, d)
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0, types)
+        .orderBy(col("day"))
+    }),
+
     // Range (interval) join: events of the same user within 1 hour after a
     // 'signup'. Equi key user_id keeps it a hash join + residual range
     // predicate — no cartesian blowup; at scale, salting the hot users or a
@@ -249,6 +308,49 @@ object RelationalQueries {
         |       event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_str, event_type""".stripMargin,
+    "q13_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, 0 AS tag,
+        |         event_id AS click_id, NULL::BIGINT AS error_id
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts::TIMESTAMP AS ts, 1 AS tag,
+        |         NULL::BIGINT AS click_id, event_id AS error_id
+        |  FROM events WHERE event_type = 'error'),
+        |w AS (
+        |  SELECT *, last_value(click_id IGNORE NULLS) OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY ts, tag, coalesce(click_id, error_id)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_click_id
+        |  FROM u)
+        |SELECT error_id AS event_id, user_id, prev_click_id
+        |FROM w WHERE error_id IS NOT NULL ORDER BY event_id""".stripMargin,
+    "q14_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+        |    lag(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM o),
+        |sess AS (
+        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM f)
+        |SELECT user_id, session_idx::BIGINT AS session_idx, COUNT(*) AS n_events,
+        |  MIN(event_id) AS first_event_id,
+        |  date_diff('second', MIN(ts), MAX(ts)) AS dur_s
+        |FROM sess GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+    "q15_pivot" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "q12_range_join" ->
       """SELECT s.event_id AS signup_id, COUNT(*) AS n_follow
         |FROM (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events

@@ -59,6 +59,20 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE-ish regex tokenization: letter-runs, digit-runs, and single
+    // punctuation marks as separate tokens (the pre-tokenization split a
+    // byte-pair encoder starts from). Pattern kept to the regex subset with
+    // identical Java/RE2 semantics.
+    "t5_regex_tokens" -> ((s, d) => {
+      val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+      Tables.fanout(Tables.documents(s, d))
+        .withColumn("btoks", regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
+        .select(col("doc_id"),
+          size(col("btoks")).cast("long").as("n_bpe_tokens"),
+          size(array_distinct(col("btoks"))).cast("long").as("n_unique_bpe"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Fingerprinting: whole-document 60-bit md5 fingerprint + order-
     // sensitive rolling hash over the token stream.
     "t4_fingerprint" -> ((s, d) => {
@@ -103,6 +117,11 @@ object TextQueries {
          |  CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
          |       WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS lang_pred
          |FROM sc ORDER BY doc_id""".stripMargin,
+    "t5_regex_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+        |  len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS n_unique_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t4_fingerprint" ->
       s"""SELECT doc_id,
          |  ${dkHash60("text")} AS fp64,

@@ -53,6 +53,22 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall > 0.0, "LSH must recover at least some true neighbors")
   }
 
+  test("native vector kernels match HOF formulation bit-for-bit") {
+    val pairs = vecs.limit(100).crossJoin(
+      vecs.select(col("id").as("id2"), col("emb").as("emb2")).limit(100))
+    val diffs = pairs.select(
+      dot(col("emb"), col("emb2")).as("d_native"),
+      dotHof(col("emb"), col("emb2")).as("d_hof"),
+      norm2(col("emb")).as("n_native"),
+      norm2Hof(col("emb")).as("n_hof"),
+      graft.functions.VectorExpressions.cosine_sim(col("emb"), col("emb2")).as("c_native"),
+      (dotHof(col("emb"), col("emb2")) /
+        sqrt(norm2Hof(col("emb")) * norm2Hof(col("emb2")))).as("c_hof"))
+      .filter(col("d_native") =!= col("d_hof") ||
+        col("n_native") =!= col("n_hof") || col("c_native") =!= col("c_hof"))
+    assert(diffs.count() == 0, "native kernels must be bit-identical to HOF math")
+  }
+
   test("plane weights are deterministic and bounded") {
     val w1 = planeWeights(3, 64)
     val w2 = planeWeights(3, 64)
