@@ -125,6 +125,15 @@ object RelationalQueries {
         .orderBy(col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
     }),
 
+    // CUBE: all grouping-set combinations of (status, priority).
+    "q16_cube" -> ((s, d) => {
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(dsum("o_totalprice").as("total_price"), count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
     // Window functions: per-supplier rank + running total over a total order.
     "q9_window_running" -> ((s, d) => {
       val li = Tables.lineitem(s, d).filter(col("l_suppkey") <= 3)
@@ -308,6 +317,12 @@ object RelationalQueries {
         |       event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_str, event_type""".stripMargin,
+    "q16_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q13_asof_join" ->
       """WITH u AS (
         |  SELECT user_id, ts::TIMESTAMP AS ts, 0 AS tag,

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+import graft.stedi.{Pipelines, Schemas, Transforms}
+import graft.stedi.Schemas.RiskEvent
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Stateful + windowed streaming semantics over MemoryStream: the ≥4-
+  * assessments risk rule (flatMapGroupsWithState), tumbling event-time
+  * windows with watermarks, and session windows. */
+class StatefulOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def risk(customer: String, score: Float, day: Int): String =
+    s"""{"customer":"$customer","score":$score,"riskDate":"2020-09-${f"$day%02d"}T07:00:00.000Z"}"""
+
+  test("risk score appears only after 4 assessments and updates after") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[String]
+    val events = Transforms.parseRiskEvent(in.toDF())
+      .withColumn("riskDate", lit(null).cast("date"))
+      .as[RiskEvent]
+    val out = StatefulOps.runningRiskScore(spark, events)
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("risk_scores").start()
+    try {
+      in.addData(risk("a@t.com", 2.0f, 1), risk("a@t.com", 4.0f, 2),
+        risk("a@t.com", 6.0f, 3))
+      q.processAllAvailable()
+      assert(spark.table("risk_scores").count() == 0,
+        "below 4 assessments → no score (README.md:96 rule)")
+      in.addData(risk("a@t.com", 8.0f, 4), risk("b@t.com", 1.0f, 4))
+      q.processAllAvailable()
+      val rows = spark.table("risk_scores")
+        .as[StatefulOps.RiskScore].collect()
+      assert(rows.length == 1)
+      assert(rows(0).customer == "a@t.com")
+      assert(rows(0).nAssessments == 4)
+      assert(math.abs(rows(0).avgScore - 5.0) < 1e-9)
+      in.addData(risk("a@t.com", 10.0f, 5))
+      q.processAllAvailable()
+      val rows2 = spark.table("risk_scores").as[StatefulOps.RiskScore]
+        .collect().sortBy(_.nAssessments)
+      assert(rows2.length == 2 && rows2(1).nAssessments == 5 &&
+        math.abs(rows2(1).avgScore - 6.0) < 1e-9)
+    } finally q.stop()
+  }
+
+  test("tumbling window aggregation with watermark over a stream") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = in.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("win_agg").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    try {
+      in.addData((ts(1, 10), "click", 1.0), (ts(1, 20), "click", 2.0),
+        (ts(1, 40), "view", 5.0))
+      q.processAllAvailable()
+      // append mode emits nothing until the watermark passes the window end
+      in.addData((ts(3, 0), "click", 9.0)) // advances watermark past 01:59
+      q.processAllAvailable()
+      val rows = spark.table("win_agg")
+        .select(col("window.start").cast("string"), col("event_type"),
+          col("n"), col("total"))
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(rows.contains(("2024-01-01 01:00:00", "click", 2L, 3.0)))
+      assert(rows.contains(("2024-01-01 01:00:00", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("session window: 30-minute gap closes a session") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val agg = in.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sess_win").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    try {
+      // two bursts 2h apart → two sessions for user 1
+      in.addData((ts(1, 0), 1L), (ts(1, 10), 1L), (ts(3, 0), 1L))
+      q.processAllAvailable()
+      in.addData((ts(6, 0), 99L)) // push watermark far ahead to close all
+      q.processAllAvailable()
+      val rows = spark.table("sess_win")
+        .filter(col("user_id") === 1L)
+        .select(col("n")).as[Long].collect().sorted.toSeq
+      assert(rows == Seq(1L, 2L),
+        s"expected sessions of 2 and 1 events, got $rows")
+    } finally q.stop()
+  }
+}
