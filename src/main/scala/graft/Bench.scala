@@ -22,7 +22,8 @@ object Bench {
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_regex_tokens",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
-    "n1_ann_bruteforce", "n2_ann_lsh", "n3_embedding_neardup", "m1_binary_meta")
+    "n1_ann_bruteforce", "n2_ann_lsh", "n3_embedding_neardup",
+    "n4_label_centroids", "n5_ivf_ann", "m1_binary_meta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

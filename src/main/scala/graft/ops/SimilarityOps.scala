@@ -123,6 +123,53 @@ object SimilarityOps {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Deterministic per-list centroids for the IVF coarse quantizer:
+    * element sums through DECIMAL so the result is partition-order-exact
+    * (engine-portable); returns (list_id, centroid ARRAY<DOUBLE>).
+    * `vecs` needs (list_id, emb). For runtime (non-oracle) use,
+    * [[graft.functions.VecCentroidAggregator]] computes the same centroid
+    * in fast fp. */
+  def exactCentroids(vecs: DataFrame): DataFrame =
+    vecs.select(col("list_id"), posexplode(col("emb")).as(Seq("dim", "x")))
+      .groupBy(col("list_id"), col("dim"))
+      .agg(expr("CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE)")
+        .divide(count(lit(1))).as("c"))
+      .groupBy(col("list_id"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c")).as("centroid"))
+
+  /** IVF ANN: coarse-quantize queries to their `nprobe` nearest centroids,
+    * then rank exactly within those inverted lists only. At scale the
+    * centroid table is a broadcast and the candidate scan touches
+    * nprobe/nlists of the corpus (partition-prunable when the corpus is
+    * laid out by list_id) — this is the IVF index access path.
+    * `queries`/`candidates` need (id, emb, list_id on candidates). */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("emb").as("q_emb"),
+      norm2(col("emb")).as("q_n2"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_cos").desc, col("list_id"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("c_cos", graft.functions.VectorExpressions.cosine_sim(
+        col("q_emb"), col("centroid")))
+      .withColumn("probe_rank", row_number().over(probeW))
+      .filter(col("probe_rank") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("q_n2"), col("list_id"))
+    val c = candidates.select(col("id").as("neighbor_id"), col("emb").as("c_emb"),
+      norm2(col("emb")).as("c_n2"), col("list_id").as("c_list"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(probes), col("c_list") === col("list_id") &&
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(dot(col("q_emb"), col("c_emb")),
+        col("q_n2"), col("c_n2")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ tau. Exact all-pairs form —
     * ground truth at test scale; at 100 TB use `lshSignature` buckets as the
     * candidate filter first (same verify step). */

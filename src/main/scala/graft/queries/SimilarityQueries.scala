@@ -45,6 +45,36 @@ object SimilarityQueries {
     "n3_embedding_neardup" -> ((s, d) => {
       cosineNearDupPairs(vecs(s, d), NearDupTau)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // IVF ANN: label partitions as inverted lists, exact-decimal centroids
+    // as the coarse quantizer, nprobe=2 — ranking touches only the probed
+    // lists (the index access path; n1 is the exhaustive ground truth).
+    "n5_ivf_ann" -> ((s, d) => {
+      val v = vecs(s, d).join(
+        Tables.embeddings(s, d).select(col("vec_id").as("id"), col("label")),
+        "id").withColumnRenamed("label", "list_id")
+      val cents = exactCentroids(v)
+      ivfTopK(v.filter(col("id") < NumQueries), v, cents, K, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Per-label centroids, one row per (label, dim) — the coarse-quantizer
+    // build step of an IVF index. Element sums go through DECIMAL(27,10) so
+    // the centroid is exact and engine-portable (the typed
+    // VecCentroidAggregator computes the same thing in fast fp for runtime
+    // use; equality-within-fp is asserted in SimilaritySpec).
+    "n4_label_centroids" -> ((s, d) => {
+      Tables.fanout(Tables.embeddings(s, d))
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(
+          expr("CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE)")
+            .divide(count(lit(1))).as("centroid"),
+          count(lit(1)).as("n_vecs"))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          col("centroid"), col("n_vecs"))
+        .orderBy(col("label"), col("dim"))
     })
   )
 
@@ -75,6 +105,67 @@ object SimilarityQueries {
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_sim
          |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    "n5_ivf_ann" ->
+      s"""WITH v AS (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+         |         label AS list_id
+         |  FROM embeddings),
+         |e AS (
+         |  SELECT label AS list_id, u.dim - 1 AS dim, CAST(u.x AS DOUBLE) AS x
+         |  FROM embeddings,
+         |    LATERAL (SELECT unnest(embedding) AS x,
+         |                    generate_subscripts(embedding, 1) AS dim) u),
+         |cd AS (
+         |  SELECT list_id, dim,
+         |    CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS c
+         |  FROM e GROUP BY list_id, dim),
+         |cent AS (
+         |  SELECT list_id, list(c ORDER BY dim) AS centroid FROM cd GROUP BY list_id),
+         |probe_scored AS (
+         |  SELECT q.id AS query_id, q.emb AS q_emb, ct.list_id,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(generate_series(1, len(q.emb)),
+         |        i -> q.emb[i] * ct.centroid[i])), (x, y) -> x + y)
+         |    / sqrt(
+         |      list_reduce(list_prepend(0.0::DOUBLE,
+         |        list_transform(q.emb, z -> z * z)), (p, r) -> p + r)
+         |      * list_reduce(list_prepend(0.0::DOUBLE,
+         |        list_transform(ct.centroid, z -> z * z)), (p, r) -> p + r)) AS c_cos
+         |  FROM v q, cent ct WHERE q.id < $NumQueries),
+         |probes AS (
+         |  SELECT query_id, q_emb, list_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY c_cos DESC, list_id) AS pr
+         |    FROM probe_scored) WHERE pr <= 2),
+         |scored AS (
+         |  SELECT p.query_id, c.id AS neighbor_id,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(generate_series(1, len(p.q_emb)),
+         |        i -> p.q_emb[i] * c.emb[i])), (x, y) -> x + y)
+         |    / sqrt(
+         |      list_reduce(list_prepend(0.0::DOUBLE,
+         |        list_transform(p.q_emb, z -> z * z)), (pp, rr) -> pp + rr)
+         |      * list_reduce(list_prepend(0.0::DOUBLE,
+         |        list_transform(c.emb, z -> z * z)), (pp, rr) -> pp + rr)) AS cos
+         |  FROM probes p JOIN v c ON c.list_id = p.list_id AND c.id <> p.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_sim
+         |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    "n4_label_centroids" ->
+      """WITH e AS (
+        |  SELECT label, u.dim - 1 AS dim, CAST(u.x AS DOUBLE) AS x
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(embedding) AS x,
+        |                    generate_subscripts(embedding, 1) AS dim) u)
+        |SELECT label, dim,
+        |  CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS centroid,
+        |  COUNT(*) AS n_vecs
+        |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "n3_embedding_neardup" ->
       s"""WITH v AS (
          |  SELECT vec_id AS id,

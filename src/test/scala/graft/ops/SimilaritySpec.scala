@@ -77,6 +77,31 @@ class SimilaritySpec extends SparkSpecBase {
     assert(planeWeights(4, 64) != w1)
   }
 
+  test("typed VecCentroidAggregator matches the exploded-decimal centroid query") {
+    import graft.functions.VecCentroidAggregator
+    val agg = new VecCentroidAggregator(64)
+    val typed = graft.Tables.embeddings(spark, sfDir)
+      .select(col("label"), col("embedding").cast("array<double>").as("emb"))
+      .as[(Int, Array[Double])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("centroid"))
+      .collect().toMap
+    val oracle = graft.queries.SimilarityQueries
+      .queries("n4_label_centroids")(spark, sfDir)
+      .select("label", "dim", "centroid")
+      .as[(Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    assert(typed.keySet == oracle.keySet)
+    typed.foreach { case (label, cent) =>
+      val exp = oracle(label)
+      assert(cent.length == 64)
+      cent.zip(exp).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"label $label centroid mismatch: $a vs $b")
+      }
+    }
+  }
+
   test("near-dup pairs are symmetric-free (a<b) and above threshold") {
     val pairs = cosineNearDupPairs(vecs.limit(200), 0.5)
       .select("id_a", "id_b", "cos_sim").as[(Long, Long, Double)].collect()
