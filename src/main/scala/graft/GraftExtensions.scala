@@ -1,0 +1,39 @@
+package graft
+
+import graft.functions.VectorExpressions.{CosineSim, DotProduct, VecNorm2}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension wiring the engine into Spark SQL: registers the native
+  * vector kernels as SQL functions so `spark.sql("SELECT cosine_sim(a,b)")`
+  * plans the codegen'd expressions directly.
+  *
+  * Install via `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("dot_product"),
+      new ExpressionInfo("graft.functions.VectorExpressions", "dot_product"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("vec_norm2"),
+      new ExpressionInfo("graft.functions.VectorExpressions", "vec_norm2"),
+      (args: Seq[Expression]) => VecNorm2(args(0))))
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo("graft.functions.VectorExpressions", "cosine_sim"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+  }
+}
+
+object GraftExtensions {
+  /** Same registrations on an already-built session (extensions only apply
+    * at `SparkSession.builder` time; tests and notebooks land here). */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.graftbridge.Bridge.registerFunction
+    registerFunction(spark, "dot_product", args => DotProduct(args(0), args(1)))
+    registerFunction(spark, "vec_norm2", args => VecNorm2(args(0)))
+    registerFunction(spark, "cosine_sim", args => CosineSim(args(0), args(1)))
+  }
+}
