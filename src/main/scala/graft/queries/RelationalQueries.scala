@@ -125,6 +125,37 @@ object RelationalQueries {
         .orderBy(col("n_name").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
     }),
 
+    // Correlated scalar subquery (Catalyst decorrelates to an aggregate +
+    // join — SURVEY §4 listed decorrelation as unexercised). Mixed SQL/view
+    // style mirrors the reference's temp-view usage (sparkpykafkajoin.py:107).
+    "q17_corr_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o.o_orderkey, o.o_totalprice
+          |FROM orders_v o
+          |WHERE o.o_totalprice > (
+          |  SELECT 2 * CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+          |         / COUNT(*)
+          |  FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o.o_orderkey""".stripMargin)
+    }),
+
+    // Ranking-function family: rank / dense_rank / ntile / lag / lead over a
+    // total per-customer order.
+    "q18_window_funcs" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_custkey") <= 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // CUBE: all grouping-set combinations of (status, priority).
     "q16_cube" -> ((s, d) => {
       Tables.orders(s, d)
@@ -317,6 +348,24 @@ object RelationalQueries {
         |       event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_str, event_type""".stripMargin,
+    "q17_corr_subquery" ->
+      """SELECT o.o_orderkey, o.o_totalprice
+        |FROM orders o
+        |WHERE o.o_totalprice > (
+        |  SELECT 2 * CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |         / COUNT(*)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "q18_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  RANK() OVER w AS rnk,
+        |  DENSE_RANK() OVER w AS drnk,
+        |  NTILE(4) OVER w AS quartile,
+        |  LAG(o_orderkey, 1) OVER w AS prev_order,
+        |  LEAD(o_orderkey, 1) OVER w AS next_order
+        |FROM orders WHERE o_custkey <= 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q16_cube" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,

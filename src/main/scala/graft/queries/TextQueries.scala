@@ -59,6 +59,22 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Scalar string-function coverage (upper/lower/trim/substring/replace/
+    // concat/lpad/instr) over part names.
+    "t6_string_funcs" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_up"),
+          lower(col("p_type")).as("type_lo"),
+          substring(col("p_name"), 1, 8).as("name_head"),
+          regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+          concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("key_pad"),
+          instr(col("p_type"), "a").cast("long").as("a_pos"),
+          length(col("p_name")).cast("long").as("name_len"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // BPE-ish regex tokenization: letter-runs, digit-runs, and single
     // punctuation marks as separate tokens (the pre-tokenization split a
     // byte-pair encoder starts from). Pattern kept to the regex subset with
@@ -117,6 +133,17 @@ object TextQueries {
          |  CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
          |       WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS lang_pred
          |FROM sc ORDER BY doc_id""".stripMargin,
+    "t6_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_up,
+        |  lower(p_type) AS type_lo,
+        |  substring(p_name, 1, 8) AS name_head,
+        |  replace(p_name, ' ', '_') AS name_snake,
+        |  concat_ws('/', p_brand, p_type) AS brand_type,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_pad,
+        |  instr(p_type, 'a') AS a_pos,
+        |  length(p_name) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "t5_regex_tokens" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
