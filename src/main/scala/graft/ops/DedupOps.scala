@@ -194,12 +194,20 @@ object DedupOps {
       .select(col("band_idx").as("bi"), col("band_val").as("bv"),
         col("rcell_a"), col("rcell_b"),
         col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    // First-matching-band ownership: a near-identical pair collides in ~all
+    // 4 bands; emitting it only from its smallest matching band makes pairs
+    // unique BY CONSTRUCTION — no distinct, no 4× duplicated shuffle.
+    val firstMatch = (0 until 4).foldRight(lit(-1): Column) { (b, rest) =>
+      when(shiftright(col("sh_a"), b * 8).bitwiseAND(lit(255L)) ===
+           shiftright(col("sh_b"), b * 8).bitwiseAND(lit(255L)), lit(b))
+        .otherwise(rest)
+    }
     l.join(r,
         col("band_idx") === col("bi") && col("band_val") === col("bv") &&
         col("cell_a") === col("rcell_a") && col("cell_b") === col("rcell_b") &&
         col("doc_a") < col("doc_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming")).distinct()
+      .filter(col("hamming") <= maxHamming && col("band_idx") === firstMatch)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 }
