@@ -63,6 +63,39 @@ object SimilarityOps {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Scale-path variant of [[bruteForceTopK]]: ranking via the bounded
+    * [[graft.functions.TopKAggregator]] instead of a window — the window
+    * sorts ALL scored candidates per query; the aggregator's buffer never
+    * exceeds k entries and partial-aggregates map-side, so only k rows per
+    * partition per query shuffle. Same output (same tie-break), asserted in
+    * `SimilaritySpec`. */
+  def bruteForceTopKAgg(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    val q = queries.select(col("id").as("query_id"), col("emb").as("q_emb"),
+      norm2(col("emb")).as("q_n2"))
+    val c = candidates.select(col("id").as("neighbor_id"), col("emb").as("c_emb"),
+      norm2(col("emb")).as("c_n2"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"),
+        cosine(dot(col("q_emb"), col("c_emb")), col("q_n2"), col("c_n2")).as("cos"),
+        col("neighbor_id"))
+      .as[(Long, Double, Long)]
+    val agg = new graft.functions.TopKAggregator(k)
+    scored.groupByKey(_._1)
+      .mapValues { case (_, cos, id) => (cos, id) }
+      .agg(agg.toColumn.name("topk"))
+      .flatMap { case (qid, topk) =>
+        topk.iterator.zipWithIndex.map { case ((cos, id), i) =>
+          // same rounding as the window variant's round(cos, 6) (HALF_UP)
+          (qid, (i + 1).toLong, id,
+            BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+      .toDF("query_id", "rank", "neighbor_id", "cos_sim")
+  }
+
   /** Deterministic hyperplane weights for plane `p`: md5-derived integers in
     * [-1000, 1000], computed ONCE in Scala at plan-build time and embedded
     * as an array literal — zero per-row hashing cost, and reproducible from

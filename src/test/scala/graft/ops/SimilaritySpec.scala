@@ -77,6 +77,18 @@ class SimilaritySpec extends SparkSpecBase {
     assert(planeWeights(4, 64) != w1)
   }
 
+  test("bounded TopKAggregator ranking equals the window formulation") {
+    val q = vecs.filter(col("id") < 8)
+    val viaWindow = bruteForceTopK(q, vecs, 10)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val viaAgg = bruteForceTopKAgg(spark, q, vecs, 10)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(viaWindow.toSeq == viaAgg.toSeq,
+      "bounded-buffer top-k must produce the identical ranking")
+  }
+
   test("typed VecCentroidAggregator matches the exploded-decimal centroid query") {
     import graft.functions.VecCentroidAggregator
     val agg = new VecCentroidAggregator(64)
