@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.plans.{AsOfJoin, AsOfJoinStrategy}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** DataFrame API for the native as-of join ([[graft.plans.AsOfJoin]]).
+  *
+  * Columns are referenced BY NAME and resolved against each side's analyzed
+  * plan (a `Column` from the public API carries an unresolved attribute that
+  * custom logical nodes can't adopt). Key/time columns must be LongType
+  * (cast timestamps with `unix_micros` first); `rightTieBreak` orders
+  * equal-time right rows (largest wins). Each left row gets the most recent
+  * right row with `rightTime <= leftTime` of the same key, or nulls.
+  */
+object AsOfJoinOps {
+
+  private def attr(plan: LogicalPlan, name: String): Attribute =
+    plan.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"column '$name' not in [${plan.output.map(_.name).mkString(", ")}]"))
+
+  def asofJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightTieBreak: String): DataFrame = {
+    val spark = left.sparkSession
+    Bridge.injectStrategy(spark, AsOfJoinStrategy)
+    val lPlan = Bridge.analyzedPlan(left)
+    val rPlan = Bridge.analyzedPlan(right)
+    Bridge.ofRows(spark, AsOfJoin(lPlan, rPlan,
+      attr(lPlan, leftKey), attr(rPlan, rightKey),
+      attr(lPlan, leftTime), attr(rPlan, rightTime),
+      attr(rPlan, rightTieBreak)))
+  }
+}

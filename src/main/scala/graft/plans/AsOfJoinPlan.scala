@@ -1,0 +1,116 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.SparkStrategy
+
+/** Native AS-OF JOIN: for every left row, attach the single most recent
+  * right row of the same key with `rightTime <= leftTime` (nulls when none).
+  *
+  * Spark has no as-of operator; the composable workaround (union + window
+  * `last(ignoreNulls)` — `RelationalQueries.q13`) materializes both streams
+  * through one window sort. This operator is the whole-operator escalation
+  * (SURVEY §7 preference (c)): a `LogicalPlan` node, a planner `Strategy`,
+  * and a `SparkPlan` that declares hash distribution on the key and
+  * (key, time) ordering for BOTH children — Catalyst's EnsureRequirements
+  * inserts exactly one exchange + sort per side, and execution is a
+  * zipPartitions streaming merge: O(1) state (the last right row per key),
+  * no buffering, no window. At 100 TB that's the minimum possible data
+  * movement for this join (same as a sort-merge join's).
+  *
+  * Scope (documented contract): equi-key of any orderable-by-binary type is
+  * NOT supported — keys and times must be LongType-compatible (bigint key,
+  * time pre-cast to epoch micros/long), which covers the corpus and keeps
+  * the merge loop primitive. Ties in rightTime resolve to the LARGEST
+  * (key, time, tieBreak) right row, matching the q13 composition.
+  */
+case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightTieBreak: Expression) extends BinaryNode {
+  // right side comes back nullable: no-match rows pad with nulls
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightTieBreak: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
+      SortOrder(leftTime, org.apache.spark.sql.catalyst.expressions.Ascending)),
+    Seq(SortOrder(rightKey, org.apache.spark.sql.catalyst.expressions.Ascending),
+      SortOrder(rightTime, org.apache.spark.sql.catalyst.expressions.Ascending),
+      SortOrder(rightTieBreak, org.apache.spark.sql.catalyst.expressions.Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lk = leftKey; val lt = leftTime
+    val rk = rightKey; val rt = rightTime
+    val leftOut = left.output; val rightOut = right.output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKey = UnsafeProjection.create(Seq(lk), leftOut)
+      val lTim = UnsafeProjection.create(Seq(lt), leftOut)
+      val rKey = UnsafeProjection.create(Seq(rk), rightOut)
+      val rTim = UnsafeProjection.create(Seq(rt), rightOut)
+      val nullRight = new GenericInternalRow(rightOut.size)
+      val joined = new JoinedRow
+      val out = UnsafeProjection.create(leftOut ++ rightOut, leftOut ++ rightOut)
+
+      val rBuf = rIter.buffered
+      // last right row seen for the CURRENT key with rTime <= current lTime
+      var heldKey = 0L
+      var heldValid = false
+      var held: InternalRow = null
+
+      lIter.map { lRow =>
+        val k = lKey(lRow).getLong(0)
+        val t = lTim(lRow).getLong(0)
+        if (heldValid && heldKey != k) { heldValid = false; held = null }
+        // advance right while its (key, time) <= (k, t)
+        var advancing = true
+        while (advancing && rBuf.hasNext) {
+          val peek = rBuf.head
+          val pk = rKey(peek).getLong(0)
+          val pt = rTim(peek).getLong(0)
+          if (pk < k || (pk == k && pt <= t)) {
+            val row = rBuf.next()
+            if (pk == k) { held = row.copy(); heldKey = k; heldValid = true }
+          } else advancing = false
+        }
+        val r = if (heldValid && heldKey == k) held else nullRight
+        out(joined(lRow, r))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy mapping the logical node to the exec. Inject via
+  * `GraftExtensions` (`injectPlannerStrategy`). */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt, tb) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+    case _ => Nil
+  }
+}

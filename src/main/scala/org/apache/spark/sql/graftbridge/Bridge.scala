@@ -13,6 +13,28 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame from a (resolved) custom LogicalPlan — `Dataset.ofRows` is
+    * private[sql]; custom operators ([[graft.plans.AsOfJoin]]) need it to
+    * surface as DataFrames. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a DataFrame. */
+  def analyzedPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
+
+  /** Runtime planner-strategy injection on a live session (mirrors
+    * `SparkSessionExtensions.injectPlannerStrategy` for built sessions). */
+  def injectStrategy(spark: org.apache.spark.sql.SparkSession,
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!classic.experimental.extraStrategies.contains(strategy))
+      classic.experimental.extraStrategies =
+        strategy +: classic.experimental.extraStrategies
+  }
+
   /** Runtime function registration on a live session (the extensions path
     * only applies at session build time). */
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,

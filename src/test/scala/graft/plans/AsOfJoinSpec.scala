@@ -1,0 +1,55 @@
+package graft.plans
+
+import graft.{SparkSpecBase, Tables}
+import graft.ops.AsOfJoinOps.asofJoin
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("small case: most recent quote at-or-before each trade, nulls when none") {
+    val trades = Seq((1L, 100L, "t1"), (1L, 200L, "t2"), (2L, 50L, "t3"))
+      .toDF("key", "t", "trade")
+    val quotes = Seq((1L, 90L, "q_old"), (1L, 100L, "q_exact"), (1L, 150L, "q_mid"),
+      (2L, 60L, "q_late"))
+      .toDF("qkey", "qt", "quote")
+    val out = asofJoin(trades, quotes, "key", "qkey", "t", "qt", "qt")
+      .select("trade", "quote").as[(String, Option[String])].collect().toMap
+    assert(out("t1").contains("q_exact"), "tie at t=100 takes the row at qt<=t")
+    assert(out("t2").contains("q_mid"))
+    assert(out("t3").isEmpty, "no quote at-or-before t=50 for key 2")
+  }
+
+  test("native as-of join matches the q13 union+window composition") {
+    val ev = Tables.events(spark, sfDir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("ct"))
+    val native = asofJoin(errors, clicks,
+      "user_id", "c_user", "t", "ct", "click_id")
+      .select(col("event_id"), col("click_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    val composed = graft.queries.RelationalQueries
+      .queries("q13_asof_join")(spark, sfDir)
+      .select(col("event_id"), col("prev_click_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(native.keySet == composed.keySet)
+    val diffs = native.collect { case (k, v) if composed(k) != v => (k, v, composed(k)) }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
+  }
+
+  test("physical plan is the custom exec with one exchange+sort per side") {
+    val ev = Tables.events(spark, sfDir)
+    val l = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("u2"), col("event_id").as("cid"),
+        unix_micros(col("ts")).as("ct"))
+    val df = asofJoin(l, r, "user_id", "u2", "t", "ct", "cid")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoinExec") || plan.contains("AsOfJoin"),
+      s"expected custom exec in plan:\n$plan")
+  }
+}
