@@ -156,6 +156,22 @@ object RelationalQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // max_by/min_by semantics, tie-deterministic via struct ordering: per
+    // customer, the (price, orderkey) of their most/least expensive order.
+    "q19_minmax_by" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(
+          max(struct(col("o_totalprice"), col("o_orderkey"))).as("mx"),
+          min(struct(col("o_totalprice"), col("o_orderkey"))).as("mn"))
+        .select(col("o_custkey"),
+          col("mx.o_totalprice").as("best_price"),
+          col("mx.o_orderkey").as("best_order"),
+          col("mn.o_totalprice").as("worst_price"),
+          col("mn.o_orderkey").as("worst_order"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // CUBE: all grouping-set combinations of (status, priority).
     "q16_cube" -> ((s, d) => {
       Tables.orders(s, d)
@@ -372,6 +388,16 @@ object RelationalQueries {
         |  COUNT(*) AS n_orders
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q19_minmax_by" ->
+      """WITH m AS (
+        |  SELECT o_custkey,
+        |    max(struct_pack(p := o_totalprice, k := o_orderkey)) AS mx,
+        |    min(struct_pack(p := o_totalprice, k := o_orderkey)) AS mn
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey,
+        |  mx.p AS best_price, mx.k AS best_order,
+        |  mn.p AS worst_price, mn.k AS worst_order
+        |FROM m ORDER BY o_custkey""".stripMargin,
     "q13_asof_join" ->
       """WITH u AS (
         |  SELECT user_id, ts::TIMESTAMP AS ts, 0 AS tag,
