@@ -55,14 +55,22 @@ object DedupOps {
     docs.select(col("doc_id"), tokens(col("text")).as("toks"), col("text"))
       .select(col("doc_id"), shingles(col("toks"), col("text")).as("sh_arr"))
 
-  /** Narrow MinHash signature: same h0..h{n-1} minima computed per-row from
-    * the shingle array with higher-order functions — ZERO shuffle (min over
-    * a multiset equals min over its distinct set, so no dedupe needed).
-    * This is the 100 TB path: signatures stream out of the scan stage. */
+  /** Narrow MinHash signature: h0..h{n-1} minima computed per-row from the
+    * shingle array with higher-order functions — ZERO shuffle (min over a
+    * multiset equals min over its distinct set, so no dedupe needed), and
+    * ONE md5 per shingle: the n hash functions are cheap linear permutations
+    * `(aᵢ·base32 + bᵢ) mod P` of a single 32-bit base hash (the classic
+    * universal-hashing MinHash construction — 16× less hashing than n
+    * salted md5 passes). This is the 100 TB path: signatures stream out of
+    * the scan stage. */
   def minhashSignatureNarrow(shingleArr: DataFrame, numHashes: Int): DataFrame = {
-    val mins = (0 until numHashes).map(i =>
-      array_min(transform(col("sh_arr"), s => saltedHash60(s, i))).as(s"h$i"))
-    shingleArr.select(col("doc_id") +: mins: _*)
+    val withBases = shingleArr.withColumn("bases",
+      transform(col("sh_arr"), s => hash32(s)))
+    val mins = (0 until numHashes).map { i =>
+      val (a, b) = permParams(i)
+      array_min(transform(col("bases"), x => (x * a + b) % MinhashP)).as(s"h$i")
+    }
+    withBases.select(col("doc_id") +: mins: _*)
   }
 
   /** Exact Jaccard for candidate pairs from per-doc shingle ARRAYS (set

@@ -40,6 +40,25 @@ object TextOps {
   def saltedHash60(c: Column, salt: Int): Column =
     hash60(concat(lit(s"$salt|"), c))
 
+  /** 32-bit base hash (first 8 hex chars of md5): the ONE expensive hash per
+    * token that the cheap linear MinHash permutations are applied to.
+    * DuckDB mirror: `('0x' || substr(md5(x), 1, 8))::BIGINT`. */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Universal-hash-family parameters for permutation `i`, derived
+    * deterministically from md5 so both engines can re-derive them:
+    * a ∈ [1, 2^30), b ∈ [0, P). With base < 2^32, a*base + b < 2^63 —
+    * no overflow in either engine's BIGINT. */
+  val MinhashP = 1000000007L
+  def permParams(i: Int): (Long, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"perm$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val a = (java.lang.Long.parseLong(hex.substring(0, 8), 16) % ((1L << 30) - 1)) + 1
+    val b = java.lang.Long.parseLong(hex.substring(8, 16), 16) % MinhashP
+    (a, b)
+  }
+
   /** Count of tokens that appear in `words`. */
   def wordSetCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*))).cast("long")

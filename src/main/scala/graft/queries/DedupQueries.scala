@@ -110,8 +110,11 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   private val dkMinhashLsh: String = {
-    val minAggs = (0 until NumHashes)
-      .map(i => s"min(${dkHash60(s"'$i|' || sh")}) AS h$i").mkString(",\n    ")
+    import graft.ops.TextOps.{MinhashP, permParams}
+    val minAggs = (0 until NumHashes).map { i =>
+      val (a, b) = permParams(i)
+      s"min(($a * (('0x' || substr(md5(sh), 1, 8))::BIGINT) + $b) % $MinhashP) AS h$i"
+    }.mkString(",\n    ")
     val bandCols = (0 until Bands).map { b =>
       val hs = (0 until RowsPerBand).map(r => s"h${b * RowsPerBand + r}::VARCHAR")
       s"md5(concat_ws(',', ${hs.mkString(", ")})) AS band$b"
