@@ -81,6 +81,28 @@ class StreamingInfraSpec extends SparkSpecBase {
       "no duplicates, no losses")
   }
 
+  test("streaming exact dedup: dropDuplicatesWithinWatermark on content hash") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val deduped = in.toDF().toDF("ts", "text")
+      .withColumn("content_md5", md5(col("text").cast("binary")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("content_md5")
+    val q = deduped.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("stream_dedup").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 01:$m%02d:00")
+    try {
+      in.addData((ts(0), "doc a"), (ts(1), "doc a"), (ts(2), "doc b"))
+      q.processAllAvailable()
+      in.addData((ts(3), "doc a"), (ts(4), "doc c")) // dup arrives next batch
+      q.processAllAvailable()
+      val texts = spark.table("stream_dedup").select("text").as[String]
+        .collect().sorted.toSeq
+      assert(texts == Seq("doc a", "doc b", "doc c"),
+        s"state must suppress duplicates across batches within the watermark: $texts")
+    } finally q.stop()
+  }
+
   test("foreachBatch sink: per-batch dedup-merge pattern") {
     implicit val ctx = spark.sqlContext
     val seen = scala.collection.mutable.Map[String, Long]()
