@@ -156,6 +156,20 @@ object RelationalQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // NULL-handling semantics: nullif/coalesce/null-safe equality. nullif
+    // manufactures NULLs from real data; <=> (null-safe =) must treat
+    // NULL<=>NULL as true, matching IS NOT DISTINCT FROM.
+    "q20_null_semantics" -> ((s, d) => {
+      Tables.customer(s, d)
+        .withColumn("seg_or_null", nullif(col("c_mktsegment"), lit("BUILDING")))
+        .select(col("c_custkey"),
+          col("seg_or_null"),
+          coalesce(col("seg_or_null"), lit("(defaulted)")).as("seg_coalesced"),
+          col("seg_or_null").eqNullSafe(lit(null).cast("string")).as("is_building"),
+          when(col("seg_or_null").isNull, "building").otherwise("other").as("bucket"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // max_by/min_by semantics, tie-deterministic via struct ordering: per
     // customer, the (price, orderkey) of their most/least expensive order.
     "q19_minmax_by" -> ((s, d) => {
@@ -388,6 +402,14 @@ object RelationalQueries {
         |  COUNT(*) AS n_orders
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q20_null_semantics" ->
+      """SELECT c_custkey,
+        |  nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(defaulted)') AS seg_coalesced,
+        |  nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL AS is_building,
+        |  CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NULL
+        |       THEN 'building' ELSE 'other' END AS bucket
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q19_minmax_by" ->
       """WITH m AS (
         |  SELECT o_custkey,

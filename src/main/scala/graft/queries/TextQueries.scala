@@ -89,6 +89,21 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Array-function family over token arrays: slice / contains / position /
+    // sort / distinct-count. (array_position: Spark yields 0 when absent,
+    // DuckDB NULL — oracle coalesces to 0.)
+    "t7_array_funcs" -> ((s, d) => {
+      Tables.fanout(Tables.documents(s, d))
+        .withColumn("toks", tokens(col("text")))
+        .select(col("doc_id"),
+          slice(col("toks"), 1, 3).as("first3"),
+          array_contains(col("toks"), "data").as("has_data"),
+          array_position(col("toks"), "spark").cast("long").as("spark_pos"),
+          element_at(sort_array(col("toks")), 1).as("min_tok"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Fingerprinting: whole-document 60-bit md5 fingerprint + order-
     // sensitive rolling hash over the token stream.
     "t4_fingerprint" -> ((s, d) => {
@@ -149,6 +164,14 @@ object TextQueries {
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
         |  len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS n_unique_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t7_array_funcs" ->
+      s"""SELECT doc_id,
+         |  ($dkToks)[1:3] AS first3,
+         |  list_contains($dkToks, 'data') AS has_data,
+         |  coalesce(list_position($dkToks, 'spark'), 0) AS spark_pos,
+         |  list_sort($dkToks)[1] AS min_tok,
+         |  len(list_distinct($dkToks)) AS n_distinct
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "t4_fingerprint" ->
       s"""SELECT doc_id,
          |  ${dkHash60("text")} AS fp64,
