@@ -22,7 +22,12 @@ import org.apache.spark.sql.Row
 object Pipelines {
 
   /** Kafka streaming source with the reference's options
-    * (`sparkpykafkajoin.py:63-69`: earliest offsets, one topic). */
+    * (`sparkpykafkajoin.py:63-69`: earliest offsets, one topic).
+    *
+    * Requires `spark-sql-kafka-0-10` on the cluster classpath (the reference
+    * ships it via `--packages`, `submit-event-kafkajoin.sh:3-4`); the test
+    * container has no connector/broker, so Kafka wiring is exercised
+    * structurally and the transform chains behind it via MemoryStream. */
   def kafkaSource(spark: SparkSession, bootstrap: String, topic: String): DataFrame =
     spark.readStream
       .format("kafka")
