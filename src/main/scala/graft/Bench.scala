@@ -7,9 +7,9 @@ import org.apache.spark.sql.SparkSession
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
   * The headline set excludes the deliberately-quadratic ground-truth
-  * operators (d4 exact all-pairs Jaccard, n3 all-pairs cosine) — their
-  * scalable counterparts (d2 MinHash-LSH, d5 SimHash bands, n2 LSH-ANN)
-  * are what runs at sf0.1+.
+  * operators (d4 exact all-pairs Jaccard, d6 components over d4's pairs) —
+  * their scalable counterparts (d2 MinHash-LSH, d5 SimHash bands, n2
+  * LSH-ANN, n5 IVF) are what runs at sf0.1+.
   */
 object Bench {
   val headline: Seq[String] = Seq(

@@ -147,6 +147,39 @@ object DedupOps {
     jaccardVerify(pairs, shingled).filter(col("jaccard") >= tau)
   }
 
+  /** Connected components over a near-dup pair graph: every document maps to
+    * the smallest doc_id reachable through pairs (its canonical keeper);
+    * singletons map to themselves. Iterative min-label propagation — each
+    * round is one join + aggregation, converging in O(component diameter)
+    * rounds (the production-scale pattern; large-star/small-star halves the
+    * round count if diameters grow). Deterministic: min is order-free.
+    *
+    * `pairs` needs (doc_a, doc_b); `docs` needs doc_id. */
+  def connectedComponents(pairs: DataFrame, docs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("canon_id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst")).agg(min(col("canon_id")).as("nbr_min"))
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
+        .select(col("doc_id"),
+          least(col("canon_id"), coalesce(col("nbr_min"), col("canon_id")))
+            .as("canon_id"))
+      // fixpoint check drives the loop — a driver-side count, not a collect
+      val changed = next.alias("n")
+        .join(labels.alias("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.canon_id") < col("o.canon_id")).count()
+      labels = next.localCheckpoint(eager = true) // truncate lineage per round
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** Distinct-token 60-bit hash array (materialize once — md5 per token is
     * the expensive part; the 32 bit-tests below reuse it). Order-insensitive
     * downstream, so Spark's first-occurrence `array_distinct` order vs

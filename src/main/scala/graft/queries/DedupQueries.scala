@@ -65,6 +65,18 @@ object DedupQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Dedup groups: connected components over the exact-Jaccard pair graph —
+    // every doc mapped to its canonical keeper (smallest doc_id in its
+    // near-dup component); the step that turns pair lists into a deduped
+    // corpus.
+    "d6_dedup_groups" -> ((s, d) => {
+      val ds = docs(s, d)
+      val pairs = exactJaccardPairs(explodedShingles(ds), JaccardTau)
+        .select(col("doc_a"), col("doc_b"))
+      connectedComponents(pairs, ds.select(col("doc_id")))
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash near-dup pairs via byte-band candidates + Hamming filter.
     "d5_simhash_pairs" -> ((s, d) => {
       val df = docs(s, d).withColumn("hs", tokenHashes(tokens(col("text"))))
@@ -151,7 +163,43 @@ object DedupQueries {
   private val dkTokenHashes =
     s"list_transform(list_distinct($dkToks), t -> ${dkHash60("t")})"
 
+  /** Recursive-CTE transitive closure (oracle for connected components):
+    * canon(doc) = min(reachable ∪ {doc}). Closure size is bounded by the
+    * near-dup components, which are small by construction. */
+  private val dkDedupGroups: String =
+    s"""WITH RECURSIVE $dkShingled,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM shingled a JOIN shingled b
+       |    ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+       |  FROM cand c
+       |  JOIN shingled a ON a.doc_id = c.doc_a
+       |  JOIN shingled b ON b.doc_id = c.doc_b AND b.sh = a.sh
+       |  GROUP BY c.doc_a, c.doc_b),
+       |jpairs AS (
+       |  SELECT i.doc_a, i.doc_b FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.doc_a
+       |  JOIN sizes sb ON sb.doc_id = i.doc_b
+       |  WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) >= $JaccardTau),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+       |  UNION ALL SELECT doc_b, doc_a FROM jpairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |canon AS (
+       |  SELECT d.doc_id,
+       |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS canon_id
+       |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+       |  GROUP BY d.doc_id)
+       |SELECT doc_id, canon_id FROM canon ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "d6_dedup_groups" -> dkDedupGroups,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id,
         |       COUNT(*) AS n_copies

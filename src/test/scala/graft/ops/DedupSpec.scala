@@ -61,6 +61,14 @@ class DedupSpec extends SparkSpecBase {
     assert(got == Set((0L, 1L), (0L, 2L), (1L, 2L)))
   }
 
+  test("connected components: chain of pairs collapses to min-id keeper") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val ds = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("doc_id")
+    val canon = connectedComponents(pairs, ds)
+      .as[(Long, Long)].collect().toMap
+    assert(canon == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("shingles fall back to whole text for <3-token docs") {
     val sh = explodedShingles(docs.filter(col("doc_id") === 4))
       .select("sh").as[String].collect()
