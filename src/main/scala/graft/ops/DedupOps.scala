@@ -64,6 +64,16 @@ object DedupOps {
     * salted md5 passes). This is the 100 TB path: signatures stream out of
     * the scan stage. */
   def minhashSignatureNarrow(shingleArr: DataFrame, numHashes: Int): DataFrame = {
+    val sig = graft.functions.MinHashKernel.minhash_sig(col("sh_arr"), numHashes)
+    val hs = (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"h$i"))
+    shingleArr.withColumn("sig", sig)
+      .select(col("doc_id") +: hs: _*)
+  }
+
+  /** HOF reference formulation of the same signature (math identical to the
+    * [[graft.functions.MinHashKernel]] fast path; equality asserted in
+    * `DedupSpec`). */
+  def minhashSignatureHof(shingleArr: DataFrame, numHashes: Int): DataFrame = {
     val withBases = shingleArr.withColumn("bases",
       transform(col("sh_arr"), s => hash32(s)))
     val mins = (0 until numHashes).map { i =>

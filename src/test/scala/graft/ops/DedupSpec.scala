@@ -61,6 +61,14 @@ class DedupSpec extends SparkSpecBase {
     assert(got == Set((0L, 1L), (0L, 2L), (1L, 2L)))
   }
 
+  test("MinHashKernel signature equals the HOF formulation on corpus docs") {
+    val arr = shingleArrays(
+      graft.Tables.documents(spark, sfDir).select("doc_id", "text"))
+    val fast = minhashSignatureNarrow(arr, 16).orderBy("doc_id").collect()
+    val ref = minhashSignatureHof(arr, 16).orderBy("doc_id").collect()
+    assert(fast.sameElements(ref), "compiled kernel must match HOF minima")
+  }
+
   test("connected components: chain of pairs collapses to min-id keeper") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
     val ds = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("doc_id")
