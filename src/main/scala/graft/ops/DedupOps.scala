@@ -197,11 +197,15 @@ object DedupOps {
   def tokenHashes(toks: Column): Column =
     transform(array_distinct(toks), t => hash60(t))
 
-  /** Per-row 32-bit SimHash over a precomputed token-hash array — pure
-    * higher-order functions, no row explosion: bit j of the sketch is set
-    * iff more than half the token hashes have bit j set. Static Scala loop
-    * over bit positions keeps every shift a codegen'd constant. */
+  /** Per-row 32-bit SimHash over a precomputed token-hash array — the
+    * compiled one-pass kernel ([[graft.functions.SimHashKernel]]); no row
+    * explosion, no shuffle. */
   def simhash32(hs: Column): Column =
+    graft.functions.SimHashKernel.simhash_32(hs)
+
+  /** HOF reference formulation (32 when/filter terms — interpreted, kept for
+    * the equality assertion in `DedupSpec`). */
+  def simhash32Hof(hs: Column): Column =
     (0 until 32).map { j =>
       when(lit(2) * size(filter(hs, h =>
           shiftright(h, j).bitwiseAND(lit(1L)) === 1L)) > size(hs),

@@ -61,6 +61,15 @@ class DedupSpec extends SparkSpecBase {
     assert(got == Set((0L, 1L), (0L, 2L), (1L, 2L)))
   }
 
+  test("SimHashKernel equals the HOF formulation on corpus docs") {
+    val withHs = graft.Tables.documents(spark, sfDir)
+      .withColumn("hs", tokenHashes(tokens(col("text"))))
+    val diff = withHs.select(simhash32(col("hs")).as("fast"),
+        simhash32Hof(col("hs")).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0, "compiled simhash kernel must match HOF sketch")
+  }
+
   test("MinHashKernel signature equals the HOF formulation on corpus docs") {
     val arr = shingleArrays(
       graft.Tables.documents(spark, sfDir).select("doc_id", "text"))
