@@ -191,10 +191,15 @@ object DedupOps {
   }
 
   /** Distinct-token 60-bit hash array (materialize once — md5 per token is
-    * the expensive part; the 32 bit-tests below reuse it). Order-insensitive
+    * the expensive part; SimHash reuses it). Compiled kernel, bit-identical
+    * to `transform(array_distinct(toks), hash60)`. Order-insensitive
     * downstream, so Spark's first-occurrence `array_distinct` order vs
     * DuckDB's `list_distinct` order doesn't matter. */
   def tokenHashes(toks: Column): Column =
+    graft.functions.TokenHashKernel.token_hashes(array_distinct(toks))
+
+  /** HOF reference for [[tokenHashes]] (equality asserted in `DedupSpec`). */
+  def tokenHashesHof(toks: Column): Column =
     transform(array_distinct(toks), t => hash60(t))
 
   /** Per-row 32-bit SimHash over a precomputed token-hash array — the

@@ -61,6 +61,14 @@ class DedupSpec extends SparkSpecBase {
     assert(got == Set((0L, 1L), (0L, 2L), (1L, 2L)))
   }
 
+  test("TokenHashKernel equals hash60 HOF on corpus docs") {
+    val diff = graft.Tables.documents(spark, sfDir)
+      .select(tokenHashes(tokens(col("text"))).as("fast"),
+        tokenHashesHof(tokens(col("text"))).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0, "compiled token hashing must match conv(substr(md5))")
+  }
+
   test("SimHashKernel equals the HOF formulation on corpus docs") {
     val withHs = graft.Tables.documents(spark, sfDir)
       .withColumn("hs", tokenHashes(tokens(col("text"))))
