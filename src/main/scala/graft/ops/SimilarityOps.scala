@@ -121,8 +121,14 @@ object SimilarityOps {
 
   /** Array of signatures, one per hash table — the standard multi-table LSH
     * construction: a true neighbor is recalled if it collides in ANY table,
-    * so recall ≈ 1-(1-p^planes)^tables. */
+    * so recall ≈ 1-(1-p^planes)^tables. Computed by the fused compiled
+    * kernel ([[graft.functions.LshSigKernel]]) — same math as the per-table
+    * [[lshSignature]] expressions (equality asserted in `SimilaritySpec`). */
   def lshSignatures(emb: Column, tables: Int, planes: Int, dims: Int): Column =
+    graft.functions.LshSigKernel.lsh_sigs(emb, tables, planes, dims)
+
+  /** Expression-composed reference form of [[lshSignatures]]. */
+  def lshSignaturesHof(emb: Column, tables: Int, planes: Int, dims: Int): Column =
     array((0 until tables).map(t => lshSignature(emb, t, planes, dims)): _*)
 
   /** LSH-bucketed ANN: candidates = union over hash tables of bucket

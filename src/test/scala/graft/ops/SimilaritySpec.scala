@@ -77,6 +77,14 @@ class SimilaritySpec extends SparkSpecBase {
     assert(planeWeights(4, 64) != w1)
   }
 
+  test("fused LSH signature kernel equals the expression-composed form") {
+    val diff = vecs.select(
+        lshSignatures(col("emb"), 8, 8, 64).as("fast"),
+        lshSignaturesHof(col("emb"), 8, 8, 64).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff == 0, "fused kernel must produce identical bucket signatures")
+  }
+
   test("bounded TopKAggregator ranking equals the window formulation") {
     val q = vecs.filter(col("id") < 8)
     val viaWindow = bruteForceTopK(q, vecs, 10)
