@@ -34,8 +34,8 @@ object SparkEntry {
       DedupQueries.queries ++ SimilarityQueries.queries ++ MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (n2_ann_lsh → rows-only check; its recall is asserted in ScalaTest). */
+    * the same parquet tables — every query has one (the LSH oracle embeds
+    * its hyperplane weights as SQL literals). */
   def oracleSql: Map[String, String] =
     StediQueries.oracles ++ RelationalQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ SimilarityQueries.oracles ++ MultimodalQueries.oracles

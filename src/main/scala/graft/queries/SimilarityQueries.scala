@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * n1 (brute-force cosine top-k) and n3 (cosine near-dup pairs) have
   * bit-exact DuckDB oracles: both engines fold the same doubles in the same
   * element order, so even the ranking ties break identically. n2 (LSH) is
-  * the scale path — checked rows-only by the driver plus a recall assertion
+  * the scale path — also fully oracle-checked (the md5-derived hyperplane
+  * weights are embedded in the SQL as literals), plus a recall assertion
   * in `SimilaritySpec`. */
 object SimilarityQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -34,7 +35,8 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // LSH-bucketed ANN (rows-only driver check; recall vs n1 in ScalaTest).
+    // LSH-bucketed ANN (full oracle: weights embedded as SQL literals;
+    // recall vs n1 additionally asserted in ScalaTest).
     "n2_ann_lsh" -> ((s, d) => {
       val v = vecs(s, d)
       lshTopK(v.filter(col("id") < NumQueries), v, K, LshTables, Planes, Dims)
@@ -87,7 +89,53 @@ object SimilarityQueries {
     s"""list_reduce(list_prepend(0.0::DOUBLE,
        |    list_transform($t.emb, x -> x * x)), (p, q) -> p + q)""".stripMargin
 
+  /** The LSH hyperplane weights embedded as SQL literals, one VALUES row per
+    * (table, plane) — md5-derived integers, so DuckDB re-derives the exact
+    * bucket signatures the Scala kernel computes (same ascending double
+    * fold, same `d >= 0` bit rule). */
+  private def lshWeightValues: String =
+    (0 until LshTables).flatMap { t =>
+      (0 until Planes).map { p =>
+        val w = graft.ops.SimilarityOps.planeWeights(t * 1000 + p, Dims)
+          .map(_.toLong).mkString("[", ", ", "]")
+        s"($t, $p, $w)"
+      }
+    }.mkString(",\n    ")
+
   val oracles: Map[String, String] = Map(
+    "n2_ann_lsh" ->
+      s"""WITH v AS (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |w(tbl, plane, wts) AS (VALUES
+         |    $lshWeightValues),
+         |sigs AS (
+         |  SELECT v.id, w.tbl,
+         |    CAST(SUM(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+         |        list_transform(generate_series(1, $Dims),
+         |          i -> v.emb[i] * w.wts[i])),
+         |        (x, y) -> x + y) >= 0
+         |      THEN (1::BIGINT << w.plane) ELSE 0 END) AS BIGINT) AS sig
+         |  FROM v, w GROUP BY v.id, w.tbl),
+         |cand AS (
+         |  SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+         |  FROM sigs q JOIN sigs c
+         |    ON q.tbl = c.tbl AND q.sig = c.sig AND c.id <> q.id
+         |  WHERE q.id < $NumQueries),
+         |scored AS (
+         |  SELECT k.query_id, k.neighbor_id,
+         |         $dkDot / sqrt(${dkNorm2("a")} * ${dkNorm2("b")}) AS cos
+         |  FROM cand k
+         |  JOIN v a ON a.id = k.query_id
+         |  JOIN v b ON b.id = k.neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_sim
+         |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
     "n1_ann_bruteforce" ->
       s"""WITH v AS (
          |  SELECT vec_id AS id,

@@ -91,12 +91,14 @@ object TextQueries {
 
     // Array-function family over token arrays: slice / contains / position /
     // sort / distinct-count. (array_position: Spark yields 0 when absent,
-    // DuckDB NULL — oracle coalesces to 0.)
+    // DuckDB NULL — oracle coalesces to 0. The slice result is re-joined to
+    // a string: the driver's comparator row-sorts in pandas, where a raw
+    // array column is unhashable — output columns must stay scalar.)
     "t7_array_funcs" -> ((s, d) => {
       Tables.fanout(Tables.documents(s, d))
         .withColumn("toks", tokens(col("text")))
         .select(col("doc_id"),
-          slice(col("toks"), 1, 3).as("first3"),
+          array_join(slice(col("toks"), 1, 3), " ").as("first3"),
           array_contains(col("toks"), "data").as("has_data"),
           array_position(col("toks"), "spark").cast("long").as("spark_pos"),
           element_at(sort_array(col("toks")), 1).as("min_tok"),
@@ -118,10 +120,13 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "t1_token_stats" ->
+      // CAST: DuckDB's list_sum yields DECIMAL(38,0), which lands in the
+      // driver's pandas frame as float64 and hash-mismatches Spark's int64.
       s"""SELECT doc_id,
          |  len($dkToks) AS n_tokens,
          |  length(text) AS n_chars_text,
-         |  list_sum(list_transform($dkToks, t -> length(t))) AS total_tok_len
+         |  CAST(list_sum(list_transform($dkToks, t -> length(t))) AS BIGINT)
+         |    AS total_tok_len
          |FROM documents ORDER BY doc_id""".stripMargin,
     "t2_quality_score" ->
       s"""WITH base AS (
@@ -166,9 +171,9 @@ object TextQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t7_array_funcs" ->
       s"""SELECT doc_id,
-         |  ($dkToks)[1:3] AS first3,
+         |  array_to_string(($dkToks)[1:3], ' ') AS first3,
          |  list_contains($dkToks, 'data') AS has_data,
-         |  coalesce(list_position($dkToks, 'spark'), 0) AS spark_pos,
+         |  CAST(coalesce(list_position($dkToks, 'spark'), 0) AS BIGINT) AS spark_pos,
          |  list_sort($dkToks)[1] AS min_tok,
          |  len(list_distinct($dkToks)) AS n_distinct
          |FROM documents ORDER BY doc_id""".stripMargin,
