@@ -43,11 +43,17 @@ object Bench {
     // absorb one-time session costs (classloading, codegen compiler init).
     qs("s1_cast_projection")(spark, sfDir).limit(100)
       .write.format("noop").mode("overwrite").save()
+    // Best-of-2 per query: single-run timings on a shared host are ±30-100%
+    // noisy (page cache, codegen compilation, CPU contention); the min of two
+    // runs is a far stabler estimate of the plan's actual cost.
     val results = headline.filter(qs.contains).map { name =>
-      val t0 = System.nanoTime()
-      try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qjson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -30,9 +30,11 @@ object RelationalQueries {
   val queries: Map[String, Q] = Map(
     // TPC-H Q1-shaped pricing summary. Map-side partial aggregation on
     // (returnflag, linestatus) — only |groups| rows shuffle, so this scans
-    // 100 TB with a shuffle measured in kilobytes.
+    // 100 TB with a shuffle measured in kilobytes. fanout spreads the
+    // single-row-group test file across cores before the decimal math
+    // (a no-op at real scale where the scan has many splits).
     "q1_pricing_summary" -> ((s, d) => {
-      Tables.lineitem(s, d)
+      Tables.fanout(Tables.lineitem(s, d))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           dsum("l_quantity").as("sum_qty"),
@@ -47,7 +49,7 @@ object RelationalQueries {
     // region/nation/customer are tiny → broadcast hash join everywhere; only
     // lineitem⋈orders shuffles on orderkey (AQE coalesces post-shuffle).
     "q2_star_join_revenue" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
+      val li = Tables.fanout(Tables.lineitem(s, d))
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
       val n = Tables.nation(s, d)
@@ -67,7 +69,7 @@ object RelationalQueries {
     // per-partition top-k then a k-row merge on the driver; no full sort at
     // any scale.
     "q3_top_orders" -> ((s, d) => {
-      Tables.lineitem(s, d)
+      Tables.fanout(Tables.lineitem(s, d))
         .groupBy(col("l_orderkey"))
         .agg(dsum("l_extendedprice").as("order_value"),
              count(lit(1)).as("n_lines"))
@@ -212,7 +214,7 @@ object RelationalQueries {
     // (approx_count_distinct/HLL) is covered by ScalaTest error-bound tests,
     // not the oracle (sketches aren't cross-engine comparable).
     "q10_count_distinct" -> ((s, d) => {
-      Tables.lineitem(s, d)
+      Tables.fanout(Tables.lineitem(s, d))
         .groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_orderkey")).as("n_orders"),
              countDistinct(col("l_partkey")).as("n_parts"))

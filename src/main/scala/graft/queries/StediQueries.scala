@@ -27,10 +27,21 @@ object StediQueries {
 
     // from_json + struct flatten + null-filter (sparkpykafkajoin.py:105-149):
     // events.props plays the JSON envelope role.
+    //
+    // The parse goes through explode(array(...)) as a pushdown barrier:
+    // without it, PushDownPredicates copies `isnotnull(from_json(..).k)`
+    // below BOTH the projection and the fanout exchange, so every row is
+    // parsed twice — and the filter-side parse runs on the pre-fanout
+    // (single-row-group ⇒ single-core) scan partition. A Generate node
+    // blocks predicate pushdown, so from_json evaluates exactly once,
+    // after the repartition, on all cores. Same trick a 100 TB pipeline
+    // needs: never let the optimizer clone an expensive parse into a
+    // pre-shuffle filter.
     "s2_json_extract_filter" -> ((s, d) => {
       Tables.fanout(Tables.events(s, d))
-        .withColumn("parsed", from_json(col("props"),
-          org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .select(col("event_id"),
+          explode(array(from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT")))).as("parsed"))
         .select(col("event_id"), col("parsed.k").as("k"))
         .filter(col("k").isNotNull)
         .orderBy(col("event_id"))
