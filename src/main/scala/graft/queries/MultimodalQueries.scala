@@ -21,6 +21,18 @@ object MultimodalQueries {
           md5(col("payload")).as("checksum"),
           base64(substring(col("payload"), 1, 8)).as("head_b64"))
         .orderBy(col("media_id"))
+    }),
+
+    // Frame sampling over opaque payloads: 4 evenly-spaced byte windows
+    // sliced out of each binary payload ([[sampleWindows]]), base64-joined
+    // so the output stays scalar. Pure codegen'd substring-on-binary — the
+    // shape a video frame sampler's byte-range reads take before decode.
+    "m2_frame_windows" -> ((s, d) => {
+      val media = asMediaRecords(Tables.documents(s, d), "doc_id", "text", "doc")
+      sampleWindows(media, 4, 12)
+        .select(col("media_id"), col("byte_len"),
+          array_join(transform(col("windows"), w => base64(w)), "|").as("windows_b64"))
+        .orderBy(col("media_id"))
     })
   )
 
@@ -30,6 +42,18 @@ object MultimodalQueries {
         |  octet_length(encode(text)) AS byte_len,
         |  md5(text) AS checksum,
         |  base64(encode(substring(text, 1, 8))) AS head_b64
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // Window starts mirror MultimodalOps.sampleWindows: 1 + i*(len DIV 4)
+    // (text is pure ASCII in the corpus, so char offsets == byte offsets).
+    "m2_frame_windows" -> {
+      val win = (0 until 4).map(i =>
+        s"base64(encode(substring(text, 1 + $i * greatest(octet_length(encode(text)) // 4, 1), 12)))")
+        .mkString(",\n        ")
+      s"""SELECT doc_id AS media_id,
+         |  octet_length(encode(text)) AS byte_len,
+         |  concat_ws('|',
+         |        $win) AS windows_b64
+         |FROM documents ORDER BY media_id""".stripMargin
+    }
   )
 }

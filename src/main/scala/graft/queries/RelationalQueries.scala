@@ -291,6 +291,125 @@ object RelationalQueries {
         .orderBy(col("day"))
     }),
 
+    // Explicit GROUPING SETS (beyond q8 rollup / q16 cube): per-status,
+    // per-priority, and grand-total aggregates in one pass, with GROUPING()
+    // flags to disambiguate manufactured NULLs. One Expand + one shuffle of
+    // |sets|×|groups| rows — same scale profile as any grouped aggregation.
+    "q21_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+          |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+          |  COUNT(*) AS n_orders
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY g_status, g_priority,
+          |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // Calendar/interval arithmetic: month addition (with month-end clamping),
+    // day addition, last_day, quarter truncation, day-diff to an anchor.
+    // Dates emitted as strings (engine-native date formatting is identical;
+    // timestamp precisions are not). Narrow per-row pipeline — no shuffle.
+    // (Oracle note: DuckDB 1.0's subexpression elimination treats INTERVAL
+    // constants of different units as equal — `d + INTERVAL 3 MONTH` and
+    // `d + INTERVAL 90 DAY` over a column dedupe to one expression — so the
+    // oracle adds days via DATE + 90 instead of a second interval literal.)
+    "q22_interval_arith" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od"))
+        .select(col("o_orderkey"),
+          col("od").cast("string").as("order_date"),
+          add_months(col("od"), 3).cast("string").as("plus_3m"),
+          date_add(col("od"), 90).cast("string").as("plus_90d"),
+          last_day(col("od")).cast("string").as("month_end"),
+          date_trunc("quarter", col("od")).cast("date").cast("string").as("quarter_start"),
+          datediff(lit("1998-01-01").cast("date"), col("od")).cast("long").as("days_to_98"),
+          (year(col("od")) * 100 + month(col("od"))).cast("long").as("yyyymm"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Exact nearest-rank percentiles per group (p50/p90/p99). Interpolating
+    // percentile functions are NOT cross-engine bit-stable (the interpolation
+    // order of operations differs in the last ulp), so the oracle-checked
+    // form is nearest-rank over a total order — pure integer indexing, exact
+    // everywhere. One shuffle on the group key; rank via row_number.
+    "q23_percentiles" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      val cw = Window.partitionBy(col("l_returnflag"))
+      def atRank(k: Int) =
+        max(when(col("rn") === expr(s"(n * $k + 99) DIV 100"), col("l_quantity")))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(cw))
+        .groupBy(col("l_returnflag"))
+        .agg(atRank(50).as("p50"), atRank(90).as("p90"), atRank(99).as("p99"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // IN + NOT IN subqueries. NOT IN plans as a null-aware anti join — a
+    // genuinely different operator from q5's left_anti (which is NOT EXISTS):
+    // one null in the subquery would empty the result under three-valued
+    // logic. Subquery sides are small aggregates → broadcast.
+    "q24_in_subquery" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_in")
+      Tables.nation(s, d).createOrReplaceTempView("nation_in")
+      Tables.orders(s, d).createOrReplaceTempView("orders_in")
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer_in
+          |WHERE c_nationkey IN (SELECT n_nationkey FROM nation_in
+          |                      WHERE n_regionkey IN (1, 2))
+          |  AND c_custkey NOT IN (SELECT o_custkey FROM orders_in
+          |                        WHERE o_orderstatus = 'F'
+          |                          AND o_totalprice > 250000)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // FULL OUTER join of two grouped aggregates (nations with rich customers
+    // vs nations with rich suppliers) — unmatched sides surface as 0-count
+    // rows through coalesce. Both inputs shrink to |nations| rows before the
+    // join, so the outer join itself is trivially broadcastable at any scale.
+    "q25_outer_join" -> ((s, d) => {
+      val cust = Tables.customer(s, d).filter(col("c_acctbal") > 7000)
+        .groupBy(col("c_nationkey").cast("long").as("nk_c"))
+        .agg(count(lit(1)).as("cnt_c"))
+      val supp = Tables.supplier(s, d).filter(col("s_acctbal") > 7000)
+        .groupBy(col("s_nationkey").cast("long").as("nk_s"))
+        .agg(count(lit(1)).as("cnt_s"))
+      cust.join(supp, col("nk_c") === col("nk_s"), "full_outer")
+        .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+          coalesce(col("cnt_c"), lit(0L)).as("n_rich_cust"),
+          coalesce(col("cnt_s"), lit(0L)).as("n_rich_supp"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // MAP-typed columns: per-user event-type→count map built with
+    // map_from_entries(collect_list(struct)), consumed via try_element_at /
+    // map_keys / size. Keys are unique by construction (pre-grouped), so the
+    // map build is order-insensitive; outputs are scalars (the driver's
+    // comparator can't hash raw map cells). try_element_at (not element_at):
+    // ANSI mode throws on absent keys.
+    "q26_map_funcs" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(collect_list(struct(col("event_type"), col("cnt"))))
+          .as("m"))
+        .select(col("user_id"),
+          coalesce(try_element_at(col("m"), lit("click")), lit(0L)).as("n_click"),
+          coalesce(try_element_at(col("m"), lit("purchase")), lit(0L)).as("n_purchase"),
+          size(col("m")).cast("long").as("n_types"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("types_csv"))
+        .orderBy(col("user_id"))
+    }),
+
     // Range (interval) join: events of the same user within 1 hour after a
     // 'signup'. Equi key user_id keeps it a hash join + residual range
     // predicate — no cartesian blowup; at scale, salting the hot users or a
@@ -465,6 +584,64 @@ object RelationalQueries {
         |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q21_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_priority,
+        |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q22_interval_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+        |  CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus_3m,
+        |  CAST(CAST(o_orderdate AS DATE) + 90 AS VARCHAR) AS plus_90d,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+        |  CAST(CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS VARCHAR) AS quarter_start,
+        |  date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98,
+        |  CAST(year(CAST(o_orderdate AS DATE)) * 100 + month(CAST(o_orderdate AS DATE)) AS BIGINT) AS yyyymm
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q23_percentiles" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN l_quantity END) AS p50,
+        |  MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN l_quantity END) AS p90,
+        |  MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN l_quantity END) AS p99,
+        |  COUNT(*) AS n_rows
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q24_in_subquery" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+        |                      WHERE n_regionkey IN (1, 2))
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderstatus = 'F'
+        |                          AND o_totalprice > 250000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q25_outer_join" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nk_c, COUNT(*) AS cnt_c
+        |           FROM customer WHERE c_acctbal > 7000 GROUP BY 1),
+        |     s AS (SELECT CAST(s_nationkey AS BIGINT) AS nk_s, COUNT(*) AS cnt_s
+        |           FROM supplier WHERE s_acctbal > 7000 GROUP BY 1)
+        |SELECT coalesce(nk_c, nk_s) AS nationkey,
+        |       coalesce(cnt_c, 0) AS n_rich_cust,
+        |       coalesce(cnt_s, 0) AS n_rich_supp
+        |FROM c FULL OUTER JOIN s ON nk_c = nk_s
+        |ORDER BY nationkey""".stripMargin,
+    "q26_map_funcs" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  COUNT(DISTINCT event_type) AS n_types,
+        |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types_csv
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q12_range_join" ->
       """SELECT s.event_id AS signup_id, COUNT(*) AS n_follow
         |FROM (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events

@@ -106,6 +106,21 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Generator coverage: explode the token stream into a corpus-wide term
+    // frequency table (doc frequency via count-distinct), top-100 by a TOTAL
+    // order (count desc, token asc — unique, so the limit is deterministic).
+    // At scale: explode is pipeline-local; the groupBy shuffles one row per
+    // (partition, distinct token) thanks to map-side partial aggregation, and
+    // top-k is a TakeOrderedAndProject (k rows per partition), not a sort.
+    "t8_explode" -> ((s, d) => {
+      Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("cnt").desc, col("tok"))
+        .limit(100)
+    }),
+
     // Fingerprinting: whole-document 60-bit md5 fingerprint + order-
     // sensitive rolling hash over the token stream.
     "t4_fingerprint" -> ((s, d) => {
@@ -177,6 +192,10 @@ object TextQueries {
          |  list_sort($dkToks)[1] AS min_tok,
          |  len(list_distinct($dkToks)) AS n_distinct
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "t8_explode" ->
+      s"""WITH t AS (SELECT doc_id, unnest($dkToks) AS tok FROM documents)
+         |SELECT tok, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS n_docs
+         |FROM t GROUP BY tok ORDER BY cnt DESC, tok LIMIT 100""".stripMargin,
     "t4_fingerprint" ->
       s"""SELECT doc_id,
          |  ${dkHash60("text")} AS fp64,
