@@ -209,6 +209,50 @@ object SimilarityOps {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Fixed-iteration Lloyd k-means over (id, emb) — the learned coarse
+    * quantizer an IVF index trains, expressed as pure DataFrame ops:
+    *
+    *  - init: centroids = the embeddings of ids 0..k-1 (deterministic — no
+    *    rand(), so the whole run is engine-portable and oracle-checkable);
+    *  - assign: nearest centroid by squared L2, computed as
+    *    (‖v‖² + ‖c‖²) − 2·v·c with the codegen'd dot/norm kernels; ties
+    *    break to the smallest centroid id via min(struct(d2, cid));
+    *  - update: per-dimension mean through DECIMAL(27,10) (exact,
+    *    partition-order-free — Spark's tree aggregation and DuckDB's
+    *    sequential scan produce the same bits).
+    *
+    * Each iteration is one broadcast (k×dims centroids) + one shuffle of
+    * |vecs|×dims partial sums — Lloyd's algorithm at 100 TB is exactly this
+    * loop, with the centroid table always tiny. `iters` is fixed (no
+    * convergence test) so the computation is expressible as unrolled SQL.
+    * Returns the final assignment (id, cluster, d2). */
+  def kmeansAssign(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    val v = vecs.select(col("id"), col("emb"), norm2(col("emb")).as("n2"))
+    def assign(cents: DataFrame): DataFrame =
+      v.crossJoin(broadcast(cents))
+        .withColumn("d2",
+          (col("n2") + col("c_n2")) - lit(2.0) * dot(col("emb"), col("cent")))
+        .groupBy(col("id"))
+        .agg(min(struct(col("d2"), col("cid"))).as("m"),
+          first(col("emb")).as("emb"))   // emb is constant per id
+        .select(col("id"), col("emb"),
+          col("m.cid").as("cluster"), col("m.d2").as("d2"))
+    def update(assigned: DataFrame): DataFrame =
+      assigned.select(col("cluster"), posexplode(col("emb")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(expr("CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE)")
+          .divide(count(lit(1))).as("c"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          s => s.getField("c")).as("cent"))
+        .select(col("cluster").as("cid"), col("cent"), norm2(col("cent")).as("c_n2"))
+    var cents = v.filter(col("id") < k)
+      .select(col("id").as("cid"), col("emb").as("cent"), col("n2").as("c_n2"))
+    var i = 0
+    while (i < iters) { cents = update(assign(cents)); i += 1 }
+    assign(cents).select(col("id"), col("cluster"), col("d2"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ tau. Exact all-pairs form —
     * ground truth at test scale; at 100 TB use `lshSignature` buckets as the
     * candidate filter first (same verify step). */

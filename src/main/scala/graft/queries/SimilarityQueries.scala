@@ -19,6 +19,8 @@ object SimilarityQueries {
   val K = 10
   val NumQueries = 8       // query set = vec_id < 8
   val NearDupTau = 0.9
+  val KmK = 8              // k-means clusters
+  val KmIters = 2          // fixed Lloyd iterations (unrolled in the oracle)
   val LshTables = 8   // LSH hash tables
   val Planes = 8   // hyperplanes (bits) per table
   val Dims = 64
@@ -59,6 +61,17 @@ object SimilarityQueries {
       val cents = exactCentroids(v)
       ivfTopK(v.filter(col("id") < NumQueries), v, cents, K, nprobe = 2)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Learned k-means clustering (fixed 2 Lloyd iterations, deterministic
+    // first-k init): the trained coarse quantizer n5's label-as-list IVF
+    // approximates. Final per-vector assignment + squared L2 to the learned
+    // centroid, bit-exact against the unrolled DuckDB mirror.
+    "n6_kmeans" -> ((s, d) => {
+      kmeansAssign(vecs(s, d), KmK, KmIters)
+        .select(col("id").as("vec_id"), col("cluster"),
+          round(col("d2"), 6).as("dist2"))
+        .orderBy(col("vec_id"))
     }),
 
     // Per-label centroids, one row per (label, dim) — the coarse-quantizer
@@ -102,7 +115,56 @@ object SimilarityQueries {
       }
     }.mkString(",\n    ")
 
+  /** Unrolled Lloyd mirror of [[graft.ops.SimilarityOps.kmeansAssign]]:
+    * KmIters × (assign CTE + decimal-mean update CTE) + a final assign.
+    * Same (‖v‖²+‖c‖²)−2·v·c double arithmetic, same (d2, cid) tie-break. */
+  private def dkKmeans: String = {
+    def dot2(a: String, b: String) =
+      s"""list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(generate_series(1, len($a)),
+         |        i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
+    def n2(e: String) =
+      s"""list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform($e, z -> z * z)), (p, q) -> p + q)""".stripMargin
+    def assign(cent: String, out: String) =
+      s"""$out AS (
+         |  SELECT id, cluster, d2 FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+         |      ORDER BY d2, cluster) AS rn FROM (
+         |      SELECT v.id, c.cid AS cluster,
+         |        (${n2("v.emb")} + ${n2("c.cent")})
+         |        - 2 * ${dot2("v.emb", "c.cent")} AS d2
+         |      FROM v, $cent c))
+         |  WHERE rn = 1)""".stripMargin
+    def update(a: String, idx: Int) =
+      s"""u$idx AS (
+         |  SELECT a.cluster, u.dim, u.x
+         |  FROM $a a JOIN v ON v.id = a.id,
+         |    LATERAL (SELECT unnest(v.emb) AS x,
+         |                    generate_subscripts(v.emb, 1) AS dim) u),
+         |cd$idx AS (
+         |  SELECT cluster, dim,
+         |    CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS c
+         |  FROM u$idx GROUP BY cluster, dim),
+         |cent$idx AS (
+         |  SELECT cluster AS cid, list(c ORDER BY dim) AS cent
+         |  FROM cd$idx GROUP BY cluster)""".stripMargin
+    val steps = (1 to KmIters).map { i =>
+      assign(if (i == 1) "cent0" else s"cent${i - 1}", s"a$i") + ",\n" + update(s"a$i", i)
+    }.mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id AS id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |cent0 AS (SELECT id AS cid, emb AS cent FROM v WHERE id < $KmK),
+       |$steps,
+       |${assign(s"cent$KmIters", "afinal")}
+       |SELECT id AS vec_id, cluster, round(d2, 6) AS dist2
+       |FROM afinal ORDER BY vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "n6_kmeans" -> dkKmeans,
     "n2_ann_lsh" ->
       s"""WITH v AS (
          |  SELECT vec_id AS id,

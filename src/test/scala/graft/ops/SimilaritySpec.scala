@@ -128,4 +128,18 @@ class SimilaritySpec extends SparkSpecBase {
     assert(pairs.forall(p => p._1 < p._2))
     assert(pairs.forall(p => p._3 >= 0.5))
   }
+
+  test("k-means: every vector assigned, ≤k clusters, Lloyd SSE non-increasing") {
+    val n = vecs.count()
+    def sse(iters: Int): Double =
+      kmeansAssign(vecs, 8, iters)
+        .agg(sum(col("d2"))).as[Double].head()
+    val a2 = kmeansAssign(vecs, 8, 2)
+      .select("id", "cluster").as[(Long, Long)].collect()
+    assert(a2.length == n, "every vector gets exactly one assignment")
+    assert(a2.map(_._2).distinct.length <= 8)
+    val sses = Seq(sse(0), sse(1), sse(2))
+    assert(sses.zip(sses.tail).forall { case (a, b) => b <= a + 1e-9 },
+      s"Lloyd iterations must not increase total SSE: $sses")
+  }
 }
