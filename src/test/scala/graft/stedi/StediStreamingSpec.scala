@@ -82,6 +82,77 @@ class StediStreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  /** Golden replay of the reference's captured run
+    * (`spark/logs/redis-kafka.log` batches 0-41): batch 0 replays the full
+    * customer backlog from earliest offsets — 20 customers with birthYears
+    * 1965..1945 (1960 absent in the log) — and the steady state is
+    * near-empty. Log emails are console-truncated; the visible prefixes are
+    * completed with the simulator's uniform `@test.com` domain. */
+  test("golden: reference batch-0 customer backlog replays through P1") {
+    val golden: Seq[(String, String)] = Seq(
+      "Angie.Jefferson" -> "1965", "Trevor.Khatib" -> "1964",
+      "Trevor.Howard" -> "1963", "Travis.Howard" -> "1962",
+      "Bobby.Abram" -> "1961", "Sean.Howard" -> "1959",
+      "Trevor.Anderson" -> "1958", "David.Lincoln" -> "1957",
+      "Gail.Hansen" -> "1956", "David.Anderson" -> "1955",
+      "Ben.Clark" -> "1954", "Larry.Howard" -> "1953",
+      "Eric.Clark" -> "1952", "Edward.Khatib" -> "1951",
+      "Suresh.Hansen" -> "1950", "Ashley.Smith" -> "1949",
+      "Jerry.Hansen" -> "1948", "Dan.Ahmed" -> "1947",
+      "Larry.Habschied" -> "1946", "Spencer.Harris" -> "1945"
+    ).map { case (n, y) => (s"$n@test.com", y) }
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = Pipelines.memorySink(
+      Pipelines.p1CustomerDecode(in.toDF()), "p1_golden").start()
+    try {
+      // batch 0: the whole backlog (earliest offsets) + one non-Customer
+      // Redis write that the null-filter must drop (sparkpykafkajoin.py:138)
+      val backlog = golden.map { case (email, year) =>
+        envelope(customerJson(email.takeWhile(_ != '@').replace('.', ' '),
+          email, s"$year-01-03"))
+      } :+ s"""{"key":"${b64("SortedSet")}","existType":"NONE","ch":false,"incr":false,"zSetEntries":[{"element":"${b64("""{"id":"x"}""")}","score":0.0}]}"""
+      in.addData(backlog: _*)
+      q.processAllAvailable()
+      val batch0 = spark.table("p1_golden").as[(String, String)].collect().toSet
+      assert(batch0 == golden.toSet,
+        s"batch-0 replay must equal the log's 20 {email, birthYear} rows")
+      // steady state (log batches 1-41): nothing new → output unchanged
+      in.addData(s"""{"key":"${b64("SortedSet")}","existType":"NONE","ch":false,"incr":false,"zSetEntries":[{"element":"${b64("""{"id":"y"}""")}","score":0.0}]}""")
+      q.processAllAvailable()
+      assert(spark.table("p1_golden").count() == 20)
+    } finally q.stop()
+  }
+
+  /** Golden replay of `spark/logs/eventstream.log` (batches 0-11): empty
+    * batch 0, then exactly one risk event per micro-batch with the logged
+    * scores — asserted per-batch (append mode: each batch contributes its
+    * own row, earlier rows untouched). */
+  test("golden: reference eventstream cadence replays through P2") {
+    val golden: Seq[(String, Float)] = Seq(
+      "Sean.Clayton" -> -1.5f, "Eric.Mitra" -> 18.5f,
+      "Danny.Sanchez" -> 3.5f, "Senthil.Gonzalez" -> -2.0f,
+      "David.Davis" -> -11.5f, "Jason.Sanchez" -> -6.0f,
+      "Jason.Jefferson" -> -1.5f, "Edward.Phillips" -> -3.5f,
+      "John.Olson" -> -2.0f, "Jane.Habschied" -> -4.5f,
+      "Suresh.Jones" -> -5.0f
+    ).map { case (n, s) => (s"$n@test.com", s) }
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = Pipelines.memorySink(Pipelines.p2RiskEvents(in.toDF()), "p2_golden").start()
+    try {
+      q.processAllAvailable() // batch 0: empty
+      assert(spark.table("p2_golden").count() == 0)
+      golden.zipWithIndex.foreach { case ((customer, score), i) =>
+        in.addData(riskJson(customer, score))
+        q.processAllAvailable()
+        val got = spark.table("p2_golden").as[(String, Float)].collect()
+        assert(got.length == i + 1, s"batch ${i + 1} must append exactly one row")
+        assert(got.toSet == golden.take(i + 1).toSet)
+      }
+    } finally q.stop()
+  }
+
   test("P2 streaming risk events parse per batch") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[String]
