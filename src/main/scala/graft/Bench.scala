@@ -26,7 +26,7 @@ object Bench {
     "t5_regex_tokens", "t6_string_funcs", "t7_array_funcs", "t8_explode",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
     "n1_ann_bruteforce", "n2_ann_lsh", "n3_embedding_neardup",
-    "n4_label_centroids", "n5_ivf_ann", "n6_kmeans",
+    "n4_label_centroids", "n5_ivf_ann", "n6_kmeans", "n7_ivf_kmeans",
     "m1_binary_meta", "m2_frame_windows")
 
   def main(args: Array[String]): Unit = {

@@ -225,8 +225,9 @@ object SimilarityOps {
     * |vecs|×dims partial sums — Lloyd's algorithm at 100 TB is exactly this
     * loop, with the centroid table always tiny. `iters` is fixed (no
     * convergence test) so the computation is expressible as unrolled SQL.
-    * Returns the final assignment (id, cluster, d2). */
-  def kmeansAssign(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    * Returns (trained centroids (cid, cent, c_n2), final assignment
+    * (id, cluster, d2)). */
+  def kmeansFit(vecs: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     val v = vecs.select(col("id"), col("emb"), norm2(col("emb")).as("n2"))
     def assign(cents: DataFrame): DataFrame =
       v.crossJoin(broadcast(cents))
@@ -250,8 +251,12 @@ object SimilarityOps {
       .select(col("id").as("cid"), col("emb").as("cent"), col("n2").as("c_n2"))
     var i = 0
     while (i < iters) { cents = update(assign(cents)); i += 1 }
-    assign(cents).select(col("id"), col("cluster"), col("d2"))
+    (cents, assign(cents).select(col("id"), col("cluster"), col("d2")))
   }
+
+  /** Final per-vector assignment of [[kmeansFit]]. */
+  def kmeansAssign(vecs: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansFit(vecs, k, iters)._2
 
   /** Embedding near-duplicate pairs: cosine ≥ tau. Exact all-pairs form —
     * ground truth at test scale; at 100 TB use `lshSignature` buckets as the

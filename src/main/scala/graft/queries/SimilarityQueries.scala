@@ -74,6 +74,20 @@ object SimilarityQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // The full trained-IVF pipeline: k-means-learned coarse quantizer (n6's
+    // training loop) → inverted lists from the final assignment → nprobe=2
+    // probing with exact in-list ranking. Train → index → probe, end to end,
+    // all oracle-checked. At scale the lists partition the corpus on disk
+    // (partition-prunable by cluster id) and the centroid table broadcasts.
+    "n7_ivf_kmeans" -> ((s, d) => {
+      val v = vecs(s, d)
+      val (cents, assigned) = kmeansFit(v, KmK, KmIters)
+      val cand = v.join(assigned.select(col("id"), col("cluster").as("list_id")), "id")
+      val centroids = cents.select(col("cid").as("list_id"), col("cent").as("centroid"))
+      ivfTopK(v.filter(col("id") < NumQueries), cand, centroids, K, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Per-label centroids, one row per (label, dim) — the coarse-quantizer
     // build step of an IVF index. Element sums go through DECIMAL(27,10) so
     // the centroid is exact and engine-portable (the typed
@@ -115,24 +129,27 @@ object SimilarityQueries {
       }
     }.mkString(",\n    ")
 
-  /** Unrolled Lloyd mirror of [[graft.ops.SimilarityOps.kmeansAssign]]:
-    * KmIters × (assign CTE + decimal-mean update CTE) + a final assign.
-    * Same (‖v‖²+‖c‖²)−2·v·c double arithmetic, same (d2, cid) tie-break. */
-  private def dkKmeans: String = {
-    def dot2(a: String, b: String) =
-      s"""list_reduce(list_prepend(0.0::DOUBLE,
-         |      list_transform(generate_series(1, len($a)),
-         |        i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
-    def n2(e: String) =
-      s"""list_reduce(list_prepend(0.0::DOUBLE,
-         |      list_transform($e, z -> z * z)), (p, q) -> p + q)""".stripMargin
+  private def dot2(a: String, b: String) =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(generate_series(1, len($a)),
+       |        i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
+  private def n2of(e: String) =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform($e, z -> z * z)), (p, q) -> p + q)""".stripMargin
+
+  /** Shared unrolled-Lloyd CTE chain mirroring
+    * [[graft.ops.SimilarityOps.kmeansFit]]: v, cent0, KmIters ×
+    * (assign + decimal-mean update), and `afinal` (assignment against
+    * `cent{KmIters}`). Same (‖v‖²+‖c‖²)−2·v·c double arithmetic, same
+    * (d2, cid) tie-break. */
+  private def dkKmeansCtes: String = {
     def assign(cent: String, out: String) =
       s"""$out AS (
          |  SELECT id, cluster, d2 FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id
          |      ORDER BY d2, cluster) AS rn FROM (
          |      SELECT v.id, c.cid AS cluster,
-         |        (${n2("v.emb")} + ${n2("c.cent")})
+         |        (${n2of("v.emb")} + ${n2of("c.cent")})
          |        - 2 * ${dot2("v.emb", "c.cent")} AS d2
          |      FROM v, $cent c))
          |  WHERE rn = 1)""".stripMargin
@@ -152,19 +169,53 @@ object SimilarityQueries {
     val steps = (1 to KmIters).map { i =>
       assign(if (i == 1) "cent0" else s"cent${i - 1}", s"a$i") + ",\n" + update(s"a$i", i)
     }.mkString(",\n")
-    s"""WITH v AS (
+    s"""v AS (
        |  SELECT vec_id AS id,
        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings),
        |cent0 AS (SELECT id AS cid, emb AS cent FROM v WHERE id < $KmK),
        |$steps,
-       |${assign(s"cent$KmIters", "afinal")}
+       |${assign(s"cent$KmIters", "afinal")}""".stripMargin
+  }
+
+  private def dkKmeans: String =
+    s"""WITH $dkKmeansCtes
        |SELECT id AS vec_id, cluster, round(d2, 6) AS dist2
        |FROM afinal ORDER BY vec_id""".stripMargin
-  }
+
+  /** Trained-IVF mirror: probe the learned cent{KmIters} centroids (top-2
+    * by cosine, ties to the smaller list id), rank exactly inside the
+    * probed lists — n5's probe/rank structure over n6's training chain. */
+  private def dkIvfKmeans: String =
+    s"""WITH $dkKmeansCtes,
+       |probe_scored AS (
+       |  SELECT q.id AS query_id, q.emb AS q_emb, ct.cid AS list_id,
+       |    ${dot2("q.emb", "ct.cent")}
+       |    / sqrt(${n2of("q.emb")} * ${n2of("ct.cent")}) AS c_cos
+       |  FROM v q, cent$KmIters ct WHERE q.id < $NumQueries),
+       |probes AS (
+       |  SELECT query_id, q_emb, list_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY c_cos DESC, list_id) AS pr
+       |    FROM probe_scored) WHERE pr <= 2),
+       |scored AS (
+       |  SELECT p.query_id, c.id AS neighbor_id,
+       |    ${dot2("p.q_emb", "c.emb")}
+       |    / sqrt(${n2of("p.q_emb")} * ${n2of("c.emb")}) AS cos
+       |  FROM probes p
+       |  JOIN afinal af ON af.cluster = p.list_id
+       |  JOIN v c ON c.id = af.id AND c.id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_sim
+       |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "n6_kmeans" -> dkKmeans,
+    "n7_ivf_kmeans" -> dkIvfKmeans,
     "n2_ann_lsh" ->
       s"""WITH v AS (
          |  SELECT vec_id AS id,
