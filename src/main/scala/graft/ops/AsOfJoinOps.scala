@@ -10,10 +10,11 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *
   * Columns are referenced BY NAME and resolved against each side's analyzed
   * plan (a `Column` from the public API carries an unresolved attribute that
-  * custom logical nodes can't adopt). Key/time columns must be LongType
-  * (cast timestamps with `unix_micros` first); `rightTieBreak` orders
-  * equal-time right rows (largest wins). Each left row gets the most recent
-  * right row with `rightTime <= leftTime` of the same key, or nulls.
+  * custom logical nodes can't adopt). Key/time columns may be any atomic
+  * orderable type (LongType pairs take a specialized primitive merge);
+  * `rightTieBreak` orders equal-time right rows (largest wins). Each left
+  * row gets the most recent right row with `rightTime <= leftTime` of the
+  * same key, or nulls.
   */
 object AsOfJoinOps {
 

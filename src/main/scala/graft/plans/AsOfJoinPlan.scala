@@ -22,10 +22,12 @@ import org.apache.spark.sql.execution.SparkStrategy
   * no buffering, no window. At 100 TB that's the minimum possible data
   * movement for this join (same as a sort-merge join's).
   *
-  * Scope (documented contract): equi-key of any orderable-by-binary type is
-  * NOT supported — keys and times must be LongType-compatible (bigint key,
-  * time pre-cast to epoch micros/long), which covers the corpus and keeps
-  * the merge loop primitive. Ties in rightTime resolve to the LARGEST
+  * Key/time types: any atomic orderable type (string, timestamp, date,
+  * numeric, …) via Catalyst's natural row ordering; the all-LongType case
+  * takes a specialized primitive merge loop (no per-compare ordering
+  * dispatch). NULL keys compare like values under the natural ordering
+  * (nulls-first) and therefore match each other — filter them upstream for
+  * SQL join semantics. Ties in rightTime resolve to the LARGEST
   * (key, time, tieBreak) right row, matching the q13 composition.
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
@@ -64,6 +66,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val lk = leftKey; val lt = leftTime
     val rk = rightKey; val rt = rightTime
     val leftOut = left.output; val rightOut = right.output
+    val allLong = Seq(lk, rk, lt, rt).forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    val keyType = lk.dataType
+    val timeType = lt.dataType
+    require(rk.dataType == keyType, s"key types differ: $keyType vs ${rk.dataType}")
+    require(rt.dataType == timeType, s"time types differ: $timeType vs ${rt.dataType}")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKey = UnsafeProjection.create(Seq(lk), leftOut)
       val lTim = UnsafeProjection.create(Seq(lt), leftOut)
@@ -72,30 +80,58 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val nullRight = new GenericInternalRow(rightOut.size)
       val joined = new JoinedRow
       val out = UnsafeProjection.create(leftOut ++ rightOut, leftOut ++ rightOut)
-
       val rBuf = rIter.buffered
-      // last right row seen for the CURRENT key with rTime <= current lTime
-      var heldKey = 0L
-      var heldValid = false
-      var held: InternalRow = null
 
-      lIter.map { lRow =>
-        val k = lKey(lRow).getLong(0)
-        val t = lTim(lRow).getLong(0)
-        if (heldValid && heldKey != k) { heldValid = false; held = null }
-        // advance right while its (key, time) <= (k, t)
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val peek = rBuf.head
-          val pk = rKey(peek).getLong(0)
-          val pt = rTim(peek).getLong(0)
-          if (pk < k || (pk == k && pt <= t)) {
-            val row = rBuf.next()
-            if (pk == k) { held = row.copy(); heldKey = k; heldValid = true }
-          } else advancing = false
+      if (allLong) {
+        // specialized primitive merge: no ordering dispatch per compare
+        var heldKey = 0L
+        var heldValid = false
+        var held: InternalRow = null
+        lIter.map { lRow =>
+          val k = lKey(lRow).getLong(0)
+          val t = lTim(lRow).getLong(0)
+          if (heldValid && heldKey != k) { heldValid = false; held = null }
+          // advance right while its (key, time) <= (k, t)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val peek = rBuf.head
+            val pk = rKey(peek).getLong(0)
+            val pt = rTim(peek).getLong(0)
+            if (pk < k || (pk == k && pt <= t)) {
+              val row = rBuf.next()
+              if (pk == k) { held = row.copy(); heldKey = k; heldValid = true }
+            } else advancing = false
+          }
+          val r = if (heldValid && heldKey == k) held else nullRight
+          out(joined(lRow, r))
         }
-        val r = if (heldValid && heldKey == k) held else nullRight
-        out(joined(lRow, r))
+      } else {
+        // generic merge over any orderable atomic type: single-column key/
+        // time rows compared with Catalyst's natural ascending row ordering
+        val keyOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .createNaturalAscendingOrdering(Seq(keyType))
+        val timeOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .createNaturalAscendingOrdering(Seq(timeType))
+        var heldKey: InternalRow = null  // copy of the held right row's key
+        var held: InternalRow = null
+        lIter.map { lRow =>
+          val k = lKey(lRow)
+          val t = lTim(lRow)
+          if (held != null && keyOrd.compare(heldKey, k) != 0) {
+            held = null; heldKey = null
+          }
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val peek = rBuf.head
+            val c = keyOrd.compare(rKey(peek), k)
+            if (c < 0 || (c == 0 && timeOrd.compare(rTim(peek), t) <= 0)) {
+              val row = rBuf.next()
+              if (c == 0) { held = row.copy(); heldKey = k.copy() }
+            } else advancing = false
+          }
+          val r = if (held != null) held else nullRight
+          out(joined(lRow, r))
+        }
       }
     }
   }

@@ -40,6 +40,41 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
   }
 
+  test("generic path: string keys + timestamp times merge identically") {
+    val trades = Seq(("alpha", "2020-01-01 10:00:00", "t1"),
+      ("alpha", "2020-01-01 11:00:00", "t2"),
+      ("beta", "2020-01-01 09:00:00", "t3"))
+      .toDF("key", "ts", "trade")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val quotes = Seq(("alpha", "2020-01-01 09:30:00", "q_early"),
+      ("alpha", "2020-01-01 10:00:00", "q_tie"),
+      ("alpha", "2020-01-01 10:30:00", "q_mid"),
+      ("beta", "2020-01-01 09:30:00", "q_late"),
+      ("gamma", "2020-01-01 08:00:00", "q_other"))
+      .toDF("qkey", "qts", "quote")
+      .withColumn("qts", col("qts").cast("timestamp"))
+    val out = asofJoin(trades, quotes, "key", "qkey", "ts", "qts", "quote")
+      .select("trade", "quote").as[(String, Option[String])].collect().toMap
+    assert(out("t1").contains("q_tie"), "exact-time tie matches (qt <= t)")
+    assert(out("t2").contains("q_mid"))
+    assert(out("t3").isEmpty, "beta has no quote at-or-before 09:00")
+    // cross-check the generic merge against the long fast path on the corpus
+    val ev = Tables.events(spark, sfDir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").cast("string").as("u"), col("event_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").cast("string").as("cu"),
+        col("event_id").as("click_id"), col("ts").as("cts"))
+    val generic = asofJoin(errors, clicks, "u", "cu", "ts", "cts", "click_id")
+      .select(col("event_id"), col("click_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    val composed = graft.queries.RelationalQueries
+      .queries("q13_asof_join")(spark, sfDir)
+      .select(col("event_id"), col("prev_click_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(generic == composed, "string-keyed merge must equal the composition")
+  }
+
   test("physical plan is the custom exec with one exchange+sort per side") {
     val ev = Tables.events(spark, sfDir)
     val l = ev.filter(col("event_type") === "error")
