@@ -21,7 +21,7 @@ object Bench {
     "q12_range_join", "q13_asof_join", "q14_sessionize", "q15_pivot",
     "q16_cube", "q17_corr_subquery", "q18_window_funcs", "q19_minmax_by", "q20_null_semantics",
     "q21_grouping_sets", "q22_interval_arith", "q23_percentiles",
-    "q24_in_subquery", "q25_outer_join", "q26_map_funcs",
+    "q24_in_subquery", "q25_outer_join", "q26_map_funcs", "q27_range_frame",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_regex_tokens", "t6_string_funcs", "t7_array_funcs", "t8_explode",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",

@@ -113,8 +113,13 @@ object DedupOps {
       // Keyed exchange: (a) exactly the distribution the candidate self-join
       // needs, so no further shuffle; (b) a materialization barrier — both
       // join sides share ONE ReusedExchange instead of recomputing the
-      // md5-heavy signature expressions twice.
-      .repartition(col("band_idx"), col("band_hash"))
+      // md5-heavy signature expressions twice. The partition count is PINNED
+      // (REPARTITION_BY_NUM): AQE sizes partitions from the shuffle's input
+      // bytes, and a band shuffle is tiny relative to the pair expansion the
+      // join produces — letting AQE coalesce it serializes the probe onto
+      // one core (observed via Perf's task-skew table).
+      .repartition(sig.sparkSession.sparkContext.defaultParallelism,
+        col("band_idx"), col("band_hash"))
   }
 
   /** Candidate pairs (a < b) sharing at least one LSH band bucket. */
@@ -226,9 +231,6 @@ object DedupOps {
         posexplode(array((0 until 4).map(b =>
           shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*))
           .as(Seq("band_idx", "band_val")))
-      // same reasoning as lshBands: join-aligned exchange + sketch-expression
-      // materialization barrier (ReusedExchange on both self-join sides)
-      .repartition(col("band_idx"), col("band_val"))
 
   /** SimHash candidate pairs with symmetric skew salting.
     *
@@ -243,17 +245,27 @@ object DedupOps {
     * qualifying pairs shuffle. */
   def simhashPairs(bands: DataFrame, maxHamming: Int, salt: Int = 8): DataFrame = {
     val cells = array((0 until salt).map(lit): _*)
+    // Each side is exchanged on its FULL salted key with a pinned partition
+    // count. Pinned because AQE sizes partitions from the (tiny) shuffle
+    // input and would serialize the pair-expanding join onto one core; the
+    // full (band, bucket, cell_a, cell_b) key because partitioning on
+    // (band, bucket) alone would co-locate every salt cell of a hot bucket
+    // on one partition — exactly the skew the salting exists to break.
+    // (Both diagnosed via Perf's per-stage task-skew table.)
+    val p = bands.sparkSession.sparkContext.defaultParallelism
     val l = bands
       .withColumn("cell_a", pmod(col("doc_id"), lit(salt)).cast("int"))
       .withColumn("cell_b", explode(cells))
       .select(col("band_idx"), col("band_val"), col("cell_a"), col("cell_b"),
         col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+      .repartition(p, col("band_idx"), col("band_val"), col("cell_a"), col("cell_b"))
     val r = bands
       .withColumn("rcell_b", pmod(col("doc_id"), lit(salt)).cast("int"))
       .withColumn("rcell_a", explode(cells))
       .select(col("band_idx").as("bi"), col("band_val").as("bv"),
         col("rcell_a"), col("rcell_b"),
         col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+      .repartition(p, col("bi"), col("bv"), col("rcell_a"), col("rcell_b"))
     // First-matching-band ownership: a near-identical pair collides in ~all
     // 4 bands; emitting it only from its smallest matching band makes pairs
     // unique BY CONSTRUCTION — no distinct, no 4× duplicated shuffle.

@@ -410,6 +410,24 @@ object RelationalQueries {
         .orderBy(col("user_id"))
     }),
 
+    // RANGE-framed window (vs q9's ROWS frame): per-user trailing-1-hour
+    // moving aggregates over event time — the frame is value-based
+    // (everything within 3600s), so tied timestamps all enter the frame and
+    // min/count/decimal-sum stay deterministic without a row tie-break.
+    // One shuffle on user_id; the running frame is a single sorted pass.
+    "q27_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_s"))
+        .rangeBetween(-3600L, 0L)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          unix_timestamp(col("ts")).as("epoch_s"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          expr("CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY epoch_s RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)").as("sum_1h"),
+          min(col("event_id")).over(w).as("first_in_window"))
+        .orderBy(col("event_id"))
+    }),
+
     // Range (interval) join: events of the same user within 1 hour after a
     // 'signup'. Equi key user_id keeps it a hash join + residual range
     // predicate — no cartesian blowup; at scale, salting the hot users or a
@@ -642,6 +660,21 @@ object RelationalQueries {
         |  COUNT(DISTINCT event_type) AS n_types,
         |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types_csv
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q27_range_frame" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value,
+        |         -- integer floor of seconds (epoch() is a DOUBLE and its
+        |         -- BIGINT cast rounds; Spark's unix_timestamp floors)
+        |         epoch_us(ts::TIMESTAMP) // 1000000 AS epoch_s
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h,
+        |  MIN(event_id) OVER w AS first_in_window
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q12_range_join" ->
       """SELECT s.event_id AS signup_id, COUNT(*) AS n_follow
         |FROM (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events
