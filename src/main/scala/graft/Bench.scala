@@ -9,7 +9,10 @@ import org.apache.spark.sql.SparkSession
   * The headline set excludes the deliberately-quadratic ground-truth
   * operators (d4 exact all-pairs Jaccard, d6 components over d4's pairs) —
   * their scalable counterparts (d2 MinHash-LSH, d5 SimHash bands, n2
-  * LSH-ANN, n5 IVF) are what runs at sf0.1+.
+  * LSH-ANN, n5 IVF) are what runs at sf0.1+ — and d7 (components over the
+  * SimHash graph): correct and oracle-gated, but its iterative driver loop
+  * over the 2M-pair sf0.1 graph (~10s) would dominate the single-pass
+  * headline mix.
   */
 object Bench {
   val headline: Seq[String] = Seq(

@@ -172,26 +172,49 @@ object DedupOps {
     * `pairs` needs (doc_a, doc_b); `docs` needs doc_id. */
   def connectedComponents(pairs: DataFrame, docs: DataFrame,
       maxIters: Int = 20): DataFrame = {
+    // Materialize the edge list ONCE: every propagation round (and its
+    // fixpoint count) references it, and `pairs` is typically an expensive
+    // candidate-generation pipeline (band joins, sketches) that must not be
+    // recomputed per round. Production CC does exactly this (edges to
+    // stable storage first). persist + explicit unpersist (not
+    // localCheckpoint) so the big cached table is FREED on return.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
     var labels = docs.select(col("doc_id"), col("doc_id").as("canon_id"))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
         .groupBy(col("dst")).agg(min(col("canon_id")).as("nbr_min"))
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
+      val prop = labels.join(nbrMin, labels("doc_id") === nbrMin("dst"), "left")
         .select(col("doc_id"),
           least(col("canon_id"), coalesce(col("nbr_min"), col("canon_id")))
             .as("canon_id"))
-      // fixpoint check drives the loop — a driver-side count, not a collect
-      val changed = next.alias("n")
+      // pointer doubling: follow canon's own label (label-of-label) so
+      // convergence is O(log diameter) rounds instead of O(diameter) —
+      // one extra |labels|-sized self-join per round, which is tiny next
+      // to the edge join above
+      val next = prop.alias("p")
+        .join(prop.select(col("doc_id").as("c_doc"),
+          col("canon_id").as("c_canon")).alias("c"),
+          col("p.canon_id") === col("c_doc"), "left")
+        .select(col("p.doc_id").as("doc_id"),
+          least(col("p.canon_id"), coalesce(col("c_canon"), col("p.canon_id")))
+            .as("canon_id"))
+      // materialize FIRST (truncates lineage), THEN run the fixpoint count
+      // against the materialized round — otherwise the count evaluates the
+      // edge join once and the checkpoint evaluates it again
+      val nextM = next.localCheckpoint(eager = true)
+      val changed = nextM.alias("n")
         .join(labels.alias("o"), col("n.doc_id") === col("o.doc_id"))
         .filter(col("n.canon_id") < col("o.canon_id")).count()
-      labels = next.localCheckpoint(eager = true) // truncate lineage per round
+      labels = nextM
       converged = changed == 0
       i += 1
     }
+    edges.unpersist()
     labels
   }
 

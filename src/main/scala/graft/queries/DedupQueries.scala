@@ -82,6 +82,19 @@ object DedupQueries {
       val df = docs(s, d).withColumn("hs", tokenHashes(tokens(col("text"))))
       simhashPairs(simhashBands(df, simhash32(col("hs"))), MaxHamming)
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Scalable dedup groups: connected components over the SimHash pair
+    // graph (d6 runs the same min-label propagation over the exact-Jaccard
+    // graph, which is quadratic to build; THIS is the 100 TB composition —
+    // linear sketching + band join + iterative small joins). Output is one
+    // canonical keeper per document instead of d5's millions of raw pairs.
+    "d7_simhash_groups" -> ((s, d) => {
+      val df = docs(s, d).withColumn("hs", tokenHashes(tokens(col("text"))))
+      val pairs = simhashPairs(simhashBands(df, simhash32(col("hs"))), MaxHamming)
+        .select(col("doc_a"), col("doc_b"))
+      connectedComponents(pairs, docs(s, d).select(col("doc_id")))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -198,8 +211,38 @@ object DedupQueries {
        |  GROUP BY d.doc_id)
        |SELECT doc_id, canon_id FROM canon ORDER BY doc_id""".stripMargin
 
+  /** Recursive-CTE closure over the SimHash-Hamming pair graph (same
+    * structure as [[dkDedupGroups]], edges from the d5 candidate SQL). */
+  private val dkSimhashGroups: String =
+    s"""WITH RECURSIVE h AS (SELECT doc_id, $dkTokenHashes AS hs FROM documents),
+       |sh AS (SELECT doc_id, $dkSimhashExpr AS simhash FROM h),
+       |bands AS (
+       |  SELECT doc_id, simhash, b.band_idx,
+       |         (simhash >> (b.band_idx * 8)) & 255 AS band_val
+       |  FROM sh, (SELECT unnest([0,1,2,3]) AS band_idx) b),
+       |jpairs AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+       |   AND l.doc_id < r.doc_id
+       |  WHERE bit_count(xor(l.simhash, r.simhash)) <= $MaxHamming),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+       |  UNION ALL SELECT doc_b, doc_a FROM jpairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |canon AS (
+       |  SELECT d.doc_id,
+       |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS canon_id
+       |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+       |  GROUP BY d.doc_id)
+       |SELECT doc_id, canon_id FROM canon ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d6_dedup_groups" -> dkDedupGroups,
+    "d7_simhash_groups" -> dkSimhashGroups,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id,
         |       COUNT(*) AS n_copies
