@@ -90,6 +90,22 @@ object Transforms {
     r.join(c, expr("email = customer")).drop("__ts", "__cts")
   }
 
+  /** LEFT OUTER stream-stream join (beyond the reference's inner join):
+    * risk events with no matching customer are emitted null-padded once the
+    * watermark guarantees no match can still arrive. Structured Streaming
+    * requires BOTH watermarks AND an event-time bound in the condition for
+    * outer joins — the bound is what lets the engine prove a row's match
+    * window has closed and evict its state. */
+  def joinRiskWithCustomerLeftOuter(
+      risk: DataFrame, riskTs: Column, customer: DataFrame, custTs: Column,
+      delay: String): DataFrame = {
+    val r = risk.withColumn("__ts", riskTs).withWatermark("__ts", delay)
+    val c = customer.withColumn("__cts", custTs).withWatermark("__cts", delay)
+    r.join(c,
+      expr(s"email = customer AND __cts BETWEEN __ts - INTERVAL $delay AND __ts + INTERVAL $delay"),
+      "left_outer")
+  }
+
   /** Reserialize all columns as one JSON `value` for the Kafka sink
     * (`sparkpykafkajoin.py:212`, `TO_JSON(struct(*))`). */
   def toJsonValue(df: DataFrame): DataFrame =

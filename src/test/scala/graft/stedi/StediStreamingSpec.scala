@@ -153,6 +153,43 @@ class StediStreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits null-padded rows after watermark") {
+    implicit val ctx = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val riskIn = MemoryStream[(String, java.sql.Timestamp)]
+    val custIn = MemoryStream[(String, String, java.sql.Timestamp)]
+    val risk = riskIn.toDF().toDF("customer", "rts")
+    val cust = custIn.toDF().toDF("email", "birthYear", "cts")
+    val joined = Transforms.joinRiskWithCustomerLeftOuter(
+      risk, col("rts"), cust, col("cts"), "10 minutes")
+      .select(col("customer"), col("email"), col("birthYear"))
+    val q = Pipelines.memorySink(joined, "p3_outer").start()
+    try {
+      // matched pair inside the time bound → joined row
+      riskIn.addData(("match@test.com", ts(10, 0)))
+      custIn.addData(("match@test.com", "1950", ts(10, 5)))
+      // unmatched risk event — must wait for watermark proof
+      riskIn.addData(("orphan@test.com", ts(10, 0)))
+      q.processAllAvailable()
+      val afterB1 = spark.table("p3_outer")
+        .as[(String, Option[String], Option[String])].collect().toSet
+      assert(afterB1 == Set(("match@test.com", Some("match@test.com"), Some("1950"))),
+        s"orphan must NOT emit before its match window closes: $afterB1")
+      // advance BOTH watermarks past orphan's bound (10:10), then one more
+      // batch so the eviction micro-batch runs
+      riskIn.addData(("late@test.com", ts(11, 0)))
+      custIn.addData(("late@test.com", "1960", ts(11, 0)))
+      q.processAllAvailable()
+      riskIn.addData(("later@test.com", ts(12, 0)))
+      custIn.addData(("later2@test.com", "1970", ts(12, 0)))
+      q.processAllAvailable()
+      val rows = spark.table("p3_outer")
+        .as[(String, Option[String], Option[String])].collect().toSet
+      assert(rows.contains(("orphan@test.com", None, None)),
+        s"orphan must emit null-padded once the watermark passes: $rows")
+    } finally q.stop()
+  }
+
   test("P2 streaming risk events parse per batch") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[String]

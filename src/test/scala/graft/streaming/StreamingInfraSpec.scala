@@ -103,6 +103,17 @@ class StreamingInfraSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog then self-terminates") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Int]
+    in.addData(1 to 10: _*)
+    val q = in.toDF().writeStream.format("memory").queryName("avail_now")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000),
+      "AvailableNow must stop on its own after draining available offsets")
+    assert(spark.table("avail_now").count() == 10)
+  }
+
   test("foreachBatch sink: per-batch dedup-merge pattern") {
     implicit val ctx = spark.sqlContext
     val seen = scala.collection.mutable.Map[String, Long]()
