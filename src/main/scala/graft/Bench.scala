@@ -18,6 +18,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "s1_cast_projection", "s2_json_extract_filter", "s3_base64_roundtrip",
     "s4_array_index", "s5_split_year", "s6_inner_join", "s7_to_json",
+    "s8_decode_chain",
     "q1_pricing_summary", "q2_star_join_revenue", "q3_top_orders",
     "q4_semi_join", "q5_anti_join", "q6_distinct", "q7_set_ops", "q8_rollup",
     "q9_window_running", "q10_count_distinct", "q11_tumbling_window",
@@ -30,7 +31,7 @@ object Bench {
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
     "n1_ann_bruteforce", "n2_ann_lsh", "n3_embedding_neardup",
     "n4_label_centroids", "n5_ivf_ann", "n6_kmeans", "n7_ivf_kmeans",
-    "m1_binary_meta", "m2_frame_windows")
+    "m1_binary_meta", "m2_frame_windows", "m3_decode_features")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

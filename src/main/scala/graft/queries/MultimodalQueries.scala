@@ -33,6 +33,21 @@ object MultimodalQueries {
         .select(col("media_id"), col("byte_len"),
           array_join(transform(col("windows"), w => base64(w)), "|").as("windows_b64"))
         .orderBy(col("media_id"))
+    }),
+
+    // The mapPartitions decode path itself, oracle-checked: the stub's fake
+    // features are pure md5-of-payload functions, so SQL can specify them
+    // exactly — proving the typed imperative path (Dataset[MediaRecord] →
+    // mapPartitions → Dataset[MediaFeatures]) computes what the declarative
+    // spec says, not just that it runs.
+    "m3_decode_features" -> ((s, d) => {
+      val media = asMediaRecords(Tables.documents(s, d), "doc_id", "text", "doc")
+      decodeStub(s, media).toDF()
+        .select(col("media_id"), col("kind"), col("byte_len"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"), col("checksum"))
+        .orderBy(col("media_id"))
     })
   )
 
@@ -54,6 +69,15 @@ object MultimodalQueries {
          |  concat_ws('|',
          |        $win) AS windows_b64
          |FROM documents ORDER BY media_id""".stripMargin
-    }
+    },
+    // mirrors MultimodalOps.decodeStub: ub(i) = i-th md5 digest byte
+    "m3_decode_features" ->
+      """SELECT doc_id AS media_id, 'doc' AS kind,
+        |  octet_length(encode(text)) AS byte_len,
+        |  CAST(16 * (1 + ('0x' || substr(md5(text), 1, 2))::INT % 64) AS BIGINT) AS width,
+        |  CAST(16 * (1 + ('0x' || substr(md5(text), 3, 2))::INT % 64) AS BIGINT) AS height,
+        |  CAST(1 + ('0x' || substr(md5(text), 5, 2))::INT % 30 AS BIGINT) AS n_frames,
+        |  md5(text) AS checksum
+        |FROM documents ORDER BY media_id""".stripMargin
   )
 }

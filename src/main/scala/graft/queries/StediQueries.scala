@@ -92,6 +92,30 @@ object StediQueries {
         .select(col("event_id"),
           to_json(struct(col("event_id"), col("event_type"))).as("value"))
         .orderBy(col("event_id"))
+    }),
+
+    // The ENTIRE P1 decode chain end-to-end, oracle-checked: synthesize the
+    // reference's Kafka-Connect envelope (base64 Customer JSON inside JSON,
+    // README.md:56) from the customer table, then run the production
+    // pipeline (cast → from_json → zSetEntries[0].element → unbase64 →
+    // from_json → null-filter → split-year). The oracle computes the
+    // IDENTITY result directly — passing proves the encode→decode chain is
+    // lossless and the year extraction correct, not just each step alone.
+    "s8_decode_chain" -> ((s, d) => {
+      val customerJson = to_json(struct(
+        col("c_name").as("customerName"),
+        concat(col("c_name"), lit("@test.com")).as("email"),
+        lit("8015551212").as("phone"),
+        concat(lit("19"), lpad(pmod(col("c_custkey"), lit(100)).cast("string"), 2, "0"),
+          lit("-01-03")).as("birthDay")))
+      val envelopes = Tables.customer(s, d).select(to_json(struct(
+        base64(lit("Customer").cast("binary")).as("key"),
+        lit("NONE").as("existType"),
+        lit("false").as("ch"),
+        lit(false).as("incr"),
+        array(struct(base64(customerJson.cast("binary")).as("element"),
+          lit("0.0").as("score"))).as("zSetEntries"))).as("value"))
+      graft.stedi.Pipelines.p1CustomerDecode(envelopes).orderBy(col("email"))
     })
   )
 
@@ -122,6 +146,10 @@ object StediQueries {
     "s7_to_json" ->
       """SELECT event_id,
         |       to_json(struct_pack(event_id := event_id, event_type := event_type)) AS value
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "s8_decode_chain" ->
+      """SELECT c_name || '@test.com' AS email,
+        |       '19' || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') AS birthYear
+        |FROM customer ORDER BY email""".stripMargin
   )
 }
