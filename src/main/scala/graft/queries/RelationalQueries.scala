@@ -333,23 +333,30 @@ object RelationalQueries {
 
     // Exact nearest-rank percentiles per group (p50/p90/p99). Interpolating
     // percentile functions are NOT cross-engine bit-stable (the interpolation
-    // order of operations differs in the last ulp), so the oracle-checked
-    // form is nearest-rank over a total order — pure integer indexing, exact
-    // everywhere. One shuffle on the group key; rank via row_number.
+    // order of operations differs in the last ulp), so the contract is
+    // nearest-rank: value at rank ceil(p·n) — pure integer indexing, exact
+    // everywhere. The oracle states it as a per-row ranking window (the
+    // executable spec); the Spark plan computes the SAME result as a value
+    // histogram + cumulative counts — a per-row window bounds parallelism at
+    // |groups| (=3) and sorts all n rows, while the histogram is one
+    // map-side-combined shuffle of |group|×|distinct value| rows and a
+    // window over that tiny table. (Continuous values at 100 TB: discretize
+    // first or use percentile_approx; this exact path needs bounded value
+    // cardinality.)
     "q23_percentiles" -> ((s, d) => {
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
-      val cw = Window.partitionBy(col("l_returnflag"))
+      val vw = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gw = Window.partitionBy(col("l_returnflag"))
       def atRank(k: Int) =
-        max(when(col("rn") === expr(s"(n * $k + 99) DIV 100"), col("l_quantity")))
-      Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_quantity"),
-          col("l_orderkey"), col("l_linenumber"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(cw))
+        min(when(col("cum") >= expr(s"(n * $k + 99) DIV 100"), col("l_quantity")))
+      Tables.fanout(Tables.lineitem(s, d))
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(vw))
+        .withColumn("n", sum(col("cnt")).over(gw))
         .groupBy(col("l_returnflag"))
         .agg(atRank(50).as("p50"), atRank(90).as("p90"), atRank(99).as("p99"),
-          count(lit(1)).as("n_rows"))
+          max(col("n")).as("n_rows"))
         .orderBy(col("l_returnflag"))
     }),
 
