@@ -153,6 +153,48 @@ class StediStreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("watermark bounds join state; the parity join's state only grows") {
+    implicit val ctx = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    // --- watermarked: rows older than the delay are evicted ---
+    val riskW = MemoryStream[(String, java.sql.Timestamp)]
+    val custW = MemoryStream[(String, String, java.sql.Timestamp)]
+    val joinedW = Transforms.joinRiskWithCustomerLeftOuter(
+      riskW.toDF().toDF("customer", "rts"), col("rts"),
+      custW.toDF().toDF("email", "birthYear", "cts"), col("cts"), "10 minutes")
+    val qW = Pipelines.memorySink(joinedW, "state_wm").start()
+    // --- parity (reference semantics): no watermark, state never evicts ---
+    val riskP = MemoryStream[String]
+    val custP = MemoryStream[String]
+    val joinedP = Pipelines.p3JoinToJson(riskP.toDF(), custP.toDF())
+    val qP = Pipelines.memorySink(joinedP, "state_parity").start()
+    try {
+      (0 until 6).foreach { i =>
+        riskW.addData((s"u$i@test.com", ts(10 + i, 0)))
+        custW.addData((s"u$i@test.com", "1950", ts(10 + i, 0)))
+        riskP.addData(riskJson(s"u$i@test.com", 1.0))
+        custP.addData(envelope(customerJson("U", s"u$i@test.com", "1950-01-01")))
+        qW.processAllAvailable(); qP.processAllAvailable()
+      }
+      // force one more watermark-advancing batch so eviction is visible
+      riskW.addData(("final@test.com", ts(20, 0)))
+      custW.addData(("final@test.com", "1950", ts(20, 0)))
+      qW.processAllAvailable()
+      val wmState = stateRows(qW)
+      val parityState = stateRows(qP)
+      // parity keeps every row ever seen on both sides (12 total);
+      // the watermarked join holds only rows inside the 10-minute window
+      assert(parityState >= 12,
+        s"unwatermarked join must retain all state: $parityState")
+      assert(wmState < parityState,
+        s"watermark must bound state below the parity join: $wmState vs $parityState")
+      assert(wmState <= 4,
+        s"only the newest event pair can be inside the watermark window: $wmState")
+    } finally { qW.stop(); qP.stop() }
+  }
+
   test("left-outer stream-stream join emits null-padded rows after watermark") {
     implicit val ctx = spark.sqlContext
     def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
