@@ -29,11 +29,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   /** Same registrations on an already-built session (extensions only apply
-    * at `SparkSession.builder` time; tests and notebooks land here). */
+    * at `SparkSession.builder` time; tests and notebooks land here).
+    * Also registers the mergeable quantile sketch as a SQL UDAF:
+    * `qsketch_quantiles(x)` → [p50, p90, p99]. */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.graftbridge.Bridge.registerFunction
     registerFunction(spark, "dot_product", args => DotProduct(args(0), args(1)))
     registerFunction(spark, "vec_norm2", args => VecNorm2(args(0)))
     registerFunction(spark, "cosine_sim", args => CosineSim(args(0), args(1)))
+    spark.udf.register("qsketch_quantiles", org.apache.spark.sql.functions.udaf(
+      new graft.functions.QuantileSketchAggregator(Seq(0.5, 0.9, 0.99))))
   }
 }

@@ -40,4 +40,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .select(VectorExpressions.cosine_sim($"a", $"b")).collect()(0).getDouble(0)
     assert(viaSql == viaCol)
   }
+
+  test("quantile sketch UDAF is callable from SQL") {
+    spark.range(1, 1001).createOrReplaceTempView("qs_in")
+    val qs = spark.sql(
+      """SELECT qsketch_quantiles(CAST(id AS DOUBLE)) AS q FROM qs_in""")
+      .head().getSeq[Double](0)
+    // n=1000 <= k=200*levels: near-exact nearest-rank quantiles
+    assert(qs.length == 3)
+    assert(math.abs(qs(0) - 500) <= 20, s"p50 ${qs(0)}")
+    assert(math.abs(qs(1) - 900) <= 20, s"p90 ${qs(1)}")
+    assert(math.abs(qs(2) - 990) <= 20, s"p99 ${qs(2)}")
+  }
 }
