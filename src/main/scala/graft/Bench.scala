@@ -26,8 +26,10 @@ object Bench {
     "q16_cube", "q17_corr_subquery", "q18_window_funcs", "q19_minmax_by", "q20_null_semantics",
     "q21_grouping_sets", "q22_interval_arith", "q23_percentiles",
     "q24_in_subquery", "q25_outer_join", "q26_map_funcs", "q27_range_frame",
+    "q28_safe_casts",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_regex_tokens", "t6_string_funcs", "t7_array_funcs", "t8_explode",
+    "t9_regex_extract",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
     "n1_ann_bruteforce", "n2_ann_lsh", "n3_embedding_neardup",
     "n4_label_centroids", "n5_ivf_ann", "n6_kmeans", "n7_ivf_kmeans",
@@ -36,14 +38,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = ClusterConfigs.local(
+      SparkSession.builder().appName("graft-bench"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = SparkEntry.queries
     // JIT/codegen warmup on a tiny slice so the first timed query doesn't

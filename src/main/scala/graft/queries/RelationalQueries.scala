@@ -435,6 +435,20 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Error-safe casts and arithmetic under ANSI mode: TRY_CAST yields NULL
+    // instead of failing the job (one malformed row in 100 TB must not kill
+    // the query), try_divide nulls zero divisors. Narrow, codegen'd.
+    "q28_safe_casts" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          expr("TRY_CAST(event_type AS INT)").as("type_int"),
+          expr("TRY_CAST(CAST(user_id AS STRING) AS INT)").cast("long").as("uid_int"),
+          try_divide(col("value"), (col("user_id") % 2).cast("double")).as("half_ratio"),
+          coalesce(expr("TRY_CAST(event_type AS INT)").cast("long"), lit(-1L))
+            .as("type_or_default"))
+        .orderBy(col("event_id"))
+    }),
+
     // Range (interval) join: events of the same user within 1 hour after a
     // 'signup'. Equi key user_id keeps it a hash join + residual range
     // predicate — no cartesian blowup; at scale, salting the hot users or a
@@ -682,6 +696,14 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "q28_safe_casts" ->
+      """SELECT event_id,
+        |  TRY_CAST(event_type AS INT) AS type_int,
+        |  CAST(TRY_CAST(CAST(user_id AS VARCHAR) AS INT) AS BIGINT) AS uid_int,
+        |  CASE WHEN user_id % 2 = 0 THEN NULL
+        |       ELSE value / CAST(user_id % 2 AS DOUBLE) END AS half_ratio,
+        |  coalesce(CAST(TRY_CAST(event_type AS INT) AS BIGINT), -1) AS type_or_default
+        |FROM events ORDER BY event_id""".stripMargin,
     "q12_range_join" ->
       """SELECT s.event_id AS signup_id, COUNT(*) AS n_follow
         |FROM (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events

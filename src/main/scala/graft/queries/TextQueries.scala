@@ -121,6 +121,18 @@ object TextQueries {
         .limit(100)
     }),
 
+    // Capture-group extraction + boolean regex predicates (both engines
+    // return '' for a non-matching extract — verified semantics).
+    "t9_regex_extract" -> ((s, d) => {
+      Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+          regexp_extract(col("text"), "([0-9]+)", 1).as("first_num"),
+          col("text").rlike("[0-9]").as("has_digit"),
+          regexp_extract(col("text"), "([a-z]+) ([a-z]+)", 2).as("second_word"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Fingerprinting: whole-document 60-bit md5 fingerprint + order-
     // sensitive rolling hash over the token stream.
     "t4_fingerprint" -> ((s, d) => {
@@ -196,6 +208,13 @@ object TextQueries {
       s"""WITH t AS (SELECT doc_id, unnest($dkToks) AS tok FROM documents)
          |SELECT tok, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS n_docs
          |FROM t GROUP BY tok ORDER BY cnt DESC, tok LIMIT 100""".stripMargin,
+    "t9_regex_extract" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '([a-z]+)', 1) AS first_word,
+        |  regexp_extract(text, '([0-9]+)', 1) AS first_num,
+        |  regexp_matches(text, '[0-9]') AS has_digit,
+        |  regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t4_fingerprint" ->
       s"""SELECT doc_id,
          |  ${dkHash60("text")} AS fp64,
