@@ -29,7 +29,7 @@ object Bench {
     "q28_safe_casts",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_regex_tokens", "t6_string_funcs", "t7_array_funcs", "t8_explode",
-    "t9_regex_extract",
+    "t9_regex_extract", "t10_normalize", "t11_hash_split",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
     "n1_ann_bruteforce", "n2_ann_lsh", "n3_embedding_neardup",
     "n4_label_centroids", "n5_ivf_ann", "n6_kmeans", "n7_ivf_kmeans",

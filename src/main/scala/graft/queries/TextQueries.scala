@@ -133,6 +133,34 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Text normalization (cleaning stage): lowercase, strip punctuation,
+    // collapse whitespace runs, trim — plus before/after lengths. Pure
+    // per-row regexp chain, one codegen stage.
+    "t10_normalize" -> ((s, d) => {
+      val cleaned = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"),
+          cleaned.as("norm_text"),
+          length(col("text")).cast("long").as("len_raw"),
+          length(cleaned).cast("long").as("len_norm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic content-keyed dataset split (train/val/test 90/5/5):
+    // the assignment is a pure function of the document hash — stable
+    // across runs, engines, partitionings, and corpus growth (a doc's
+    // split never changes when other docs are added). THE way training
+    // pipelines split at scale; rand()-based sampling is none of those.
+    "t11_hash_split" -> ((s, d) => {
+      val bucket = pmod(hash60(col("text")), lit(100L))
+      Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), bucket.cast("long").as("bucket"),
+          when(bucket < 90, "train").when(bucket < 95, "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Fingerprinting: whole-document 60-bit md5 fingerprint + order-
     // sensitive rolling hash over the token stream.
     "t4_fingerprint" -> ((s, d) => {
@@ -215,6 +243,22 @@ object TextQueries {
         |  regexp_matches(text, '[0-9]') AS has_digit,
         |  regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t10_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |         ' +', ' ', 'g')) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, norm_text,
+        |  length(text) AS len_raw, length(norm_text) AS len_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
+    "t11_hash_split" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, ${dkHash60("text")} % 100 AS bucket FROM documents)
+         |SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 90 THEN 'train'
+         |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
     "t4_fingerprint" ->
       s"""SELECT doc_id,
          |  ${dkHash60("text")} AS fp64,
