@@ -216,28 +216,34 @@ object SimilarityOps {
     *    rand(), so the whole run is engine-portable and oracle-checkable);
     *  - assign: nearest centroid by squared L2, computed as
     *    (‖v‖² + ‖c‖²) − 2·v·c with the codegen'd dot/norm kernels; ties
-    *    break to the smallest centroid id via min(struct(d2, cid));
+    *    break to the smallest centroid id via a lexicographic least() over
+    *    (d2, cid) structs;
     *  - update: per-dimension mean through DECIMAL(27,10) (exact,
     *    partition-order-free — Spark's tree aggregation and DuckDB's
     *    sequential scan produce the same bits).
     *
-    * Each iteration is one broadcast (k×dims centroids) + one shuffle of
-    * |vecs|×dims partial sums — Lloyd's algorithm at 100 TB is exactly this
-    * loop, with the centroid table always tiny. `iters` is fixed (no
-    * convergence test) so the computation is expressible as unrolled SQL.
-    * Returns (trained centroids (cid, cent, c_n2), final assignment
-    * (id, cluster, d2)). */
+    * The centroid table is collected to the driver each round (k×dims
+    * doubles — always tiny; this is how every production Lloyd works, e.g.
+    * MLlib's) and re-embedded as LITERALS, so the assign step is a narrow
+    * per-row argmin with ZERO shuffle — no crossJoin, no re-aggregation.
+    * The only shuffle per iteration is the update's |vecs|×dims partial
+    * sums, map-side combined. `iters` is fixed (no convergence test) so the
+    * computation is expressible as unrolled SQL. Returns (trained centroids
+    * (cid, cent, c_n2), final assignment (id, cluster, d2)). */
   def kmeansFit(vecs: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     val v = vecs.select(col("id"), col("emb"), norm2(col("emb")).as("n2"))
-    def assign(cents: DataFrame): DataFrame =
-      v.crossJoin(broadcast(cents))
-        .withColumn("d2",
-          (col("n2") + col("c_n2")) - lit(2.0) * dot(col("emb"), col("cent")))
-        .groupBy(col("id"))
-        .agg(min(struct(col("d2"), col("cid"))).as("m"),
-          first(col("emb")).as("emb"))   // emb is constant per id
+    def assign(centLits: Seq[(Long, Seq[Double])]): DataFrame = {
+      val cands = centLits.map { case (cid, cent) =>
+        val cn2 = cent.foldLeft(0.0)((a, x) => a + x * x)
+        struct(
+          ((col("n2") + lit(cn2)) - lit(2.0) * dot(col("emb"), typedLit(cent)))
+            .as("d2"),
+          lit(cid).as("cid"))
+      }
+      v.withColumn("m", least(cands: _*))
         .select(col("id"), col("emb"),
           col("m.cid").as("cluster"), col("m.d2").as("d2"))
+    }
     def update(assigned: DataFrame): DataFrame =
       assigned.select(col("cluster"), posexplode(col("emb")).as(Seq("dim", "x")))
         .groupBy(col("cluster"), col("dim"))
@@ -247,11 +253,17 @@ object SimilarityOps {
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
           s => s.getField("c")).as("cent"))
         .select(col("cluster").as("cid"), col("cent"), norm2(col("cent")).as("c_n2"))
+    def collectCents(df: DataFrame): Seq[(Long, Seq[Double])] =
+      df.select(col("cid"), col("cent")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
     var cents = v.filter(col("id") < k)
       .select(col("id").as("cid"), col("emb").as("cent"), col("n2").as("c_n2"))
     var i = 0
-    while (i < iters) { cents = update(assign(cents)); i += 1 }
-    (cents, assign(cents).select(col("id"), col("cluster"), col("d2")))
+    while (i < iters) {
+      cents = update(assign(collectCents(cents)))
+      i += 1
+    }
+    (cents, assign(collectCents(cents)).select(col("id"), col("cluster"), col("d2")))
   }
 
   /** Final per-vector assignment of [[kmeansFit]]. */
