@@ -435,6 +435,25 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // The NATIVE as-of join operator (plans/AsOfJoinPlan: LogicalPlan +
+    // Strategy + streaming-merge SparkPlan) under the oracle gate — same
+    // semantics as q13's union+window composition, same oracle, but
+    // executed by the custom exec's generic merge path (long key +
+    // timestamp time). One exchange + sort per side, O(1) merge state.
+    "q29_asof_native" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("cts"))
+      graft.ops.AsOfJoinOps.asofJoin(errors, clicks,
+          "user_id", "c_user", "ts", "cts", "click_id")
+        .select(col("event_id"), col("user_id"),
+          col("click_id").as("prev_click_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // Error-safe casts and arithmetic under ANSI mode: TRY_CAST yields NULL
     // instead of failing the job (one malformed row in 100 TB must not kill
     // the query), try_divide nulls zero divisors. Narrow, codegen'd.
@@ -696,6 +715,25 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    // identical spec to q13 — the native exec must agree with the
+    // composed form bit-for-bit
+    "q29_asof_native" ->
+      """WITH u AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, 0 AS tag,
+        |         event_id AS click_id, NULL::BIGINT AS error_id
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts::TIMESTAMP AS ts, 1 AS tag,
+        |         NULL::BIGINT AS click_id, event_id AS error_id
+        |  FROM events WHERE event_type = 'error'),
+        |w AS (
+        |  SELECT *, last_value(click_id IGNORE NULLS) OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY ts, tag, coalesce(click_id, error_id)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_click_id
+        |  FROM u)
+        |SELECT error_id AS event_id, user_id, prev_click_id
+        |FROM w WHERE error_id IS NOT NULL ORDER BY event_id""".stripMargin,
     "q28_safe_casts" ->
       """SELECT event_id,
         |  TRY_CAST(event_type AS INT) AS type_int,
