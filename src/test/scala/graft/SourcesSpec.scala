@@ -36,6 +36,29 @@ class SourcesSpec extends SparkSpecBase {
     assert(back.except(sample).count() == 0 && sample.except(back).count() == 0)
   }
 
+  test("ORC round-trip with predicate pushdown into the scan") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/data"
+    sample.write.orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == 500)
+    assert(back.except(sample).count() == 0 && sample.except(back).count() == 0)
+    val filtered = back.filter(col("l_orderkey") < 100)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,100)]")
+      || scan.toLowerCase.contains("lessthan(l_orderkey"),
+      s"ORC scan must receive the pushed filter:\n$scan")
+  }
+
+  test("text source reads lines; text sink writes a single string column") {
+    val dir = Files.createTempDirectory("graft-text").toString + "/data"
+    sample.select(concat_ws("|", col("l_orderkey"), col("l_returnflag")).as("value"))
+      .write.text(dir)
+    val back = spark.read.text(dir)
+    assert(back.count() == 500)
+    assert(back.schema.fieldNames.toSeq == Seq("value"))
+    assert(back.filter(col("value").rlike("^[0-9]+\\|[A-Z]$")).count() == 500)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft-part").toString + "/data"
     Tables.orders(spark, sfDir)
