@@ -106,6 +106,21 @@ object Transforms {
       "left_outer")
   }
 
+  /** FULL OUTER stream-stream join: unmatched rows from EITHER side emit
+    * null-padded once the watermark closes their match window — risk events
+    * with no customer AND customers who never produced a risk event both
+    * surface (the audit view of the feed). Same watermark + event-time
+    * bound requirements as the left-outer variant. */
+  def joinRiskWithCustomerFullOuter(
+      risk: DataFrame, riskTs: Column, customer: DataFrame, custTs: Column,
+      delay: String): DataFrame = {
+    val r = risk.withColumn("__ts", riskTs).withWatermark("__ts", delay)
+    val c = customer.withColumn("__cts", custTs).withWatermark("__cts", delay)
+    r.join(c,
+      expr(s"email = customer AND __cts BETWEEN __ts - INTERVAL $delay AND __ts + INTERVAL $delay"),
+      "full_outer")
+  }
+
   /** Reserialize all columns as one JSON `value` for the Kafka sink
     * (`sparkpykafkajoin.py:212`, `TO_JSON(struct(*))`). */
   def toJsonValue(df: DataFrame): DataFrame =

@@ -232,6 +232,37 @@ class StediStreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("full-outer stream-stream join surfaces unmatched rows from both sides") {
+    implicit val ctx = spark.sqlContext
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val riskIn = MemoryStream[(String, java.sql.Timestamp)]
+    val custIn = MemoryStream[(String, String, java.sql.Timestamp)]
+    val joined = Transforms.joinRiskWithCustomerFullOuter(
+      riskIn.toDF().toDF("customer", "rts"), col("rts"),
+      custIn.toDF().toDF("email", "birthYear", "cts"), col("cts"), "10 minutes")
+      .select(col("customer"), col("email"))
+    val q = Pipelines.memorySink(joined, "p3_full").start()
+    try {
+      riskIn.addData(("orphan_risk@test.com", ts(10, 0)))
+      custIn.addData(("orphan_cust@test.com", "1950", ts(10, 0)))
+      q.processAllAvailable()
+      // advance both watermarks well past 10:10, then one eviction batch
+      riskIn.addData(("late@test.com", ts(11, 0)))
+      custIn.addData(("late@test.com", "1960", ts(11, 0)))
+      q.processAllAvailable()
+      riskIn.addData(("later@test.com", ts(12, 0)))
+      custIn.addData(("later2@test.com", "1970", ts(12, 0)))
+      q.processAllAvailable()
+      val rows = spark.table("p3_full")
+        .as[(Option[String], Option[String])].collect().toSet
+      assert(rows.contains((Some("orphan_risk@test.com"), None)),
+        s"unmatched risk must emit: $rows")
+      assert(rows.contains((None, Some("orphan_cust@test.com"))),
+        s"unmatched customer must emit: $rows")
+      assert(rows.contains((Some("late@test.com"), Some("late@test.com"))))
+    } finally q.stop()
+  }
+
   test("P2 streaming risk events parse per batch") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[String]
