@@ -26,13 +26,24 @@ object AsOfJoinOps {
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
+      rightTieBreak: String): DataFrame =
+    asofJoinMulti(left, right, Seq(leftKey), Seq(rightKey),
+      leftTime, rightTime, rightTieBreak)
+
+  /** Composite-key variant: keys compare lexicographically in the given
+    * order on both sides (e.g. (exchange, symbol) for per-venue quotes). */
+  def asofJoinMulti(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String,
       rightTieBreak: String): DataFrame = {
+    require(leftKeys.size == rightKeys.size && leftKeys.nonEmpty,
+      "as-of join needs the same non-zero number of keys on both sides")
     val spark = left.sparkSession
     Bridge.injectStrategy(spark, AsOfJoinStrategy)
     val lPlan = Bridge.analyzedPlan(left)
     val rPlan = Bridge.analyzedPlan(right)
     Bridge.ofRows(spark, AsOfJoin(lPlan, rPlan,
-      attr(lPlan, leftKey), attr(rPlan, rightKey),
+      leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
       attr(lPlan, leftTime), attr(rPlan, rightTime),
       attr(rPlan, rightTieBreak)))
   }

@@ -31,7 +31,7 @@ import org.apache.spark.sql.execution.SparkStrategy
   * (key, time, tieBreak) right row, matching the q13 composition.
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
-    leftKey: Expression, rightKey: Expression,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     rightTieBreak: Expression) extends BinaryNode {
   // right side comes back nullable: no-match rows pad with nulls
@@ -43,7 +43,7 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 }
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
-    leftKey: Expression, rightKey: Expression,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     rightTieBreak: Expression) extends BinaryExecNode {
 
@@ -51,31 +51,33 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     left.output ++ right.output.map(_.withNullability(true))
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  private def asc(e: Expression) =
+    SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
-      SortOrder(leftTime, org.apache.spark.sql.catalyst.expressions.Ascending)),
-    Seq(SortOrder(rightKey, org.apache.spark.sql.catalyst.expressions.Ascending),
-      SortOrder(rightTime, org.apache.spark.sql.catalyst.expressions.Ascending),
-      SortOrder(rightTieBreak, org.apache.spark.sql.catalyst.expressions.Ascending)))
+    leftKeys.map(asc) :+ asc(leftTime),
+    (rightKeys.map(asc) :+ asc(rightTime)) :+ asc(rightTieBreak))
 
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val lk = leftKey; val lt = leftTime
-    val rk = rightKey; val rt = rightTime
+    val lks = leftKeys; val lt = leftTime
+    val rks = rightKeys; val rt = rightTime
     val leftOut = left.output; val rightOut = right.output
-    val allLong = Seq(lk, rk, lt, rt).forall(
-      _.dataType == org.apache.spark.sql.types.LongType)
-    val keyType = lk.dataType
+    val allLong = leftKeys.size == 1 &&
+      (leftKeys ++ rightKeys ++ Seq(lt, rt)).forall(
+        _.dataType == org.apache.spark.sql.types.LongType)
+    val keyTypes = lks.map(_.dataType)
     val timeType = lt.dataType
-    require(rk.dataType == keyType, s"key types differ: $keyType vs ${rk.dataType}")
+    require(rks.map(_.dataType) == keyTypes,
+      s"key types differ: $keyTypes vs ${rks.map(_.dataType)}")
     require(rt.dataType == timeType, s"time types differ: $timeType vs ${rt.dataType}")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKey = UnsafeProjection.create(Seq(lk), leftOut)
+      val lKey = UnsafeProjection.create(lks, leftOut)
       val lTim = UnsafeProjection.create(Seq(lt), leftOut)
-      val rKey = UnsafeProjection.create(Seq(rk), rightOut)
+      val rKey = UnsafeProjection.create(rks, rightOut)
       val rTim = UnsafeProjection.create(Seq(rt), rightOut)
       val nullRight = new GenericInternalRow(rightOut.size)
       val joined = new JoinedRow
@@ -106,10 +108,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           out(joined(lRow, r))
         }
       } else {
-        // generic merge over any orderable atomic type: single-column key/
-        // time rows compared with Catalyst's natural ascending row ordering
+        // generic merge over any orderable atomic types: projected key/time
+        // rows compared with Catalyst's natural ascending row ordering
+        // (multi-column keys compare lexicographically, matching the
+        // required child ordering)
         val keyOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
-          .createNaturalAscendingOrdering(Seq(keyType))
+          .createNaturalAscendingOrdering(keyTypes)
         val timeOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
           .createNaturalAscendingOrdering(Seq(timeType))
         var heldKey: InternalRow = null  // copy of the held right row's key

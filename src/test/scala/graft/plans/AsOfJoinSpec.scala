@@ -75,6 +75,21 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(generic == composed, "string-keyed merge must equal the composition")
   }
 
+  test("composite keys: (exchange, symbol) quotes merge per venue") {
+    val trades = Seq(("NYSE", "A", 100L, "t1"), ("NYSE", "B", 100L, "t2"),
+      ("BATS", "A", 100L, "t3"))
+      .toDF("ex", "sym", "t", "trade")
+    val quotes = Seq(("NYSE", "A", 90L, "q_nyse_a"), ("BATS", "A", 95L, "q_bats_a"),
+      ("NYSE", "B", 200L, "q_late"))
+      .toDF("qex", "qsym", "qt", "quote")
+    val out = graft.ops.AsOfJoinOps.asofJoinMulti(trades, quotes,
+      Seq("ex", "sym"), Seq("qex", "qsym"), "t", "qt", "quote")
+      .select("trade", "quote").as[(String, Option[String])].collect().toMap
+    assert(out("t1").contains("q_nyse_a"), "same venue+symbol matches")
+    assert(out("t3").contains("q_bats_a"), "other venue keeps its own quote")
+    assert(out("t2").isEmpty, "future quote must not match")
+  }
+
   test("physical plan is the custom exec with one exchange+sort per side") {
     val ev = Tables.events(spark, sfDir)
     val l = ev.filter(col("event_type") === "error")
