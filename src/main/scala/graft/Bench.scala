@@ -26,7 +26,7 @@ object Bench {
     "q16_cube", "q17_corr_subquery", "q18_window_funcs", "q19_minmax_by", "q20_null_semantics",
     "q21_grouping_sets", "q22_interval_arith", "q23_percentiles",
     "q24_in_subquery", "q25_outer_join", "q26_map_funcs", "q27_range_frame",
-    "q28_safe_casts", "q29_asof_native",
+    "q28_safe_casts", "q29_asof_native", "q30_latest_wins",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_regex_tokens", "t6_string_funcs", "t7_array_funcs", "t8_explode",
     "t9_regex_extract", "t10_normalize", "t11_hash_split",

@@ -454,6 +454,25 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Latest-record-wins dedup (CDC compaction / upsert materialization):
+    // one row per (user_id, event_type) — the newest by (ts, event_id).
+    // row_number-over-desc-order is the standard batch form; the streaming
+    // analog is dropDuplicatesWithinWatermark (StreamingInfraSpec). One
+    // shuffle on the key; at scale this is the pattern that compacts a
+    // changelog into a snapshot.
+    "q30_latest_wins" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("latest_event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("latest_ts"),
+          round(col("value"), 4).as("latest_value"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // Error-safe casts and arithmetic under ANSI mode: TRY_CAST yields NULL
     // instead of failing the job (one malformed row in 100 TB must not kill
     // the query), try_divide nulls zero divisors. Narrow, codegen'd.
@@ -734,6 +753,16 @@ object RelationalQueries {
         |  FROM u)
         |SELECT error_id AS event_id, user_id, prev_click_id
         |FROM w WHERE error_id IS NOT NULL ORDER BY event_id""".stripMargin,
+    "q30_latest_wins" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, event_id, ts::TIMESTAMP AS ts, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, event_id AS latest_event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS latest_ts,
+        |  round(value, 4) AS latest_value
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     "q28_safe_casts" ->
       """SELECT event_id,
         |  TRY_CAST(event_type AS INT) AS type_int,
