@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Corpus-level invariants of the training-pipeline operators: properties a
+  * production pipeline silently depends on but no single-output oracle
+  * check states explicitly. */
+class OperatorPropertiesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("t10 normalization is idempotent on the corpus") {
+    def norm(c: org.apache.spark.sql.Column) =
+      trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+    val bad = Tables.documents(spark, sfDir)
+      .select(norm(col("text")).as("n1"))
+      .select(col("n1"), norm(col("n1")).as("n2"))
+      .filter(col("n1") =!= col("n2")).count()
+    assert(bad == 0, "normalize(normalize(x)) must equal normalize(x)")
+  }
+
+  test("t11 hash split is a pure function of content: growth-stable") {
+    import graft.ops.TextOps.hash60
+    val docs = Tables.documents(spark, sfDir)
+    def splits(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), pmod(hash60(col("text")), lit(100L)).as("b"))
+        .as[(Long, Long)].collect().toMap
+    val half = splits(docs.filter(col("doc_id") < 250))
+    val full = splits(docs)
+    half.foreach { case (id, b) =>
+      assert(full(id) == b, s"doc $id's bucket changed when the corpus grew")
+    }
+  }
+
+  test("k-means assignment is bit-identical across input partitionings") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"),
+        graft.ops.SimilarityOps.toDouble(col("embedding")).as("emb"))
+    def run(parts: Int) =
+      graft.ops.SimilarityOps.kmeansAssign(vecs.repartition(parts), 8, 2)
+        .select("id", "cluster", "d2")
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(run(2) == run(13),
+      "decimal-exact updates must make the result partition-order-free")
+  }
+}
