@@ -475,9 +475,11 @@ object RelationalQueries {
 
     // Error-safe casts and arithmetic under ANSI mode: TRY_CAST yields NULL
     // instead of failing the job (one malformed row in 100 TB must not kill
-    // the query), try_divide nulls zero divisors. Narrow, codegen'd.
+    // the query), try_divide nulls zero divisors. Narrow, codegen'd —
+    // fanout because a failing TRY_CAST costs a caught exception per row,
+    // which is exactly the per-row work a single-row-group scan serializes.
     "q28_safe_casts" -> ((s, d) => {
-      Tables.events(s, d)
+      Tables.fanout(Tables.events(s, d))
         .select(col("event_id"),
           expr("TRY_CAST(event_type AS INT)").as("type_int"),
           expr("TRY_CAST(CAST(user_id AS STRING) AS INT)").cast("long").as("uid_int"),
