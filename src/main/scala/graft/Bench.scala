@@ -48,20 +48,31 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     // Best-of-2 per query: single-run timings on a shared host are ±30-100%
     // noisy (page cache, codegen compilation, CPU contention); the min of two
-    // runs is a far stabler estimate of the plan's actual cost.
+    // runs is a far stabler estimate of the plan's actual cost. A failed run
+    // contributes NO timing — a query whose both runs fail lands in "errors"
+    // instead of masquerading as a fast success.
     val results = headline.filter(qs.contains).map { name =>
-      val times = (1 to 2).map { _ =>
+      var err: Option[String] = None
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            err = Some((e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
+              .replaceAll("[\"\\\\\n\r\t]", " ").take(160))
+            None
+        }
       }
-      name -> times.min
+      (name, times.minOption, err)
     }
-    val qjson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qjson = results.collect { case (k, Some(v), _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, None, Some(m)) => "\"" + k + "\":\"" + m + "\"" }
+    val errJson = if (errors.isEmpty) "" else errors.mkString(""","errors":{""", ",", "}")
+    val total = results.flatMap(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

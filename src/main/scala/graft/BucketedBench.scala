@@ -28,10 +28,14 @@ object BucketedBench {
       (System.nanoTime() - t0) / 1e9
     }.min
 
-  /** Exchanges in the final adaptive plan, excluding the one the
-    * post-join aggregation legitimately needs. */
+  /** Non-broadcast exchanges in the final adaptive plan — ABSOLUTE counts
+    * (the one post-join aggregation exchange both variants share is
+    * included: plain = 2 pre-join + 1 agg = 3, bucketed = 1 agg only).
+    * `collect()` runs THIS DataFrame's own QueryExecution, so the inspected
+    * AQE plan is the finalized one (a separate `.write` would execute a
+    * different QueryExecution and leave this instance's plan un-finalized). */
   private def exchanges(df: DataFrame): Int = {
-    df.write.format("noop").mode("overwrite").save()
+    df.collect()
     "(?<!Broadcast)Exchange ".r
       .findAllIn(df.queryExecution.executedPlan.toString).length
   }

@@ -183,6 +183,10 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     edges.count()
     var labels = docs.select(col("doc_id"), col("doc_id").as("canon_id"))
+    // the superseded round's localCheckpoint RDD — freed once the new round
+    // is materialized and compared, so at most ONE prior copy of the labels
+    // table sits in block-manager storage (not maxIters copies)
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -210,6 +214,11 @@ object DedupOps {
       val changed = nextM.alias("n")
         .join(labels.alias("o"), col("n.doc_id") === col("o.doc_id"))
         .filter(col("n.canon_id") < col("o.canon_id")).count()
+      // the fixpoint count above was the old round's last reader — free its
+      // checkpoint storage before it piles up (the FINAL round's checkpoint
+      // intentionally stays persisted: the caller consumes it)
+      prevCkpt.foreach(_.unpersist(blocking = false))
+      prevCkpt = org.apache.spark.sql.graftbridge.Bridge.checkpointedRdd(nextM)
       labels = nextM
       converged = changed == 0
       i += 1
@@ -247,13 +256,23 @@ object DedupOps {
 
   /** SimHash byte-bands (4 × 8 bits) for candidate generation: pairs within
     * Hamming ≤ 3 are guaranteed to share a band (pigeonhole); the ≤ maxHamming
-    * filter afterwards makes the candidate step the only recall loss. */
+    * filter afterwards makes the candidate step the only recall loss.
+    *
+    * Ends in a keyed pinned exchange purely as a MATERIALIZATION BARRIER:
+    * [[simhashPairs]] consumes these rows on both sides of a self-join whose
+    * sides exchange on *different* salted keys, so without a shared upstream
+    * exchange the md5-heavy tokenize+simhash pipeline would be evaluated
+    * twice (once per side). With it, both sides read ONE ReusedExchange of
+    * the tiny (doc_id, simhash, band) rows — 4 rows/doc of ~32 B, negligible
+    * next to recomputing a sketch over every token. */
   def simhashBands(df: DataFrame, sh: Column): DataFrame =
     df.select(col("doc_id"), sh.as("simhash"))
       .select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*))
           .as(Seq("band_idx", "band_val")))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("band_idx"), col("band_val"))
 
   /** SimHash candidate pairs with symmetric skew salting.
     *

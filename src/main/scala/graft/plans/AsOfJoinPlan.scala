@@ -27,7 +27,13 @@ import org.apache.spark.sql.execution.SparkStrategy
   * takes a specialized primitive merge loop (no per-compare ordering
   * dispatch). NULL keys compare like values under the natural ordering
   * (nulls-first) and therefore match each other — filter them upstream for
-  * SQL join semantics. Ties in rightTime resolve to the LARGEST
+  * SQL join semantics. NULL TIMES follow the same contract: a NULL
+  * rightTime sorts nulls-first, is therefore `<=` every leftTime of its
+  * key, and can be held as the match (it loses to any later non-null
+  * rightTime ≤ leftTime); a NULL leftTime is `<` every non-null rightTime,
+  * so it matches only a NULL-rightTime row. Filter null time columns
+  * upstream when SQL comparison semantics (NULL matches nothing) are
+  * wanted. Ties in rightTime resolve to the LARGEST
   * (key, time, tieBreak) right row, matching the q13 composition.
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,

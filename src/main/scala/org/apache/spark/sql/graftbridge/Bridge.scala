@@ -25,6 +25,17 @@ object Bridge {
   def analyzedPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
 
+  /** The cached RDD behind a `localCheckpoint`ed DataFrame (its analyzed
+    * plan is a `LogicalRDD` over the persisted internal-row RDD). Lets
+    * iterative algorithms free a superseded round's checkpoint storage —
+    * `Dataset.unpersist` can't: localCheckpoint persists at the RDD layer,
+    * not through the cache manager. */
+  def checkpointedRdd(df: org.apache.spark.sql.DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    analyzedPlan(df) match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
+
   /** Runtime planner-strategy injection on a live session (mirrors
     * `SparkSessionExtensions.injectPlannerStrategy` for built sessions). */
   def injectStrategy(spark: org.apache.spark.sql.SparkSession,
