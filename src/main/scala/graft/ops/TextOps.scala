@@ -83,6 +83,15 @@ object TextOps {
       lit(0L),
       (acc, h) => (acc * 31 + h) % 1000000007L)
 
+  /** Occurrence count of the most frequent token (repetition signal): max
+    * over distinct tokens of that token's frequency. O(|distinct|·|toks|)
+    * per row — pure per-row HOFs, no explode, no shuffle. */
+  def topTokenCount(toks: Column): Column =
+    coalesce(
+      array_max(transform(array_distinct(toks),
+        t => size(filter(toks, x => x === t)).cast("long"))),
+      lit(0L))
+
   /** Language-ID marker sets (tiny n-gram/function-word heuristic). */
   val langMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "is"),

@@ -161,6 +161,100 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Repetition scoring (Gopher-style quality rule): distinct-trigram
+    // diversity + most-frequent-token share. Near-1.0 diversity = natural
+    // text; low diversity = boilerplate/spam to drop before training.
+    // Per-row HOFs over the token array — no explode, zero shuffle.
+    "t12_repetition" -> ((s, d) => {
+      import graft.ops.DedupOps.shingles
+      Tables.fanout(Tables.documents(s, d))
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("tris", shingles(col("toks"), col("text")))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_tri", size(col("tris")).cast("long"))
+        .withColumn("n_tri_distinct", size(array_distinct(col("tris"))).cast("long"))
+        .withColumn("top_tok_cnt", topTokenCount(col("toks")))
+        .select(col("doc_id"), col("n_tri"), col("n_tri_distinct"), col("top_tok_cnt"),
+          round(col("n_tri_distinct").cast("double") / col("n_tri"), 4)
+            .as("tri_diversity"),
+          round(col("top_tok_cnt").cast("double") / col("n_tokens"), 4)
+            .as("top_tok_share"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Source-level mixing weights (domain reweighting for training mixes):
+    // per-source doc/token counts and the uniform-target resampling weight
+    // tot_docs / (n_sources · n_docs). One groupBy of |sources| rows (KBs at
+    // 100 TB — map-side partial agg), then a single-partition window over
+    // the aggregated frame (|sources| rows, not data-sized).
+    "t13_source_mix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.partitionBy(lit(1))
+      Tables.fanout(Tables.documents(s, d))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text"))).as("n_tokens"))
+        .withColumn("tot_docs", sum(col("n_docs")).over(wAll))
+        .withColumn("n_sources", count(lit(1)).over(wAll))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_docs").cast("double") / col("tot_docs"), 6).as("doc_share"),
+          round(col("tot_docs").cast("double") /
+            (col("n_sources") * col("n_docs")), 6).as("mix_weight"))
+        .orderBy(col("source"))
+    }),
+
+    // PII redaction: synthesize a deterministic contact suffix (the corpus
+    // is PII-free by construction), then mask emails and long digit runs —
+    // the regexp_replace scrubbing stage every training pipeline runs.
+    // Narrow per-row regex chain, one codegen stage.
+    "t14_redact" -> ((s, d) => {
+      val withPii = concat(col("text"), lit(" contact "), col("source"),
+        lit("@example.com id "),
+        lpad(pmod(col("doc_id") * 7919, lit(100000)).cast("string"), 5, "0"))
+      val redacted = regexp_replace(
+        regexp_replace(withPii, "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+        "[0-9]{4,}", "<ID>")
+      Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), redacted.as("redacted"),
+          size(regexp_extract_all(withPii, lit("[a-z0-9.]+@[a-z0-9.]+"), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(withPii, lit("[0-9]{4,}"), lit(0)))
+            .cast("long").as("n_ids"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token-budget sharding (sequence packing): within each lang, docs in
+    // doc_id order fill consecutive ~512-token training shards — shard =
+    // floor(exclusive-prefix-tokens / 512). One shuffle on lang; at scale
+    // the partition key would be (lang, day-bucket) to bound partition size.
+    "t15_pack_shards" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.fanout(Tables.documents(s, d))
+        .withColumn("n_tokens", tokenCount(col("text")))
+        .withColumn("prefix_toks", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("prefix_toks"),
+          floor(col("prefix_toks") / 512).cast("long").as("shard"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-stratum deterministic sampling (curriculum/mixture control):
+    // keep-rate depends on lang (down-sample overrepresented en), membership
+    // is a pure content-hash function — reproducible across runs, engines,
+    // and partitionings, and stable under corpus growth. Zero shuffle.
+    "t16_stratified_sample" -> ((s, d) => {
+      val bucket = pmod(hash60(concat(lit("smp|"), col("text"))), lit(1000L))
+      val rate = when(col("lang") === "en", 500L)
+        .when(col("lang") === "de", 800L).otherwise(1000L)
+      Tables.fanout(Tables.documents(s, d))
+        .withColumn("bucket", bucket)
+        .withColumn("keep_rate", rate)
+        .filter(col("bucket") < col("keep_rate"))
+        .select(col("doc_id"), col("lang"), col("bucket"), col("keep_rate"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Fingerprinting: whole-document 60-bit md5 fingerprint + order-
     // sensitive rolling hash over the token stream.
     "t4_fingerprint" -> ((s, d) => {
@@ -259,6 +353,74 @@ object TextQueries {
          |  CASE WHEN bucket < 90 THEN 'train'
          |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin,
+    "t12_repetition" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, $dkToks AS toks FROM documents),
+         |tri AS (
+         |  SELECT doc_id, len(toks) AS n_tokens, toks,
+         |    CASE WHEN len(toks) >= 3
+         |      THEN list_transform(generate_series(1, len(toks) - 2),
+         |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |      ELSE [trim(text)] END AS tris
+         |  FROM base),
+         |st AS (
+         |  SELECT doc_id, n_tokens, len(tris) AS n_tri,
+         |    len(list_distinct(tris)) AS n_tri_distinct,
+         |    coalesce(list_max(list_transform(list_distinct(toks),
+         |      t -> len(list_filter(toks, x -> x = t)))), 0) AS top_tok_cnt
+         |  FROM tri)
+         |SELECT doc_id, n_tri, n_tri_distinct, top_tok_cnt,
+         |  round(CAST(n_tri_distinct AS DOUBLE) / n_tri, 4) AS tri_diversity,
+         |  round(CAST(top_tok_cnt AS DOUBLE) / n_tokens, 4) AS top_tok_share
+         |FROM st ORDER BY doc_id""".stripMargin,
+    "t13_source_mix" ->
+      s"""WITH per_src AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(len($dkToks)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |tot AS (
+         |  SELECT source, n_docs, n_tokens,
+         |    SUM(n_docs) OVER () AS tot_docs,
+         |    COUNT(*) OVER () AS n_sources
+         |  FROM per_src)
+         |SELECT source, n_docs, n_tokens,
+         |  round(CAST(n_docs AS DOUBLE) / tot_docs, 6) AS doc_share,
+         |  round(CAST(tot_docs AS DOUBLE) / (n_sources * n_docs), 6) AS mix_weight
+         |FROM tot ORDER BY source""".stripMargin,
+    "t14_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact ' || source || '@example.com id ' ||
+        |      lpad(CAST((doc_id * 7919) % 100000 AS VARCHAR), 5, '0') AS with_pii
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(with_pii,
+        |    '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |    '[0-9]{4,}', '<ID>', 'g') AS redacted,
+        |  len(regexp_extract_all(with_pii, '[a-z0-9.]+@[a-z0-9.]+')) AS n_emails,
+        |  len(regexp_extract_all(with_pii, '[0-9]{4,}')) AS n_ids
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "t15_pack_shards" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, len($dkToks) AS n_tokens FROM documents),
+         |w AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS prefix_toks
+         |  FROM t)
+         |SELECT doc_id, lang, n_tokens, prefix_toks,
+         |  CAST(floor(prefix_toks / 512.0) AS BIGINT) AS shard
+         |FROM w ORDER BY doc_id""".stripMargin,
+    "t16_stratified_sample" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, lang,
+         |    ${dkHash60("'smp|' || text")} % 1000 AS bucket,
+         |    CASE WHEN lang = 'en' THEN 500
+         |         WHEN lang = 'de' THEN 800 ELSE 1000 END AS keep_rate
+         |  FROM documents)
+         |SELECT doc_id, lang, bucket, keep_rate
+         |FROM b WHERE bucket < keep_rate ORDER BY doc_id""".stripMargin,
     "t4_fingerprint" ->
       s"""SELECT doc_id,
          |  ${dkHash60("text")} AS fp64,
