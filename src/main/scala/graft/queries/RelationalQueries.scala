@@ -506,10 +506,142 @@ object RelationalQueries {
         .groupBy(col("signup_id"))
         .agg(count(lit(1)).as("n_follow"))
         .orderBy(col("signup_id"))
+    }),
+
+    // Mixed EXISTS + NOT EXISTS on one relation (both decorrelate: the
+    // EXISTS to a left-semi, the NOT EXISTS to a left-anti — Catalyst plans
+    // them as two successive join stages on the same broadcast-able key set).
+    "q31_exists_mix" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_ex")
+      Tables.orders(s, d).createOrReplaceTempView("orders_ex")
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer_ex c
+          |WHERE EXISTS (SELECT 1 FROM orders_ex o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+          |  AND NOT EXISTS (SELECT 1 FROM orders_ex o
+          |                  WHERE o.o_custkey = c.c_custkey
+          |                    AND o.o_orderstatus = 'P')
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // LATERAL correlated subquery with ORDER BY + LIMIT (top-1-per-group as
+    // the optimizer sees it: DecorrelateInnerQuery rewrites the per-row
+    // limit into a ranked window join — no driver loop, one shuffle).
+    "q32_lateral_topn" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+      Tables.orders(s, d).createOrReplaceTempView("orders_lat")
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey AS top_orderkey,
+          |       t.o_totalprice AS top_price
+          |FROM customer_lat c
+          |JOIN LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders_lat o
+          |  WHERE o.o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+          |ORDER BY c.c_custkey""".stripMargin)
+    }),
+
+    // Ordered string aggregation (listagg WITHIN GROUP): deterministic
+    // because the intra-group order is total. |groups| rows out; the sort
+    // happens inside the aggregation buffer, not as a global sort.
+    "q33_listagg" -> ((s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("nation_la")
+      s.sql(
+        """SELECT n_regionkey,
+          |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations_csv,
+          |  COUNT(*) AS n_nations
+          |FROM nation_la GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    }),
+
+    // Exact median per group (sort-based percentile). Both engines
+    // interpolate even-count groups as the midpoint of two doubles; the
+    // inputs are exact parquet doubles, so the midpoint is deterministic.
+    "q34_median" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(round(median(col("value")), 4).as("median_value"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Bitwise aggregates (bit_and / bit_or / bit_xor): order-free integer
+    // folds — fully partial-aggregation friendly (constant-size state).
+    "q35_bit_agg" -> ((s, d) => {
+      Tables.fanout(Tables.lineitem(s, d))
+        .groupBy(col("l_returnflag"))
+        .agg(bit_and(col("l_partkey")).as("pk_and"),
+          bit_or(col("l_partkey")).as("pk_or"),
+          bit_xor(col("l_partkey")).as("pk_xor"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // UNPIVOT (wide→long melt): three measure columns become (metric, val)
+    // rows — narrow, generator-style, no shuffle; the oracle spells out the
+    // equivalent UNION ALL. Values cast to a common double type.
+    "q36_unpivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("quantity"),
+          col("l_discount").cast("double").as("discount"),
+          col("l_tax").cast("double").as("tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("discount"), col("tax")),
+          "metric", "val")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q31_exists_mix" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "q32_lateral_topn" ->
+      """SELECT c.c_custkey, t.o_orderkey AS top_orderkey,
+        |       t.o_totalprice AS top_price
+        |FROM customer c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t ON true
+        |ORDER BY c.c_custkey""".stripMargin,
+    "q33_listagg" ->
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+        |  COUNT(*) AS n_nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q34_median" ->
+      """SELECT event_type, round(median(value), 4) AS median_value,
+        |       COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q35_bit_agg" ->
+      """SELECT l_returnflag,
+        |  bit_and(l_partkey) AS pk_and,
+        |  bit_or(l_partkey) AS pk_or,
+        |  bit_xor(l_partkey) AS pk_xor,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q36_unpivot" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS DOUBLE) AS quantity,
+        |    CAST(l_discount AS DOUBLE) AS discount,
+        |    CAST(l_tax AS DOUBLE) AS tax
+        |  FROM lineitem WHERE l_orderkey <= 100)
+        |SELECT l_orderkey, l_linenumber, metric, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'quantity' AS metric, quantity AS val FROM base
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'discount', discount FROM base
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'tax', tax FROM base)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

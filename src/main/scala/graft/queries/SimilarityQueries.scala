@@ -88,6 +88,32 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Int8 scalar quantization (embedding compression for storage/serving):
+    // per-vector symmetric scale mx/127, round-half-up code, dequant error.
+    // Zero shuffle — per-row HOFs; outputs are scalars (integer sums and
+    // order-free maxima are engine-portable; a per-element array column
+    // wouldn't hash in the driver's comparator).
+    "n8_quantize" -> ((s, d) => {
+      val v = Tables.fanout(Tables.embeddings(s, d))
+        .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+        .withColumn("mx", array_max(transform(col("emb"), x => abs(x))))
+      val qExpr = transform(col("emb"),
+        x => floor(x * 127.0 / col("mx") + 0.5).cast("long"))
+      v.withColumn("qv",
+          when(col("mx") === 0d, transform(col("emb"), _ => lit(0L)))
+            .otherwise(qExpr))
+        .select(col("vec_id"),
+          round(col("mx"), 6).as("mx_q"),
+          aggregate(col("qv"), lit(0L), _ + _).as("q_sum"),
+          size(filter(col("qv"), z => abs(z) === 127L)).cast("long").as("n_sat"),
+          round(
+            when(col("mx") === 0d, 0d).otherwise(
+              array_max(zip_with(col("emb"), col("qv"),
+                (x, z) => abs(x - z * col("mx") / 127.0)))),
+            8).as("max_abs_err"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Per-label centroids, one row per (label, dim) — the coarse-quantizer
     // build step of an IVF index. Element sums go through DECIMAL(27,10) so
     // the centroid is exact and engine-portable (the typed
@@ -214,6 +240,28 @@ object SimilarityQueries {
        |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "n8_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, emb,
+        |    list_max(list_transform(emb, x -> abs(x))) AS mx
+        |  FROM v),
+        |q AS (
+        |  SELECT vec_id, emb, mx,
+        |    CASE WHEN mx = 0 THEN list_transform(emb, x -> 0::BIGINT)
+        |         ELSE list_transform(emb,
+        |                x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT))
+        |    END AS qv
+        |  FROM m)
+        |SELECT vec_id, round(mx, 6) AS mx_q,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(len(list_filter(qv, z -> abs(z) = 127)) AS BIGINT) AS n_sat,
+        |  round(CASE WHEN mx = 0 THEN 0.0 ELSE
+        |    list_max(list_transform(generate_series(1, len(emb)),
+        |      i -> abs(emb[i] - qv[i] * mx / 127.0))) END, 8) AS max_abs_err
+        |FROM q ORDER BY vec_id""".stripMargin,
     "n6_kmeans" -> dkKmeans,
     "n7_ivf_kmeans" -> dkIvfKmeans,
     "n2_ann_lsh" ->
