@@ -39,5 +39,9 @@ object GraftExtensions {
     registerFunction(spark, "cosine_sim", args => CosineSim(args(0), args(1)))
     spark.udf.register("qsketch_quantiles", org.apache.spark.sql.functions.udaf(
       new graft.functions.QuantileSketchAggregator(Seq(0.5, 0.9, 0.99))))
+    // probe points as a call-site argument:
+    // qsketch_quantiles_at(x, array(0.25, 0.75))
+    spark.udf.register("qsketch_quantiles_at", org.apache.spark.sql.functions.udaf(
+      new graft.functions.QuantileSketchAtAggregator()))
   }
 }

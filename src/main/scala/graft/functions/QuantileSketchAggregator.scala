@@ -27,24 +27,26 @@ import org.apache.spark.sql.expressions.Aggregator
   * Error: with capacity k per level, rank error is O(n/k · levels) worst
   * case, far tighter in practice; `QuantileSketchSpec` asserts empirical
   * bounds on corpus data and exactness for n ≤ k.
+  *
+  * Two SQL surfaces (registered in [[graft.GraftExtensions]]):
+  *  - `qsketch_quantiles(x)` — fixed [p50, p90, p99]
+  *    ([[QuantileSketchAggregator]]);
+  *  - `qsketch_quantiles_at(x, ps)` — probe points given AT THE CALL SITE
+  *    as an array column, e.g. `qsketch_quantiles_at(v, array(0.25, 0.75))`
+  *    ([[QuantileSketchAtAggregator]]; ps must be group-constant, which a
+  *    literal array trivially is — the sketch adopts the first row's ps).
   */
 object QuantileSketchAggregator {
   /** levels: levels(i) = unsorted buffer of values weighing 2^i each;
-    * offsets: per-level compaction parity; n: total values observed. */
-  case class QSketch(levels: Seq[Seq[Double]], offsets: Seq[Int], n: Long)
+    * offsets: per-level compaction parity; n: total values observed;
+    * ps: probe quantiles (empty until adopted, for the `_at` variant). */
+  case class QSketch(levels: Seq[Seq[Double]], offsets: Seq[Int], n: Long,
+      ps: Seq[Double] = Seq.empty)
 
   val DefaultK = 200
-}
-
-class QuantileSketchAggregator(ps: Seq[Double],
-    k: Int = QuantileSketchAggregator.DefaultK)
-    extends Aggregator[Double, QuantileSketchAggregator.QSketch, Array[Double]] {
-  import QuantileSketchAggregator.QSketch
-
-  override def zero: QSketch = QSketch(Seq(Vector.empty), Seq(0), 0L)
 
   /** Compact every over-full level upward: sort, keep alternate items. */
-  private def compact(s: QSketch): QSketch = {
+  private[functions] def compact(s: QSketch, k: Int): QSketch = {
     var levels = s.levels.toVector
     var offsets = s.offsets.toVector
     var i = 0
@@ -66,10 +68,7 @@ class QuantileSketchAggregator(ps: Seq[Double],
     s.copy(levels = levels, offsets = offsets)
   }
 
-  override def reduce(s: QSketch, x: Double): QSketch =
-    compact(s.copy(levels = s.levels.updated(0, s.levels.head :+ x), n = s.n + 1))
-
-  override def merge(a: QSketch, b: QSketch): QSketch = {
+  private[functions] def mergeSketches(a: QSketch, b: QSketch, k: Int): QSketch = {
     val depth = math.max(a.levels.length, b.levels.length)
     def lvl(s: QSketch, i: Int): Seq[Double] =
       if (i < s.levels.length) s.levels(i) else Vector.empty
@@ -78,16 +77,17 @@ class QuantileSketchAggregator(ps: Seq[Double],
     compact(QSketch(
       (0 until depth).map(i => lvl(a, i) ++ lvl(b, i)),
       (0 until depth).map(i => off(a, i) + off(b, i)),
-      a.n + b.n))
+      a.n + b.n,
+      if (a.ps.nonEmpty) a.ps else b.ps), k)
   }
 
   /** Estimated rank of x = Σ weights of stored values ≤ x. */
-  private def estRank(s: QSketch, x: Double): Long =
+  private[functions] def estRank(s: QSketch, x: Double): Long =
     s.levels.zipWithIndex.map { case (lv, i) =>
       (1L << i) * lv.count(_ <= x)
     }.sum
 
-  override def finish(s: QSketch): Array[Double] = {
+  private[functions] def quantiles(s: QSketch, ps: Seq[Double]): Array[Double] = {
     val all = s.levels.flatten.distinct.sortBy(identity)
     if (all.isEmpty) return ps.map(_ => Double.NaN).toArray
     ps.map { p =>
@@ -95,6 +95,50 @@ class QuantileSketchAggregator(ps: Seq[Double],
       all.find(v => estRank(s, v) >= target).getOrElse(all.last)
     }.toArray
   }
+}
+
+class QuantileSketchAggregator(ps: Seq[Double],
+    k: Int = QuantileSketchAggregator.DefaultK)
+    extends Aggregator[Double, QuantileSketchAggregator.QSketch, Array[Double]] {
+  import QuantileSketchAggregator._
+
+  override def zero: QSketch = QSketch(Seq(Vector.empty), Seq(0), 0L)
+
+  override def reduce(s: QSketch, x: Double): QSketch =
+    compact(s.copy(levels = s.levels.updated(0, s.levels.head :+ x), n = s.n + 1), k)
+
+  override def merge(a: QSketch, b: QSketch): QSketch = mergeSketches(a, b, k)
+
+  override def finish(s: QSketch): Array[Double] = quantiles(s, ps)
+
+  override def bufferEncoder: Encoder[QSketch] = ExpressionEncoder[QSketch]()
+  override def outputEncoder: Encoder[Array[Double]] =
+    ExpressionEncoder[Array[Double]]()
+}
+
+/** Call-site-parameterized variant: input rows are (value, ps) where ps is
+  * the (group-constant) array of probe quantiles — normally a literal
+  * `array(0.25, 0.75)`. The sketch adopts ps from the first row it sees;
+  * rows with NULL/absent ps still contribute their value. */
+class QuantileSketchAtAggregator(k: Int = QuantileSketchAggregator.DefaultK)
+    extends Aggregator[(Double, Seq[Double]),
+      QuantileSketchAggregator.QSketch, Array[Double]] {
+  import QuantileSketchAggregator._
+
+  override def zero: QSketch = QSketch(Seq(Vector.empty), Seq(0), 0L)
+
+  override def reduce(s: QSketch, in: (Double, Seq[Double])): QSketch = {
+    val withPs = if (s.ps.isEmpty && in._2 != null && in._2.nonEmpty)
+      s.copy(ps = in._2) else s
+    compact(withPs.copy(
+      levels = withPs.levels.updated(0, withPs.levels.head :+ in._1),
+      n = withPs.n + 1), k)
+  }
+
+  override def merge(a: QSketch, b: QSketch): QSketch = mergeSketches(a, b, k)
+
+  override def finish(s: QSketch): Array[Double] =
+    quantiles(s, if (s.ps.nonEmpty) s.ps else Seq(0.5))
 
   override def bufferEncoder: Encoder[QSketch] = ExpressionEncoder[QSketch]()
   override def outputEncoder: Encoder[Array[Double]] =

@@ -169,9 +169,16 @@ object DedupOps {
     * rounds (the production-scale pattern; large-star/small-star halves the
     * round count if diameters grow). Deterministic: min is order-free.
     *
-    * `pairs` needs (doc_a, doc_b); `docs` needs doc_id. */
+    * `pairs` needs (doc_a, doc_b); `docs` needs doc_id.
+    *
+    * `uncheckedRounds`: run that many initial rounds WITHOUT the fixpoint
+    * count — each skipped count is one driver round-trip (a full job over
+    * the labels join). With pointer doubling, near-dup graphs (dense small
+    * cliques) converge in ≤2 rounds, so `uncheckedRounds = 2` halves the
+    * driver actions on the common path while changing nothing about the
+    * result: convergence is still verified by the first counted round. */
   def connectedComponents(pairs: DataFrame, docs: DataFrame,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20, uncheckedRounds: Int = 0): DataFrame = {
     // Materialize the edge list ONCE: every propagation round (and its
     // fixpoint count) references it, and `pairs` is typically an expensive
     // candidate-generation pipeline (band joins, sketches) that must not be
@@ -211,16 +218,21 @@ object DedupOps {
       // against the materialized round — otherwise the count evaluates the
       // edge join once and the checkpoint evaluates it again
       val nextM = next.localCheckpoint(eager = true)
-      val changed = nextM.alias("n")
-        .join(labels.alias("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.canon_id") < col("o.canon_id")).count()
-      // the fixpoint count above was the old round's last reader — free its
-      // checkpoint storage before it piles up (the FINAL round's checkpoint
-      // intentionally stays persisted: the caller consumes it)
+      // fixpoint count only on checked rounds — each count is a driver
+      // round-trip; early rounds of a pointer-doubled propagation are
+      // known-unconverged, so counting them buys nothing
+      converged = i >= uncheckedRounds && {
+        nextM.alias("n")
+          .join(labels.alias("o"), col("n.doc_id") === col("o.doc_id"))
+          .filter(col("n.canon_id") < col("o.canon_id")).count() == 0
+      }
+      // the old round's last reader (the count, or the eager checkpoint's
+      // propagation join) is done — free its checkpoint storage before it
+      // piles up (the FINAL round's checkpoint intentionally stays
+      // persisted: the caller consumes it)
       prevCkpt.foreach(_.unpersist(blocking = false))
       prevCkpt = org.apache.spark.sql.graftbridge.Bridge.checkpointedRdd(nextM)
       labels = nextM
-      converged = changed == 0
       i += 1
     }
     edges.unpersist()

@@ -93,7 +93,11 @@ object DedupQueries {
       val df = docs(s, d).withColumn("hs", tokenHashes(tokens(col("text"))))
       val pairs = simhashPairs(simhashBands(df, simhash32(col("hs"))), MaxHamming)
         .select(col("doc_a"), col("doc_b"))
-      connectedComponents(pairs, docs(s, d).select(col("doc_id")))
+      // near-dup components are dense small cliques: 2 pointer-doubled
+      // rounds reach the fixpoint, so skip their fixpoint counts (driver
+      // round-trips); round 3's count verifies convergence
+      connectedComponents(pairs, docs(s, d).select(col("doc_id")),
+          uncheckedRounds = 2)
         .orderBy(col("doc_id"))
     })
   )

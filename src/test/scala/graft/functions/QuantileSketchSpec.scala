@@ -50,6 +50,23 @@ class QuantileSketchSpec extends SparkSpecBase {
     assert(math.abs(rank(many) - 0.5) < 0.03, s"32-part median rank ${rank(many)}")
   }
 
+  test("qsketch_quantiles_at takes probe points at the SQL call site") {
+    graft.GraftExtensions.install(spark)
+    val xs = (1 to 150).map(_.toDouble)
+    xs.toDF("x").createOrReplaceTempView("qs_at_in")
+    val got = spark.sql(
+      "SELECT qsketch_quantiles_at(x, array(0.25D, 0.75D)) AS qs FROM qs_at_in")
+      .head().getSeq[Double](0)
+    val want = Seq(0.25, 0.75).map(p => exact(xs.toArray, p))
+    assert(got == want, s"call-site ps must drive the probes: $got vs $want")
+    // group-wise: each group gets its own exact answer in the n<=k regime
+    val byGroup = spark.sql(
+      """SELECT x > 75 AS hi, qsketch_quantiles_at(x, array(0.5D)) AS qs
+        |FROM qs_at_in GROUP BY 1 ORDER BY 1""".stripMargin)
+      .collect().map(r => (r.getBoolean(0), r.getSeq[Double](1).head))
+    assert(byGroup.toSeq == Seq((false, 38.0), (true, 113.0)), byGroup.toSeq)
+  }
+
   test("buffer footprint stays bounded: levels * k, not n") {
     val n = 100000
     val xs = (1 to n).map(_.toDouble)
