@@ -23,9 +23,12 @@ import org.apache.spark.sql.execution.SparkStrategy
   * movement for this join (same as a sort-merge join's).
   *
   * Key/time types: any atomic orderable type (string, timestamp, date,
-  * numeric, …) via Catalyst's natural row ordering; the all-LongType case
-  * takes a specialized primitive merge loop (no per-compare ordering
-  * dispatch). NULL keys compare like values under the natural ordering
+  * numeric, …) via Catalyst's natural row ordering; when every key/time is
+  * long-backed (LONG / TIMESTAMP / TIMESTAMP_NTZ — single key) the merge
+  * is a specialized primitive loop, and a single STRING key with a
+  * long-backed time takes a UTF8String binary-compare loop — no
+  * per-compare ordering dispatch on either hot path. NULL keys compare
+  * like values under the natural ordering
   * (nulls-first) and therefore match each other — filter them upstream for
   * SQL join semantics. NULL TIMES follow the same contract: a NULL
   * rightTime sorts nulls-first, is therefore `<=` every leftTime of its
@@ -68,13 +71,26 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
+  /** Physically long-backed atomic types: `getLong` reads them directly
+    * from an UnsafeRow, and their sort order IS signed-long order — so
+    * timestamp/long keys and times all take the primitive merge loop. */
+  private def longBacked(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lks = leftKeys; val lt = leftTime
     val rks = rightKeys; val rt = rightTime
     val leftOut = left.output; val rightOut = right.output
     val allLong = leftKeys.size == 1 &&
-      (leftKeys ++ rightKeys ++ Seq(lt, rt)).forall(
-        _.dataType == org.apache.spark.sql.types.LongType)
+      (leftKeys ++ rightKeys ++ Seq(lt, rt)).forall(e => longBacked(e.dataType))
+    val stringKeyLongTime = leftKeys.size == 1 &&
+      lks.head.dataType == org.apache.spark.sql.types.StringType &&
+      longBacked(lt.dataType)
     val keyTypes = lks.map(_.dataType)
     val timeType = lt.dataType
     require(rks.map(_.dataType) == keyTypes,
@@ -111,6 +127,43 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             } else advancing = false
           }
           val r = if (heldValid && heldKey == k) held else nullRight
+          out(joined(lRow, r))
+        }
+      } else if (stringKeyLongTime) {
+        // string-key specialization: UTF8String binary compare (the same
+        // order SortOrder uses for strings) — no per-compare type dispatch
+        // through an interpreted row ordering. Nulls-first like the generic
+        // path.
+        import org.apache.spark.unsafe.types.UTF8String
+        def cmpKey(a: UTF8String, b: UTF8String): Int =
+          if (a == null && b == null) 0
+          else if (a == null) -1
+          else if (b == null) 1
+          else a.compareTo(b)
+        var heldKey: UTF8String = null
+        var heldValid = false
+        var held: InternalRow = null
+        lIter.map { lRow =>
+          val k = lKey(lRow).getUTF8String(0)
+          val t = lTim(lRow).getLong(0)
+          if (heldValid && cmpKey(heldKey, k) != 0) {
+            heldValid = false; held = null; heldKey = null
+          }
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val peek = rBuf.head
+            val c = cmpKey(rKey(peek).getUTF8String(0), k)
+            val pt = rTim(peek).getLong(0)
+            if (c < 0 || (c == 0 && pt <= t)) {
+              val row = rBuf.next()
+              if (c == 0) {
+                held = row.copy()
+                heldKey = if (k == null) null else k.clone()
+                heldValid = true
+              }
+            } else advancing = false
+          }
+          val r = if (heldValid) held else nullRight
           out(joined(lRow, r))
         }
       } else {

@@ -75,6 +75,18 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(generic == composed, "string-keyed merge must equal the composition")
   }
 
+  test("generic path: int keys + date times (no specialized loop applies)") {
+    val l = Seq((1, "2020-01-10", "L1"), (2, "2020-02-01", "L2"))
+      .toDF("k", "d", "tag").withColumn("d", col("d").cast("date"))
+    val r = Seq((1, "2020-01-05", "R1"), (1, "2020-01-09", "R2"),
+      (2, "2020-03-01", "R3"))
+      .toDF("rk", "rd", "rtag").withColumn("rd", col("rd").cast("date"))
+    val out = asofJoin(l, r, "k", "rk", "d", "rd", "rtag")
+      .select("tag", "rtag").as[(String, Option[String])].collect().toMap
+    assert(out("L1").contains("R2"), "latest date at-or-before wins")
+    assert(out("L2").isEmpty, "future-dated right row must not match")
+  }
+
   test("composite keys: (exchange, symbol) quotes merge per venue") {
     val trades = Seq(("NYSE", "A", 100L, "t1"), ("NYSE", "B", 100L, "t2"),
       ("BATS", "A", 100L, "t3"))

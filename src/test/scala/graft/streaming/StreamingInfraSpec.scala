@@ -42,6 +42,65 @@ class StreamingInfraSpec extends SparkSpecBase {
     }
   }
 
+  test("RocksDB changelog checkpointing: state survives restart, metrics surface") {
+    // Changelog checkpointing uploads per-batch deltas instead of full
+    // RocksDB snapshots — at billions of state keys that's the difference
+    // between O(changed keys) and O(store) per commit. Verified here:
+    // (a) state rebuilt from changelog replay after a cold restart,
+    // (b) .changelog files actually present in the checkpoint,
+    // (c) stateOperators progress exposes RocksDB custom metrics.
+    val srcDir = Files.createTempDirectory("chlog-src").toString
+    val ckpt = Files.createTempDirectory("chlog-ckpt").toString
+    val seen = scala.collection.mutable.Map[String, (Long, Double)]()
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+
+    def writeBatch(rows: Seq[(String, Double)]): Unit =
+      rows.toDF("k", "v").coalesce(1).write.mode("append").parquet(srcDir)
+    def startQuery() = spark.readStream
+      .schema("k STRING, v DOUBLE").parquet(srcDir)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("total"))
+      .writeStream.outputMode(OutputMode.Update)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.collect().foreach(r => seen(r.getString(0)) = (r.getLong(1), r.getDouble(2)))
+        ()
+      }.start()
+
+    try {
+      writeBatch(Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)))
+      val q1 = startQuery()
+      q1.processAllAvailable()
+      val prog = q1.recentProgress.filter(_.stateOperators.nonEmpty).last
+        .stateOperators(0)
+      assert(prog.numRowsTotal == 2, s"state keys a,b: ${prog.numRowsTotal}")
+      val rocksMetrics = prog.customMetrics.keySet()
+      assert(rocksMetrics.toString.contains("rocksdb"),
+        s"RocksDB provider must expose its metrics, got $rocksMetrics")
+      q1.stop()
+
+      // data lands while the query is DOWN; restart replays the changelog
+      writeBatch(Seq(("a", 3.0), ("c", 7.0)))
+      val q2 = startQuery()
+      q2.processAllAvailable()
+      try {
+        assert(seen("a") == ((3L, 6.0)),
+          s"count for 'a' must include pre-restart state: ${seen("a")}")
+        assert(seen("c") == ((1L, 7.0)), seen.toString)
+      } finally q2.stop()
+
+      val changelogs = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .filter(_.toString.endsWith(".changelog")).count()
+      assert(changelogs > 0, "changelog checkpointing must write .changelog deltas")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    }
+  }
+
   test("file-source streaming recovers exactly-once from its checkpoint") {
     val srcDir = Files.createTempDirectory("stream-src").toString
     val ckpt = Files.createTempDirectory("stream-ckpt").toString
