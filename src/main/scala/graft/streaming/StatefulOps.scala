@@ -1,8 +1,8 @@
 package graft.streaming
 
 import graft.stedi.Schemas.RiskEvent
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Custom stateful streaming operators (`flatMapGroupsWithState`) — the
   * surface the reference left as empty stubs
@@ -52,5 +52,46 @@ object StatefulOps {
     events.groupByKey(_.customer)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** The same operator on the transformWithState API (Spark 4's arbitrary-
+    * stateful processor model, the successor to [flatMap]GroupsWithState):
+    * named typed state handles (here one ValueState; List/Map state and
+    * timers are available for richer operators), explicit TimeMode, and
+    * per-state TTL — the pieces a production 100 TB stateful pipeline
+    * needs that GroupState can't express (state TTL without timeouts
+    * hijacking the output path, multiple independent state variables,
+    * state schema evolution). Requires the RocksDB state store provider. */
+  final class RiskScoreProcessor(minAssessments: Int)
+      extends StatefulProcessor[String, RiskEvent, RiskScore] {
+    @transient private var state: ValueState[RiskState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[RiskState]("risk",
+        Encoders.product[RiskState], TTLConfig.NONE)
+
+    override def handleInputRows(customer: String, rows: Iterator[RiskEvent],
+        timerValues: TimerValues): Iterator[RiskScore] = {
+      var s = if (state.exists()) state.get() else RiskState(0L, 0.0)
+      // same deterministic intra-batch fold as the GroupState form
+      rows.toSeq.sortBy(e => Option(e.score).map(_.toDouble).getOrElse(0.0))
+        .foreach { e =>
+          val sc = Option(e.score).map(_.toDouble).getOrElse(0.0)
+          s = RiskState(s.nAssessments + 1, s.totalScore + sc)
+        }
+      state.update(s)
+      if (s.nAssessments >= minAssessments)
+        Iterator(RiskScore(customer, s.nAssessments, s.totalScore / s.nAssessments))
+      else Iterator.empty
+    }
+  }
+
+  /** [[runningRiskScore]] via [[RiskScoreProcessor]] / transformWithState. */
+  def runningRiskScoreTws(spark: SparkSession, events: Dataset[RiskEvent],
+      minAssessments: Int = MinAssessments): Dataset[RiskScore] = {
+    import spark.implicits._
+    events.groupByKey(_.customer)
+      .transformWithState(new RiskScoreProcessor(minAssessments),
+        TimeMode.None(), OutputMode.Append())
   }
 }

@@ -48,6 +48,40 @@ class StatefulOpsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("transformWithState processor matches the GroupState operator") {
+    implicit val ctx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("tws-ckpt").toString
+    // transformWithState requires the RocksDB provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[String]
+    val events = Transforms.parseRiskEvent(in.toDF())
+      .withColumn("riskDate", lit(null).cast("date"))
+      .as[RiskEvent]
+    val out = StatefulOps.runningRiskScoreTws(spark, events)
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("risk_scores_tws")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      in.addData(risk("a@t.com", 2.0f, 1), risk("a@t.com", 4.0f, 2),
+        risk("a@t.com", 6.0f, 3))
+      q.processAllAvailable()
+      assert(spark.table("risk_scores_tws").count() == 0,
+        "ValueState must carry the sub-threshold count across batches")
+      in.addData(risk("a@t.com", 8.0f, 4), risk("b@t.com", 1.0f, 4))
+      q.processAllAvailable()
+      val rows = spark.table("risk_scores_tws")
+        .as[StatefulOps.RiskScore].collect()
+      assert(rows.length == 1 && rows(0).customer == "a@t.com" &&
+        rows(0).nAssessments == 4 && math.abs(rows(0).avgScore - 5.0) < 1e-9,
+        rows.mkString(","))
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("tumbling window aggregation with watermark over a stream") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String, Double)]
