@@ -36,8 +36,11 @@ object BucketedBench {
     * different QueryExecution and leave this instance's plan un-finalized). */
   private def exchanges(df: DataFrame): Int = {
     df.collect()
-    "(?<!Broadcast)Exchange ".r
-      .findAllIn(df.queryExecution.executedPlan.toString).length
+    // AdaptiveSparkPlanExec.toString appends the "== Initial Plan ==" tree,
+    // which would double-count every exchange — keep the final plan only
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    "(?<!Broadcast)Exchange ".r.findAllIn(finalPlan).length
   }
 
   def main(args: Array[String]): Unit = {
@@ -56,6 +59,15 @@ object BucketedBench {
     spark.sparkContext.setLogLevel("WARN")
 
     if (!spark.catalog.tableExists("lineitem_bucketed")) {
+      // the in-memory catalog is fresh every JVM, but a previous run's
+      // warehouse directory persists and blocks CREATE TABLE — clear it
+      import scala.jdk.CollectionConverters._
+      Seq("lineitem_bucketed", "orders_bucketed").foreach { t =>
+        val p = java.nio.file.Paths.get("spark-warehouse", t)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
       Tables.lineitem(spark, sfDir).write
         .bucketBy(cpus.toInt, "l_orderkey").sortBy("l_orderkey")
         .mode("overwrite").saveAsTable("lineitem_bucketed")
