@@ -59,6 +59,62 @@ class SourcesSpec extends SparkSpecBase {
     assert(back.filter(col("value").rlike("^[0-9]+\\|[A-Z]$")).count() == 500)
   }
 
+  test("binaryFile source ingests opaque blobs with file metadata") {
+    // the multimodal ingestion front door: raw image/audio/video files land
+    // as (path, modificationTime, length, content BINARY) rows that the
+    // MultimodalOps decode pipeline consumes — no custom reader code
+    val dir = Files.createTempDirectory("graft-bin").toString
+    val payloads = Seq("img-a" -> Array[Byte](1, 2, 3, 4),
+      "img-b" -> Array[Byte](9, 8, 7, 6, 5))
+    payloads.foreach { case (name, bytes) =>
+      Files.write(java.nio.file.Paths.get(dir, s"$name.jpg"), bytes)
+    }
+    val blobs = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.jpg").load(dir)
+    assert(blobs.columns.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    val got = blobs
+      .select(regexp_extract(col("path"), "([^/]+)\\.jpg$", 1).as("name"),
+        col("length"), md5(col("content")).as("content_md5"))
+      .orderBy(col("name"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(got.map(g => (g._1, g._2)).toSeq == Seq(("img-a", 4L), ("img-b", 5L)))
+    val wantMd5 = payloads.map { case (_, b) =>
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map("%02x".format(_)).mkString
+    }
+    assert(got.map(_._3).toSeq == wantMd5, "content bytes must arrive intact")
+  }
+
+  test("statestore reader: streaming state is queryable offline") {
+    // operations path at scale: inspect a live checkpoint's keyed state with
+    // plain DataFrame queries (debug skew, audit keys, validate migrations)
+    // — no replay, no instrumentation of the running job
+    implicit val ctx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Double)]
+    val ckpt = Files.createTempDirectory("state-read-ckpt").toString
+    val agg = in.toDF().toDF("k", "v").groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("total"))
+    val q = agg.writeStream.outputMode(
+        org.apache.spark.sql.streaming.OutputMode.Complete)
+      .format("memory").queryName("state_src_agg")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData(("a", 1.0), ("a", 2.0), ("b", 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val state = spark.read.format("statestore").load(ckpt)
+    // schema: key STRUCT (grouping cols), value STRUCT (the agg BUFFER —
+    // internal field names `count`/`sum`, not output aliases), partition_id
+    val rows = state
+      .select(col("key.k").as("k"), col("value.count").as("n"),
+        col("value.sum").as("total"))
+      .orderBy(col("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq(("a", 2L, 3.0), ("b", 1L, 5.0)),
+      s"offline state read must see the aggregation state: ${rows.toSeq}")
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft-part").toString + "/data"
     Tables.orders(spark, sfDir)
