@@ -162,6 +162,40 @@ class StreamingInfraSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-static join: incoming docs probe a static LSH band index") {
+    // the streaming near-dup pattern: the corpus's MinHash band index is a
+    // STATIC table (rebuilt offline); each micro-batch of new docs computes
+    // its own bands narrowly and equi-joins the index — at scale the static
+    // side is a broadcast or bucketed table, and state stays EMPTY (unlike
+    // stream-stream joins: nothing is buffered across batches)
+    import graft.ops.DedupOps.{lshBands, minhashSignatureNarrow, shingleArrays}
+    implicit val ctx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "an entirely unrelated corpus document about spark plans"))
+      .toDF("doc_id", "text")
+    val index = lshBands(minhashSignatureNarrow(shingleArrays(corpus), 16), 4, 4)
+      .select(col("band_idx").as("i_band"), col("band_hash").as("i_hash"),
+        col("doc_id").as("index_doc"))
+    val in = MemoryStream[(Long, String)]
+    val sBands = lshBands(
+      minhashSignatureNarrow(shingleArrays(in.toDF().toDF("doc_id", "text")), 16), 4, 4)
+    val hits = sBands.join(index,
+        col("band_idx") === col("i_band") && col("band_hash") === col("i_hash"))
+      .select(col("doc_id"), col("index_doc"))
+    val q = hits.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("lsh_probe").start()
+    try {
+      in.addData(
+        (10L, "the quick brown fox jumps over the lazy dog today"), // dup of 1
+        (11L, "a brand new never seen before document about nothing"))
+      q.processAllAvailable()
+      val pairs = spark.table("lsh_probe").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((10L, 1L)),
+        s"identical doc collides with its index entry, novel doc doesn't: $pairs")
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains the backlog then self-terminates") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Int]
