@@ -28,7 +28,7 @@ object Bench {
     "q24_in_subquery", "q25_outer_join", "q26_map_funcs", "q27_range_frame",
     "q28_safe_casts", "q29_asof_native", "q30_latest_wins",
     "q31_exists_mix", "q32_lateral_topn", "q33_listagg", "q34_median",
-    "q35_bit_agg", "q36_unpivot",
+    "q35_bit_agg", "q36_unpivot", "q37_range_band",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_regex_tokens", "t6_string_funcs", "t7_array_funcs", "t8_explode",
     "t9_regex_extract", "t10_normalize", "t11_hash_split",

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Banded range join: the scalable plan shape for interval predicates.
+  *
+  * A plain range join (`l.key = r.key AND r.ts BETWEEN l.lo AND l.hi` —
+  * `RelationalQueries.q12`) hash-partitions on the equi key only; the range
+  * predicate is a RESIDUAL evaluated per key-pair, so one hot key whose
+  * rows span a long period turns into a single task doing |l_k|·|r_k| work.
+  *
+  * Banding fixes the unit of distribution: both sides are assigned to
+  * fixed-width time buckets, the left (interval) side REPLICATES into every
+  * bucket its window overlaps (⌈window/width⌉+1 copies, a small constant),
+  * and the join becomes a pure equi-join on (key, bucket) with the range
+  * check as a cheap filter. Pair space per task is now bounded by bucket
+  * co-occupancy — hot keys parallelize across their time range. This is the
+  * composition big engines implement as a dedicated "range join
+  * optimization"; here it is ~20 lines of DataFrame ops, AQE-friendly, and
+  * exact: every qualifying pair shares exactly the bucket of `r.ts`, so one
+  * bucket emits each pair once — no dedup step.
+  *
+  * `left` carries integer `[lo, hi]` time columns; `right` carries a `ts`
+  * time column in the same unit (epoch seconds, micros, …). Output: all
+  * columns of both sides for qualifying pairs (`r.ts` in `[lo, hi]`,
+  * inclusive).
+  */
+object RangeJoinOps {
+
+  def bandedRangeJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      lo: String, hi: String, rightTs: String,
+      bucketWidth: Long): DataFrame = {
+    def bucketOf(c: Column): Column =
+      floor(c.cast("long") / bucketWidth).cast("long")
+    val l = left
+      .withColumn("__bucket",
+        explode(sequence(bucketOf(col(lo)), bucketOf(col(hi)))))
+    val r = right.withColumn("__rbucket", bucketOf(col(rightTs)))
+    l.join(r,
+        l("__bucket") === r("__rbucket") &&
+        col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(lo) && col(rightTs) <= col(hi))
+      .drop("__bucket", "__rbucket")
+  }
+}

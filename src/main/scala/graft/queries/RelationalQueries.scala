@@ -508,6 +508,31 @@ object RelationalQueries {
         .orderBy(col("signup_id"))
     }),
 
+    // The q12 range join re-planned as a BANDED equi-join
+    // (ops/RangeJoinOps): the left interval replicates into its ≤2 covered
+    // hour-buckets and the join key becomes (user, bucket) — pair space per
+    // task is bounded by bucket co-occupancy instead of per-user row counts,
+    // so a hot user's long history parallelizes. Same rows as q12 (same
+    // oracle SQL): banding is an exact rewrite, not an approximation.
+    "q37_range_band" -> ((s, d) => {
+      // epoch-MICROSECOND arithmetic: event timestamps are µs-precision, so
+      // q12's strict `ts > su_ts` is exactly `ets >= su_us + 1` in µs
+      val us = 3600L * 1000000L
+      val ev = Tables.events(s, d)
+      val signup = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("su_user"), col("event_id").as("signup_id"),
+          unix_micros(col("ts")).as("su_us"))
+        .withColumn("lo", col("su_us") + 1)     // q12 is ts > su_ts …
+        .withColumn("hi", col("su_us") + us)    // … AND ts <= su_ts + 1h
+      val follow = ev.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ets"))
+      graft.ops.RangeJoinOps.bandedRangeJoin(signup, follow,
+          "su_user", "user_id", "lo", "hi", "ets", bucketWidth = us)
+        .groupBy(col("signup_id"))
+        .agg(count(lit(1)).as("n_follow"))
+        .orderBy(col("signup_id"))
+    }),
+
     // Mixed EXISTS + NOT EXISTS on one relation (both decorrelate: the
     // EXISTS to a left-semi, the NOT EXISTS to a left-anti — Catalyst plans
     // them as two successive join stages on the same broadcast-able key set).
@@ -906,6 +931,16 @@ object RelationalQueries {
         |  coalesce(CAST(TRY_CAST(event_type AS INT) AS BIGINT), -1) AS type_or_default
         |FROM events ORDER BY event_id""".stripMargin,
     "q12_range_join" ->
+      """SELECT s.event_id AS signup_id, COUNT(*) AS n_follow
+        |FROM (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events
+        |      WHERE event_type = 'signup') s
+        |JOIN (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events) f
+        |  ON f.user_id = s.user_id
+        |  AND f.ts > s.ts AND f.ts <= s.ts + INTERVAL 1 HOUR
+        |GROUP BY s.event_id ORDER BY signup_id""".stripMargin,
+    // identical semantics to q12 — the banded plan must reproduce the plain
+    // range join's rows exactly
+    "q37_range_band" ->
       """SELECT s.event_id AS signup_id, COUNT(*) AS n_follow
         |FROM (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events
         |      WHERE event_type = 'signup') s

@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.{SparkSpecBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Banded range join ([[RangeJoinOps.bandedRangeJoin]]): exactness against
+  * the plain residual-range formulation, interval-spanning replication, and
+  * the plan property the rewrite exists for — the join keys include the
+  * bucket, so distribution no longer rides on the equi key alone. */
+class RangeJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("banded join equals the plain range join on the corpus") {
+    val plain = graft.queries.RelationalQueries
+      .queries("q12_range_join")(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    val banded = graft.queries.RelationalQueries
+      .queries("q37_range_band")(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(banded == plain, "banding is an exact rewrite")
+    assert(plain.nonEmpty, "fixture must exercise the join")
+  }
+
+  test("windows spanning bucket boundaries match in every covered bucket") {
+    // window [95, 215] with width 100 covers buckets 0,1,2 — matches at 99
+    // (bucket 0), 100 (bucket 1), 210 (bucket 2); misses 94 and 216
+    val l = Seq((1L, 95L, 215L)).toDF("k", "lo", "hi")
+    val r = Seq((1L, 94L), (1L, 99L), (1L, 100L), (1L, 210L), (1L, 216L),
+      (2L, 100L)).toDF("rk", "ts")
+    val got = RangeJoinOps.bandedRangeJoin(l, r, "k", "rk", "lo", "hi", "ts", 100L)
+      .select(col("ts")).as[Long].collect().sorted.toSeq
+    assert(got == Seq(99L, 100L, 210L), s"got $got")
+  }
+
+  test("join condition hashes on the bucket, not the key alone") {
+    val ev = Tables.events(spark, sfDir)
+    val l = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("k"), unix_micros(col("ts")).as("lo"))
+      .withColumn("hi", col("lo") + 3600000000L)
+    val r = ev.select(col("user_id").as("rk"), unix_micros(col("ts")).as("ts"))
+    val joined = RangeJoinOps.bandedRangeJoin(l, r, "k", "rk", "lo", "hi", "ts",
+      3600000000L)
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("__bucket"),
+      s"bucket column must be part of the join keys:\n${plan.take(1200)}")
+    // the range predicate is a post-join filter/condition, NOT the join's
+    // partitioning — the hash join keys are (bucket, key)
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findFirstIn(plan).isDefined, s"must plan an equi join:\n${plan.take(1200)}")
+  }
+}
