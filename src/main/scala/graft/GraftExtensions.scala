@@ -43,5 +43,9 @@ object GraftExtensions {
     // qsketch_quantiles_at(x, array(0.25, 0.75))
     spark.udf.register("qsketch_quantiles_at", org.apache.spark.sql.functions.udaf(
       new graft.functions.QuantileSketchAtAggregator()))
+    // bounded-memory heavy hitters: freq_items(tok) → top-20 of a
+    // 1000-counter Misra-Gries sketch with [low, high] count bounds
+    spark.udf.register("freq_items", org.apache.spark.sql.functions.udaf(
+      new graft.functions.FrequentItemsAggregator(capacity = 1000, topK = 20)))
   }
 }
