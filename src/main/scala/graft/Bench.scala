@@ -47,10 +47,16 @@ object Bench {
       SparkSession.builder().appName("graft-bench"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = SparkEntry.queries
-    // JIT/codegen warmup on a tiny slice so the first timed query doesn't
-    // absorb one-time session costs (classloading, codegen compiler init).
-    qs("s1_cast_projection")(spark, sfDir).limit(100)
-      .write.format("noop").mode("overwrite").save()
+    // Warm EVERY headline query once at the smallest SF: Janino compilation
+    // of a complex plan costs 0.5-3s and the generated-code cache is keyed
+    // by source, so a tiny-data pre-run makes both timed runs measure the
+    // PLAN, not the compiler. (Warmup failures are ignored here — the timed
+    // section reports real errors.)
+    val warmDir = "/root/testdata/sf0.001"
+    headline.filter(qs.contains).foreach { name =>
+      try { qs(name)(spark, warmDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
+    }
     // Best-of-2 per query: single-run timings on a shared host are ±30-100%
     // noisy (page cache, codegen compilation, CPU contention); the min of two
     // runs is a far stabler estimate of the plan's actual cost. A failed run

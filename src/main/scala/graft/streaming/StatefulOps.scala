@@ -94,4 +94,80 @@ object StatefulOps {
       .transformWithState(new RiskScoreProcessor(minAssessments),
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** A user event keyed by an event-time TIMESTAMP field — kept as a
+    * timestamp (not epoch ms) so `withWatermark("ts", …)` attaches to it
+    * and survives into the keyed transformWithState. */
+  final case class UserEvent(user: String, ts: java.sql.Timestamp)
+  final case class SessionAgg(startMs: Long, lastMs: Long, n: Long,
+      timerMs: Long)
+  final case class SessionOut(user: String, startMs: Long, endMs: Long,
+      nEvents: Long)
+
+  /** Event-time session closing on TIMERS: each new event extends the open
+    * session and re-arms a timer at lastEvent + gap; when the WATERMARK
+    * passes that instant, `handleExpiredTimer` emits the closed session and
+    * clears state. This is the operator `session_window` aggregation can't
+    * express when the per-session output needs custom logic, and the
+    * GroupState API could only approximate with processing-time timeouts —
+    * event-time timers close sessions by DATA time, reproducibly on replay.
+    * State: one constant-size SessionAgg per open session per user. */
+  final class SessionGapProcessor(gapMs: Long)
+      extends StatefulProcessor[String, UserEvent, SessionOut] {
+    @transient private var sess: ValueState[SessionAgg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[SessionAgg]("sess",
+        Encoders.product[SessionAgg], TTLConfig.NONE)
+
+    override def handleInputRows(user: String, rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      // intra-batch order is not guaranteed by the source — fold in ts order
+      val evs = rows.toSeq.map(e => e.ts.getTime).sorted
+      var out = List.empty[SessionOut]
+      var s = if (sess.exists()) sess.get() else null
+      evs.foreach { tsMs =>
+        s match {
+          case null =>
+            s = SessionAgg(tsMs, tsMs, 1L, tsMs + gapMs)
+          case prev if tsMs > prev.lastMs + gapMs =>
+            // gap within one batch: close inline (its timer may be armed —
+            // disarm), start fresh
+            out ::= SessionOut(user, prev.startMs, prev.lastMs, prev.n)
+            getHandle.deleteTimer(prev.timerMs)
+            s = SessionAgg(tsMs, tsMs, 1L, tsMs + gapMs)
+          case prev =>
+            getHandle.deleteTimer(prev.timerMs)
+            s = SessionAgg(prev.startMs, math.max(prev.lastMs, tsMs),
+              prev.n + 1, math.max(prev.lastMs, tsMs) + gapMs)
+        }
+      }
+      if (s != null) { sess.update(s); getHandle.registerTimer(s.timerMs) }
+      out.reverseIterator
+    }
+
+    override def handleExpiredTimer(user: String, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionOut] = {
+      if (!sess.exists()) return Iterator.empty
+      val s = sess.get()
+      // a stale timer (superseded by a later event) must not close the
+      // extended session — only the CURRENT session-end timer does
+      if (expiredTimerInfo.getExpiryTimeInMs() != s.timerMs) Iterator.empty
+      else {
+        sess.clear()
+        Iterator(SessionOut(user, s.startMs, s.lastMs, s.n))
+      }
+    }
+  }
+
+  /** Sessionize a (user, ts) stream by event-time gap; `events` must carry
+    * a watermark (timers fire when it passes session-end + gap). */
+  def sessionizeTws(spark: SparkSession, events: Dataset[UserEvent],
+      gapMs: Long): Dataset[SessionOut] = {
+    import spark.implicits._
+    events.groupByKey(_.user)
+      .transformWithState(new SessionGapProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

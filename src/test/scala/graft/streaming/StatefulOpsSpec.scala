@@ -82,6 +82,45 @@ class StatefulOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("event-time timers close sessions when the watermark passes the gap") {
+    implicit val ctx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("tws-sess-ckpt").toString
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    def ts(h: Int, m: Int, s: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:$s%02d")
+    val events = in.toDS()
+      .map { case (u, t) => StatefulOps.UserEvent(u, t) }
+      .withWatermark("ts", "0 seconds")
+    val sessions = StatefulOps.sessionizeTws(spark, events, gapMs = 5 * 60 * 1000)
+    val q = sessions.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("tws_sessions")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // session 1: two events 30s apart
+      in.addData(("a", ts(10, 0, 0)), ("a", ts(10, 0, 30)))
+      q.processAllAvailable()
+      assert(spark.table("tws_sessions").count() == 0,
+        "open session must not emit before its gap passes the watermark")
+      // watermark only reaches 10:00:30 here — timer at 10:05:30 still armed
+      in.addData(("b", ts(10, 30, 0)))
+      q.processAllAvailable()
+      // now the watermark (10:30:00) passes 10:05:30 → a's session closes
+      in.addData(("b", ts(10, 31, 0)))
+      q.processAllAvailable()
+      val rows = spark.table("tws_sessions")
+        .as[StatefulOps.SessionOut].collect().filter(_.user == "a")
+      assert(rows.length == 1, s"exactly one closed session for a: ${rows.toSeq}")
+      assert(rows(0).nEvents == 2 &&
+        rows(0).endMs - rows(0).startMs == 30000L,
+        s"session spans the two events: ${rows(0)}")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("tumbling window aggregation with watermark over a stream") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String, Double)]
