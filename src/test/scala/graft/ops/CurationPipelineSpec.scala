@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.{SparkSpecBase, Tables}
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
+
+class CurationPipelineSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  test("curated corpus is deduped, sampled, split, and sharded consistently") {
+    val obs = Observation("curation")
+    val out = CurationPipeline.curate(docs, Some(obs)).cache()
+    try {
+      val n = out.count()
+      val nIn = docs.count()
+      assert(n > 0 && n < nIn, s"curation must drop something: $n of $nIn")
+
+      // observe counters agree with the materialized frame
+      assert(obs.get("n_curated") == n)
+
+      // doc_ids unique; no two rows share normalized content
+      assert(out.select("doc_id").distinct().count() == n)
+      assert(out.select("norm_text").distinct().count() == n,
+        "exact dedup must leave unique normalized texts")
+
+      // near-dup closure: no surviving pair within Hamming 3 of each other
+      val withSketch = out.withColumn("hs",
+        DedupOps.tokenHashes(TextOps.tokens(col("norm_text"))))
+      val survivors = DedupOps.simhashPairs(
+          DedupOps.simhashBands(withSketch, DedupOps.simhash32(col("hs"))),
+          maxHamming = 3)
+      assert(survivors.count() == 0,
+        "no near-dup pair may survive the component dedup")
+
+      // quality gate really applied
+      assert(out.filter(col("n_tokens") < CurationPipeline.MinTokens).count() == 0)
+
+      // split labels well-formed; shard numbering dense from 0 per group
+      assert(out.select("split").distinct().as[String].collect().toSet
+        .subsetOf(Set("train", "val", "test")))
+      val badShard = out.groupBy(col("split"), col("lang"))
+        .agg(min(col("shard")).as("mn")).filter(col("mn") =!= 0).count()
+      assert(badShard == 0, "each (split, lang) group starts at shard 0")
+    } finally out.unpersist()
+  }
+
+  test("curation is deterministic across runs and partitionings") {
+    def fingerprint(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Long)] =
+      df.select(col("doc_id"), col("split"), col("shard"))
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val a = fingerprint(CurationPipeline.curate(docs))
+    val b = fingerprint(CurationPipeline.curate(docs.repartition(7)))
+    assert(a == b, "content-hash decisions must not depend on partitioning")
+  }
+}
