@@ -115,6 +115,28 @@ class SourcesSpec extends SparkSpecBase {
       s"offline state read must see the aggregation state: ${rows.toSeq}")
   }
 
+  test("statestore reader: dedup state exposes the suppressed keys") {
+    // second store shape (the agg-store test above reads a groupBy buffer):
+    // dropDuplicates keeps one entry per seen key with an EMPTY value — the
+    // reader surfaces exactly the key set, i.e. what the stream has seen
+    implicit val ctx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val ckpt = Files.createTempDirectory("dedup-state-ckpt").toString
+    val deduped = in.toDF().toDF("k").dropDuplicates("k")
+    val q = deduped.writeStream.outputMode(
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("dedup_state_src")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData("x", "y", "x")
+      q.processAllAvailable()
+    } finally q.stop()
+    val keys = spark.read.format("statestore").load(ckpt)
+      .select(col("key.k")).as[String].collect().sorted.toSeq
+    assert(keys == Seq("x", "y"),
+      s"dedup store must hold one entry per distinct key: $keys")
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft-part").toString + "/data"
     Tables.orders(spark, sfDir)
