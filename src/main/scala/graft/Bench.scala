@@ -28,16 +28,17 @@ object Bench {
     "q24_in_subquery", "q25_outer_join", "q26_map_funcs", "q27_range_frame",
     "q28_safe_casts", "q29_asof_native", "q30_latest_wins",
     "q31_exists_mix", "q32_lateral_topn", "q33_listagg", "q34_median",
-    "q35_bit_agg", "q36_unpivot", "q37_range_band",
+    "q35_bit_agg", "q36_unpivot", "q37_range_band", "q38_dist_windows",
+    "q39_gapfill", "q40_cross_join", "q41_histogram",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_regex_tokens", "t6_string_funcs", "t7_array_funcs", "t8_explode",
     "t9_regex_extract", "t10_normalize", "t11_hash_split",
     "t12_repetition", "t13_source_mix", "t14_redact", "t15_pack_shards",
-    "t16_stratified_sample",
+    "t16_stratified_sample", "t17_chunking", "t18_edit_distance",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
     "n1_ann_bruteforce", "n2_ann_lsh", "n3_embedding_neardup",
     "n4_label_centroids", "n5_ivf_ann", "n6_kmeans", "n7_ivf_kmeans",
-    "n8_quantize",
+    "n8_quantize", "n9_knn_graph",
     "m1_binary_meta", "m2_frame_windows", "m3_decode_features")
 
   def main(args: Array[String]): Unit = {

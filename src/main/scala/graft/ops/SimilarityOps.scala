@@ -284,4 +284,30 @@ object SimilarityOps {
       .filter(col("cos") >= tau)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
   }
+
+  /** Partitioned kNN graph: each vector's top-k cosine neighbors among
+    * vectors sharing its partition key (`list_id` — an IVF list, a shard, a
+    * label). The self-join is a plain EQUI-join on the key, so Catalyst
+    * shuffles both sides once on `list_id` and every candidate pair stays
+    * partition-local — the all-pairs cross join never materializes. At
+    * 100 TB the key comes from a coarse quantizer ([[kmeansFit]]) and the
+    * per-list candidate count is bounded by the list size, the same
+    * partition-pruning contract as [[ivfTopK]]; graph recall beyond the
+    * partition boundary is the caller's nprobe/multi-probe decision. */
+  def labelKnnGraph(vecs: DataFrame, k: Int): DataFrame = {
+    val a = vecs.select(col("id").as("src_id"), col("list_id"),
+      col("emb").as("emb_a"), norm2(col("emb")).as("n2_a"))
+    val b = vecs.select(col("id").as("nbr_id"), col("list_id"),
+      col("emb").as("emb_b"), norm2(col("emb")).as("n2_b"))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    a.join(b, Seq("list_id"))
+      .filter(col("src_id") =!= col("nbr_id"))
+      .withColumn("cos", cosine(dot(col("emb_a"), col("emb_b")),
+        col("n2_a"), col("n2_b")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("src_id"), col("rank"), col("nbr_id"), col("list_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
 }

@@ -616,6 +616,81 @@ object RelationalQueries {
           Array(col("quantity"), col("discount"), col("tax")),
           "metric", "val")
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+    }),
+
+    // Distribution-window family q18 doesn't touch: percent_rank/cume_dist
+    // (frameless rank ratios) + first/nth/last_value over explicit ROWS
+    // frames. Order key (o_totalprice, o_orderkey) is unique, so RANGE
+    // peers = ROWS and every value is deterministic. One shuffle on the
+    // partition key; each partition's window sorts locally.
+    "q38_dist_windows" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val grow = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") <= 100)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          first_value(col("o_orderkey")).over(grow).as("first_key"),
+          nth_value(col("o_orderkey"), 3).over(grow).as("third_key"),
+          last_value(col("o_orderkey")).over(full).as("last_key"))
+        .orderBy(col("o_orderpriority"), col("pct_rank"), col("o_orderkey"))
+    }),
+
+    // Time-series gap filling: a generated month spine (sequence+explode
+    // over the global [min,max] month bounds) LEFT-joined to the observed
+    // monthly counts — absent months surface as explicit zeros. The spine is
+    // |priorities|×|months| rows (tiny, broadcast); the monthly agg is the
+    // only real shuffle. Dimension spines at 100 TB stay driver-free: the
+    // bounds come from one scalar agg, never a collect of the fact table.
+    "q39_gapfill" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val monthly = Tables.fanout(o)
+        .groupBy(col("o_orderpriority"),
+          date_trunc("month", col("o_orderdate")).as("mon"))
+        .agg(count(lit(1)).as("n_orders"))
+      val bounds = o.agg(
+        min(date_trunc("month", col("o_orderdate"))).as("lo"),
+        max(date_trunc("month", col("o_orderdate"))).as("hi"))
+      val series = o.select(col("o_orderpriority")).distinct()
+        .crossJoin(broadcast(bounds))
+        .withColumn("mon",
+          explode(expr("sequence(lo, hi, interval 1 month)")))
+        .select(col("o_orderpriority"), col("mon"))
+      series.join(monthly, Seq("o_orderpriority", "mon"), "left")
+        .select(col("o_orderpriority"), col("mon"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy(col("o_orderpriority"), col("mon"))
+    }),
+
+    // Explicit CROSS JOIN (the one join kind q2-q25 never plan): dim×dim
+    // cartesian — Catalyst plans BroadcastNestedLoopJoin with the 5-row side
+    // broadcast, so nothing shuffles regardless of the other side's size.
+    "q40_cross_join" -> ((s, d) => {
+      val r = Tables.region(s, d).select(col("r_regionkey"), col("r_name"))
+      val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      n.crossJoin(broadcast(r))
+        .select(col("n_nationkey"), col("r_regionkey"),
+          col("n_name"), col("r_name"),
+          (col("r_regionkey") * 100 + col("n_nationkey")).cast("long")
+            .as("combo_key"))
+        .orderBy(col("n_nationkey"), col("r_regionkey"))
+    }),
+
+    // Histogram binning: fixed-width buckets from floor(price/width) —
+    // pure per-row arithmetic (no width_bucket dependence), then one
+    // map-side-combined agg; ~|buckets| rows shuffle. min/max of doubles
+    // are exact (no summation).
+    "q41_histogram" -> ((s, d) => {
+      Tables.fanout(Tables.orders(s, d))
+        .groupBy(floor(col("o_totalprice") / 20000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -947,6 +1022,50 @@ object RelationalQueries {
         |JOIN (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events) f
         |  ON f.user_id = s.user_id
         |  AND f.ts > s.ts AND f.ts <= s.ts + INTERVAL 1 HOUR
-        |GROUP BY s.event_id ORDER BY signup_id""".stripMargin
+        |GROUP BY s.event_id ORDER BY signup_id""".stripMargin,
+    // window order (o_totalprice, o_orderkey) is unique → percent_rank is
+    // strictly increasing, so ordering the output by pct_rank matches the
+    // Spark side's ordering exactly
+    "q38_dist_windows" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |  round(CUME_DIST() OVER w, 6) AS cdist,
+        |  FIRST_VALUE(o_orderkey) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key,
+        |  NTH_VALUE(o_orderkey, 3) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_key,
+        |  LAST_VALUE(o_orderkey) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS last_key
+        |FROM orders WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, pct_rank, o_orderkey""".stripMargin,
+    "q39_gapfill" ->
+      """WITH monthly AS (
+        |  SELECT o_orderpriority, date_trunc('month', o_orderdate) AS mon,
+        |         count(*) AS n_orders
+        |  FROM orders GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT min(date_trunc('month', o_orderdate)) AS lo,
+        |         max(date_trunc('month', o_orderdate)) AS hi FROM orders),
+        |series AS (
+        |  SELECT p.o_orderpriority,
+        |         unnest(generate_series(b.lo, b.hi, INTERVAL 1 MONTH)) AS mon
+        |  FROM (SELECT DISTINCT o_orderpriority FROM orders) p, bounds b)
+        |SELECT s.o_orderpriority, s.mon,
+        |       coalesce(m.n_orders, 0) AS n_orders
+        |FROM series s LEFT JOIN monthly m
+        |  ON m.o_orderpriority = s.o_orderpriority AND m.mon = s.mon
+        |ORDER BY s.o_orderpriority, s.mon""".stripMargin,
+    "q40_cross_join" ->
+      """SELECT n_nationkey, r_regionkey, n_name, r_name,
+        |       r_regionkey * 100 + n_nationkey AS combo_key
+        |FROM nation CROSS JOIN region
+        |ORDER BY n_nationkey, r_regionkey""".stripMargin,
+    "q41_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS bucket,
+        |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

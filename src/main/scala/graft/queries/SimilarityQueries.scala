@@ -130,6 +130,18 @@ object SimilarityQueries {
         .select(col("label"), col("dim").cast("long").as("dim"),
           col("centroid"), col("n_vecs"))
         .orderBy(col("label"), col("dim"))
+    }),
+
+    // Partitioned kNN graph: every vector's top-3 same-label neighbors —
+    // the semantic-dedup / diversity-analysis graph build, partition-local
+    // by construction (one shuffle on label, no cross join; see
+    // SimilarityOps.labelKnnGraph for the 100 TB contract).
+    "n9_knn_graph" -> ((s, d) => {
+      val v = Tables.fanout(Tables.embeddings(s, d))
+        .select(col("vec_id").as("id"), toDouble(col("embedding")).as("emb"),
+          col("label").as("list_id"))
+      labelKnnGraph(v, 3)
+        .orderBy(col("src_id"), col("rank"))
     })
   )
 
@@ -385,6 +397,23 @@ object SimilarityQueries {
          |         $dkDot / sqrt(${dkNorm2("a")} * ${dkNorm2("b")}) AS cos
          |  FROM v a, v b WHERE a.id < b.id)
          |SELECT id_a, id_b, round(cos, 6) AS cos_sim
-         |FROM scored WHERE cos >= $NearDupTau ORDER BY id_a, id_b""".stripMargin
+         |FROM scored WHERE cos >= $NearDupTau ORDER BY id_a, id_b""".stripMargin,
+    "n9_knn_graph" ->
+      s"""WITH v AS (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+         |         label AS list_id
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT a.id AS src_id, a.list_id, b.id AS nbr_id,
+         |         $dkDot / sqrt(${dkNorm2("a")} * ${dkNorm2("b")}) AS cos
+         |  FROM v a JOIN v b ON a.list_id = b.list_id AND a.id <> b.id),
+         |ranked AS (
+         |  SELECT src_id, list_id, nbr_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY src_id
+         |                            ORDER BY cos DESC, nbr_id) AS rank
+         |  FROM scored)
+         |SELECT src_id, rank, nbr_id, list_id, round(cos, 6) AS cos_sim
+         |FROM ranked WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin
   )
 }

@@ -255,6 +255,42 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Overlapping token-window chunking (context-window preparation): each
+    // doc yields ceil(n/stride) chunks of up to 128 tokens starting every 96
+    // (32-token overlap). sequence+explode is pipeline-local — no shuffle,
+    // no driver loop; at 100 TB each chunk row carries only its slice of the
+    // token array, and the stride arithmetic is pure codegen.
+    "t17_chunking" -> ((s, d) => {
+      val chunkTok = 128
+      val stride = 96
+      Tables.fanout(Tables.documents(s, d))
+        .withColumn("toks", tokens(col("text")))
+        .filter(size(col("toks")) > 0)
+        .withColumn("chunk_start",
+          explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))))
+        .select(col("doc_id"), col("chunk_start").cast("long").as("chunk_start"),
+          size(slice(col("toks"), col("chunk_start") + 1, lit(chunkTok)))
+            .cast("long").as("n_chunk_toks"),
+          array_join(slice(col("toks"), col("chunk_start") + 1, lit(chunkTok)), " ")
+            .as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_start"))
+    }),
+
+    // Edit-distance screening: Levenshtein between each doc's 32-char head
+    // and its same-lang predecessor (the cheap exact-verify step behind
+    // fuzzy dedup candidates). One shuffle on lang; levenshtein is a
+    // codegen'd built-in on both engines.
+    "t18_edit_distance" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      Tables.fanout(Tables.documents(s, d))
+        .withColumn("head", substring(col("text"), 1, 32))
+        .select(col("doc_id"), col("lang"),
+          levenshtein(col("head"), lag(col("head"), 1).over(w))
+            .cast("long").as("edit_dist"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Fingerprinting: whole-document 60-bit md5 fingerprint + order-
     // sensitive rolling hash over the token stream.
     "t4_fingerprint" -> ((s, d) => {
@@ -428,6 +464,30 @@ object TextQueries {
          |    list_prepend(0::BIGINT,
          |      list_transform($dkToks, t -> ${dkHash60("t")} % 1000000007)),
          |    (acc, h) -> (acc * 31 + h) % 1000000007) AS rolling_fp
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t17_chunking" ->
+      // DuckDB list slicing l[a:b] is 1-based INCLUSIVE and clamps at the
+      // list end — identical to Spark's slice(l, a, len) for the same
+      // bounds. generate_series(0, n-1, 96) matches Spark sequence() (both
+      // inclusive-end).
+      s"""WITH t AS (
+         |  SELECT doc_id, $dkToks AS toks FROM documents),
+         |s AS (
+         |  SELECT doc_id, toks,
+         |         unnest(generate_series(0, len(toks) - 1, 96)) AS chunk_start
+         |  FROM t WHERE len(toks) > 0)
+         |SELECT doc_id, chunk_start,
+         |  len(toks[chunk_start + 1 : chunk_start + 128]) AS n_chunk_toks,
+         |  array_to_string(toks[chunk_start + 1 : chunk_start + 128], ' ')
+         |    AS chunk_text
+         |FROM s ORDER BY doc_id, chunk_start""".stripMargin,
+    "t18_edit_distance" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, substr(text, 1, 32) AS head FROM documents)
+        |SELECT doc_id, lang,
+        |  CAST(levenshtein(head,
+        |    LAG(head, 1) OVER (PARTITION BY lang ORDER BY doc_id)) AS BIGINT)
+        |    AS edit_dist
+        |FROM h ORDER BY doc_id""".stripMargin
   )
 }
