@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.stedi.Schemas.RiskEvent
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Custom stateful streaming operators (`flatMapGroupsWithState`) — the
   * surface the reference left as empty stubs
@@ -169,5 +169,75 @@ object StatefulOps {
     events.groupByKey(_.user)
       .transformWithState(new SessionGapProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  final case class TypedEvent(user: String, ts: java.sql.Timestamp,
+      eventType: String, value: Double)
+  final case class ProfileOut(user: String, totalEvents: Long, nTypes: Long,
+      topType: String, recentMean: Double)
+
+  /** Multi-variable state on one processor — the transformWithState surface
+    * [flatMap]GroupsWithState's single state value can't express:
+    *
+    *  - `ListState` "recent": a bounded ring of the last `k` event values
+    *    (per-entry rows in the state store — append is O(1), no
+    *    read-modify-write of a whole buffer like a GroupState Seq field);
+    *  - `MapState` "type_counts": per-event-type running counts (point
+    *    lookup + update per distinct key — a GroupState Map field would
+    *    rewrite the entire map every batch);
+    *  - `ValueState` "total": one running counter.
+    *
+    * Emits one profile row per (user, batch): total events, distinct types,
+    * deterministic top type (max count, ties → lexicographic min), mean of
+    * the retained recent window. At 100 TB each state variable is its own
+    * RocksDB column family keyed by user — billions of users hold, and TTL
+    * can expire idle profiles per-variable. */
+  final class UserProfileProcessor(k: Int)
+      extends StatefulProcessor[String, TypedEvent, ProfileOut] {
+    @transient private var recent: ListState[Double] = _
+    @transient private var typeCounts: MapState[String, Long] = _
+    @transient private var total: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      recent = getHandle.getListState[Double]("recent",
+        Encoders.scalaDouble, TTLConfig.NONE)
+      typeCounts = getHandle.getMapState[String, Long]("type_counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      total = getHandle.getValueState[Long]("total",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: String, rows: Iterator[TypedEvent],
+        timerValues: TimerValues): Iterator[ProfileOut] = {
+      // intra-batch order is not source-guaranteed — fold in (ts, type) order
+      val evs = rows.toSeq.sortBy(e => (e.ts.getTime, e.eventType, e.value))
+      evs.foreach { e =>
+        val c = if (typeCounts.containsKey(e.eventType))
+          typeCounts.getValue(e.eventType) else 0L
+        typeCounts.updateValue(e.eventType, c + 1L)
+        recent.appendValue(e.value)
+      }
+      // trim the ring to the last k entries (ListState has no tail-drop —
+      // a put() of the retained suffix rewrites it; suffix length ≤ k)
+      val vals = recent.get().toArray
+      val kept = if (vals.length > k) {
+        val tail = vals.takeRight(k); recent.put(tail); tail
+      } else vals
+      val t = (if (total.exists()) total.get() else 0L) + evs.length
+      total.update(t)
+      val top = typeCounts.iterator().toSeq
+        .sortBy { case (ty, c) => (-c, ty) }.head
+      Iterator(ProfileOut(user, t, typeCounts.keys().length.toLong, top._1,
+        if (kept.isEmpty) 0.0 else kept.sum / kept.length))
+    }
+  }
+
+  /** Per-user profile accumulation over [[UserProfileProcessor]]. */
+  def userProfileTws(spark: SparkSession, events: Dataset[TypedEvent],
+      k: Int): Dataset[ProfileOut] = {
+    import spark.implicits._
+    events.groupByKey(_.user)
+      .transformWithState(new UserProfileProcessor(k),
+        TimeMode.None(), OutputMode.Append())
   }
 }

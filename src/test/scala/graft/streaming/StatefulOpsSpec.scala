@@ -121,6 +121,44 @@ class StatefulOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("ListState + MapState + ValueState accumulate independently per key") {
+    implicit val ctx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("tws-prof-ckpt").toString
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(String, java.sql.Timestamp, String, Double)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val events = in.toDS().map { case (u, t, ty, v) =>
+      StatefulOps.TypedEvent(u, t, ty, v) }
+    val out = StatefulOps.userProfileTws(spark, events, k = 4)
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("tws_profiles")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      in.addData(("a", ts(1), "click", 1.0), ("a", ts(2), "click", 2.0),
+        ("a", ts(3), "view", 3.0), ("b", ts(1), "buy", 9.0))
+      q.processAllAvailable()
+      val b1 = spark.table("tws_profiles").as[StatefulOps.ProfileOut]
+        .collect().map(p => p.user -> p).toMap
+      assert(b1("a").totalEvents == 3 && b1("a").nTypes == 2 &&
+        b1("a").topType == "click" &&
+        math.abs(b1("a").recentMean - 2.0) < 1e-9, b1("a").toString)
+      assert(b1("b").totalEvents == 1 && b1("b").topType == "buy")
+      // batch 2: the MapState count flips the top type to view, the recent
+      // ring drops to the last 4 values [3,4,5,6], the total keeps counting
+      in.addData(("a", ts(4), "view", 4.0), ("a", ts(5), "view", 5.0),
+        ("a", ts(6), "buy", 6.0))
+      q.processAllAvailable()
+      val a2 = spark.table("tws_profiles").as[StatefulOps.ProfileOut]
+        .collect().filter(_.user == "a").maxBy(_.totalEvents)
+      assert(a2.totalEvents == 6 && a2.nTypes == 3 && a2.topType == "view" &&
+        math.abs(a2.recentMean - 4.5) < 1e-9, a2.toString)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("tumbling window aggregation with watermark over a stream") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String, Double)]
