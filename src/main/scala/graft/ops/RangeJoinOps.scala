@@ -44,4 +44,35 @@ object RangeJoinOps {
         col(rightTs) >= col(lo) && col(rightTs) <= col(hi))
       .drop("__bucket", "__rbucket")
   }
+
+  /** Statistics-derived bucket width: the mean left-side window span.
+    *
+    * Replication factor is ⌈span/width⌉+1, co-occupancy (pairs per task)
+    * grows with width — the product is minimized near width ≈ span, where
+    * each interval lands in ~2 buckets and a bucket holds ~one window's
+    * worth of right rows. Width is derived from ONE scalar aggregation over
+    * the interval side (integer sum/count — exact, partitioning-independent,
+    * no driver-side sampling of the fact table); at 100 TB this pass reads
+    * only the two bound columns, and the same scan typically also feeds the
+    * join, so AQE reuses the exchange. Callers with skewed span
+    * distributions should pass an explicit width instead (mean chases the
+    * tail; the q37 oracle pins the fixed-width form for exactly that
+    * reason). */
+  def suggestBucketWidth(left: DataFrame, lo: String, hi: String,
+      minWidth: Long = 1L): Long = {
+    val row = left.agg(
+      sum(col(hi).cast("long") - col(lo).cast("long") + 1L).as("tot"),
+      count(lit(1)).as("n")).head()
+    if (row.isNullAt(0) || row.getLong(1) == 0L) minWidth
+    else math.max(minWidth,
+      (row.getLong(0) + row.getLong(1) - 1L) / row.getLong(1)) // ceil mean
+  }
+
+  /** [[bandedRangeJoin]] with the width chosen by [[suggestBucketWidth]]. */
+  def bandedRangeJoinAuto(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      lo: String, hi: String, rightTs: String,
+      minWidth: Long = 1L): DataFrame =
+    bandedRangeJoin(left, right, leftKey, rightKey, lo, hi, rightTs,
+      suggestBucketWidth(left, lo, hi, minWidth))
 }

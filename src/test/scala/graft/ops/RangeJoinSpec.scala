@@ -32,6 +32,21 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(got == Seq(99L, 100L, 210L), s"got $got")
   }
 
+  test("auto width picks the ceil-mean span and reproduces the plain join") {
+    val l = Seq((1L, 0L, 99L), (1L, 1000L, 1100L), (2L, 50L, 80L))
+      .toDF("k", "lo", "hi")
+    // spans 100, 101, 31 → mean 232/3 → ceil 78
+    assert(RangeJoinOps.suggestBucketWidth(l, "lo", "hi") == 78L)
+    // degenerate inputs: empty side and a floor
+    assert(RangeJoinOps.suggestBucketWidth(l.limit(0), "lo", "hi", 7L) == 7L)
+    assert(RangeJoinOps.suggestBucketWidth(l, "lo", "hi", 500L) == 500L)
+    val r = Seq((1L, 0L), (1L, 99L), (1L, 100L), (1L, 1050L), (2L, 49L),
+      (2L, 80L), (3L, 60L)).toDF("rk", "ts")
+    val auto = RangeJoinOps.bandedRangeJoinAuto(l, r, "k", "rk", "lo", "hi", "ts")
+      .select(col("k"), col("ts")).as[(Long, Long)].collect().sorted.toSeq
+    assert(auto == Seq((1L, 0L), (1L, 99L), (1L, 1050L), (2L, 80L)), s"got $auto")
+  }
+
   test("join condition hashes on the bucket, not the key alone") {
     val ev = Tables.events(spark, sfDir)
     val l = ev.filter(col("event_type") === "signup")

@@ -122,6 +122,26 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("label kNN graph equals per-label brute force") {
+    val labeled = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"), toDouble(col("embedding")).as("emb"),
+        col("label").as("list_id"))
+    val graph = labelKnnGraph(labeled, 3)
+      .select("src_id", "rank", "nbr_id", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // brute-force the same graph one label at a time (exact ground truth)
+    val perLabel = labeled.select("list_id").distinct().as[Int].collect()
+      .flatMap { lb =>
+        val part = labeled.filter(col("list_id") === lb)
+        bruteForceTopK(part, part, 3)
+          .select(col("query_id").as("src_id"), col("rank"),
+            col("neighbor_id").as("nbr_id"), col("cos_sim"))
+          .as[(Long, Long, Long, Double)].collect()
+      }.toSet
+    assert(graph == perLabel, "partitioned kNN graph must match ground truth")
+    assert(graph.nonEmpty)
+  }
+
   test("near-dup pairs are symmetric-free (a<b) and above threshold") {
     val pairs = cosineNearDupPairs(vecs.limit(200), 0.5)
       .select("id_a", "id_b", "cos_sim").as[(Long, Long, Double)].collect()
