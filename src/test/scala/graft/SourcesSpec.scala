@@ -137,6 +137,46 @@ class SourcesSpec extends SparkSpecBase {
       s"dedup store must hold one entry per distinct key: $keys")
   }
 
+  test("statestore reader: stream-stream join state, per side") {
+    // the reference's flagship operator (P3's unwatermarked symmetric-hash
+    // join, sparkpykafkajoin.py:196-198) buffers EVERY input row in its
+    // per-side join stores — the reader is how operations answers "what is
+    // that unbounded state actually holding" without stopping the query
+    implicit val ctx = spark.sqlContext
+    val inL = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Double)]
+    val inR = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val ckpt = Files.createTempDirectory("join-state-ckpt").toString
+    val joined = inL.toDF().toDF("email", "score")
+      .join(inR.toDF().toDF("cust", "birthYear"),
+        expr("email = cust"))
+    val q = joined.writeStream.outputMode(
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("join_state_src")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      inL.addData(("a@t.com", 7.0), ("b@t.com", 3.0))
+      inR.addData(("a@t.com", 1950L))
+      q.processAllAvailable()
+    } finally q.stop()
+    // state-metadata catalogs the operator's stores; the join keeps 4 per
+    // side (keyToNumValues/keyWithIndexToValue × left/right)
+    val meta = spark.read.format("state-metadata").load(ckpt)
+    val names = meta.select(col("stateStoreName")).as[String].collect().toSet
+    assert(names.exists(_.contains("left-keyToNumValues")) &&
+      names.exists(_.contains("right-keyToNumValues")),
+      s"join must register per-side stores: $names")
+    // the join-state key struct is positional (`field0`, …) — it is the
+    // JOIN KEY EXPRESSION, not the input column, so no source name survives
+    def sideKeys(side: String): Seq[String] =
+      spark.read.format("statestore").option("joinSide", side).load(ckpt)
+        .select(col("key.field0"))
+        .as[String].collect().sorted.toSeq
+    // both left rows buffered (b@t.com unmatched but retained — the
+    // unwatermarked join never evicts); right holds its single row
+    assert(sideKeys("left") == Seq("a@t.com", "b@t.com"), sideKeys("left"))
+    assert(sideKeys("right") == Seq("a@t.com"), sideKeys("right"))
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = Files.createTempDirectory("graft-part").toString + "/data"
     Tables.orders(spark, sfDir)
