@@ -9,10 +9,11 @@ import org.apache.spark.sql.SparkSession
   * The headline set excludes the deliberately-quadratic ground-truth
   * operators (d4 exact all-pairs Jaccard, d6 components over d4's pairs) —
   * their scalable counterparts (d2 MinHash-LSH, d5 SimHash bands, n2
-  * LSH-ANN, n5 IVF) are what runs at sf0.1+ — and d7 (components over the
-  * SimHash graph): correct and oracle-gated, but its iterative driver loop
-  * over the 2M-pair sf0.1 graph (~10s) would dominate the single-pass
-  * headline mix.
+  * LSH-ANN, n5 IVF) are what runs at sf0.1+ — and d7/d8 (components /
+  * triangles over the SimHash graph): correct and oracle-gated, but d7's
+  * iterative driver loop and d8's clique-quadratic triangle enumeration
+  * over the 2M-pair sf0.1 graph would dominate the single-pass headline
+  * mix.
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -29,12 +30,13 @@ object Bench {
     "q28_safe_casts", "q29_asof_native", "q30_latest_wins",
     "q31_exists_mix", "q32_lateral_topn", "q33_listagg", "q34_median",
     "q35_bit_agg", "q36_unpivot", "q37_range_band", "q38_dist_windows",
-    "q39_gapfill", "q40_cross_join", "q41_histogram",
+    "q39_gapfill", "q40_cross_join", "q41_histogram", "q42_scd2",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_regex_tokens", "t6_string_funcs", "t7_array_funcs", "t8_explode",
     "t9_regex_extract", "t10_normalize", "t11_hash_split",
     "t12_repetition", "t13_source_mix", "t14_redact", "t15_pack_shards",
     "t16_stratified_sample", "t17_chunking", "t18_edit_distance",
+    "t19_tfidf",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
     "n1_ann_bruteforce", "n2_ann_lsh", "n3_embedding_neardup",
     "n4_label_centroids", "n5_ivf_ann", "n6_kmeans", "n7_ivf_kmeans",

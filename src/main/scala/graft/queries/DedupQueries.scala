@@ -84,6 +84,34 @@ object DedupQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Triangle count over the SimHash near-dup graph — the cluster-cohesion
+    // statistic (triangles/edges distinguishes tight duplicate cliques from
+    // chains of borderline pairs). The a<b edge orientation makes every
+    // triangle a<b<c enumerate EXACTLY once from its lowest vertex (the
+    // "forward" algorithm); three equi-joins, each shuffling edge keys. At
+    // 100 TB orient edges low-degree→high-degree instead of by id — same
+    // uniqueness argument, and the join fan-out per vertex drops from deg²
+    // to out-deg² ≤ O(sqrt(|E|))². Edges are localCheckpoint'd once: three
+    // self-join sides + two counts must not re-run the sketch pipeline.
+    // Bench-excluded like d4/d6/d7: the sf0.1 graph's dense cliques make
+    // triangle enumeration quadratic-in-clique-size by design.
+    "d8_triangle_count" -> ((s, d) => {
+      val df = docs(s, d).withColumn("hs", tokenHashes(tokens(col("text"))))
+      val edges = simhashPairs(simhashBands(df, simhash32(col("hs"))), MaxHamming)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val nNodes = edges
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .agg(countDistinct(col("doc_id")).as("n_nodes"))
+      val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+      val e2 = edges.select(col("doc_a").as("b2"), col("doc_b").as("c2"))
+      val e3 = edges.select(col("doc_a").as("a3"), col("doc_b").as("c3"))
+      val tri = edges
+        .join(e2, col("doc_b") === col("b2"))
+        .join(e3, col("doc_a") === col("a3") && col("c2") === col("c3"))
+        .agg(count(lit(1)).as("n_triangles"))
+      nNodes.crossJoin(nEdges).crossJoin(tri)
+    }),
+
     // Scalable dedup groups: connected components over the SimHash pair
     // graph (d6 runs the same min-label propagation over the exact-Jaccard
     // graph, which is quadratic to build; THIS is the 100 TB composition —
@@ -278,6 +306,31 @@ object DedupQueries {
          |   AND l.doc_id < r.doc_id)
          |SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
          |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= $MaxHamming
-         |ORDER BY doc_a, doc_b""".stripMargin
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d8_triangle_count" ->
+      s"""WITH h AS (SELECT doc_id, $dkTokenHashes AS hs FROM documents),
+         |sh AS (SELECT doc_id, $dkSimhashExpr AS simhash FROM h),
+         |bands AS (
+         |  SELECT doc_id, simhash, b.band_idx,
+         |         (simhash >> (b.band_idx * 8)) & 255 AS band_val
+         |  FROM sh, (SELECT unnest([0,1,2,3]) AS band_idx) b),
+         |edges AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM bands l JOIN bands r
+         |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+         |   AND l.doc_id < r.doc_id
+         |  WHERE bit_count(xor(l.simhash, r.simhash)) <= $MaxHamming),
+         |tri AS (
+         |  SELECT count(*) AS n_triangles
+         |  FROM edges e1
+         |  JOIN edges e2 ON e2.doc_a = e1.doc_b
+         |  JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+         |SELECT
+         |  (SELECT count(DISTINCT doc_id) FROM (
+         |     SELECT doc_a AS doc_id FROM edges
+         |     UNION ALL SELECT doc_b FROM edges)) AS n_nodes,
+         |  (SELECT count(*) FROM edges) AS n_edges,
+         |  n_triangles
+         |FROM tri""".stripMargin
   )
 }

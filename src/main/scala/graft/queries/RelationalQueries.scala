@@ -680,6 +680,27 @@ object RelationalQueries {
         .orderBy(col("n_nationkey"), col("r_regionkey"))
     }),
 
+    // SCD2 dimension build (CDC → versioned dimension): collapse each
+    // customer's order-status timeline to its CHANGE points, then window
+    // the survivors into [valid_from, valid_to) intervals with a version
+    // number (valid_to NULL = current). Two same-keyed windows — one
+    // shuffle on custkey, the second window reuses the partitioning. The
+    // standard warehouse pattern for dimension snapshots at any scale.
+    "q42_scd2" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d).filter(col("o_custkey") <= 200)
+        .withColumn("prev_status", lag(col("o_orderstatus"), 1).over(w))
+        .filter(col("prev_status").isNull ||
+          col("o_orderstatus") =!= col("prev_status"))
+        .select(col("o_custkey"), col("o_orderstatus").as("status"),
+          col("o_orderdate").as("valid_from"),
+          lead(col("o_orderdate"), 1).over(w).as("valid_to"),
+          row_number().over(w).cast("long").as("version"))
+        .orderBy(col("o_custkey"), col("version"))
+    }),
+
     // Histogram binning: fixed-width buckets from floor(price/width) —
     // pure per-row arithmetic (no width_bucket dependence), then one
     // map-side-combined agg; ~|buckets| rows shuffle. min/max of doubles
@@ -1066,6 +1087,24 @@ object RelationalQueries {
     "q41_histogram" ->
       """SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS bucket,
         |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q42_scd2" ->
+      """WITH seq AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |         LAG(o_orderstatus) OVER w AS prev_status
+        |  FROM orders WHERE o_custkey <= 200
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey)),
+        |changes AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+        |  FROM seq WHERE prev_status IS NULL OR o_orderstatus <> prev_status)
+        |SELECT o_custkey, o_orderstatus AS status,
+        |       o_orderdate AS valid_from,
+        |       LEAD(o_orderdate) OVER w2 AS valid_to,
+        |       CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version
+        |FROM changes
+        |WINDOW w2 AS (PARTITION BY o_custkey
+        |              ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, version""".stripMargin
   )
 }

@@ -291,6 +291,32 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // TF-IDF top term per document. idf is the LINEAR rational N/df, not
+    // ln(N/df): tf·N is an exact integer product and the single double
+    // division is IEEE-identical on both engines, where a transcendental
+    // log could differ in the last ulp and flip a rounded value. Ranking is
+    // unchanged (x ↦ ln is monotone on the positive scores). Two shuffles
+    // (doc-term tf, term df); the df table re-joins term-keyed — at 100 TB
+    // both aggs partial-combine map-side and df is vocabulary-sized.
+    "t19_tfidf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docsDf = Tables.fanout(Tables.documents(s, d))
+      val tf = docsDf.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = docsDf.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("tok"))
+      tf.join(dfc, "tok").crossJoin(broadcast(n))
+        .withColumn("score",
+          (col("tf") * col("n_docs")).cast("double") / col("df"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("doc_id"), col("tok").as("top_term"), col("tf"), col("df"),
+          round(col("score"), 6).as("tfidf"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Fingerprinting: whole-document 60-bit md5 fingerprint + order-
     // sensitive rolling hash over the token stream.
     "t4_fingerprint" -> ((s, d) => {
@@ -488,6 +514,23 @@ object TextQueries {
         |  CAST(levenshtein(head,
         |    LAG(head, 1) OVER (PARTITION BY lang ORDER BY doc_id)) AS BIGINT)
         |    AS edit_dist
-        |FROM h ORDER BY doc_id""".stripMargin
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "t19_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($dkToks) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT t.doc_id, t.tok, t.tf, f.df,
+         |         CAST(t.tf * n.n_docs AS DOUBLE) / f.df AS score
+         |  FROM tf t JOIN df f USING (tok), n),
+         |ranked AS (
+         |  SELECT doc_id, tok, tf, df, score,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                            ORDER BY score DESC, tok) AS rnk
+         |  FROM scored)
+         |SELECT doc_id, tok AS top_term, tf, df, round(score, 6) AS tfidf
+         |FROM ranked WHERE rnk = 1 ORDER BY doc_id""".stripMargin
   )
 }
