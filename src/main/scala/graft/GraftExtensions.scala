@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       new ExpressionInfo("graft.functions.VectorExpressions", "cosine_sim"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+    // opt-in banded rewrite of residual range joins (see the rule scaladoc)
+    e.injectOptimizerRule(graft.plans.BandedRangeJoinRule.apply)
   }
 }
 
@@ -47,5 +49,12 @@ object GraftExtensions {
     // 1000-counter Misra-Gries sketch with [low, high] count bounds
     spark.udf.register("freq_items", org.apache.spark.sql.functions.udaf(
       new graft.functions.FrequentItemsAggregator(capacity = 1000, topK = 20)))
+    // the banded range-join rewrite on a live session (extraOptimizations
+    // is the post-build injection point for optimizer rules)
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[graft.plans.BandedRangeJoinRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.BandedRangeJoinRule(spark)
   }
 }

@@ -117,4 +117,22 @@ object CurationPipeline {
       case None => curated
     }
   }
+
+  /** Final materialization: overlapping token-window chunks (t17) over the
+    * curated corpus — the rows a trainer actually consumes, still tagged
+    * with (split, shard). Narrow stage: sequence/explode/slice pipeline
+    * inside the scan, no shuffle added to [[curate]]'s output. */
+  def chunkForTraining(curated: DataFrame, chunkTok: Int = 128,
+      stride: Int = 96): DataFrame = {
+    val sliced = slice(col("toks"), col("chunk_start") + 1, lit(chunkTok))
+    curated
+      .withColumn("toks", tokens(col("norm_text")))
+      .filter(size(col("toks")) > 0)
+      .withColumn("chunk_start",
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))))
+      .select(col("doc_id"), col("split"), col("shard"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        size(sliced).cast("long").as("n_chunk_toks"),
+        array_join(sliced, " ").as("chunk_text"))
+  }
 }

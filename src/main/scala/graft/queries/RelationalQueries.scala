@@ -701,6 +701,23 @@ object RelationalQueries {
         .orderBy(col("o_custkey"), col("version"))
     }),
 
+    // Z-order (Morton) clustering key: interleave customer and order-month
+    // buckets into one locality-preserving sort key — the layout primitive
+    // behind two-dimensional data skipping (see ops/LayoutOps). Pure
+    // integer bit arithmetic, narrow, zero shuffle; the clustering write
+    // path (repartitionByRange + sortWithinPartitions) is asserted in
+    // LayoutSpec, the key itself is oracle-exact here.
+    "q43_zorder" -> ((s, d) => {
+      Tables.orders(s, d)
+        .withColumn("xdim", pmod(col("o_custkey"), lit(65536L)))
+        .withColumn("ydim",
+          pmod(year(col("o_orderdate")) * 12 + month(col("o_orderdate")),
+            lit(65536)).cast("long"))
+        .select(col("o_orderkey"), col("xdim"), col("ydim"),
+          graft.ops.LayoutOps.zorder16(col("xdim"), col("ydim")).as("zkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Histogram binning: fixed-width buckets from floor(price/width) —
     // pure per-row arithmetic (no width_bucket dependence), then one
     // map-side-combined agg; ~|buckets| rows shuffle. min/max of doubles
@@ -1088,6 +1105,17 @@ object RelationalQueries {
       """SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS bucket,
         |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q43_zorder" -> {
+      val z = graft.ops.LayoutOps.zorder16Sql("xdim", "ydim")
+      s"""WITH dims AS (
+         |  SELECT o_orderkey,
+         |         o_custkey % 65536 AS xdim,
+         |         (year(o_orderdate) * 12 + month(o_orderdate)) % 65536
+         |           AS ydim
+         |  FROM orders)
+         |SELECT o_orderkey, xdim, ydim, $z AS zkey
+         |FROM dims ORDER BY o_orderkey""".stripMargin
+    },
     "q42_scd2" ->
       """WITH seq AS (
         |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,

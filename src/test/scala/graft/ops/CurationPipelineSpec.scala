@@ -46,6 +46,30 @@ class CurationPipelineSpec extends SparkSpecBase {
     } finally out.unpersist()
   }
 
+  test("chunking covers every curated token with the configured overlap") {
+    val curated = CurationPipeline.curate(docs)
+    val chunks = CurationPipeline.chunkForTraining(curated,
+      chunkTok = 32, stride = 24).cache()
+    try {
+      val perDoc = chunks.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          max(col("chunk_start") + col("n_chunk_toks")).as("covered"),
+          min("chunk_start").as("first_start"))
+      val nTok = curated.select(col("doc_id"), col("n_tokens"))
+      val joined = perDoc.join(nTok, "doc_id")
+      // every chunked doc starts at 0 and its last chunk reaches the end
+      assert(joined.filter(col("first_start") =!= 0).count() == 0)
+      assert(joined.filter(col("covered") =!= col("n_tokens")).count() == 0,
+        "chunks must cover exactly the token stream")
+      // starts advance by the stride
+      val badStride = chunks.filter(col("chunk_start") % 24 =!= 0).count()
+      assert(badStride == 0, "chunk starts are stride-aligned")
+      // chunk rows keep the training tags
+      assert(chunks.filter(col("split").isNull || col("shard").isNull)
+        .count() == 0)
+    } finally chunks.unpersist()
+  }
+
   test("curation is deterministic across runs and partitionings") {
     def fingerprint(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Long)] =
       df.select(col("doc_id"), col("split"), col("shard"))

@@ -47,6 +47,41 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(auto == Seq((1L, 0L), (1L, 99L), (1L, 1050L), (2L, 80L)), s"got $auto")
   }
 
+  test("optimizer rule rewrites the residual range join to the banded shape") {
+    graft.GraftExtensions.install(spark)
+    val ev = Tables.events(spark, sfDir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("su_user"), col("event_id").as("signup_id"),
+        unix_micros(col("ts")).as("su_us"))
+      .withColumn("lo", col("su_us") + 1)
+      .withColumn("hi", col("su_us") + 3600L * 1000000L)
+    val follows = ev.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("ets"))
+    def joined = signups.join(follows,
+      col("su_user") === col("user_id") &&
+        col("ets") >= col("lo") && col("ets") <= col("hi"))
+      .select(col("signup_id"), col("event_id"))
+    val residual = joined.as[(Long, Long)].collect().toSet
+    assert(residual.nonEmpty, "fixture must exercise the join")
+    spark.conf.set("spark.graft.rangeJoin.enabled", "true")
+    spark.conf.set("spark.graft.rangeJoin.bucketWidth", (3600L * 1000000L).toString)
+    try {
+      val banded = joined
+      val optimized = banded.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("__band_bucket") &&
+        optimized.contains("__band_pt"),
+        s"rule must fire on the range join:\n${optimized.take(1500)}")
+      assert(banded.as[(Long, Long)].collect().toSet == residual,
+        "banded rewrite is exact")
+      // idempotent under the fixed-point batch: one Generate, not nested
+      assert("Generate explode".r.findAllIn(optimized).length == 1,
+        s"rule must fire exactly once:\n${optimized.take(1500)}")
+    } finally {
+      spark.conf.unset("spark.graft.rangeJoin.enabled")
+      spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+    }
+  }
+
   test("join condition hashes on the bucket, not the key alone") {
     val ev = Tables.events(spark, sfDir)
     val l = ev.filter(col("event_type") === "signup")
