@@ -26,16 +26,20 @@ object AsOfJoinOps {
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      rightTieBreak: String): DataFrame =
+      rightTieBreak: String,
+      tolerance: Option[Long] = None): DataFrame =
     asofJoinMulti(left, right, Seq(leftKey), Seq(rightKey),
-      leftTime, rightTime, rightTieBreak)
+      leftTime, rightTime, rightTieBreak, tolerance)
 
   /** Composite-key variant: keys compare lexicographically in the given
-    * order on both sides (e.g. (exchange, symbol) for per-venue quotes). */
+    * order on both sides (e.g. (exchange, symbol) for per-venue quotes).
+    * `tolerance` bounds the match window (leftTime − rightTime ≤ tolerance,
+    * native time unit — µs for timestamps); stale matches emit nulls. */
   def asofJoinMulti(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTime: String, rightTime: String,
-      rightTieBreak: String): DataFrame = {
+      rightTieBreak: String,
+      tolerance: Option[Long] = None): DataFrame = {
     require(leftKeys.size == rightKeys.size && leftKeys.nonEmpty,
       "as-of join needs the same non-zero number of keys on both sides")
     val spark = left.sparkSession
@@ -45,6 +49,6 @@ object AsOfJoinOps {
     Bridge.ofRows(spark, AsOfJoin(lPlan, rPlan,
       leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
       attr(lPlan, leftTime), attr(rPlan, rightTime),
-      attr(rPlan, rightTieBreak)))
+      attr(rPlan, rightTieBreak), tolerance))
   }
 }

@@ -38,11 +38,19 @@ import org.apache.spark.sql.execution.SparkStrategy
   * upstream when SQL comparison semantics (NULL matches nothing) are
   * wanted. Ties in rightTime resolve to the LARGEST
   * (key, time, tieBreak) right row, matching the q13 composition.
+  *
+  * `tolerance` (pandas merge_asof parity): when set, a held match only
+  * emits if `leftTime - rightTime <= tolerance` (inclusive, in the time
+  * column's native unit — µs for timestamps); stale matches pad with nulls
+  * instead. Requires a long-backed time column; the merge stays O(1) state
+  * (the gate is one subtraction at emit, the held row still advances
+  * normally).
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    rightTieBreak: Expression) extends BinaryNode {
+    rightTieBreak: Expression,
+    tolerance: Option[Long] = None) extends BinaryNode {
   // right side comes back nullable: no-match rows pad with nulls
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -54,7 +62,8 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    rightTieBreak: Expression) extends BinaryExecNode {
+    rightTieBreak: Expression,
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -96,6 +105,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     require(rks.map(_.dataType) == keyTypes,
       s"key types differ: $keyTypes vs ${rks.map(_.dataType)}")
     require(rt.dataType == timeType, s"time types differ: $timeType vs ${rt.dataType}")
+    require(tolerance.isEmpty || longBacked(timeType),
+      s"tolerance needs a long-backed time column, got $timeType")
+    // tolerance gate: held match must be within `tol` of the left time
+    // (inclusive, pandas merge_asof semantics); Long.MaxValue = no bound.
+    // NULL-time rows follow the documented filter-upstream contract.
+    val tol = tolerance.getOrElse(Long.MaxValue)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKey = UnsafeProjection.create(lks, leftOut)
       val lTim = UnsafeProjection.create(Seq(lt), leftOut)
@@ -109,6 +124,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       if (allLong) {
         // specialized primitive merge: no ordering dispatch per compare
         var heldKey = 0L
+        var heldTime = 0L
         var heldValid = false
         var held: InternalRow = null
         lIter.map { lRow =>
@@ -123,10 +139,13 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             val pt = rTim(peek).getLong(0)
             if (pk < k || (pk == k && pt <= t)) {
               val row = rBuf.next()
-              if (pk == k) { held = row.copy(); heldKey = k; heldValid = true }
+              if (pk == k) {
+                held = row.copy(); heldKey = k; heldTime = pt; heldValid = true
+              }
             } else advancing = false
           }
-          val r = if (heldValid && heldKey == k) held else nullRight
+          val r = if (heldValid && heldKey == k && t - heldTime <= tol) held
+            else nullRight
           out(joined(lRow, r))
         }
       } else if (stringKeyLongTime) {
@@ -141,6 +160,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           else if (b == null) 1
           else a.compareTo(b)
         var heldKey: UTF8String = null
+        var heldTime = 0L
         var heldValid = false
         var held: InternalRow = null
         lIter.map { lRow =>
@@ -159,11 +179,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               if (c == 0) {
                 held = row.copy()
                 heldKey = if (k == null) null else k.clone()
+                heldTime = pt
                 heldValid = true
               }
             } else advancing = false
           }
-          val r = if (heldValid) held else nullRight
+          val r = if (heldValid && t - heldTime <= tol) held else nullRight
           out(joined(lRow, r))
         }
       } else {
@@ -175,7 +196,11 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           .createNaturalAscendingOrdering(keyTypes)
         val timeOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
           .createNaturalAscendingOrdering(Seq(timeType))
+        // tolerance (long-backed time required, see the require above) is
+        // tracked as a primitive beside the generic-ordering compares
+        val checkTol = tolerance.isDefined
         var heldKey: InternalRow = null  // copy of the held right row's key
+        var heldTime = 0L
         var held: InternalRow = null
         lIter.map { lRow =>
           val k = lKey(lRow)
@@ -189,10 +214,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             val c = keyOrd.compare(rKey(peek), k)
             if (c < 0 || (c == 0 && timeOrd.compare(rTim(peek), t) <= 0)) {
               val row = rBuf.next()
-              if (c == 0) { held = row.copy(); heldKey = k.copy() }
+              if (c == 0) {
+                if (checkTol) heldTime = rTim(row).getLong(0)
+                held = row.copy(); heldKey = k.copy()
+              }
             } else advancing = false
           }
-          val r = if (held != null) held else nullRight
+          val r = if (held != null &&
+              (!checkTol || t.getLong(0) - heldTime <= tol)) held
+            else nullRight
           out(joined(lRow, r))
         }
       }
@@ -208,8 +238,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   * `GraftExtensions` (`injectPlannerStrategy`). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tb) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tb, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, tol) :: Nil
     case _ => Nil
   }
 }

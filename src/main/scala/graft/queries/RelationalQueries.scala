@@ -454,6 +454,25 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Native as-of with a match-window TOLERANCE (pandas merge_asof
+    // parity): the most recent click ≤ 30 minutes before each error — a
+    // stale click pads nulls instead of matching. Same one-exchange-per-
+    // side merge as q29; the tolerance is a single subtraction at emit.
+    "q44_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("cts"))
+      graft.ops.AsOfJoinOps.asofJoin(errors, clicks,
+          "user_id", "c_user", "ts", "cts", "click_id",
+          tolerance = Some(30L * 60L * 1000000L))
+        .select(col("event_id"), col("user_id"),
+          col("click_id").as("prev_click_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // Latest-record-wins dedup (CDC compaction / upsert materialization):
     // one row per (user_id, event_type) — the newest by (ts, event_id).
     // row_number-over-desc-order is the standard batch form; the streaming
@@ -1105,6 +1124,20 @@ object RelationalQueries {
       """SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS bucket,
         |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q44_asof_tolerance" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events
+        |  WHERE event_type = 'error'),
+        |c AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT e.event_id, e.user_id, l.click_id AS prev_click_id
+        |FROM e LEFT JOIN LATERAL (
+        |  SELECT c.event_id AS click_id FROM c
+        |  WHERE c.user_id = e.user_id AND c.ts <= e.ts
+        |    AND c.ts >= e.ts - INTERVAL 30 MINUTE
+        |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) l ON true
+        |ORDER BY e.event_id""".stripMargin,
     "q43_zorder" -> {
       val z = graft.ops.LayoutOps.zorder16Sql("xdim", "ydim")
       s"""WITH dims AS (

@@ -40,6 +40,51 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
   }
 
+  test("tolerance gates stale matches on every merge path") {
+    val trades = Seq((1L, 100L, "t1"), (1L, 200L, "t2"), (1L, 210L, "t3"))
+      .toDF("key", "t", "trade")
+    val quotes = Seq((1L, 60L, "q_old"), (1L, 195L, "q_fresh"))
+      .toDF("qkey", "qt", "quote")
+    // primitive long path: t1's only candidate (60) is 40 > tol=39 stale;
+    // t2 matches 195 (within 5); t3 matches 195 (within 15 = tol boundary)
+    val longOut = asofJoin(trades, quotes, "key", "qkey", "t", "qt", "qt",
+      tolerance = Some(39L))
+      .select("trade", "quote").as[(String, Option[String])].collect().toMap
+    assert(longOut("t1").isEmpty, "stale match must pad nulls")
+    assert(longOut("t2").contains("q_fresh"))
+    assert(longOut("t3").contains("q_fresh"))
+    // boundary is INCLUSIVE: tol = exactly the staleness
+    val boundary = asofJoin(trades, quotes, "key", "qkey", "t", "qt", "qt",
+      tolerance = Some(40L))
+      .select("trade", "quote").as[(String, Option[String])].collect().toMap
+    assert(boundary("t1").contains("q_old"), "tolerance is inclusive")
+    // string-key path
+    val sTrades = Seq(("a", 100L, "t1")).toDF("key", "t", "trade")
+    val sQuotes = Seq(("a", 60L, "q_old")).toDF("qkey", "qt", "quote")
+    val sOut = asofJoin(sTrades, sQuotes, "key", "qkey", "t", "qt", "qt",
+      tolerance = Some(39L))
+      .select("trade", "quote").as[(String, Option[String])].collect().toMap
+    assert(sOut("t1").isEmpty)
+    // generic path (composite keys) with long time
+    val gTrades = Seq((1L, 1L, 100L, "t1")).toDF("k1", "k2", "t", "trade")
+    val gQuotes = Seq((1L, 1L, 60L, "q_old")).toDF("q1", "q2", "qt", "quote")
+    val gOut = graft.ops.AsOfJoinOps.asofJoinMulti(gTrades, gQuotes,
+      Seq("k1", "k2"), Seq("q1", "q2"), "t", "qt", "qt",
+      tolerance = Some(39L))
+      .select("trade", "quote").as[(String, Option[String])].collect().toMap
+    assert(gOut("t1").isEmpty)
+    // non-long-backed time + tolerance must be rejected
+    val dTrades = Seq((1L, "2020-01-01", "t1")).toDF("key", "d", "trade")
+      .withColumn("d", col("d").cast("date"))
+    val dQuotes = Seq((1L, "2019-12-01", "q")).toDF("qkey", "qd", "quote")
+      .withColumn("qd", col("qd").cast("date"))
+    val err = intercept[Exception] {
+      asofJoin(dTrades, dQuotes, "key", "qkey", "d", "qd", "qd",
+        tolerance = Some(5L)).collect()
+    }
+    assert(err.getMessage.contains("long-backed"))
+  }
+
   test("generic path: string keys + timestamp times merge identically") {
     val trades = Seq(("alpha", "2020-01-01 10:00:00", "t1"),
       ("alpha", "2020-01-01 11:00:00", "t2"),
