@@ -24,6 +24,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       new ExpressionInfo("graft.functions.VectorExpressions", "cosine_sim"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+    // the dedup sketch kernels, SQL-callable: token_hashes(arr) → 60-bit
+    // hashes, simhash_32(hashes) → sketch
+    e.injectFunction((FunctionIdentifier("token_hashes"),
+      new ExpressionInfo("graft.functions.TokenHashKernel", "token_hashes"),
+      (args: Seq[Expression]) => graft.functions.TokenHashKernel.TokenHashes(args(0))))
+    e.injectFunction((FunctionIdentifier("simhash_32"),
+      new ExpressionInfo("graft.functions.SimHashKernel", "simhash_32"),
+      (args: Seq[Expression]) => graft.functions.SimHashKernel.SimHash32(args(0))))
     // opt-in banded rewrite of residual range joins (see the rule scaladoc)
     e.injectOptimizerRule(graft.plans.BandedRangeJoinRule.apply)
   }
@@ -39,6 +47,10 @@ object GraftExtensions {
     registerFunction(spark, "dot_product", args => DotProduct(args(0), args(1)))
     registerFunction(spark, "vec_norm2", args => VecNorm2(args(0)))
     registerFunction(spark, "cosine_sim", args => CosineSim(args(0), args(1)))
+    registerFunction(spark, "token_hashes",
+      args => graft.functions.TokenHashKernel.TokenHashes(args(0)))
+    registerFunction(spark, "simhash_32",
+      args => graft.functions.SimHashKernel.SimHash32(args(0)))
     spark.udf.register("qsketch_quantiles", org.apache.spark.sql.functions.udaf(
       new graft.functions.QuantileSketchAggregator(Seq(0.5, 0.9, 0.99))))
     // probe points as a call-site argument:

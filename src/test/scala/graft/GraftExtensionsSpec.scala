@@ -41,6 +41,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(viaSql == viaCol)
   }
 
+  test("sketch kernels are callable from SQL and match the Column API") {
+    val viaSql = spark.sql(
+      """SELECT simhash_32(token_hashes(array('the', 'quick', 'fox'))) AS sh,
+        |       token_hashes(array('a', 'b')) AS hs""".stripMargin).head()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val viaCol = Seq(Seq("the", "quick", "fox")).toDF("toks")
+      .select(graft.functions.SimHashKernel.simhash_32(
+        graft.functions.TokenHashKernel.token_hashes(col("toks"))).as("sh"))
+      .head().getLong(0)
+    assert(viaSql.getLong(0) == viaCol)
+    assert(viaSql.getSeq[Long](1).length == 2)
+  }
+
   test("quantile sketch UDAF is callable from SQL") {
     spark.range(1, 1001).createOrReplaceTempView("qs_in")
     val qs = spark.sql(
