@@ -27,19 +27,23 @@ object AsOfJoinOps {
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       rightTieBreak: String,
-      tolerance: Option[Long] = None): DataFrame =
+      tolerance: Option[Long] = None,
+      direction: String = "backward"): DataFrame =
     asofJoinMulti(left, right, Seq(leftKey), Seq(rightKey),
-      leftTime, rightTime, rightTieBreak, tolerance)
+      leftTime, rightTime, rightTieBreak, tolerance, direction)
 
   /** Composite-key variant: keys compare lexicographically in the given
     * order on both sides (e.g. (exchange, symbol) for per-venue quotes).
-    * `tolerance` bounds the match window (leftTime − rightTime ≤ tolerance,
-    * native time unit — µs for timestamps); stale matches emit nulls. */
+    * `tolerance` bounds the match window (|leftTime − rightTime| ≤
+    * tolerance, native time unit — µs for timestamps); stale matches emit
+    * nulls. `direction` "backward" (most recent at-or-before) or "forward"
+    * (earliest at-or-after). */
   def asofJoinMulti(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTime: String, rightTime: String,
       rightTieBreak: String,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
     require(leftKeys.size == rightKeys.size && leftKeys.nonEmpty,
       "as-of join needs the same non-zero number of keys on both sides")
     val spark = left.sparkSession
@@ -49,6 +53,6 @@ object AsOfJoinOps {
     Bridge.ofRows(spark, AsOfJoin(lPlan, rPlan,
       leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
       attr(lPlan, leftTime), attr(rPlan, rightTime),
-      attr(rPlan, rightTieBreak), tolerance))
+      attr(rPlan, rightTieBreak), tolerance, direction))
   }
 }

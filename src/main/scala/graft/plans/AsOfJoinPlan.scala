@@ -45,12 +45,21 @@ import org.apache.spark.sql.execution.SparkStrategy
   * instead. Requires a long-backed time column; the merge stays O(1) state
   * (the gate is one subtraction at emit, the held row still advances
   * normally).
+  *
+  * `direction` (merge_asof parity): "backward" (default) matches the most
+  * recent right row with `rightTime <= leftTime`; "forward" matches the
+  * EARLIEST right row with `rightTime >= leftTime` (ties in rightTime
+  * resolve to the SMALLEST tieBreak — the head of the ascending sort).
+  * Forward needs no held state at all: rows strictly before the left time
+  * are discarded (later left rows are only later), and the match is a pure
+  * peek — the next left row may match the same un-consumed right row.
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     rightTieBreak: Expression,
-    tolerance: Option[Long] = None) extends BinaryNode {
+    tolerance: Option[Long] = None,
+    direction: String = "backward") extends BinaryNode {
   // right side comes back nullable: no-match rows pad with nulls
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -63,7 +72,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     rightTieBreak: Expression,
-    tolerance: Option[Long] = None) extends BinaryExecNode {
+    tolerance: Option[Long] = None,
+    direction: String = "backward") extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -107,10 +117,13 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     require(rt.dataType == timeType, s"time types differ: $timeType vs ${rt.dataType}")
     require(tolerance.isEmpty || longBacked(timeType),
       s"tolerance needs a long-backed time column, got $timeType")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     // tolerance gate: held match must be within `tol` of the left time
     // (inclusive, pandas merge_asof semantics); Long.MaxValue = no bound.
     // NULL-time rows follow the documented filter-upstream contract.
     val tol = tolerance.getOrElse(Long.MaxValue)
+    val forward = direction == "forward"
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKey = UnsafeProjection.create(lks, leftOut)
       val lTim = UnsafeProjection.create(Seq(lt), leftOut)
@@ -121,7 +134,71 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val out = UnsafeProjection.create(leftOut ++ rightOut, leftOut ++ rightOut)
       val rBuf = rIter.buffered
 
-      if (allLong) {
+      if (forward && allLong) {
+        // forward primitive merge: discard right rows strictly before the
+        // left (key, time); the match, if any, is the un-consumed head
+        lIter.map { lRow =>
+          val k = lKey(lRow).getLong(0)
+          val t = lTim(lRow).getLong(0)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val peek = rBuf.head
+            val pk = rKey(peek).getLong(0)
+            if (pk < k || (pk == k && rTim(peek).getLong(0) < t)) rBuf.next()
+            else advancing = false
+          }
+          val r = if (rBuf.hasNext && rKey(rBuf.head).getLong(0) == k &&
+              rTim(rBuf.head).getLong(0) - t <= tol) rBuf.head
+            else nullRight
+          out(joined(lRow, r))
+        }
+      } else if (forward && stringKeyLongTime) {
+        import org.apache.spark.unsafe.types.UTF8String
+        def cmpKey(a: UTF8String, b: UTF8String): Int =
+          if (a == null && b == null) 0
+          else if (a == null) -1
+          else if (b == null) 1
+          else a.compareTo(b)
+        lIter.map { lRow =>
+          val k = lKey(lRow).getUTF8String(0)
+          val t = lTim(lRow).getLong(0)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val peek = rBuf.head
+            val c = cmpKey(rKey(peek).getUTF8String(0), k)
+            if (c < 0 || (c == 0 && rTim(peek).getLong(0) < t)) rBuf.next()
+            else advancing = false
+          }
+          val r = if (rBuf.hasNext &&
+              cmpKey(rKey(rBuf.head).getUTF8String(0), k) == 0 &&
+              rTim(rBuf.head).getLong(0) - t <= tol) rBuf.head
+            else nullRight
+          out(joined(lRow, r))
+        }
+      } else if (forward) {
+        val keyOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .createNaturalAscendingOrdering(keyTypes)
+        val timeOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .createNaturalAscendingOrdering(Seq(timeType))
+        val checkTol = tolerance.isDefined
+        lIter.map { lRow =>
+          val k = lKey(lRow)
+          val t = lTim(lRow)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val peek = rBuf.head
+            val c = keyOrd.compare(rKey(peek), k)
+            if (c < 0 || (c == 0 && timeOrd.compare(rTim(peek), t) < 0))
+              rBuf.next()
+            else advancing = false
+          }
+          val r = if (rBuf.hasNext && keyOrd.compare(rKey(rBuf.head), k) == 0 &&
+              (!checkTol ||
+                rTim(rBuf.head).getLong(0) - t.getLong(0) <= tol)) rBuf.head
+            else nullRight
+          out(joined(lRow, r))
+        }
+      } else if (allLong) {
         // specialized primitive merge: no ordering dispatch per compare
         var heldKey = 0L
         var heldTime = 0L
@@ -238,8 +315,9 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   * `GraftExtensions` (`injectPlannerStrategy`). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tb, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, tol) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tb, tol, dir) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, tol,
+        dir) :: Nil
     case _ => Nil
   }
 }

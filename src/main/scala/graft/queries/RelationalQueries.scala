@@ -473,6 +473,26 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Forward as-of (merge_asof direction='forward'): the EARLIEST purchase
+    // at-or-after each click, within 2 hours — attribution's
+    // click-to-conversion join. The forward merge holds ZERO state: rows
+    // strictly before the left time are discarded, the match is a peek at
+    // the un-consumed head.
+    "q45_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("pts"))
+      graft.ops.AsOfJoinOps.asofJoin(clicks, purchases,
+          "user_id", "p_user", "ts", "pts", "purchase_id",
+          tolerance = Some(2L * 3600L * 1000000L), direction = "forward")
+        .select(col("event_id"), col("user_id"),
+          col("purchase_id").as("next_purchase_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // Latest-record-wins dedup (CDC compaction / upsert materialization):
     // one row per (user_id, event_type) — the newest by (ts, event_id).
     // row_number-over-desc-order is the standard batch form; the streaming
@@ -1124,6 +1144,20 @@ object RelationalQueries {
       """SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS bucket,
         |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q45_asof_forward" ->
+      """WITH cl AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT cl.event_id, cl.user_id, l.purchase_id AS next_purchase_id
+        |FROM cl LEFT JOIN LATERAL (
+        |  SELECT p.event_id AS purchase_id FROM p
+        |  WHERE p.user_id = cl.user_id AND p.ts >= cl.ts
+        |    AND p.ts <= cl.ts + INTERVAL 2 HOUR
+        |  ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) l ON true
+        |ORDER BY cl.event_id""".stripMargin,
     "q44_asof_tolerance" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events

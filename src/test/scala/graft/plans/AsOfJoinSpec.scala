@@ -85,6 +85,46 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(err.getMessage.contains("long-backed"))
   }
 
+  test("forward direction peeks the earliest at-or-after match per path") {
+    val trades = Seq((1L, 100L, "t1"), (1L, 150L, "t2"), (2L, 10L, "t3"))
+      .toDF("key", "t", "trade")
+    val quotes = Seq((1L, 100L, "q_exact"), (1L, 140L, "q_mid"),
+      (1L, 160L, "q_late"), (2L, 5L, "q_past"))
+      .toDF("qkey", "qt", "quote")
+    // long path: t1 → q_exact (tie at 100 matches forward too); t2 → 160;
+    // t3 → null (only a PAST quote exists for key 2)
+    val fwd = graft.ops.AsOfJoinOps.asofJoin(trades, quotes,
+      "key", "qkey", "t", "qt", "qt", direction = "forward")
+      .select("trade", "quote").as[(String, Option[String])].collect().toMap
+    assert(fwd("t1").contains("q_exact"))
+    assert(fwd("t2").contains("q_late"))
+    assert(fwd("t3").isEmpty)
+    // tolerance composes with forward (160 - 150 = 10 > 5 → null)
+    val fwdTol = graft.ops.AsOfJoinOps.asofJoin(trades, quotes,
+      "key", "qkey", "t", "qt", "qt", tolerance = Some(5L),
+      direction = "forward")
+      .select("trade", "quote").as[(String, Option[String])].collect().toMap
+    assert(fwdTol("t1").contains("q_exact") && fwdTol("t2").isEmpty)
+    // string-key path + a shared un-consumed match: both lefts at 90/95
+    // must match the SAME right row at 100
+    val sTrades = Seq(("a", 90L, "t1"), ("a", 95L, "t2"))
+      .toDF("key", "t", "trade")
+    val sQuotes = Seq(("a", 100L, "q1")).toDF("qkey", "qt", "quote")
+    val sOut = graft.ops.AsOfJoinOps.asofJoin(sTrades, sQuotes,
+      "key", "qkey", "t", "qt", "qt", direction = "forward")
+      .select("trade", "quote").as[(String, Option[String])].collect().toMap
+    assert(sOut("t1").contains("q1") && sOut("t2").contains("q1"),
+      "an un-consumed forward match serves every earlier left row")
+    // generic path (composite keys)
+    val gTrades = Seq((1L, 2L, 50L, "t1")).toDF("k1", "k2", "t", "trade")
+    val gQuotes = Seq((1L, 2L, 70L, "q1")).toDF("q1", "q2", "qt", "quote")
+    val gOut = graft.ops.AsOfJoinOps.asofJoinMulti(gTrades, gQuotes,
+      Seq("k1", "k2"), Seq("q1", "q2"), "t", "qt", "qt",
+      direction = "forward")
+      .select("trade", "quote").as[(String, Option[String])].collect().toMap
+    assert(gOut("t1").contains("q1"))
+  }
+
   test("generic path: string keys + timestamp times merge identically") {
     val trades = Seq(("alpha", "2020-01-01 10:00:00", "t1"),
       ("alpha", "2020-01-01 11:00:00", "t2"),
