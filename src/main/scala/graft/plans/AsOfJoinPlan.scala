@@ -131,7 +131,14 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val rTim = UnsafeProjection.create(Seq(rt), rightOut)
       val nullRight = new GenericInternalRow(rightOut.size)
       val joined = new JoinedRow
-      val out = UnsafeProjection.create(leftOut ++ rightOut, leftOut ++ rightOut)
+      // project through NULL-WIDENED right attrs on BOTH the projection
+      // list and the binding schema (BindReferences takes nullability from
+      // the input schema): binding the child's own attrs would inherit a
+      // non-nullable right child's nullability and read the null-pad row's
+      // fields as 0/garbage instead of null
+      val rightOutN = rightOut.map(_.withNullability(true))
+      val out = UnsafeProjection.create(
+        leftOut ++ rightOutN, leftOut ++ rightOutN)
       val rBuf = rIter.buffered
 
       if (forward && allLong) {
