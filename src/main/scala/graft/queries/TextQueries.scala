@@ -317,6 +317,52 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Model-based quality gate: a fixed-weight LINEAR scorer over the t2
+    // feature family (the shape of a trained quality classifier's serving
+    // path — weights would come from a model registry; the plumbing is
+    // identical). Raw score only, no sigmoid: exp() is transcendental and
+    // engine-divergent in the last ulp, a monotone logit threshold needs
+    // neither. Every feature is a ratio of exact per-row integers; the
+    // weighted sum applies the same op order in both engines. Narrow.
+    "t20_quality_logit" -> ((s, d) => {
+      Tables.fanout(Tables.documents(s, d))
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("sr",
+          wordSetCount(col("toks"), stopwords).cast("double") / col("n_tokens"))
+        .withColumn("pr",
+          punctCount(col("text")).cast("double") / length(col("text")))
+        .withColumn("mtl",
+          totalTokenLen(col("toks")).cast("double") / col("n_tokens"))
+        .withColumn("score",
+          lit(0.5) + col("sr") * 2.0 - col("pr") * 5.0 + col("mtl") * 0.1)
+        .select(col("doc_id"), round(col("score"), 6).as("quality_logit"),
+          (col("score") >= 0.9).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Adjacent-token-pair counting — the merge-candidate statistics a BPE
+    // trainer's first iteration computes (highest-count pair becomes the
+    // first merge rule). Pair explosion is pipeline-local (each row
+    // produces its own n-1 pairs); the groupBy partial-aggregates
+    // map-side, and the top-50 is a TakeOrderedAndProject on the total
+    // (cnt desc, pair) order.
+    "t21_bigram_counts" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      Tables.fanout(Tables.documents(s, d))
+        .withColumn("toks", toks)
+        .filter(size(col("toks")) > 1)
+        .select(col("doc_id"),
+          explode(zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => concat_ws("|", a, b))).as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(50)
+    }),
+
     // Fingerprinting: whole-document 60-bit md5 fingerprint + order-
     // sensitive rolling hash over the token stream.
     "t4_fingerprint" -> ((s, d) => {
@@ -531,6 +577,36 @@ object TextQueries {
          |                            ORDER BY score DESC, tok) AS rnk
          |  FROM scored)
          |SELECT doc_id, tok AS top_term, tf, df, round(score, 6) AS tfidf
-         |FROM ranked WHERE rnk = 1 ORDER BY doc_id""".stripMargin
+         |FROM ranked WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
+    "t20_quality_logit" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    len($dkToks) AS n_tokens,
+         |    len(list_filter($dkToks, t -> t IN ${dkWordSet(stopwords)}))
+         |      AS n_stop,
+         |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+         |      AS n_punct,
+         |    CAST(list_sum(list_transform($dkToks, t -> length(t))) AS BIGINT)
+         |      AS tot_len,
+         |    length(text) AS n_chars
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    0.5 + (CAST(n_stop AS DOUBLE) / n_tokens) * 2.0
+         |        - (CAST(n_punct AS DOUBLE) / n_chars) * 5.0
+         |        + (CAST(tot_len AS DOUBLE) / n_tokens) * 0.1 AS score
+         |  FROM f)
+         |SELECT doc_id, round(score, 6) AS quality_logit,
+         |       score >= 0.9 AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "t21_bigram_counts" ->
+      s"""WITH t AS (SELECT doc_id, $dkToks AS toks FROM documents),
+         |pairs AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, len(toks) - 1),
+         |      i -> toks[i] || '|' || toks[i + 1])) AS pair
+         |  FROM t WHERE len(toks) > 1)
+         |SELECT pair, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
+         |FROM pairs GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin
   )
 }
