@@ -42,7 +42,8 @@ object Bench {
     "n1_ann_bruteforce", "n2_ann_lsh", "n3_embedding_neardup",
     "n4_label_centroids", "n5_ivf_ann", "n6_kmeans", "n7_ivf_kmeans",
     "n8_quantize", "n9_knn_graph",
-    "m1_binary_meta", "m2_frame_windows", "m3_decode_features")
+    "m1_binary_meta", "m2_frame_windows", "m3_decode_features",
+    "m4_patch_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -35,6 +35,37 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // Patch-level dedup (duplicate-frame detection): tile each payload
+    // into fixed 32-byte patches, hash each, and report per-media patch
+    // counts, within-media distinct patches, and patches SHARED with
+    // another media (the cross-corpus signal a video pipeline uses to drop
+    // duplicated frames/stills). The patch explosion is pipeline-local;
+    // the cross-corpus step shuffles one 16-byte hash per patch — never
+    // payload bytes — and at 100 TB the hash table is the only thing that
+    // moves.
+    "m4_patch_dedup" -> ((s, d) => {
+      val media = asMediaRecords(Tables.documents(s, d), "doc_id", "text", "doc")
+      val patches = media
+        .select(col("media_id"),
+          explode(expr("sequence(0L, (byte_len - 1) DIV 32)")).as("pidx"),
+          col("payload"))
+        .select(col("media_id"),
+          md5(expr("substring(payload, CAST(pidx * 32 + 1 AS INT), 32)"))
+            .as("ph"))
+      val perMedia = patches.groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_patches"),
+          countDistinct(col("ph")).as("n_distinct"))
+      val global = patches.groupBy(col("ph"))
+        .agg(countDistinct(col("media_id")).as("nm"))
+      val shared = patches.select(col("media_id"), col("ph")).distinct()
+        .join(global.filter(col("nm") >= 2), "ph")
+        .groupBy(col("media_id")).agg(count(lit(1)).as("n_shared"))
+      perMedia.join(shared, Seq("media_id"), "left")
+        .select(col("media_id"), col("n_patches"), col("n_distinct"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+        .orderBy(col("media_id"))
+    }),
+
     // The mapPartitions decode path itself, oracle-checked: the stub's fake
     // features are pure md5-of-payload functions, so SQL can specify them
     // exactly — proving the typed imperative path (Dataset[MediaRecord] →
@@ -78,6 +109,27 @@ object MultimodalQueries {
         |  CAST(16 * (1 + ('0x' || substr(md5(text), 3, 2))::INT % 64) AS BIGINT) AS height,
         |  CAST(1 + ('0x' || substr(md5(text), 5, 2))::INT % 30 AS BIGINT) AS n_frames,
         |  md5(text) AS checksum
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // char-slicing == byte-slicing here for the same reason m2's oracle
+    // slices text: the corpus is ASCII, so substring(text, …) mirrors
+    // Spark's byte-offset substring on the encoded payload
+    "m4_patch_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id, text,
+        |    unnest(generate_series(0, (octet_length(encode(text)) - 1) // 32))
+        |      AS pidx
+        |  FROM documents),
+        |h AS (SELECT media_id, md5(substring(text, pidx * 32 + 1, 32)) AS ph
+        |      FROM p),
+        |g AS (SELECT ph, count(DISTINCT media_id) AS nm FROM h GROUP BY ph),
+        |dm AS (SELECT DISTINCT media_id, ph FROM h),
+        |m AS (SELECT media_id, count(*) AS n_patches,
+        |             count(DISTINCT ph) AS n_distinct
+        |      FROM h GROUP BY 1),
+        |s AS (SELECT dm.media_id, count(*) AS n_shared
+        |      FROM dm JOIN g ON dm.ph = g.ph WHERE g.nm >= 2 GROUP BY 1)
+        |SELECT m.media_id, m.n_patches, m.n_distinct,
+        |       coalesce(s.n_shared, 0) AS n_shared
+        |FROM m LEFT JOIN s USING (media_id) ORDER BY media_id""".stripMargin
   )
 }
