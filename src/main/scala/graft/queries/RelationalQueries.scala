@@ -757,6 +757,23 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Recursive CTE (Spark 4's WITH RECURSIVE): walk each customer's
+    // synthetic referral chain (parent = key/2, a binary tree — acyclic by
+    // construction, so UNION ALL recursion terminates in ⌈log₂ keys⌉
+    // iterations). Each recursion step is one self-join of the frontier —
+    // at scale the frontier shrinks geometrically and the loop is
+    // driver-coordinated exactly like connectedComponents.
+    "q46_recursive_cte" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_rec")
+      s.sql(
+        """WITH RECURSIVE anc(custkey, node, depth) AS (
+          |  SELECT c_custkey, c_custkey, 0 FROM customer_rec
+          |  UNION ALL
+          |  SELECT custkey, node DIV 2, depth + 1 FROM anc WHERE node >= 2)
+          |SELECT custkey, max(depth) AS chain_len, count(*) AS n_nodes
+          |FROM anc GROUP BY custkey ORDER BY custkey""".stripMargin)
+    }),
+
     // Histogram binning: fixed-width buckets from floor(price/width) —
     // pure per-row arithmetic (no width_bucket dependence), then one
     // map-side-combined agg; ~|buckets| rows shuffle. min/max of doubles
@@ -1144,6 +1161,13 @@ object RelationalQueries {
       """SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS bucket,
         |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q46_recursive_cte" ->
+      """WITH RECURSIVE anc(custkey, node, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM customer
+        |  UNION ALL
+        |  SELECT custkey, node // 2, depth + 1 FROM anc WHERE node >= 2)
+        |SELECT custkey, max(depth) AS chain_len, count(*) AS n_nodes
+        |FROM anc GROUP BY custkey ORDER BY custkey""".stripMargin,
     "q45_asof_forward" ->
       """WITH cl AS (
         |  SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events
