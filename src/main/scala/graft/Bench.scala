@@ -19,7 +19,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "s1_cast_projection", "s2_json_extract_filter", "s3_base64_roundtrip",
     "s4_array_index", "s5_split_year", "s6_inner_join", "s7_to_json",
-    "s8_decode_chain",
+    "s8_decode_chain", "s9_variant_extract",
     "q1_pricing_summary", "q2_star_join_revenue", "q3_top_orders",
     "q4_semi_join", "q5_anti_join", "q6_distinct", "q7_set_ops", "q8_rollup",
     "q9_window_running", "q10_count_distinct", "q11_tumbling_window",

@@ -116,6 +116,21 @@ object StediQueries {
         array(struct(base64(customerJson.cast("binary")).as("element"),
           lit("0.0").as("score"))).as("zSetEntries"))).as("value"))
       graft.stedi.Pipelines.p1CustomerDecode(envelopes).orderBy(col("email"))
+    }),
+
+    // Semi-structured VARIANT ingestion (Spark 4's open-ended-schema path,
+    // the modern answer to the reference's hand-declared StructTypes):
+    // parse the props JSON into VariantType, shred `$.k` out with a typed
+    // variant_get, aggregate exactly. At scale variant columns keep the
+    // binary-encoded value columnar and push the shredding into the scan.
+    "s9_variant_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .selectExpr("event_type",
+          "variant_get(parse_json(props), '$.k', 'long') AS k")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -150,6 +165,12 @@ object StediQueries {
     "s8_decode_chain" ->
       """SELECT c_name || '@test.com' AS email,
         |       '19' || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') AS birthYear
-        |FROM customer ORDER BY email""".stripMargin
+        |FROM customer ORDER BY email""".stripMargin,
+    "s9_variant_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
