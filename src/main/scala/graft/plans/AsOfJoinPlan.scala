@@ -53,6 +53,9 @@ import org.apache.spark.sql.execution.SparkStrategy
   * Forward needs no held state at all: rows strictly before the left time
   * are discarded (later left rows are only later), and the match is a pure
   * peek — the next left row may match the same un-consumed right row.
+  * "nearest" picks whichever of the backward-held row and the forward peek
+  * is closer in time (equal distance → backward, pandas semantics;
+  * tolerance bounds BOTH sides; long-backed time required).
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
@@ -117,13 +120,20 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     require(rt.dataType == timeType, s"time types differ: $timeType vs ${rt.dataType}")
     require(tolerance.isEmpty || longBacked(timeType),
       s"tolerance needs a long-backed time column, got $timeType")
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward|forward, got $direction")
+    require(direction == "backward" || direction == "forward" ||
+      direction == "nearest",
+      s"direction must be backward|forward|nearest, got $direction")
+    require(direction != "nearest" || longBacked(timeType),
+      s"nearest direction needs a long-backed time column, got $timeType")
     // tolerance gate: held match must be within `tol` of the left time
     // (inclusive, pandas merge_asof semantics); Long.MaxValue = no bound.
     // NULL-time rows follow the documented filter-upstream contract.
     val tol = tolerance.getOrElse(Long.MaxValue)
     val forward = direction == "forward"
+    // nearest rides the BACKWARD loops: after the advance, `held` is the
+    // backward candidate and the un-consumed head (same key, time > t) is
+    // the forward one — pick the closer, ties to backward (pandas).
+    val nearest = direction == "nearest"
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKey = UnsafeProjection.create(lks, leftOut)
       val lTim = UnsafeProjection.create(Seq(lt), leftOut)
@@ -228,8 +238,17 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               }
             } else advancing = false
           }
-          val r = if (heldValid && heldKey == k && t - heldTime <= tol) held
+          val bwdOk = heldValid && heldKey == k && t - heldTime <= tol
+          val r = if (nearest) {
+            val fwdOk = rBuf.hasNext && rKey(rBuf.head).getLong(0) == k &&
+              rTim(rBuf.head).getLong(0) - t <= tol
+            if (bwdOk && fwdOk) {
+              if (t - heldTime <= rTim(rBuf.head).getLong(0) - t) held
+              else rBuf.head
+            } else if (bwdOk) held
+            else if (fwdOk) rBuf.head
             else nullRight
+          } else if (bwdOk) held else nullRight
           out(joined(lRow, r))
         }
       } else if (stringKeyLongTime) {
@@ -268,7 +287,18 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               }
             } else advancing = false
           }
-          val r = if (heldValid && t - heldTime <= tol) held else nullRight
+          val bwdOk = heldValid && t - heldTime <= tol
+          val r = if (nearest) {
+            val fwdOk = rBuf.hasNext &&
+              cmpKey(rKey(rBuf.head).getUTF8String(0), k) == 0 &&
+              rTim(rBuf.head).getLong(0) - t <= tol
+            if (bwdOk && fwdOk) {
+              if (t - heldTime <= rTim(rBuf.head).getLong(0) - t) held
+              else rBuf.head
+            } else if (bwdOk) held
+            else if (fwdOk) rBuf.head
+            else nullRight
+          } else if (bwdOk) held else nullRight
           out(joined(lRow, r))
         }
       } else {
@@ -280,9 +310,11 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           .createNaturalAscendingOrdering(keyTypes)
         val timeOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
           .createNaturalAscendingOrdering(Seq(timeType))
-        // tolerance (long-backed time required, see the require above) is
-        // tracked as a primitive beside the generic-ordering compares
+        // tolerance/nearest (long-backed time required, see the requires
+        // above) track the held time as a primitive beside the
+        // generic-ordering compares
         val checkTol = tolerance.isDefined
+        val trackTime = checkTol || nearest
         var heldKey: InternalRow = null  // copy of the held right row's key
         var heldTime = 0L
         var held: InternalRow = null
@@ -299,14 +331,25 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             if (c < 0 || (c == 0 && timeOrd.compare(rTim(peek), t) <= 0)) {
               val row = rBuf.next()
               if (c == 0) {
-                if (checkTol) heldTime = rTim(row).getLong(0)
+                if (trackTime) heldTime = rTim(row).getLong(0)
                 held = row.copy(); heldKey = k.copy()
               }
             } else advancing = false
           }
-          val r = if (held != null &&
-              (!checkTol || t.getLong(0) - heldTime <= tol)) held
+          val bwdOk = held != null &&
+            (!checkTol || t.getLong(0) - heldTime <= tol)
+          val r = if (nearest) {
+            val tL = t.getLong(0)
+            val fwdOk = rBuf.hasNext &&
+              keyOrd.compare(rKey(rBuf.head), k) == 0 &&
+              rTim(rBuf.head).getLong(0) - tL <= tol
+            if (bwdOk && fwdOk) {
+              if (tL - heldTime <= rTim(rBuf.head).getLong(0) - tL) held
+              else rBuf.head
+            } else if (bwdOk) held
+            else if (fwdOk) rBuf.head
             else nullRight
+          } else if (bwdOk) held else nullRight
           out(joined(lRow, r))
         }
       }

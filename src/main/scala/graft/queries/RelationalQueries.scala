@@ -493,6 +493,25 @@ object RelationalQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Nearest-direction as-of (merge_asof direction='nearest'): the click
+    // CLOSEST in time to each error, either side, within ±45 minutes;
+    // equal distance resolves backward (pandas). Rides the backward merge
+    // with a one-row forward peek — still O(1) state.
+    "q47_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("cts"))
+      graft.ops.AsOfJoinOps.asofJoin(errors, clicks,
+          "user_id", "c_user", "ts", "cts", "click_id",
+          tolerance = Some(45L * 60L * 1000000L), direction = "nearest")
+        .select(col("event_id"), col("user_id"),
+          col("click_id").as("near_click_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // Latest-record-wins dedup (CDC compaction / upsert materialization):
     // one row per (user_id, event_type) — the newest by (ts, event_id).
     // row_number-over-desc-order is the standard batch form; the streaming
@@ -1168,6 +1187,27 @@ object RelationalQueries {
         |  SELECT custkey, node // 2, depth + 1 FROM anc WHERE node >= 2)
         |SELECT custkey, max(depth) AS chain_len, count(*) AS n_nodes
         |FROM anc GROUP BY custkey ORDER BY custkey""".stripMargin,
+    // tiebreak encodes the exec's per-side resolution: equal distance →
+    // backward; among equal-time backward rows the LARGEST id, forward the
+    // SMALLEST
+    "q47_asof_nearest" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events
+        |  WHERE event_type = 'error'),
+        |c AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT e.event_id, e.user_id, l.click_id AS near_click_id
+        |FROM e LEFT JOIN LATERAL (
+        |  SELECT c.event_id AS click_id FROM c
+        |  WHERE c.user_id = e.user_id
+        |    AND abs(epoch_us(c.ts - e.ts)) <= 2700000000::BIGINT
+        |  ORDER BY abs(epoch_us(c.ts - e.ts)) ASC,
+        |           (c.ts > e.ts) ASC,
+        |           CASE WHEN c.ts <= e.ts THEN -c.event_id
+        |                ELSE c.event_id END ASC
+        |  LIMIT 1) l ON true
+        |ORDER BY e.event_id""".stripMargin,
     "q45_asof_forward" ->
       """WITH cl AS (
         |  SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events

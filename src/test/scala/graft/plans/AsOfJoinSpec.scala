@@ -125,6 +125,46 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(gOut("t1").contains("q1"))
   }
 
+  test("nearest direction picks the closer side, ties to backward") {
+    val trades = Seq((1L, 100L, "t1"), (1L, 107L, "t2"), (2L, 50L, "t3"),
+      (3L, 10L, "t4"))
+      .toDF("key", "t", "trade")
+    val quotes = Seq((1L, 95L, "q_back"), (1L, 110L, "q_fwd"),
+      (2L, 45L, "q_b"), (2L, 55L, "q_f"))
+      .toDF("qkey", "qt", "quote")
+    // t1: back dist 5 < fwd dist 10 → q_back; t2: back 12 > fwd 3 → q_fwd;
+    // t3: EQUAL dist 5/5 → backward wins; t4: no quote at all → null
+    val near = graft.ops.AsOfJoinOps.asofJoin(trades, quotes,
+      "key", "qkey", "t", "qt", "qt", direction = "nearest")
+      .select("trade", "quote").as[(String, Option[String])].collect().toMap
+    assert(near("t1").contains("q_back"))
+    assert(near("t2").contains("q_fwd"))
+    assert(near("t3").contains("q_b"), "equal distance resolves backward")
+    assert(near("t4").isEmpty)
+    // tolerance bounds BOTH sides: ±4 leaves t1 (5 back, 10 fwd) unmatched
+    // but t2 (3 fwd) matched
+    val nearTol = graft.ops.AsOfJoinOps.asofJoin(trades, quotes,
+      "key", "qkey", "t", "qt", "qt", tolerance = Some(4L),
+      direction = "nearest")
+      .select("trade", "quote").as[(String, Option[String])].collect().toMap
+    assert(nearTol("t1").isEmpty && nearTol("t2").contains("q_fwd"))
+    // string-key and generic (composite-key) paths
+    val sOut = graft.ops.AsOfJoinOps.asofJoin(
+      Seq(("a", 100L, "t1")).toDF("key", "t", "trade"),
+      Seq(("a", 90L, "qb"), ("a", 103L, "qf")).toDF("qkey", "qt", "quote"),
+      "key", "qkey", "t", "qt", "qt", direction = "nearest")
+      .select("trade", "quote").as[(String, Option[String])].collect().toMap
+    assert(sOut("t1").contains("qf"))
+    val gOut = graft.ops.AsOfJoinOps.asofJoinMulti(
+      Seq((1L, 1L, 100L, "t1")).toDF("k1", "k2", "t", "trade"),
+      Seq((1L, 1L, 104L, "qf"), (1L, 1L, 90L, "qb"))
+        .toDF("q1", "q2", "qt", "quote"),
+      Seq("k1", "k2"), Seq("q1", "q2"), "t", "qt", "qt",
+      direction = "nearest")
+      .select("trade", "quote").as[(String, Option[String])].collect().toMap
+    assert(gOut("t1").contains("qf"))
+  }
+
   test("generic path: string keys + timestamp times merge identically") {
     val trades = Seq(("alpha", "2020-01-01 10:00:00", "t1"),
       ("alpha", "2020-01-01 11:00:00", "t2"),
