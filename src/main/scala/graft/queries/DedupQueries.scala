@@ -112,6 +112,39 @@ object DedupQueries {
       nNodes.crossJoin(nEdges).crossJoin(tri)
     }),
 
+    // Per-node graph statistics over the near-dup graph: degree, 2-hop
+    // reach (friends-of-friends not already adjacent), and triangles
+    // through each node — the signals that rank a component's CANONICAL
+    // keeper by centrality instead of min-id, all exact integers. Three
+    // edge-keyed shuffles; the 2-hop expansion is the only super-linear
+    // term and is bounded by Σdeg² (the same budget the pair join already
+    // paid). Bench-excluded like d4/d6-d8.
+    "d9_graph_stats" -> ((s, d) => {
+      val df = docs(s, d).withColumn("hs", tokenHashes(tokens(col("text"))))
+      val edges = simhashPairs(simhashBands(df, simhash32(col("hs"))), MaxHamming)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val adj = edges
+        .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("u", "v")
+      val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("degree"))
+      val hop2 = adj.toDF("u", "mid")
+        .join(adj.toDF("mid", "v"), "mid")
+        .filter(col("v") =!= col("u"))
+        .select(col("u"), col("v")).distinct()
+        .join(adj, Seq("u", "v"), "left_anti")
+        .groupBy(col("u")).agg(count(lit(1)).as("n_2hop"))
+      val tri = adj.toDF("u", "v1")
+        .join(adj.toDF("u", "v2"), "u")
+        .filter(col("v1") < col("v2"))
+        .join(edges, col("v1") === col("doc_a") && col("v2") === col("doc_b"))
+        .groupBy(col("u")).agg(count(lit(1)).as("n_tri"))
+      deg.join(hop2, Seq("u"), "left").join(tri, Seq("u"), "left")
+        .select(col("u").as("doc_id"), col("degree"),
+          coalesce(col("n_2hop"), lit(0L)).as("n_2hop"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Scalable dedup groups: connected components over the SimHash pair
     // graph (d6 runs the same min-label propagation over the exact-Jaccard
     // graph, which is quadratic to build; THIS is the 100 TB composition —
@@ -331,6 +364,41 @@ object DedupQueries {
          |     UNION ALL SELECT doc_b FROM edges)) AS n_nodes,
          |  (SELECT count(*) FROM edges) AS n_edges,
          |  n_triangles
-         |FROM tri""".stripMargin
+         |FROM tri""".stripMargin,
+    "d9_graph_stats" ->
+      s"""WITH h AS (SELECT doc_id, $dkTokenHashes AS hs FROM documents),
+         |sh AS (SELECT doc_id, $dkSimhashExpr AS simhash FROM h),
+         |bands AS (
+         |  SELECT doc_id, simhash, b.band_idx,
+         |         (simhash >> (b.band_idx * 8)) & 255 AS band_val
+         |  FROM sh, (SELECT unnest([0,1,2,3]) AS band_idx) b),
+         |edges AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM bands l JOIN bands r
+         |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+         |   AND l.doc_id < r.doc_id
+         |  WHERE bit_count(xor(l.simhash, r.simhash)) <= $MaxHamming),
+         |adj AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM edges
+         |  UNION ALL SELECT doc_b, doc_a FROM edges),
+         |deg AS (SELECT u, count(*) AS degree FROM adj GROUP BY u),
+         |twohop AS (
+         |  SELECT a1.u, count(DISTINCT a2.v) AS n_2hop
+         |  FROM adj a1 JOIN adj a2 ON a1.v = a2.u
+         |  WHERE a2.v <> a1.u
+         |    AND NOT EXISTS (SELECT 1 FROM adj d
+         |                    WHERE d.u = a1.u AND d.v = a2.v)
+         |  GROUP BY a1.u),
+         |tri AS (
+         |  SELECT a1.u, count(*) AS n_tri
+         |  FROM adj a1 JOIN adj a2 ON a1.u = a2.u AND a1.v < a2.v
+         |  JOIN edges e ON e.doc_a = a1.v AND e.doc_b = a2.v
+         |  GROUP BY a1.u)
+         |SELECT d.u AS doc_id, d.degree,
+         |       coalesce(t2.n_2hop, 0) AS n_2hop,
+         |       coalesce(t.n_tri, 0) AS n_tri
+         |FROM deg d LEFT JOIN twohop t2 ON t2.u = d.u
+         |LEFT JOIN tri t ON t.u = d.u
+         |ORDER BY doc_id""".stripMargin
   )
 }
