@@ -239,6 +239,28 @@ object DedupOps {
     labels
   }
 
+  /** Canonical keeper by CENTRALITY instead of min-id: each component's
+    * keeper is its highest-degree member (tie → smallest doc_id) — in a
+    * near-dup cluster the most-connected document is the best
+    * representative (closest to every variant), where min-id is arbitrary.
+    * Cost over [[connectedComponents]]: one degree aggregation + one
+    * |components|-row argmax — both map-side-combined; the component loop
+    * dominates unchanged. Returns (doc_id, degree, keeper). */
+  def centralCanonical(pairs: DataFrame, docs: DataFrame,
+      uncheckedRounds: Int = 0): DataFrame = {
+    val labels = connectedComponents(pairs, docs,
+      uncheckedRounds = uncheckedRounds)
+    val deg = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    val m = labels.join(deg, Seq("doc_id"), "left")
+      .withColumn("degree", coalesce(col("degree"), lit(0L)))
+    val k = m.groupBy(col("canon_id"))
+      .agg(expr("max_by(doc_id, struct(degree, -doc_id))").as("keeper"))
+    m.join(k, "canon_id")
+      .select(col("doc_id"), col("degree"), col("keeper"))
+  }
+
   /** Distinct-token 60-bit hash array (materialize once — md5 per token is
     * the expensive part; SimHash reuses it). Compiled kernel, bit-identical
     * to `transform(array_distinct(toks), hash60)`. Order-insensitive

@@ -145,6 +145,19 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Centrality-chosen canonical keeper: d7's components re-keyed so each
+    // cluster keeps its highest-degree member (tie → min id) — the
+    // "most representative variant" policy, composed from components + d9's
+    // degree signal. Bench-excluded like d6/d7 (same iterative loop).
+    "d10_central_keeper" -> ((s, d) => {
+      val df = docs(s, d).withColumn("hs", tokenHashes(tokens(col("text"))))
+      val pairs = simhashPairs(simhashBands(df, simhash32(col("hs"))), MaxHamming)
+        .select(col("doc_a"), col("doc_b"))
+      centralCanonical(pairs, docs(s, d).select(col("doc_id")),
+          uncheckedRounds = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // Scalable dedup groups: connected components over the SimHash pair
     // graph (d6 runs the same min-label propagation over the exact-Jaccard
     // graph, which is quadratic to build; THIS is the 100 TB composition —
@@ -305,9 +318,30 @@ object DedupQueries {
        |  GROUP BY d.doc_id)
        |SELECT doc_id, canon_id FROM canon ORDER BY doc_id""".stripMargin
 
+  /** d7's transitive-closure CTEs + degree argmax: the keeper is the
+    * max-degree (tie min-id) member of each component. */
+  private val dkCentralKeeper: String = {
+    val base = dkSimhashGroups
+      .replace("SELECT doc_id, canon_id FROM canon ORDER BY doc_id", "")
+      .trim // now ends at the canon CTE's closing paren
+    s"""$base,
+       |deg AS (SELECT src AS doc_id, count(*) AS degree FROM edges
+       |        GROUP BY src),
+       |m AS (SELECT c.doc_id, c.canon_id, coalesce(g.degree, 0) AS degree
+       |      FROM canon c LEFT JOIN deg g USING (doc_id)),
+       |k AS (SELECT canon_id, doc_id AS keeper FROM (
+       |        SELECT canon_id, doc_id,
+       |               ROW_NUMBER() OVER (PARTITION BY canon_id
+       |                                  ORDER BY degree DESC, doc_id) AS rn
+       |        FROM m) WHERE rn = 1)
+       |SELECT m.doc_id, m.degree, k.keeper
+       |FROM m JOIN k USING (canon_id) ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "d6_dedup_groups" -> dkDedupGroups,
     "d7_simhash_groups" -> dkSimhashGroups,
+    "d10_central_keeper" -> dkCentralKeeper,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id,
         |       COUNT(*) AS n_copies

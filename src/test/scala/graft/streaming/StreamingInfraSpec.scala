@@ -162,6 +162,37 @@ class StreamingInfraSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("chained stateful operators: dedup then windowed agg in one query") {
+    // Spark 4 allows multiple stateful operators in one streaming query
+    // (watermark propagates between them) — the curation shape "dedup the
+    // firehose, THEN aggregate per window" without an intermediate topic
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = in.toDF().toDF("ts", "text")
+      .withColumn("content_md5", md5(col("text").cast("binary")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("content_md5")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_unique"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("chained_stateful").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    try {
+      in.addData((ts(1, 0), "a"), (ts(1, 1), "a"), (ts(1, 2), "b"),
+        (ts(1, 3), "b"), (ts(1, 4), "c"))
+      q.processAllAvailable()
+      in.addData((ts(3, 0), "z")) // advance watermark past window 01:00
+      q.processAllAvailable()
+      in.addData((ts(3, 30), "z2")) // second tick flushes the window agg
+      q.processAllAvailable()
+      val rows = spark.table("chained_stateful")
+        .select(col("window.start").cast("string"), col("n_unique"))
+        .as[(String, Long)].collect().toMap
+      assert(rows.get("2024-01-01 01:00:00").contains(3L),
+        s"the window must count DEDUPED rows, not raw arrivals: $rows")
+    } finally q.stop()
+  }
+
   test("stream-static join: incoming docs probe a static LSH band index") {
     // the streaming near-dup pattern: the corpus's MinHash band index is a
     // STATIC table (rebuilt offline); each micro-batch of new docs computes
