@@ -32,7 +32,8 @@ object Bench {
     "q35_bit_agg", "q36_unpivot", "q37_range_band", "q38_dist_windows",
     "q39_gapfill", "q40_cross_join", "q41_histogram", "q42_scd2",
     "q43_zorder", "q44_asof_tolerance", "q45_asof_forward",
-    "q46_recursive_cte", "q47_asof_nearest",
+    "q46_recursive_cte", "q47_asof_nearest", "q48_share_of_total",
+    "q49_filtered_agg",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_regex_tokens", "t6_string_funcs", "t7_array_funcs", "t8_explode",
     "t9_regex_extract", "t10_normalize", "t11_hash_split",
@@ -40,6 +41,7 @@ object Bench {
     "t16_stratified_sample", "t17_chunking", "t18_edit_distance",
     "t19_tfidf", "t20_quality_logit", "t21_bigram_counts",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
+    "d11_containment",
     "n1_ann_bruteforce", "n2_ann_lsh", "n3_embedding_neardup",
     "n4_label_centroids", "n5_ivf_ann", "n6_kmeans", "n7_ivf_kmeans",
     "n8_quantize", "n9_knn_graph",

@@ -99,6 +99,26 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"), col("jaccard"))
   }
 
+  /** Containment verify (asymmetric near-dup): inter / min(|A|, |B|) —
+    * catches a short document QUOTED inside a long one, which symmetric
+    * Jaccard dilutes below any workable threshold (inter/union shrinks as
+    * the long side grows; inter/min does not). Same join shape and cost as
+    * [[jaccardVerifyArrays]]. */
+  def containmentVerifyArrays(pairs: DataFrame, shingleArr: DataFrame): DataFrame = {
+    val sets = shingleArr.select(col("doc_id"),
+      array_distinct(col("sh_arr")).as("sh_set"))
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh_set").as("set_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh_set").as("set_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("n_a", size(col("set_a")).cast("long"))
+      .withColumn("n_b", size(col("set_b")).cast("long"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n_a"), col("n_b")))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"),
+        col("containment"))
+  }
+
   /** LSH banding: (doc_id, band_idx, band_hash) — band_hash is md5 of the
     * band's R concatenated minhashes. Docs sharing any band collide. */
   def lshBands(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {

@@ -19,6 +19,7 @@ object DedupQueries {
   val Bands = 4
   val RowsPerBand = 4
   val JaccardTau = 0.5
+  val ContainTau = 0.6
   val MaxHamming = 3  // ≤3 with 4 byte-bands ⇒ banding is EXACT (pigeonhole: some band survives)
 
   private def docs(s: SparkSession, d: String) =
@@ -143,6 +144,24 @@ object DedupQueries {
           coalesce(col("n_2hop"), lit(0L)).as("n_2hop"),
           coalesce(col("n_tri"), lit(0L)).as("n_tri"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Asymmetric containment near-dup (quote/subset detection): the same
+    // LSH candidates as d2, verified by inter/min(|A|,|B|) instead of
+    // Jaccard — a short doc embedded in a long one scores ~1.0 here while
+    // its Jaccard dilutes to ~|short|/|long|. Recall caveat shared with
+    // every MinHash+containment combo: banding collides by JACCARD, so
+    // extreme-ratio subsets need the long side's bands probed per shingle
+    // window at scale.
+    "d11_containment" -> ((s, d) => {
+      val arr = shingleArrays(docs(s, d))
+      val sig = minhashSignatureNarrow(arr, NumHashes)
+      val pairs = candidatePairs(lshBands(sig, Bands, RowsPerBand))
+      containmentVerifyArrays(pairs, arr)
+        .filter(col("containment") >= ContainTau)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"),
+          col("n_b"), round(col("containment"), 4).as("containment"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }),
 
     // Centrality-chosen canonical keeper: d7's components re-keyed so each
@@ -338,10 +357,30 @@ object DedupQueries {
        |FROM m JOIN k USING (canon_id) ORDER BY doc_id""".stripMargin
   }
 
+  /** d2's LSH-candidate CTEs with the containment verify tail. */
+  private val dkContainment: String =
+    dkMinhashLsh.replace(dkJaccardTail,
+      s"""sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+         |  FROM pairs p
+         |  JOIN shingled a ON a.doc_id = p.doc_a
+         |  JOIN shingled b ON b.doc_id = p.doc_b AND b.sh = a.sh
+         |  GROUP BY p.doc_a, p.doc_b)
+         |SELECT i.doc_a, i.doc_b, i.inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+         |  round(CAST(i.inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 4)
+         |    AS containment
+         |FROM inter i
+         |JOIN sizes sa ON sa.doc_id = i.doc_a
+         |JOIN sizes sb ON sb.doc_id = i.doc_b
+         |WHERE CAST(i.inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= $ContainTau
+         |ORDER BY doc_a, doc_b""".stripMargin)
+
   val oracles: Map[String, String] = Map(
     "d6_dedup_groups" -> dkDedupGroups,
     "d7_simhash_groups" -> dkSimhashGroups,
     "d10_central_keeper" -> dkCentralKeeper,
+    "d11_containment" -> dkContainment,
     "d1_exact_dedup" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id,
         |       COUNT(*) AS n_copies

@@ -793,6 +793,42 @@ object RelationalQueries {
           |FROM anc GROUP BY custkey ORDER BY custkey""".stripMargin)
     }),
 
+    // Share-of-total (ratio_to_report): each priority's revenue share of
+    // the grand total via an unpartitioned DECIMAL window sum — exact, so
+    // the double division is engine-portable (a double window sum would be
+    // accumulation-order nondeterministic). The window sees only
+    // |groups| rows, never the fact table.
+    "q48_share_of_total" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.fanout(Tables.orders(s, d))
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("SUM(CAST(o_totalprice AS DECIMAL(18,4)))").as("rev_dec"),
+          count(lit(1)).as("n"))
+        .withColumn("total_dec",
+          sum(col("rev_dec")).over(Window.partitionBy()))
+        .select(col("o_orderpriority"), col("n"),
+          round(col("rev_dec").cast("double"), 2).as("revenue"),
+          round(col("rev_dec").cast("double") / col("total_dec").cast("double"),
+            6).as("rev_share"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Conditional aggregation with the SQL FILTER clause — per-group
+    // metrics over different predicates in ONE pass (no self-joins, no
+    // CASE pyramids); each FILTER fuses into the same partial aggregate.
+    "q49_filtered_agg" -> ((s, d) => {
+      Tables.fanout(Tables.lineitem(s, d)).createOrReplaceTempView("lineitem_f")
+      s.sql(
+        """SELECT l_returnflag,
+          |  count(*) AS n_all,
+          |  count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+          |  count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+          |       FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS qty_taxed
+          |FROM lineitem_f GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+    }),
+
     // Histogram binning: fixed-width buckets from floor(price/width) —
     // pure per-row arithmetic (no width_bucket dependence), then one
     // map-side-combined agg; ~|buckets| rows shuffle. min/max of doubles
@@ -1180,6 +1216,26 @@ object RelationalQueries {
       """SELECT CAST(floor(o_totalprice / 20000) AS BIGINT) AS bucket,
         |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q48_share_of_total" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev_dec,
+        |         count(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, n,
+        |  round(CAST(rev_dec AS DOUBLE), 2) AS revenue,
+        |  round(CAST(rev_dec AS DOUBLE) /
+        |        CAST(SUM(rev_dec) OVER () AS DOUBLE), 6) AS rev_share
+        |FROM g ORDER BY o_orderpriority""".stripMargin,
+    "q49_filtered_agg" ->
+      """SELECT l_returnflag,
+        |  count(*) AS n_all,
+        |  count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+        |  count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+        |       FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS qty_taxed
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q46_recursive_cte" ->
       """WITH RECURSIVE anc(custkey, node, depth) AS (
         |  SELECT c_custkey, c_custkey, 0 FROM customer
