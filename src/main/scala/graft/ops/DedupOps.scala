@@ -281,6 +281,47 @@ object DedupOps {
       .select(col("doc_id"), col("degree"), col("keeper"))
   }
 
+  /** Fixed-iteration PageRank over the undirected pair graph (per-node
+    * teleport form: rank = (1−d) + d·Σ rank(nbr)/deg(nbr)) — the
+    * centrality signal beyond [[centralCanonical]]'s raw degree (a node
+    * bridging two cliques outranks an equal-degree node inside one).
+    * Spec-verified (`DedupSpec`), not oracle-gated: double summation order
+    * differs across engines/partitionings in the last ulp, which the
+    * hash-exact gate can't tolerate and rounding can't fully mask.
+    * Same scale shape as [[connectedComponents]]: edges persist once, each
+    * round is one edge-keyed join + one node-keyed agg, lineage truncated
+    * per round. */
+  def pageRank(pairs: DataFrame, docs: DataFrame, iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+    var ranks = docs.select(col("doc_id"), lit(1.0).as("rank"))
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
+    var i = 0
+    while (i < iters) {
+      val contribs = edges
+        .join(ranks, edges("src") === ranks("doc_id"))
+        .join(deg, "src")
+        .select(col("dst"), (col("rank") / col("degree")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      val next = docs.select(col("doc_id"))
+        .join(contribs, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"),
+          (lit(1.0 - damping) +
+            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
+        .localCheckpoint(eager = true)
+      prevCkpt.foreach(_.unpersist(blocking = false))
+      prevCkpt = org.apache.spark.sql.graftbridge.Bridge.checkpointedRdd(next)
+      ranks = next
+      i += 1
+    }
+    edges.unpersist()
+    ranks
+  }
+
   /** Distinct-token 60-bit hash array (materialize once — md5 per token is
     * the expensive part; SimHash reuses it). Compiled kernel, bit-identical
     * to `transform(array_distinct(toks), hash60)`. Order-insensitive

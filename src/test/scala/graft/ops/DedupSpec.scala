@@ -94,6 +94,42 @@ class DedupSpec extends SparkSpecBase {
     assert(canon == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("central keeper: max-degree member represents each component") {
+    // component {1,2,3,4}: 2 has degree 3 (hub), others 1; component {7,9}
+    // tie at degree 1 → min id 7; isolated 5 keeps itself
+    val pairs = Seq((1L, 2L), (2L, 3L), (2L, 4L), (7L, 9L))
+      .toDF("doc_a", "doc_b")
+    val ds = Seq(1L, 2L, 3L, 4L, 5L, 7L, 9L).toDF("doc_id")
+    val out = centralCanonical(pairs, ds)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, deg, keeper) => id -> (deg, keeper) }.toMap
+    assert(out(2L) == ((3L, 2L)) && out(1L) == ((1L, 2L)) &&
+      out(3L) == ((1L, 2L)) && out(4L) == ((1L, 2L)),
+      s"hub 2 must keep its component: $out")
+    assert(out(7L) == ((1L, 7L)) && out(9L) == ((1L, 7L)),
+      "degree tie resolves to min id")
+    assert(out(5L) == ((0L, 5L)), "isolated node keeps itself")
+  }
+
+  test("pagerank: hubs outrank leaves, isolated nodes sit at 1-d") {
+    // star 1..5 centered on 2, plus the 7-9 pair and isolated 5... keys:
+    // star {1,2,3,4} hub 2; pair {7,9}; isolated {5}
+    val pairs = Seq((1L, 2L), (2L, 3L), (2L, 4L), (7L, 9L))
+      .toDF("doc_a", "doc_b")
+    val ds = Seq(1L, 2L, 3L, 4L, 5L, 7L, 9L).toDF("doc_id")
+    val pr = pageRank(pairs, ds, iters = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(pr(2L) > pr(1L) && pr(2L) > pr(3L) && pr(2L) > pr(4L),
+      s"hub must outrank leaves: $pr")
+    assert(math.abs(pr(5L) - 0.15) < 1e-12, "isolated node = 1-d teleport")
+    assert(math.abs(pr(7L) - pr(9L)) < 1e-9, "symmetric pair ranks equal")
+    assert(math.abs(pr(7L) - 1.0) < 1e-6,
+      "a symmetric 2-cycle is a fixpoint at rank 1")
+    // leaves of the star are symmetric
+    assert(math.abs(pr(1L) - pr(3L)) < 1e-9 &&
+      math.abs(pr(1L) - pr(4L)) < 1e-9)
+  }
+
   test("shingles fall back to whole text for <3-token docs") {
     val sh = explodedShingles(docs.filter(col("doc_id") === 4))
       .select("sh").as[String].collect()
