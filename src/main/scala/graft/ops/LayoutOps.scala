@@ -44,4 +44,35 @@ object LayoutOps {
       .sortWithinPartitions(col("__zkey"))
       .drop("__zkey")
   }
+
+  /** Compaction result: input/output file counts and the bytes seen. */
+  final case class CompactStats(filesBefore: Int, bytesBefore: Long,
+      filesOut: Int)
+
+  /** Small-file compaction (the lakehouse maintenance job): rewrite a
+    * parquet directory's many small files as ⌈bytes/target⌉ right-sized
+    * ones. Streaming sinks and fine-grained ingest produce file counts
+    * that grow per-batch; at 100 TB the *file count*, not the bytes, is
+    * what kills scan planning (one task + one open per file, NameNode/
+    * listing pressure). Output goes to `outDir` — production swaps it in
+    * atomically (rename/metastore pointer flip); compact-in-place would
+    * lose data on failure mid-write.
+    *
+    * Sizing note: ⌈on-disk bytes/target⌉ partitions each re-encode to
+    * roughly `target` because compaction preserves encoding ratios —
+    * that heuristic needs no second pass over the data. */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
+      outDir: String, targetBytes: Long): CompactStats = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val bytes = files.map(_.getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1L) / targetBytes).toInt
+    spark.read.parquet(dir).repartition(nOut)
+      .write.mode("overwrite").parquet(outDir)
+    val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    CompactStats(files.length, bytes, outFiles)
+  }
 }

@@ -31,6 +31,20 @@ class LayoutSpec extends SparkSpecBase {
     assert(got.map(_._3).distinct.length == pts.length)
   }
 
+  test("compaction collapses a small-file directory, content-preserving") {
+    val dir = java.nio.file.Files.createTempDirectory("compact-in").toString
+    val out = java.nio.file.Files.createTempDirectory("compact-out").toString + "/c"
+    // many single-row files — the streaming-sink pathology (AQE may
+    // coalesce some of the round-robin partitions; fragmentation is what
+    // matters, not the exact count)
+    spark.range(40).repartition(40).write.mode("overwrite").parquet(dir)
+    val stats = LayoutOps.compactParquet(spark, dir, out, targetBytes = 1L << 20)
+    assert(stats.filesBefore >= 10, s"fixture must fragment: $stats")
+    assert(stats.filesOut == 1, s"tiny input compacts to one file: $stats")
+    val got = spark.read.parquet(out).as[Long].collect().sorted.toSeq
+    assert(got == (0L until 40L).toSeq, "compaction must not lose rows")
+  }
+
   test("z-clustered partitions have tight two-dimensional bounding boxes") {
     // 256×256 grid, 16 range partitions on the z-key: each partition's
     // bbox should cover ~1/16 of the area; a single-dimension sort would
