@@ -285,6 +285,54 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Symmetric int8 quantization of an `emb` column (n8's scheme): per-row
+    * scale mx/127, round-half-up codes. Adds `mx` (double) and `qv`
+    * (array<long>). */
+  def int8Quantize(v: DataFrame): DataFrame =
+    v.withColumn("mx", array_max(transform(col("emb"), x => abs(x))))
+      .withColumn("qv",
+        when(col("mx") === 0d, transform(col("emb"), _ => lit(0L)))
+          .otherwise(transform(col("emb"),
+            x => floor(x * 127.0 / col("mx") + 0.5).cast("long"))))
+
+  /** Two-stage ANN serving: rank ALL candidates by the cheap int8
+    * quantized dot (integer multiply-adds over 1-byte-per-dim codes — at
+    * scale the scan reads 4-32× fewer bytes than fp32/fp64 and the codes
+    * SIMD-pack), keep a `shortlist`, then exact-rerank only those to the
+    * final top-k. The standard recall-vs-cost ladder every production
+    * vector store runs; stage-1 recall loss is bounded by the quantization
+    * error n8 measures. Both stages are deterministic (integer dot; fixed
+    * double op order), so the whole pipeline is oracle-exact. */
+  def quantizedRerankTopK(queries: DataFrame, candidates: DataFrame,
+      k: Int, shortlist: Int): DataFrame = {
+    val q = int8Quantize(queries).select(col("id").as("query_id"),
+      col("emb").as("q_emb"), norm2(col("emb")).as("q_n2"),
+      col("mx").as("q_mx"), col("qv").as("q_qv"))
+    val c = int8Quantize(candidates).select(col("id").as("nbr_id"),
+      col("emb").as("c_emb"), norm2(col("emb")).as("c_n2"),
+      col("mx").as("c_mx"), col("qv").as("c_qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("qdot",
+        aggregate(zip_with(col("q_qv"), col("c_qv"), _ * _), lit(0L), _ + _))
+      .withColumn("ascore",
+        col("qdot").cast("double") * col("q_mx") * col("c_mx") / 16129.0)
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("ascore").desc, col("nbr_id"))
+    val short = scored.withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= shortlist)
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    short
+      .withColumn("cos", cosine(dot(col("q_emb"), col("c_emb")),
+        col("q_n2"), col("c_n2")))
+      .withColumn("rank", row_number().over(wE).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nbr_id"),
+        round(col("cos"), 6).as("cos_sim"),
+        round(col("ascore"), 6).as("approx_score"))
+  }
+
   /** Partitioned kNN graph: each vector's top-k cosine neighbors among
     * vectors sharing its partition key (`list_id` — an IVF list, a shard, a
     * label). The self-join is a plain EQUI-join on the key, so Catalyst

@@ -132,6 +132,17 @@ object SimilarityQueries {
         .orderBy(col("label"), col("dim"))
     }),
 
+    // Two-stage serving: int8-quantized dot shortlist (top-50) → exact
+    // cosine rerank (top-10) — the recall-vs-cost ladder of a production
+    // vector store, end-to-end oracle-exact (integer stage-1 dot, fixed
+    // double op order throughout).
+    "n10_quantized_rerank" -> ((s, d) => {
+      val v = vecs(s, d)
+      quantizedRerankTopK(v.filter(col("id") < NumQueries), v, K,
+          shortlist = 50)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Partitioned kNN graph: every vector's top-3 same-label neighbors —
     // the semantic-dedup / diversity-analysis graph build, partition-local
     // by construction (one shuffle on label, no cross join; see
@@ -398,6 +409,47 @@ object SimilarityQueries {
          |  FROM v a, v b WHERE a.id < b.id)
          |SELECT id_a, id_b, round(cos, 6) AS cos_sim
          |FROM scored WHERE cos >= $NearDupTau ORDER BY id_a, id_b""".stripMargin,
+    "n10_quantized_rerank" ->
+      s"""WITH v AS (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |q8 AS (
+         |  SELECT id, emb,
+         |    list_max(list_transform(emb, x -> abs(x))) AS mx,
+         |    CASE WHEN list_max(list_transform(emb, x -> abs(x))) = 0
+         |      THEN list_transform(emb, x -> 0::BIGINT)
+         |      ELSE list_transform(emb, x -> CAST(floor(x * 127.0 /
+         |             list_max(list_transform(emb, y -> abs(y))) + 0.5)
+         |             AS BIGINT))
+         |    END AS qv
+         |  FROM v),
+         |approx AS (
+         |  SELECT a.id AS query_id, b.id AS nbr_id,
+         |    CAST(list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(generate_series(1, len(a.qv)),
+         |        i -> a.qv[i] * b.qv[i])),
+         |      (x, y) -> x + y) AS DOUBLE) * a.mx * b.mx / 16129.0 AS ascore
+         |  FROM q8 a JOIN q8 b ON b.id <> a.id
+         |  WHERE a.id < $NumQueries),
+         |short AS (
+         |  SELECT query_id, nbr_id, ascore,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY ascore DESC, nbr_id) AS arank
+         |  FROM approx),
+         |rerank AS (
+         |  SELECT s.query_id, s.nbr_id, s.ascore,
+         |    $dkDot / sqrt(${dkNorm2("a")} * ${dkNorm2("b")}) AS cos
+         |  FROM short s JOIN v a ON a.id = s.query_id
+         |  JOIN v b ON b.id = s.nbr_id
+         |  WHERE s.arank <= 50)
+         |SELECT query_id,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id
+         |                     ORDER BY cos DESC, nbr_id) AS rank,
+         |  nbr_id, round(cos, 6) AS cos_sim, round(ascore, 6) AS approx_score
+         |FROM rerank
+         |QUALIFY rank <= $K
+         |ORDER BY query_id, rank""".stripMargin,
     "n9_knn_graph" ->
       s"""WITH v AS (
          |  SELECT vec_id AS id,
