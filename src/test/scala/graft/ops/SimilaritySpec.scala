@@ -122,6 +122,31 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("quantized rerank achieves high recall vs exact brute force") {
+    val exact = bruteForceTopK(vecs.filter(col("id") < 4), vecs, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val staged = quantizedRerankTopK(vecs.filter(col("id") < 4), vecs, 10, 50)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      staged.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9,
+      f"int8 shortlist of 50 must keep recall@10 high, got $mean%.2f")
+    // stage-2 scores are EXACT: every returned cos matches brute force
+    val exactCos = bruteForceTopK(vecs.filter(col("id") < 4), vecs, 10)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val stagedCos = quantizedRerankTopK(vecs.filter(col("id") < 4), vecs, 10, 50)
+      .select("query_id", "nbr_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    stagedCos.foreach { case (q, n, c) =>
+      exactCos.get((q, n)).foreach(e => assert(e == c,
+        s"rerank cosine must be the exact score: ($q,$n) $c vs $e")) }
+  }
+
   test("label kNN graph equals per-label brute force") {
     val labeled = Tables.embeddings(spark, sfDir)
       .select(col("vec_id").as("id"), toDouble(col("embedding")).as("emb"),
