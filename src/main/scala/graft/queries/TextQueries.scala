@@ -363,6 +363,28 @@ object TextQueries {
         .limit(50)
     }),
 
+    // Sentence segmentation: regex-boundary split ([.!?]+ runs) → trimmed
+    // non-empty sentences with per-doc ordinals and lengths. The corpus is
+    // punctuation-free by construction, so boundaries are SYNTHESIZED
+    // deterministically first (a period every 12th token — the same
+    // fixture trick t14 uses for PII); the segmentation machinery under
+    // test is real. Narrow generator pipeline, no shuffle.
+    "t22_sentences" -> ((s, d) => {
+      val toksC = tokens(col("text"))
+      val punct = array_join(
+        transform(toksC, (t, i) =>
+          when((i + 1) % 12 === 0, concat(t, lit("."))).otherwise(t)), " ")
+      Tables.fanout(Tables.documents(s, d))
+        .withColumn("sents",
+          filter(transform(split(punct, "[.!?]+"), x => trim(x)),
+            x => x =!= ""))
+        .select(col("doc_id"),
+          posexplode(col("sents")).as(Seq("sent_idx", "sentence")))
+        .select(col("doc_id"), col("sent_idx").cast("long").as("sent_idx"),
+          col("sentence"), length(col("sentence")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"), col("sent_idx"))
+    }),
+
     // Fingerprinting: whole-document 60-bit md5 fingerprint + order-
     // sensitive rolling hash over the token stream.
     "t4_fingerprint" -> ((s, d) => {
@@ -607,6 +629,26 @@ object TextQueries {
          |      i -> toks[i] || '|' || toks[i + 1])) AS pair
          |  FROM t WHERE len(toks) > 1)
          |SELECT pair, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
-         |FROM pairs GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin
+         |FROM pairs GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+    "t22_sentences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $dkToks AS toks FROM documents),
+         |p AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_transform(generate_series(1, len(toks)),
+         |      i -> CASE WHEN i % 12 = 0 THEN toks[i] || '.'
+         |           ELSE toks[i] END), ' ') AS punct_text
+         |  FROM t),
+         |s AS (
+         |  SELECT doc_id,
+         |    list_filter(list_transform(string_split_regex(punct_text,
+         |                                                  '[.!?]+'),
+         |                               x -> trim(x)), x -> x <> '') AS sents
+         |  FROM p)
+         |SELECT doc_id, u.i - 1 AS sent_idx, u.s AS sentence,
+         |       length(u.s) AS n_chars
+         |FROM s, LATERAL (SELECT unnest(sents) AS s,
+         |                        generate_subscripts(sents, 1) AS i) u
+         |ORDER BY doc_id, sent_idx""".stripMargin
   )
 }
