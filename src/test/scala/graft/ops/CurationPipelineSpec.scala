@@ -70,6 +70,43 @@ class CurationPipelineSpec extends SparkSpecBase {
     } finally chunks.unpersist()
   }
 
+  test("streaming curation: normalize + quality gate + dedup on a stream") {
+    // the ingest-time form of stages 1-3: every transform is narrow, so
+    // the SAME column expressions run unchanged on a stream; exact dedup
+    // becomes dropDuplicatesWithinWatermark on the content hash
+    implicit val ctx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, String)]
+    val cleaned = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val curated = in.toDF().toDF("ts", "doc_id", "text")
+      .withColumn("norm_text", cleaned)
+      .withColumn("n_tokens",
+        size(TextOps.tokens(col("norm_text"))).cast("long"))
+      .filter(col("n_tokens") >= 3)
+      .withColumn("content_md5", md5(col("norm_text").cast("binary")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("content_md5")
+    val q = curated.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("stream_curation").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 01:$m%02d:00")
+    try {
+      in.addData(
+        (ts(0), 1L, "The quick brown fox!"),
+        (ts(1), 2L, "the  QUICK   brown fox"), // same after normalize → dup
+        (ts(2), 3L, "too short"),              // quality-gated (2 tokens)
+        (ts(3), 4L, "a genuinely different document"))
+      q.processAllAvailable()
+      in.addData((ts(4), 5L, "THE QUICK BROWN FOX")) // cross-batch dup
+      q.processAllAvailable()
+      val ids = spark.table("stream_curation").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 4L),
+        s"normalized dup + short doc must drop, originals survive: $ids")
+    } finally q.stop()
+  }
+
   test("curation is deterministic across runs and partitionings") {
     def fingerprint(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Long)] =
       df.select(col("doc_id"), col("split"), col("shard"))
