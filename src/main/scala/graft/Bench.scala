@@ -39,7 +39,7 @@ object Bench {
     "t9_regex_extract", "t10_normalize", "t11_hash_split",
     "t12_repetition", "t13_source_mix", "t14_redact", "t15_pack_shards",
     "t16_stratified_sample", "t17_chunking", "t18_edit_distance",
-    "t19_tfidf", "t20_quality_logit", "t21_bigram_counts", "t22_sentences",
+    "t19_tfidf", "t20_quality_logit", "t21_bigram_counts", "t22_sentences", "t23_readability",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
     "d11_containment",
     "n1_ann_bruteforce", "n2_ann_lsh", "n3_embedding_neardup",

@@ -385,6 +385,27 @@ object TextQueries {
         .orderBy(col("doc_id"), col("sent_idx"))
     }),
 
+    // Readability scoring (Flesch reading-ease shape): vowel-run syllable
+    // heuristic + the 12-token synthetic sentence count (t22's boundary
+    // convention) into the classic fixed-weight formula. All inputs are
+    // exact per-row integers; the weighted form applies the same op order
+    // in both engines (no transcendentals). Narrow, zero shuffle.
+    "t23_readability" -> ((s, d) => {
+      Tables.fanout(Tables.documents(s, d))
+        .withColumn("n_words", size(tokens(col("text"))).cast("long"))
+        .withColumn("n_sents",
+          ceil(col("n_words") / 12.0).cast("long"))
+        .withColumn("n_syll",
+          size(regexp_extract_all(lower(col("text")), lit("[aeiou]+"), lit(0)))
+            .cast("long"))
+        .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
+          round(lit(206.835)
+            - (col("n_words").cast("double") / col("n_sents")) * 1.015
+            - (col("n_syll").cast("double") / col("n_words")) * 84.6,
+            4).as("flesch"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Fingerprinting: whole-document 60-bit md5 fingerprint + order-
     // sensitive rolling hash over the token stream.
     "t4_fingerprint" -> ((s, d) => {
@@ -649,6 +670,18 @@ object TextQueries {
          |       length(u.s) AS n_chars
          |FROM s, LATERAL (SELECT unnest(sents) AS s,
          |                        generate_subscripts(sents, 1) AS i) u
-         |ORDER BY doc_id, sent_idx""".stripMargin
+         |ORDER BY doc_id, sent_idx""".stripMargin,
+    "t23_readability" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    len($dkToks) AS n_words,
+         |    CAST(ceil(len($dkToks) / 12.0) AS BIGINT) AS n_sents,
+         |    len(regexp_extract_all(lower(text), '[aeiou]+')) AS n_syll
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_sents, n_syll,
+         |  round(206.835
+         |    - (CAST(n_words AS DOUBLE) / n_sents) * 1.015
+         |    - (CAST(n_syll AS DOUBLE) / n_words) * 84.6, 4) AS flesch
+         |FROM f ORDER BY doc_id""".stripMargin
   )
 }
