@@ -829,6 +829,37 @@ object RelationalQueries {
           |ORDER BY l_returnflag""".stripMargin)
     }),
 
+    // Regression/correlation aggregates (regr_slope/intercept/corr family)
+    // from EXACT moment sums: per-row double products fold through
+    // DECIMAL(27,10) so every Σx, Σy, Σxy, Σx², Σy² is partial-agg-order
+    // independent, then the closed-form slope/intercept/corr runs the same
+    // double op sequence in both engines — the only way the native corr()
+    // (order-dependent double accumulation) could be cross-engine exact.
+    // One map-side-combined shuffle of 6 numbers per group.
+    "q50_regression" -> ((s, d) => {
+      def m(e: String, alias: String) =
+        expr(s"CAST(SUM(CAST($e AS DECIMAL(27,10))) AS DOUBLE)").as(alias)
+      Tables.fanout(Tables.lineitem(s, d))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          m("l_quantity", "sx"), m("l_extendedprice", "sy"),
+          m("l_quantity * l_extendedprice", "sxy"),
+          m("l_quantity * l_quantity", "sx2"),
+          m("l_extendedprice * l_extendedprice", "sy2"))
+        .select(col("l_returnflag"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sx2") - col("sx") * col("sx")), 6).as("slope"),
+          round((col("sy") -
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sx2") - col("sx") * col("sx"))) * col("sx")) /
+            col("n"), 4).as("intercept"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sx2") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("sy2") - col("sy") * col("sy"))), 6)
+            .as("corr_xy"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Histogram binning: fixed-width buckets from floor(price/width) —
     // pure per-row arithmetic (no width_bucket dependence), then one
     // map-side-combined agg; ~|buckets| rows shuffle. min/max of doubles
@@ -1227,6 +1258,28 @@ object RelationalQueries {
         |  round(CAST(rev_dec AS DOUBLE) /
         |        CAST(SUM(rev_dec) OVER () AS DOUBLE), 6) AS rev_share
         |FROM g ORDER BY o_orderpriority""".stripMargin,
+    "q50_regression" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    count(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(27,10))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,10))) AS DOUBLE)
+        |      AS sy,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(27,10)))
+        |      AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,10)))
+        |      AS DOUBLE) AS sx2,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice
+        |      AS DECIMAL(27,10))) AS DOUBLE) AS sy2
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6) AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sx2 - sx * sx)) * sx) / n,
+        |        4) AS intercept,
+        |  round((n * sxy - sx * sy) /
+        |        (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6)
+        |    AS corr_xy
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "q49_filtered_agg" ->
       """SELECT l_returnflag,
         |  count(*) AS n_all,
