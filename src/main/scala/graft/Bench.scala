@@ -13,13 +13,22 @@ import org.apache.spark.sql.SparkSession
   * triangles over the SimHash graph): correct and oracle-gated, but d7's
   * iterative driver loop and d8's clique-quadratic triangle enumeration
   * over the 2M-pair sf0.1 graph would dominate the single-pass headline
-  * mix.
+  * mix. d8b (degree-ordered triangles) fixes d8's straggler — the rank
+  * orientation spreads each clique's wedges over all its members instead
+  * of piling them on the min-id vertex — but exact triangle counting is
+  * OUTPUT-bound and this corpus's near-dup graph is pathologically dense:
+  * at sf0.1 it has 4 661 nodes, 2.15M edges and 880M triangles (41% of
+  * all possible pairs are edges), so ANY exact enumerator pays ~1e9 join
+  * rows (measured: DuckDB 105 s single-threaded, d8b 342 s on local[32]
+  * including 2 timed runs). Real pipelines collapse duplicate components
+  * (d7) BEFORE graph analytics; both d8 forms therefore stay out of the
+  * single-pass headline mix, like the d4/d6 quadratic validators.
   */
 object Bench {
   val headline: Seq[String] = Seq(
     "s1_cast_projection", "s2_json_extract_filter", "s3_base64_roundtrip",
     "s4_array_index", "s5_split_year", "s6_inner_join", "s7_to_json",
-    "s8_decode_chain", "s9_variant_extract",
+    "s8_decode_chain", "s9_variant_extract", "s10_variant_explode",
     "q1_pricing_summary", "q2_star_join_revenue", "q3_top_orders",
     "q4_semi_join", "q5_anti_join", "q6_distinct", "q7_set_ops", "q8_rollup",
     "q9_window_running", "q10_count_distinct", "q11_tumbling_window",
@@ -91,7 +100,14 @@ object Bench {
     val errors = results.collect { case (k, None, Some(m)) => "\"" + k + "\":\"" + m + "\"" }
     val errJson = if (errors.isEmpty) "" else errors.mkString(""","errors":{""", ",", "}")
     val total = results.flatMap(_._2).sum
+    // The driver stores a truncated window of this output, and the ~100-entry
+    // per-query map can push the total outside it (BENCH_r05 parsed:null). A
+    // compact total-only line is emitted BEFORE and AFTER the full line so a
+    // parseable record survives truncation from either end.
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir"}"""
+    println(compact)
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson$errJson,"sf":"$sfDir"}""")
+    println(compact)
     spark.stop()
   }
 }

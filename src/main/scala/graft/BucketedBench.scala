@@ -28,9 +28,12 @@ object BucketedBench {
       (System.nanoTime() - t0) / 1e9
     }.min
 
-  /** Non-broadcast exchanges in the final adaptive plan — ABSOLUTE counts
-    * (the one post-join aggregation exchange both variants share is
-    * included: plain = 2 pre-join + 1 agg = 3, bucketed = 1 agg only).
+  /** Non-broadcast exchanges in the final adaptive plan — ABSOLUTE counts.
+    * Plain = 4: the `Tables.fanout` round-robin repartition (single-row-
+    * group test parquet would otherwise scan on one core), 2 pre-join hash
+    * exchanges, and the post-join aggregation exchange both variants
+    * share. Bucketed = 1: the aggregation exchange only — the join itself
+    * is bucket-local.
     * `collect()` runs THIS DataFrame's own QueryExecution, so the inspected
     * AQE plan is the finalized one (a separate `.write` would execute a
     * different QueryExecution and leave this instance's plan un-finalized). */

@@ -30,13 +30,16 @@ import org.apache.spark.sql.execution.SparkStrategy
   * per-compare ordering dispatch on either hot path. NULL keys compare
   * like values under the natural ordering
   * (nulls-first) and therefore match each other — filter them upstream for
-  * SQL join semantics. NULL TIMES follow the same contract: a NULL
-  * rightTime sorts nulls-first, is therefore `<=` every leftTime of its
-  * key, and can be held as the match (it loses to any later non-null
-  * rightTime ≤ leftTime); a NULL leftTime is `<` every non-null rightTime,
-  * so it matches only a NULL-rightTime row. Filter null time columns
-  * upstream when SQL comparison semantics (NULL matches nothing) are
-  * wanted. Ties in rightTime resolve to the LARGEST
+  * SQL join semantics. NULL TIMES take SQL comparison semantics (NULL
+  * compares to nothing) uniformly on EVERY merge path: a NULL-rightTime
+  * row is skipped at the merge (never matched, never held — it drains at
+  * the head of its key group, where nulls-first sorting puts it, at no
+  * extra cost), and a NULL-leftTime row emits null-padded without
+  * advancing the right stream. This is enforced in the exec rather than
+  * documented-away because the primitive loops read times via `getLong`,
+  * where a NULL is indistinguishable from 0 — un-filtered NULLs would
+  * silently corrupt tolerance/nearest distances and negative-time merges.
+  * Ties in rightTime resolve to the LARGEST
   * (key, time, tieBreak) right row, matching the q13 composition.
   *
   * `tolerance` (pandas merge_asof parity): when set, a held match only
@@ -149,12 +152,18 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val rightOutN = rightOut.map(_.withNullability(true))
       val out = UnsafeProjection.create(
         leftOut ++ rightOutN, leftOut ++ rightOutN)
-      val rBuf = rIter.buffered
+      // NULL-time contract (see class scaladoc): NULL rightTime rows never
+      // match on any path — drop them before the merge so the primitive
+      // loops never read a NULL through getLong (which would yield 0).
+      val rBuf = rIter.filter(r => !rTim(r).isNullAt(0)).buffered
+      // NULL leftTime ⇒ null-padded emit, right stream untouched.
+      def leftTimeIsNull(lRow: InternalRow): Boolean = lTim(lRow).isNullAt(0)
 
       if (forward && allLong) {
         // forward primitive merge: discard right rows strictly before the
         // left (key, time); the match, if any, is the un-consumed head
         lIter.map { lRow =>
+          if (leftTimeIsNull(lRow)) out(joined(lRow, nullRight)) else {
           val k = lKey(lRow).getLong(0)
           val t = lTim(lRow).getLong(0)
           var advancing = true
@@ -168,6 +177,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               rTim(rBuf.head).getLong(0) - t <= tol) rBuf.head
             else nullRight
           out(joined(lRow, r))
+          }
         }
       } else if (forward && stringKeyLongTime) {
         import org.apache.spark.unsafe.types.UTF8String
@@ -177,6 +187,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           else if (b == null) 1
           else a.compareTo(b)
         lIter.map { lRow =>
+          if (leftTimeIsNull(lRow)) out(joined(lRow, nullRight)) else {
           val k = lKey(lRow).getUTF8String(0)
           val t = lTim(lRow).getLong(0)
           var advancing = true
@@ -191,6 +202,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               rTim(rBuf.head).getLong(0) - t <= tol) rBuf.head
             else nullRight
           out(joined(lRow, r))
+          }
         }
       } else if (forward) {
         val keyOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
@@ -199,6 +211,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           .createNaturalAscendingOrdering(Seq(timeType))
         val checkTol = tolerance.isDefined
         lIter.map { lRow =>
+          if (leftTimeIsNull(lRow)) out(joined(lRow, nullRight)) else {
           val k = lKey(lRow)
           val t = lTim(lRow)
           var advancing = true
@@ -214,6 +227,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                 rTim(rBuf.head).getLong(0) - t.getLong(0) <= tol)) rBuf.head
             else nullRight
           out(joined(lRow, r))
+          }
         }
       } else if (allLong) {
         // specialized primitive merge: no ordering dispatch per compare
@@ -222,6 +236,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         var heldValid = false
         var held: InternalRow = null
         lIter.map { lRow =>
+          if (leftTimeIsNull(lRow)) out(joined(lRow, nullRight)) else {
           val k = lKey(lRow).getLong(0)
           val t = lTim(lRow).getLong(0)
           if (heldValid && heldKey != k) { heldValid = false; held = null }
@@ -250,6 +265,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             else nullRight
           } else if (bwdOk) held else nullRight
           out(joined(lRow, r))
+          }
         }
       } else if (stringKeyLongTime) {
         // string-key specialization: UTF8String binary compare (the same
@@ -267,6 +283,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         var heldValid = false
         var held: InternalRow = null
         lIter.map { lRow =>
+          if (leftTimeIsNull(lRow)) out(joined(lRow, nullRight)) else {
           val k = lKey(lRow).getUTF8String(0)
           val t = lTim(lRow).getLong(0)
           if (heldValid && cmpKey(heldKey, k) != 0) {
@@ -300,6 +317,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             else nullRight
           } else if (bwdOk) held else nullRight
           out(joined(lRow, r))
+          }
         }
       } else {
         // generic merge over any orderable atomic types: projected key/time
@@ -319,6 +337,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         var heldTime = 0L
         var held: InternalRow = null
         lIter.map { lRow =>
+          if (leftTimeIsNull(lRow)) out(joined(lRow, nullRight)) else {
           val k = lKey(lRow)
           val t = lTim(lRow)
           if (held != null && keyOrd.compare(heldKey, k) != 0) {
@@ -351,6 +370,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             else nullRight
           } else if (bwdOk) held else nullRight
           out(joined(lRow, r))
+          }
         }
       }
     }

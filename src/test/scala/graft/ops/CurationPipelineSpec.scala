@@ -107,6 +107,68 @@ class CurationPipelineSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming chunking + tf front half equals the batch form per batch") {
+    // t17 (chunk explosion) is fully narrow and t19's front half (per-doc
+    // term frequencies) aggregates only within doc_id, so both run
+    // unchanged inside foreachBatch at ingest time; the corpus-level df/N
+    // back half of t19 stays batch (it needs the whole corpus by
+    // definition). Each micro-batch's output must be IDENTICAL to running
+    // the same plan over the same rows as a plain batch DataFrame.
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.{DataFrame, Row}
+    import scala.jdk.CollectionConverters._
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    def chunkFront(df: DataFrame): DataFrame = {
+      val chunkTok = 4; val stride = 3
+      df.withColumn("toks", TextOps.tokens(col("text")))
+        .filter(size(col("toks")) > 0)
+        .withColumn("chunk_start",
+          explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))))
+        .select(col("doc_id"),
+          col("chunk_start").cast("long").as("chunk_start"),
+          size(slice(col("toks"), col("chunk_start") + 1, lit(chunkTok)))
+            .cast("long").as("n_chunk_toks"),
+          array_join(slice(col("toks"), col("chunk_start") + 1, lit(chunkTok)), " ")
+            .as("chunk_text"))
+    }
+    def tfFront(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val perBatch = scala.collection.mutable.Map[Long, Seq[(Set[Row], Set[Row])]]()
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // replay the exact batch rows through the exact same plans in
+        // batch mode; any divergence is a streaming-incompatibility bug
+        val replay = spark.createDataFrame(
+          batch.collect().toIndexedSeq.asJava, batch.schema)
+        perBatch.synchronized {
+          perBatch(id) = Seq(
+            (chunkFront(batch).collect().toSet, chunkFront(replay).collect().toSet),
+            (tfFront(batch).collect().toSet, tfFront(replay).collect().toSet))
+        }
+        ()
+      }
+      .start()
+    try {
+      in.addData((1L, "a b c d e f g"), (2L, "x y"))
+      q.processAllAvailable()
+      in.addData((3L, "m n o p q r s t u v"), (4L, "solo"))
+      q.processAllAvailable()
+      assert(perBatch.keySet == Set(0L, 1L), s"batches: ${perBatch.keySet}")
+      perBatch.foreach { case (id, Seq((sc, bc), (st, bt))) =>
+        assert(sc.nonEmpty && st.nonEmpty, s"batch $id produced no rows")
+        assert(sc == bc, s"batch $id: streaming chunking diverged from batch")
+        assert(st == bt, s"batch $id: streaming tf diverged from batch")
+      }
+      // spot-check the semantics, not just self-consistency: 7 tokens,
+      // stride 3 → starts 0,3,6 with widths 4,4,1
+      val d1 = perBatch(0L).head._1.filter(_.getLong(0) == 1L)
+      assert(d1.map(r => (r.getLong(1), r.getLong(2))) ==
+        Set((0L, 4L), (3L, 4L), (6L, 1L)))
+    } finally q.stop()
+  }
+
   test("curation is deterministic across runs and partitionings") {
     def fingerprint(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Long)] =
       df.select(col("doc_id"), col("split"), col("shard"))

@@ -227,6 +227,54 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(out("t2").isEmpty, "future quote must not match")
   }
 
+  test("NULL times: right NULLs never match, left NULLs pad, on every path") {
+    // long path: a NULL-time quote must not be held (getLong would read it
+    // as 0 and let it shadow real matches / corrupt tolerance distances)
+    val trades = Seq((1L, Some(100L), "t1"), (1L, None: Option[Long], "tnull"),
+      (2L, Some(50L), "t2"))
+      .toDF("key", "t", "trade")
+    val quotes = Seq((1L, None: Option[Long], "q_null"), (1L, Some(90L), "q_real"),
+      (2L, None: Option[Long], "q_only_null"))
+      .toDF("qkey", "qt", "quote")
+    val out = asofJoin(trades, quotes, "key", "qkey", "t", "qt", "qt")
+      .select("trade", "quote").as[(String, Option[String])].collect().toMap
+    assert(out("t1").contains("q_real"), "real quote wins over the NULL-time row")
+    assert(out("tnull").isEmpty, "NULL left time emits null-padded")
+    assert(out("t2").isEmpty, "a key whose only quote has NULL time matches nothing")
+    // tolerance must not treat a NULL right time as 0
+    val tolOut = asofJoin(trades, quotes, "key", "qkey", "t", "qt", "qt",
+      tolerance = Some(1000L))
+      .select("trade", "quote").as[(String, Option[String])].collect().toMap
+    assert(tolOut("t2").isEmpty, "NULL-time row must stay unmatched under tolerance")
+    // string-key path
+    val sOut = asofJoin(
+      Seq(("a", Some(100L), "t1"), ("a", None: Option[Long], "tnull"))
+        .toDF("key", "t", "trade"),
+      Seq(("a", None: Option[Long], "q_null"), ("a", Some(95L), "q_real"))
+        .toDF("qkey", "qt", "quote"),
+      "key", "qkey", "t", "qt", "qt")
+      .select("trade", "quote").as[(String, Option[String])].collect().toMap
+    assert(sOut("t1").contains("q_real") && sOut("tnull").isEmpty)
+    // generic path (composite keys); also the forward direction's peek
+    val gOut = graft.ops.AsOfJoinOps.asofJoinMulti(
+      Seq((1L, 1L, Some(100L), "t1"), (1L, 1L, None: Option[Long], "tnull"))
+        .toDF("k1", "k2", "t", "trade"),
+      Seq((1L, 1L, None: Option[Long], "q_null"), (1L, 1L, Some(90L), "q_real"))
+        .toDF("q1", "q2", "qt", "quote"),
+      Seq("k1", "k2"), Seq("q1", "q2"), "t", "qt", "qt")
+      .select("trade", "quote").as[(String, Option[String])].collect().toMap
+    assert(gOut("t1").contains("q_real") && gOut("tnull").isEmpty)
+    val fOut = asofJoin(
+      Seq((1L, Some(100L), "t1"), (1L, None: Option[Long], "tnull"))
+        .toDF("key", "t", "trade"),
+      Seq((1L, None: Option[Long], "q_null"), (1L, Some(120L), "q_fwd"))
+        .toDF("qkey", "qt", "quote"),
+      "key", "qkey", "t", "qt", "qt", direction = "forward")
+      .select("trade", "quote").as[(String, Option[String])].collect().toMap
+    assert(fOut("t1").contains("q_fwd") && fOut("tnull").isEmpty,
+      "forward peek skips NULL-time rows")
+  }
+
   test("physical plan is the custom exec with one exchange+sort per side") {
     val ev = Tables.events(spark, sfDir)
     val l = ev.filter(col("event_type") === "error")

@@ -11,6 +11,26 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+import re
+
+def norm_type(t):
+    """Normalize arrow types the way the driver's hash effectively does.
+
+    Integer and float WIDTHS collapse (int32 vs int64 hash-passed in r5:
+    q40/t16), but KIND differences must fail: DuckDB's sum(BIGINT) widening
+    to HUGEINT surfaces as decimal128(38,0), which the driver's typed hash
+    rejected against Spark's int64 (s9, rounds 4-5) even though the Python
+    values compare equal.
+    """
+    s = str(t)
+    for a, b in (("large_string", "string"), ("large_binary", "binary"),
+                 ("large_list", "list")):
+        s = s.replace(a, b)
+    s = re.sub(r"\buint(8|16|32|64)\b", "int", s)
+    s = re.sub(r"\bint(8|16|32|64)\b", "int", s)
+    s = re.sub(r"\b(halffloat|float|double)\b", "float", s)
+    return s
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -45,6 +65,17 @@ def main(sf_dir, out_dir):
         ecols, gcols = sorted(exp.column_names), sorted(got.column_names)
         if ecols != gcols:
             print(f"FAIL {name}: columns {gcols} != oracle {ecols}")
+            n_fail += 1
+            continue
+        # driver hashes typed values: a type drift (e.g. DuckDB HUGEINT vs
+        # Spark int64) fails there even when Python values are equal.
+        etypes = {c: norm_type(exp.schema.field(c).type) for c in ecols}
+        gtypes = {c: norm_type(got.schema.field(c).type) for c in gcols}
+        badt = [c for c in ecols if etypes[c] != gtypes[c]]
+        if badt:
+            det = ", ".join(f"{c}: spark {gtypes[c]} != oracle {etypes[c]}"
+                            for c in badt)
+            print(f"FAIL {name}: column type drift: {det}")
             n_fail += 1
             continue
         erows = [tuple(norm(r[c]) for c in ecols) for r in exp.to_pylist()]
