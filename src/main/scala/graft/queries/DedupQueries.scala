@@ -25,6 +25,36 @@ object DedupQueries {
   private def docs(s: SparkSession, d: String) =
     Tables.fanout(Tables.documents(s, d))
 
+  /** Exact triangle count of an undirected `(doc_a < doc_b)` edge list via
+    * the degree-ordered orientation (see d8b): 1-row result
+    * `(n_triangles)`. Callers pass a materialized (checkpointed) edge
+    * frame — this plan references it 4 times. */
+  private def degreeOrientedTriangles(edges: DataFrame): DataFrame = {
+    val deg = edges
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // rank(v) = (deg, id): total order, ties broken by id; flat boolean
+    // form (no struct allocation inside the codegen'd comparison).
+    val da = deg.select(col("v").as("doc_a"), col("deg").as("deg_a"))
+    val db = deg.select(col("v").as("doc_b"), col("deg").as("deg_b"))
+    val aLower = col("deg_a") < col("deg_b") ||
+      (col("deg_a") === col("deg_b") && col("doc_a") < col("doc_b"))
+    val dir = edges.join(da, "doc_a").join(db, "doc_b")
+      .select(
+        when(aLower, col("doc_a")).otherwise(col("doc_b")).as("src"),
+        when(aLower, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+        when(aLower, col("deg_b")).otherwise(col("deg_a")).as("deg_dst"))
+      .localCheckpoint()
+    val e1 = dir.select(col("src").as("u"), col("dst").as("v"), col("deg_dst").as("dv"))
+    val e2 = dir.select(col("src").as("u"), col("dst").as("w"), col("deg_dst").as("dw"))
+    val closing = dir.select(col("src").as("v2"), col("dst").as("w2"))
+    e1.join(e2, Seq("u"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .join(closing, col("v") === col("v2") && col("w") === col("w2"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: content-hash groupBy; keeper = min doc_id. At scale:
     // hash-partitioned shuffle on a 32-hex key — perfectly distributed.
@@ -132,31 +162,52 @@ object DedupQueries {
       val df = docs(s, d).withColumn("hs", tokenHashes(tokens(col("text"))))
       val edges = simhashPairs(simhashBands(df, simhash32(col("hs"))), MaxHamming)
         .select(col("doc_a"), col("doc_b")).localCheckpoint()
-      val deg = edges
-        .select(explode(array(col("doc_a"), col("doc_b"))).as("v"))
-        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+      val nNodes = edges
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .agg(countDistinct(col("doc_id")).as("n_nodes"))
       val nEdges = edges.agg(count(lit(1)).as("n_edges"))
-      // rank(v) = (deg, id): total order, ties broken by id; flat boolean
-      // form (no struct allocation inside the codegen'd comparison).
-      val da = deg.select(col("v").as("doc_a"), col("deg").as("deg_a"))
-      val db = deg.select(col("v").as("doc_b"), col("deg").as("deg_b"))
-      val aLower = col("deg_a") < col("deg_b") ||
-        (col("deg_a") === col("deg_b") && col("doc_a") < col("doc_b"))
-      val dir = edges.join(da, "doc_a").join(db, "doc_b")
-        .select(
-          when(aLower, col("doc_a")).otherwise(col("doc_b")).as("src"),
-          when(aLower, col("doc_b")).otherwise(col("doc_a")).as("dst"),
-          when(aLower, col("deg_b")).otherwise(col("deg_a")).as("deg_dst"))
-        .localCheckpoint()
-      val e1 = dir.select(col("src").as("u"), col("dst").as("v"), col("deg_dst").as("dv"))
-      val e2 = dir.select(col("src").as("u"), col("dst").as("w"), col("deg_dst").as("dw"))
-      val closing = dir.select(col("src").as("v2"), col("dst").as("w2"))
-      val tri = e1.join(e2, Seq("u"))
-        .filter(col("dv") < col("dw") ||
-          (col("dv") === col("dw") && col("v") < col("w")))
-        .join(closing, col("v") === col("v2") && col("w") === col("w2"))
-        .agg(count(lit(1)).as("n_triangles"))
+      nNodes.crossJoin(nEdges).crossJoin(degreeOrientedTriangles(edges))
+    }),
+
+    // Component-decomposed triangle count: split into connected components
+    // (pointer doubling, O(log diameter) rounds), sum the C(k,3) closed
+    // form over components that ARE cliques (m == k(k-1)/2 — exact-dup
+    // clusters always are; no enumeration at any size), and run the
+    // degree-ordered enumeration (d8b) only on the non-clique residual.
+    // Same answer as d8/d8b (one shared oracle). Honest measured caveat:
+    // THIS corpus's Hamming-≤3 graph concentrates into one giant
+    // NEAR-clique component (sf0.01: 90 comps, 83 singletons, 4 true
+    // cliques, and 21 219 of 21 223 edges in a single 403-node component
+    // at 26% density), so here the residual dominates and d8c ≈ d8b + CC
+    // cost — the shortcut pays off on real corpora where exact/near-exact
+    // duplicate clusters close into cliques, not on this one. The
+    // complement trick (enumerate the sparse complement for >50%-dense
+    // components) doesn't help either at 26-41% density. All three d8
+    // forms therefore stay bench-excluded: 880M output rows at sf0.1 is
+    // inherent. (k ≤ ~2M keeps k³ in a long.)
+    "d8c_triangle_cliques" -> ((s, d) => {
+      val df = docs(s, d).withColumn("hs", tokenHashes(tokens(col("text"))))
+      val edges = simhashPairs(simhashBands(df, simhash32(col("hs"))), MaxHamming)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val nodes = edges
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      val nNodes = nodes.agg(count(lit(1)).as("n_nodes"))
+      val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+      val comp = connectedComponents(edges, nodes, uncheckedRounds = 2)
+      val kPer = comp.groupBy(col("canon_id")).agg(count(lit(1)).as("k"))
+      val ec = edges.join(comp.toDF("doc_a", "canon_id"), "doc_a")
+      val mPer = ec.groupBy(col("canon_id")).agg(count(lit(1)).as("m"))
+      val cliques = kPer.join(mPer, "canon_id")
+        .filter(col("m") * lit(2) === col("k") * (col("k") - lit(1)))
+      val cliqueTri = cliques
+        .agg(coalesce(sum(expr("k * (k - 1) * (k - 2) DIV 6")), lit(0L))
+          .as("t_clique"))
+      val residual = ec
+        .join(cliques.select(col("canon_id")), Seq("canon_id"), "left_anti")
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val tri = cliqueTri.crossJoin(degreeOrientedTriangles(residual))
+        .select((col("t_clique") + col("n_triangles")).as("n_triangles"))
       nNodes.crossJoin(nEdges).crossJoin(tri)
     }),
 
@@ -405,8 +456,9 @@ object DedupQueries {
   }
 
   /** Triangle/node/edge counts over the SimHash-Hamming graph; shared by
-    * d8 (id orientation) and d8b (degree orientation) — identical answers
-    * by construction, so one oracle pins both. */
+    * d8 (id orientation), d8b (degree orientation) and d8c (clique
+    * closed-form + residual enumeration) — identical answers by
+    * construction, so one oracle pins all three. */
   private val dkTriangles: String =
     s"""WITH h AS (SELECT doc_id, $dkTokenHashes AS hs FROM documents),
        |sh AS (SELECT doc_id, $dkSimhashExpr AS simhash FROM h),
@@ -489,10 +541,11 @@ object DedupQueries {
          |SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
          |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= $MaxHamming
          |ORDER BY doc_a, doc_b""".stripMargin,
-    // d8 and d8b are the same statistic via different orientations: one
-    // oracle text pins both to the same answer.
+    // d8 / d8b / d8c are the same statistic via different algorithms: one
+    // oracle text pins all three to the same answer.
     "d8_triangle_count" -> dkTriangles,
     "d8b_triangle_degree" -> dkTriangles,
+    "d8c_triangle_cliques" -> dkTriangles,
     "d9_graph_stats" ->
       s"""WITH h AS (SELECT doc_id, $dkTokenHashes AS hs FROM documents),
          |sh AS (SELECT doc_id, $dkSimhashExpr AS simhash FROM h),
