@@ -21,8 +21,10 @@ import org.apache.spark.sql.SparkSession
   * all possible pairs are edges), so ANY exact enumerator pays ~1e9 join
   * rows (measured: DuckDB 105 s single-threaded, d8b 342 s on local[32]
   * including 2 timed runs). Real pipelines collapse duplicate components
-  * (d7) BEFORE graph analytics; both d8 forms therefore stay out of the
-  * single-pass headline mix, like the d4/d6 quadratic validators.
+  * (d7) BEFORE graph analytics; the exact d8 forms therefore stay out of
+  * the single-pass headline mix, like the d4/d6 quadratic validators.
+  * d8d (DOULION deterministic-sample estimate, work ~ p³·triangles) is
+  * the bounded-cost member of the family and IS in the headline.
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -50,7 +52,7 @@ object Bench {
     "t16_stratified_sample", "t17_chunking", "t18_edit_distance",
     "t19_tfidf", "t20_quality_logit", "t21_bigram_counts", "t22_sentences", "t23_readability",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
-    "d11_containment",
+    "d8d_triangle_doulion", "d11_containment",
     "n1_ann_bruteforce", "n2_ann_lsh", "n3_embedding_neardup",
     "n4_label_centroids", "n5_ivf_ann", "n6_kmeans", "n7_ivf_kmeans",
     "n8_quantize", "n9_knn_graph", "n10_quantized_rerank",

@@ -211,6 +211,33 @@ object DedupQueries {
       nNodes.crossJoin(nEdges).crossJoin(tri)
     }),
 
+    // Approximate triangle count with BOUNDED work — the operator that
+    // actually survives any density at 100 TB, where the exact forms
+    // (d8/d8b/d8c) are output-bound. DOULION edge sampling (Tsourakakis et
+    // al., KDD'09): keep each edge iff a DETERMINISTIC 60-bit md5 hash of
+    // the pair ≡ 0 (mod 8) (p = 1/8 — the same hash family every dedup
+    // operator here uses, so the DuckDB oracle reproduces the estimate
+    // BIT-EXACTLY: no RNG, no tolerance band), count triangles on the
+    // sample via the degree-ordered enumeration, scale by 1/p³ = 512
+    // (integer math). Each triangle survives with probability p³ ⇒
+    // unbiased; work drops from #triangles to p³·#triangles + p²·wedges
+    // (sf0.1: 880M → ~1.7M join rows). Variance ~ 1/(p³·T): tiny for the
+    // dense graphs where sampling is needed at all — exactly the regime
+    // trade-off a planner wants.
+    "d8d_triangle_doulion" -> ((s, d) => {
+      val df = docs(s, d).withColumn("hs", tokenHashes(tokens(col("text"))))
+      val edges = simhashPairs(simhashBands(df, simhash32(col("hs"))), MaxHamming)
+        .select(col("doc_a"), col("doc_b"))
+      val sampled = edges.filter(
+        graft.ops.TextOps.hash60(
+          concat(col("doc_a").cast("string"), lit("_"),
+            col("doc_b").cast("string"))) % 8 === 0)
+        .localCheckpoint()
+      val nSampled = sampled.agg(count(lit(1)).as("n_sampled_edges"))
+      nSampled.crossJoin(degreeOrientedTriangles(sampled)
+        .select((col("n_triangles") * lit(512L)).as("est_triangles")))
+    }),
+
     // Per-node graph statistics over the near-dup graph: degree, 2-hop
     // reach (friends-of-friends not already adjacent), and triangles
     // through each node — the signals that rank a component's CANONICAL
@@ -485,6 +512,24 @@ object DedupQueries {
        |  n_triangles
        |FROM tri""".stripMargin
 
+  /** DOULION estimate: d8's edge CTEs + deterministic md5 edge sample at
+    * p = 1/8, triangle count on the sample × 512. Bit-exact vs Spark
+    * because the sample is hash-decided, not RNG-decided. */
+  private val dkTrianglesDoulion: String = {
+    val prefix = dkTriangles.substring(0, dkTriangles.indexOf("tri AS ("))
+    prefix +
+      s"""sampled AS (
+         |  SELECT doc_a, doc_b FROM edges
+         |  WHERE ${dkHash60("doc_a::VARCHAR || '_' || doc_b::VARCHAR")} % 8 = 0),
+         |tri AS (
+         |  SELECT count(*) AS n FROM sampled e1
+         |  JOIN sampled e2 ON e2.doc_a = e1.doc_b
+         |  JOIN sampled e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+         |SELECT (SELECT count(*) FROM sampled) AS n_sampled_edges,
+         |       n * 512 AS est_triangles
+         |FROM tri""".stripMargin
+  }
+
   /** d2's LSH-candidate CTEs with the containment verify tail. */
   private val dkContainment: String =
     dkMinhashLsh.replace(dkJaccardTail,
@@ -546,6 +591,7 @@ object DedupQueries {
     "d8_triangle_count" -> dkTriangles,
     "d8b_triangle_degree" -> dkTriangles,
     "d8c_triangle_cliques" -> dkTriangles,
+    "d8d_triangle_doulion" -> dkTrianglesDoulion,
     "d9_graph_stats" ->
       s"""WITH h AS (SELECT doc_id, $dkTokenHashes AS hs FROM documents),
          |sh AS (SELECT doc_id, $dkSimhashExpr AS simhash FROM h),

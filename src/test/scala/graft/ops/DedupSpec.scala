@@ -130,6 +130,24 @@ class DedupSpec extends SparkSpecBase {
       math.abs(pr(1L) - pr(4L)) < 1e-9)
   }
 
+  test("doulion estimate tracks the exact triangle count on the corpus") {
+    // deterministic hash-decided sample ⇒ the estimate is a FIXED number
+    // for a fixed corpus — assert unbiasedness empirically (≤10% rel err
+    // at sfDir; measured 2.5-3.0% at sf0.001/sf0.01) and run-to-run
+    // equality (no RNG anywhere).
+    def one(name: String): Map[String, Long] = {
+      val row = graft.queries.DedupQueries.queries(name)(spark, sfDir)
+        .collect().head
+      row.schema.fieldNames.map(f => f -> row.getAs[Long](f)).toMap
+    }
+    val exact = one("d8b_triangle_degree")("n_triangles")
+    val est = one("d8d_triangle_doulion")
+    assert(est("n_sampled_edges") > 0, "sample must be non-empty at sfDir")
+    val relErr = math.abs(est("est_triangles") - exact).toDouble / exact
+    assert(relErr <= 0.10, s"estimate ${est("est_triangles")} vs exact $exact (rel err $relErr)")
+    assert(one("d8d_triangle_doulion") == est, "estimate must be deterministic")
+  }
+
   test("shingles fall back to whole text for <3-token docs") {
     val sh = explodedShingles(docs.filter(col("doc_id") === 4))
       .select("sh").as[String].collect()
