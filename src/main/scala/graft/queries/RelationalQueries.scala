@@ -860,6 +860,27 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Mergeable HyperLogLog registers — approximate COUNT DISTINCT at
+    // 100 TB. Each row lands in one of 1024 buckets by its md5-derived
+    // 60-bit hash; the register is the max "leading-zero rank" rho of the
+    // remaining 50 bits (rho = 51 - bitlength, an exact integer via
+    // length(bin(w)) — no floating log2). The register TABLE is the
+    // sketch: merge = per-bucket max (associative/commutative → map-side
+    // combine, cross-shard union, streaming state all compose), ≤1024 rows
+    // shuffle regardless of input size. The float-y cardinality estimate
+    // is deliberately NOT computed here (cross-engine float determinism);
+    // ApproxSpec derives it from these registers and asserts accuracy +
+    // mergeability. Hash-decided ⇒ bit-exact DuckDB oracle.
+    "q51_hll_registers" -> ((s, d) => {
+      Tables.fanout(Tables.lineitem(s, d))
+        .select(graft.ops.TextOps.hash60(col("l_orderkey")).as("h"))
+        .selectExpr("h % 1024 AS bucket", "h DIV 1024 AS w")
+        .selectExpr("bucket",
+          "CAST(CASE WHEN w = 0 THEN 51 ELSE 51 - length(bin(w)) END AS BIGINT) AS rho")
+        .groupBy(col("bucket")).agg(max(col("rho")).as("max_rho"))
+        .orderBy(col("bucket"))
+    }),
+
     // Histogram binning: fixed-width buckets from floor(price/width) —
     // pure per-row arithmetic (no width_bucket dependence), then one
     // map-side-combined agg; ~|buckets| rows shuffle. min/max of doubles
@@ -875,6 +896,15 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q51_hll_registers" ->
+      """WITH h AS (
+        |  SELECT ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM lineitem)
+        |SELECT h % 1024 AS bucket,
+        |       max(CAST(CASE WHEN h // 1024 = 0 THEN 51
+        |                     ELSE 51 - length(bin(h // 1024)) END AS BIGINT))
+        |         AS max_rho
+        |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q31_exists_mix" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o

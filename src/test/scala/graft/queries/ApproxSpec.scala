@@ -18,6 +18,42 @@ class ApproxSpec extends SparkSpecBase {
       s"approx=$approx exact=$exact")
   }
 
+  test("HLL registers estimate distinct keys and merge associatively") {
+    val m = 1024
+    def registers(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select(graft.ops.TextOps.hash60(col("l_orderkey")).as("h"))
+        .selectExpr("h % 1024 AS bucket", "h DIV 1024 AS w")
+        .selectExpr("bucket",
+          "CAST(CASE WHEN w = 0 THEN 51 ELSE 51 - length(bin(w)) END AS BIGINT) AS rho")
+        .groupBy(col("bucket")).agg(max(col("rho")).as("max_rho"))
+        .as[(Long, Long)].collect().toMap
+    // standard HLL estimator with small-range (linear counting) correction
+    def estimate(regs: Map[Long, Long]): Double = {
+      val alpha = 0.7213 / (1 + 1.079 / m)
+      val z = (0 until m).map(b => math.pow(2.0, -regs.getOrElse(b.toLong, 0L).toDouble)).sum
+      val raw = alpha * m * m / z
+      val zeros = m - regs.size
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+    }
+    val li = Tables.lineitem(spark, sfDir)
+    val exact = li.select(countDistinct(col("l_orderkey"))).as[Long].collect()(0)
+    val est = estimate(registers(li))
+    assert(math.abs(est - exact) / exact < 0.10, s"est=$est exact=$exact")
+    // mergeability: sketch(halfA) ∪max sketch(halfB) == sketch(all) —
+    // the property that makes the register table a cross-shard /
+    // streaming-state sketch rather than a one-shot aggregate
+    val a = registers(li.filter(col("l_orderkey") % 2 === 0))
+    val b = registers(li.filter(col("l_orderkey") % 2 =!= 0))
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> math.max(a.getOrElse(k, 0L), b.getOrElse(k, 0L))).toMap
+    assert(merged == registers(li), "per-bucket max merge must equal the full sketch")
+    // cross-check the oracle-gated query produces the same registers
+    val viaQuery = graft.queries.RelationalQueries
+      .queries("q51_hll_registers")(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(viaQuery == registers(graft.Tables.fanout(li)))
+  }
+
   test("approx percentile brackets the exact median") {
     val li = Tables.lineitem(spark, sfDir)
     val p50 = li.select(percentile_approx(col("l_quantity"), lit(0.5), lit(1000)))
