@@ -881,6 +881,23 @@ object RelationalQueries {
         .orderBy(col("bucket"))
     }),
 
+    // KMV (k-minimum-values) bottom-k sketch: the 256 smallest distinct
+    // md5 hashes of the key, each with a representative key. Triple duty
+    // at 100 TB: (a) cardinality estimator ((k-1)·2^60 / h_k, ApproxSpec),
+    // (b) deterministic uniform sample of distinct keys (hash order is
+    // uncorrelated with key order), (c) mergeable — bottom-k of a union
+    // is bottom-k of the concatenated sketches. The plan is the scalable
+    // shape: map-side partial distinct-by-hash, then ORDER BY h LIMIT k
+    // compiles to TakeOrderedAndProject (per-partition top-k + driver
+    // merge of k·partitions rows — never a global sort).
+    "q52_kmv_sample" -> ((s, d) => {
+      Tables.fanout(Tables.lineitem(s, d))
+        .select(graft.ops.TextOps.hash60(col("l_orderkey")).as("h"),
+          col("l_orderkey"))
+        .groupBy(col("h")).agg(min(col("l_orderkey")).as("key"))
+        .orderBy(col("h")).limit(256)
+    }),
+
     // Histogram binning: fixed-width buckets from floor(price/width) —
     // pure per-row arithmetic (no width_bucket dependence), then one
     // map-side-combined agg; ~|buckets| rows shuffle. min/max of doubles
@@ -905,6 +922,13 @@ object RelationalQueries {
         |                     ELSE 51 - length(bin(h // 1024)) END AS BIGINT))
         |         AS max_rho
         |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q52_kmv_sample" ->
+      """WITH h AS (
+        |  SELECT ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 15))::BIGINT AS h,
+        |         l_orderkey
+        |  FROM lineitem),
+        |d AS (SELECT h, min(l_orderkey) AS key FROM h GROUP BY h)
+        |SELECT h, key FROM d ORDER BY h LIMIT 256""".stripMargin,
     "q31_exists_mix" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o

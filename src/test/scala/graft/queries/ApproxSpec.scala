@@ -54,6 +54,70 @@ class ApproxSpec extends SparkSpecBase {
     assert(viaQuery == registers(graft.Tables.fanout(li)))
   }
 
+  test("KMV bottom-k estimates distinct keys and merges by concatenation") {
+    val k = 256
+    val li = Tables.lineitem(spark, sfDir)
+    def kmv(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select(graft.ops.TextOps.hash60(col("l_orderkey")).as("h"))
+        .distinct().orderBy(col("h")).limit(k).as[Long].collect().toSeq
+    val full = kmv(li)
+    val exact = li.select(countDistinct(col("l_orderkey"))).as[Long].collect()(0)
+    if (full.size == k) {
+      // (k-1) * 2^60 / h_k — h_k is the k-th smallest 60-bit hash
+      val est = (k - 1).toDouble * math.pow(2.0, 60) / full.last.toDouble
+      assert(math.abs(est - exact) / exact < 0.20, s"est=$est exact=$exact")
+    } else {
+      // fewer distinct keys than k: the sketch IS the exact distinct set
+      assert(full.size == exact)
+    }
+    // merge = bottom-k of concatenated sketches
+    val a = kmv(li.filter(col("l_orderkey") % 2 === 0))
+    val b = kmv(li.filter(col("l_orderkey") % 2 =!= 0))
+    assert((a ++ b).distinct.sorted.take(k) == full)
+    // the oracle-gated query agrees (it also carries a representative key)
+    val viaQuery = graft.queries.RelationalQueries
+      .queries("q52_kmv_sample")(spark, sfDir)
+      .select(col("h")).as[Long].collect().toSeq
+    assert(viaQuery == kmv(graft.Tables.fanout(li)))
+  }
+
+  test("streaming HLL registers equal the batch sketch after all batches") {
+    // the register table is streaming STATE: groupBy(bucket).max(rho) in
+    // complete mode maintains the sketch incrementally; after any prefix
+    // of batches the table equals the batch sketch of the rows seen
+    implicit val ctx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val regs = in.toDF().toDF("key")
+      .select(graft.ops.TextOps.hash60(col("key")).as("h"))
+      .selectExpr("h % 1024 AS bucket", "h DIV 1024 AS w")
+      .selectExpr("bucket",
+        "CAST(CASE WHEN w = 0 THEN 51 ELSE 51 - length(bin(w)) END AS BIGINT) AS rho")
+      .groupBy(col("bucket")).agg(max(col("rho")).as("max_rho"))
+    val q = regs.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .format("memory").queryName("hll_stream").start()
+    def batchRegs(keys: Seq[Long]): Map[Long, Long] =
+      keys.toDF("key")
+        .select(graft.ops.TextOps.hash60(col("key")).as("h"))
+        .selectExpr("h % 1024 AS bucket", "h DIV 1024 AS w")
+        .selectExpr("bucket",
+          "CAST(CASE WHEN w = 0 THEN 51 ELSE 51 - length(bin(w)) END AS BIGINT) AS rho")
+        .groupBy(col("bucket")).agg(max(col("rho")).as("max_rho"))
+        .as[(Long, Long)].collect().toMap
+    try {
+      val b1 = (1L to 500L).toSeq
+      val b2 = (300L to 900L).toSeq // overlaps b1: max-merge must dedupe
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(spark.table("hll_stream").as[(Long, Long)].collect().toMap
+        == batchRegs(b1))
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      assert(spark.table("hll_stream").as[(Long, Long)].collect().toMap
+        == batchRegs(b1 ++ b2))
+    } finally q.stop()
+  }
+
   test("approx percentile brackets the exact median") {
     val li = Tables.lineitem(spark, sfDir)
     val p50 = li.select(percentile_approx(col("l_quantity"), lit(0.5), lit(1000)))
