@@ -24,7 +24,20 @@ object Tables {
     * cost-wise relative to the compute it unblocks; results are unaffected
     * (everything downstream is per-row math or key aggregation). */
   def fanout(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df.repartition(fanoutPartsOverride.get
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism))
+
+  /** Test hook: pin the fanout partition count while `body` builds plans —
+    * partition-invariance property tests run the same query under
+    * different splits (`OperatorPropertiesSpec`). Thread-local because
+    * the partition count is captured at plan-build time on the caller. */
+  private val fanoutPartsOverride = new ThreadLocal[Option[Int]] {
+    override def initialValue(): Option[Int] = None
+  }
+  def withFanoutParts[T](parts: Int)(body: => T): T = {
+    fanoutPartsOverride.set(Some(parts))
+    try body finally fanoutPartsOverride.set(None)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -31,6 +31,25 @@ class OperatorPropertiesSpec extends SparkSpecBase {
     }
   }
 
+  test("sketch operators are bit-identical across input partitionings") {
+    // the distributed-correctness property every sketch silently relies
+    // on: hash-decided sampling/bucketing + order-free reducers (max, min,
+    // count, bottom-k) must make the result independent of how the input
+    // was split. Run each oracle-gated sketch query twice with the scan
+    // fanout replaced by two different explicit repartitionings.
+    val names = Seq("q51_hll_registers", "q52_kmv_sample",
+      "d8d_triangle_doulion", "d8b_triangle_degree")
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      def rows(parts: Int): Seq[String] = {
+        Tables.withFanoutParts(parts) {
+          fn(spark, sfDir).collect().map(_.toString).toSeq
+        }
+      }
+      assert(rows(3) == rows(17), s"$name diverged across partitionings")
+    }
+  }
+
   test("k-means assignment is bit-identical across input partitionings") {
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("vec_id").as("id"),
