@@ -45,7 +45,7 @@ object Bench {
     "q43_zorder", "q44_asof_tolerance", "q45_asof_forward",
     "q46_recursive_cte", "q47_asof_nearest", "q48_share_of_total",
     "q49_filtered_agg", "q50_regression", "q51_hll_registers",
-    "q52_kmv_sample",
+    "q52_kmv_sample", "q53_overlap_sweep",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_regex_tokens", "t6_string_funcs", "t7_array_funcs", "t8_explode",
     "t9_regex_extract", "t10_normalize", "t11_hash_split",

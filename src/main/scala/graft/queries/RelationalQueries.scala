@@ -881,6 +881,43 @@ object RelationalQueries {
         .orderBy(col("bucket"))
     }),
 
+    // Interval-overlap analytics WITHOUT pair enumeration — the sweep-line
+    // form of an interval self-join. Each shipment becomes a window
+    // [shipdate, shipdate + (qty%20+3) days]; per supplier we want the
+    // peak number of concurrently-open windows and the total count of
+    // overlapping window PAIRS. The naive interval join emits O(overlaps)
+    // rows; the sweep emits 2 events per interval (+1 at start, -1 at
+    // exclusive end), one window-function running sum per supplier, and
+    // reads both statistics off the sweep: peak = max(active at a start),
+    // pairs = Σ(active-1 at each start) — O(n log n) per key, output
+    // |suppliers| rows, no quadratic anything. Tie handling: ends sort
+    // before starts at the same date (delta ASC), so back-to-back windows
+    // don't count as overlapping; per-tie-group sums/maxima are
+    // order-independent, keeping the result deterministic.
+    "q53_overlap_sweep" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.fanout(Tables.lineitem(s, d))
+        .select(col("l_suppkey"),
+          col("l_shipdate").cast("date").as("sd"),
+          (col("l_quantity").cast("int") % 20 + 3).as("dur"))
+        .withColumn("rd", expr("date_add(sd, dur)"))
+      val ev = li.select(col("l_suppkey"), col("sd").as("t"), lit(1).as("delta"))
+        .unionAll(li.select(col("l_suppkey"),
+          expr("date_add(rd, 1)").as("t"), lit(-1).as("delta")))
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("t"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("active", sum(col("delta")).over(w))
+        .groupBy(col("l_suppkey"))
+        .agg(
+          sum(when(col("delta") === 1, lit(1L)).otherwise(lit(0L)))
+            .as("n_windows"),
+          max(when(col("delta") === 1, col("active"))).as("peak_concurrent"),
+          sum(when(col("delta") === 1, col("active") - 1).otherwise(lit(0L)))
+            .as("n_overlap_pairs"))
+        .orderBy(col("l_suppkey"))
+    }),
+
     // KMV (k-minimum-values) bottom-k sketch: the 256 smallest distinct
     // md5 hashes of the key, each with a representative key. Triple duty
     // at 100 TB: (a) cardinality estimator ((k-1)·2^60 / h_k, ApproxSpec),
@@ -929,6 +966,37 @@ object RelationalQueries {
         |  FROM lineitem),
         |d AS (SELECT h, min(l_orderkey) AS key FROM h GROUP BY h)
         |SELECT h, key FROM d ORDER BY h LIMIT 256""".stripMargin,
+    // deliberately a DIFFERENT algorithm than the Spark sweep: nested-loop
+    // pair/at-point counting — agreement pins the sweep's tie semantics
+    // (inclusive ends, back-to-back windows don't overlap)
+    "q53_overlap_sweep" ->
+      """WITH li AS (
+        |  -- (l_orderkey, l_linenumber) is NOT unique in this corpus; the
+        |  -- synthetic rid only orders pairs and its predicate columns are
+        |  -- (s, sd, rd), so tie order among identical rows is harmless
+        |  SELECT l_suppkey AS s,
+        |         l_shipdate::DATE AS sd,
+        |         l_shipdate::DATE + (l_quantity::INT % 20 + 3) AS rd,
+        |         row_number() OVER (ORDER BY l_suppkey, l_shipdate) AS rid
+        |  FROM lineitem),
+        |wins AS (SELECT s, count(*) AS n_windows FROM li GROUP BY s),
+        |pairs AS (
+        |  SELECT a.s, count(*) AS n_overlap_pairs
+        |  FROM li a JOIN li b ON a.s = b.s AND a.rid < b.rid
+        |   AND a.sd <= b.rd AND b.sd <= a.rd
+        |  GROUP BY a.s),
+        |peak AS (
+        |  SELECT s, max(c) AS peak_concurrent FROM (
+        |    SELECT a.s AS s, a.rid, count(*) AS c
+        |    FROM li a JOIN li b ON a.s = b.s AND b.sd <= a.sd AND a.sd <= b.rd
+        |    GROUP BY a.s, a.rid)
+        |  GROUP BY s)
+        |SELECT w.s AS l_suppkey, w.n_windows, p2.peak_concurrent,
+        |       CAST(coalesce(p.n_overlap_pairs, 0) AS BIGINT) AS n_overlap_pairs
+        |FROM wins w
+        |JOIN peak p2 ON p2.s = w.s
+        |LEFT JOIN pairs p ON p.s = w.s
+        |ORDER BY l_suppkey""".stripMargin,
     "q31_exists_mix" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o
