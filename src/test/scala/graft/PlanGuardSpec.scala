@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the scale-critical PHYSICAL-plan properties of the headline
+  * queries, so a refactor that silently turns a broadcast join into a
+  * shuffle — or worse, a bounded nested loop into an unbounded cartesian
+  * product — fails here instead of at 100 TB. Planning only: no query is
+  * executed.
+  */
+class PlanGuardSpec extends SparkSpecBase {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+
+  test("no headline plan contains an unbounded cartesian product") {
+    // Every intentional all-pairs form is either bench-excluded (d4/d6,
+    // the ground-truth validators) or broadcast-bounded (BNLJ with a
+    // tiny broadcast side — n1's query block, q40's 5x5x5 dims). A
+    // CartesianProduct node means BOTH sides ship everywhere: never
+    // acceptable in the headline mix.
+    val offenders = Bench.headline.filter(SparkEntry.queries.contains)
+      .filter(name => planOf(name).contains("CartesianProduct"))
+    assert(offenders.isEmpty,
+      s"cartesian products planned in: ${offenders.mkString(", ")}")
+  }
+
+  test("dimension joins broadcast instead of shuffling the fact side") {
+    // s6 (events x customer) and q2 (star join) must keep the fact table
+    // shuffle-free: the dimension side broadcasts.
+    Seq("s6_inner_join", "q2_star_join_revenue").foreach { name =>
+      val p = planOf(name)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name lost its broadcast join:\n$p")
+    }
+    // ANN serving broadcasts the query block under a nested loop — the
+    // candidate side must never shuffle.
+    val ann = planOf("n1_ann_bruteforce")
+    assert(ann.contains("BroadcastNestedLoopJoin"),
+      s"n1 must broadcast the query block:\n$ann")
+  }
+
+  test("parquet scans prune to the referenced columns") {
+    // s4 projects 2 of part's 9 columns; the scan must read only those.
+    val p = planOf("s4_array_index")
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("p_partkey") && read.contains("p_type") &&
+      !read.contains("p_retailprice"),
+      s"s4 scan is not column-pruned: $read")
+  }
+}
