@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.SimilarityOps._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity-search queries over `embeddings` (ARRAY<FLOAT>, 64-dim).
@@ -136,6 +136,66 @@ object SimilarityQueries {
     // cosine rerank (top-10) — the recall-vs-cost ladder of a production
     // vector store, end-to-end oracle-exact (integer stage-1 dot, fixed
     // double op order throughout).
+    // Product quantization + asymmetric distance (ADC) — THE
+    // billion-scale embedding compression: each 64-dim vector becomes 4
+    // one-byte codes (one per 16-dim subspace, argmin to a 16-entry
+    // per-subspace codebook), a 64:1 size reduction; queries stay exact
+    // and score candidates by table lookup: adc(q, v) = Σ_m
+    // d²(q_sub_m, C_m[code_m(v)]). The per-query 4×16 distance table is
+    // computed ONCE as array columns and broadcast with the query block
+    // (n1's serving pattern), so scoring a candidate is 4 array lookups +
+    // 3 adds — no vector math on the scan side, which is the entire point
+    // at 100 TB (codes are 4 bytes/vector; raw floats never leave the
+    // index build). Codebook here is fixed (subvectors of the first 16
+    // vectors — the n5 fixed-quantizer pattern); the trained variant runs
+    // kmeansFit per subspace. All arithmetic mirrors the oracle
+    // bit-for-bit: same fold orders, same (d2, cid)/(adc, vid)
+    // tie-breaks. Compose with IVF (n5/n7) to gate the candidate scan.
+    "n11_pq_adc" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val M = 4; val SubDims = 16; val Ksub = 16
+      val v = vecs(s, d)
+      val cbRows = v.filter(col("id") < Ksub).select(col("id"), col("emb"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+      val cbs = (0 until M).map { m =>
+        cbRows.toSeq.map { case (cid, full) =>
+          val cent = full.slice(m * SubDims, (m + 1) * SubDims)
+          (cid, cent, cent.foldLeft(0.0)((a, x) => a + x * x))
+        }
+      }
+      def sub(m: Int) = expr(s"slice(emb, ${m * SubDims + 1}, $SubDims)")
+      def encodeCol(m: Int): Column = {
+        val sn2 = norm2(sub(m))
+        least(cbs(m).map { case (cid, cent, cn2) =>
+          struct(((sn2 + lit(cn2)) - lit(2.0) * dot(sub(m), typedLit(cent)))
+            .as("d2"), lit(cid).as("cid"))
+        }: _*).getField("cid")
+      }
+      def adcArr(m: Int): Column = {
+        val sn2 = norm2(sub(m))
+        array(cbs(m).map { case (_, cent, cn2) =>
+          (sn2 + lit(cn2)) - lit(2.0) * dot(sub(m), typedLit(cent))
+        }: _*)
+      }
+      val codes = v.select(col("id").as("vid"),
+        encodeCol(0).as("c0"), encodeCol(1).as("c1"),
+        encodeCol(2).as("c2"), encodeCol(3).as("c3"))
+      val qs = v.filter(col("id") < NumQueries).select(col("id").as("qid"),
+        adcArr(0).as("a0"), adcArr(1).as("a1"),
+        adcArr(2).as("a2"), adcArr(3).as("a3"))
+      val scored = codes.crossJoin(broadcast(qs))
+        .withColumn("adc",
+          element_at(col("a0"), col("c0").cast("int") + 1) +
+          element_at(col("a1"), col("c1").cast("int") + 1) +
+          element_at(col("a2"), col("c2").cast("int") + 1) +
+          element_at(col("a3"), col("c3").cast("int") + 1))
+      val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vid"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
+        .select(col("qid").as("query_id"), col("rank"),
+          col("vid").as("vec_id"), round(col("adc"), 6).as("adc_dist2"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "n10_quantized_rerank" -> ((s, d) => {
       val v = vecs(s, d)
       quantizedRerankTopK(v.filter(col("id") < NumQueries), v, K,
@@ -409,6 +469,50 @@ object SimilarityQueries {
          |  FROM v a, v b WHERE a.id < b.id)
          |SELECT id_a, id_b, round(cos, 6) AS cos_sim
          |FROM scored WHERE cos >= $NearDupTau ORDER BY id_a, id_b""".stripMargin,
+    // PQ/ADC mirror: codebook = subvectors of id < 16 FROM THE DATA (no
+    // literals, so the same SQL is correct at every sf); encode ties
+    // (d2, cid), top-k ties (adc, vid); ADC addition parenthesized
+    // left-to-right to match Spark's left-assoc `+` chain.
+    "n11_pq_adc" ->
+      s"""WITH v AS (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+         |sub AS (SELECT id, m, v.emb[m*16 + 1 : (m + 1)*16] AS sv FROM v, ms),
+         |sn AS (SELECT id, m, sv,
+         |        list_reduce(list_prepend(0.0::DOUBLE,
+         |          list_transform(sv, z -> z * z)), (p, q) -> p + q) AS n2
+         |       FROM sub),
+         |cb AS (SELECT m, id AS cid, sv AS csv, n2 AS cn2 FROM sn WHERE id < 16),
+         |l AS (SELECT s.id, s.m, c.cid,
+         |       (s.n2 + c.cn2) - 2.0 * list_reduce(list_prepend(0.0::DOUBLE,
+         |          list_transform(generate_series(1, 16),
+         |            i -> s.sv[i] * c.csv[i])), (x, y) -> x + y) AS d2
+         |      FROM sn s JOIN cb c ON c.m = s.m),
+         |enc AS (SELECT id, m, cid FROM (
+         |        SELECT id, m, cid,
+         |               ROW_NUMBER() OVER (PARTITION BY id, m
+         |                                  ORDER BY d2, cid) AS rn FROM l)
+         |        WHERE rn = 1),
+         |codes AS (SELECT id AS vid,
+         |        max(CASE WHEN m = 0 THEN cid END) AS c0,
+         |        max(CASE WHEN m = 1 THEN cid END) AS c1,
+         |        max(CASE WHEN m = 2 THEN cid END) AS c2,
+         |        max(CASE WHEN m = 3 THEN cid END) AS c3
+         |        FROM enc GROUP BY id),
+         |ql AS (SELECT id AS qid, m, cid, d2 FROM l WHERE id < $NumQueries),
+         |adc AS (SELECT q0.qid, cd.vid,
+         |        (((q0.d2 + q1.d2) + q2.d2) + q3.d2) AS adc
+         |        FROM codes cd
+         |        JOIN ql q0 ON q0.m = 0 AND q0.cid = cd.c0
+         |        JOIN ql q1 ON q1.m = 1 AND q1.cid = cd.c1 AND q1.qid = q0.qid
+         |        JOIN ql q2 ON q2.m = 2 AND q2.cid = cd.c2 AND q2.qid = q0.qid
+         |        JOIN ql q3 ON q3.m = 3 AND q3.cid = cd.c3 AND q3.qid = q0.qid)
+         |SELECT query_id, rank, vec_id, round(adc, 6) AS adc_dist2 FROM (
+         |  SELECT qid AS query_id, vid AS vec_id, adc,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vid) AS rank
+         |  FROM adc) WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
     "n10_quantized_rerank" ->
       s"""WITH v AS (
          |  SELECT vec_id AS id,
