@@ -66,6 +66,55 @@ class StreamingNearDupSpec extends SparkSpecBase {
     }
   }
 
+  test("claims survive a cold restart from the checkpoint") {
+    // the production property of an ingest gate: a restart must NOT
+    // grant dedup amnesty — a copy arriving after the restart still hits
+    // the pre-restart claim, replayed from the state checkpoint
+    val srcDir = java.nio.file.Files.createTempDirectory("ndup-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ndup-ckpt").toString
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val verdicts = scala.collection.mutable.Map[Long, Option[Long]]()
+    def writeBatch(rows: Seq[(Long, java.sql.Timestamp, String)]): Unit =
+      rows.toDF("doc_id", "ts", "text").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    def startQuery() = {
+      val docs = spark.readStream
+        .schema("doc_id LONG, ts TIMESTAMP, text STRING").parquet(srcDir)
+      StreamingNearDup.bandVerdicts(spark, docs, maxHamming = 3)
+        .toDF().writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          StreamingNearDup.docVerdicts(batch.toDF())
+            .collect().foreach(r => verdicts.synchronized {
+              verdicts(r.getLong(0)) =
+                if (r.isNullAt(1)) None else Some(r.getLong(1))
+            })
+          ()
+        }.start()
+    }
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d")
+    try {
+      writeBatch(Seq((0L, ts(0), tA), (2L, ts(1), tC)))
+      val q1 = startQuery()
+      q1.processAllAvailable()
+      q1.stop()
+      assert(verdicts(0L).isEmpty && verdicts(2L).isEmpty)
+      // arrives while the gate is DOWN; the restarted query must flag it
+      writeBatch(Seq((5L, ts(20), tA), (6L, ts(21), tE)))
+      val q2 = startQuery()
+      q2.processAllAvailable()
+      try {
+        assert(verdicts(5L).contains(0L),
+          s"post-restart copy must hit the checkpointed claim: $verdicts")
+        assert(verdicts(6L).isEmpty, "fresh doc still passes after restart")
+      } finally q2.stop()
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("intra-batch contention resolves by (ts, docId): earliest wins") {
     implicit val ctx = spark.sqlContext
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
