@@ -45,13 +45,15 @@ object Bench {
     "q43_zorder", "q44_asof_tolerance", "q45_asof_forward",
     "q46_recursive_cte", "q47_asof_nearest", "q48_share_of_total",
     "q49_filtered_agg", "q50_regression", "q51_hll_registers",
-    "q52_kmv_sample", "q53_overlap_sweep",
+    "q52_kmv_sample", "q53_overlap_sweep", "q54_merge_upsert",
+    "q55_countmin", "q56_funnel", "q57_bitmap_distinct", "q58_event_paths",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_regex_tokens", "t6_string_funcs", "t7_array_funcs", "t8_explode",
     "t9_regex_extract", "t10_normalize", "t11_hash_split",
     "t12_repetition", "t13_source_mix", "t14_redact", "t15_pack_shards",
     "t16_stratified_sample", "t17_chunking", "t18_edit_distance",
-    "t19_tfidf", "t20_quality_logit", "t21_bigram_counts", "t22_sentences", "t23_readability",
+    "t19_tfidf", "t20_quality_logit", "t21_bigram_counts", "t22_sentences",
+    "t23_readability", "t24_lm_score",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
     "d8d_triangle_doulion", "d11_containment",
     "n1_ann_bruteforce", "n2_ann_lsh", "n3_embedding_neardup",

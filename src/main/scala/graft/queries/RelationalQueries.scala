@@ -946,6 +946,136 @@ object RelationalQueries {
           min(col("o_totalprice")).as("lo"),
           max(col("o_totalprice")).as("hi"))
         .orderBy(col("bucket"))
+    }),
+
+    // MERGE INTO / CDC apply: a change-set derived from orders hits the
+    // customer dimension — updates (matched 'U' replaces the row), deletes
+    // (matched 'D' drops it), inserts (unmatched 'U': keys shifted by 10M
+    // match nothing). The operator is anti-join + union (MergeOps scaladoc
+    // proves the equivalence to SQL MERGE): the TB-scale target never
+    // shuffles — only its anti-join probe against the broadcast change-key
+    // set. c_acctbal takes max(o_totalprice) un-divided: max is exact, so
+    // the whole result is integer/string/exact-double → bit-stable.
+    "q54_merge_upsert" -> ((s, d) => {
+      val target = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"))
+      val changes = Tables.orders(s, d)
+        .select(when(col("o_custkey") % 3 === 0, col("o_custkey") + 10000000L)
+          .otherwise(col("o_custkey")).as("c_custkey"), col("o_totalprice"))
+        .groupBy(col("c_custkey"))
+        .agg(max(col("o_totalprice")).as("maxp"))
+        .select(col("c_custkey"),
+          concat(lit("MERGED_"), col("c_custkey").cast("string")).as("c_name"),
+          col("maxp").as("c_acctbal"),
+          lit("MERGED").as("c_mktsegment"),
+          when(col("c_custkey") % 5 === 0, lit("D")).otherwise(lit("U"))
+            .as("op"))
+      graft.ops.MergeOps.applyChanges(target, changes, Seq("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Count-Min sketch: point-frequency estimates for the 20 hottest part
+    // keys, read from a ≤4×512-cell sketch (SketchOps scaladoc: cell-wise-
+    // SUM mergeable, md5-hash-decided ⇒ bit-exact oracle). The output pins
+    // the CMS contract the oracle can check exactly: cms_est ≥ true_cnt
+    // always, and both sides address identical cells. ApproxSpec asserts
+    // the error bound, mergeability, and the streaming-state form.
+    "q55_countmin" -> ((s, d) => {
+      val keys = Tables.fanout(Tables.lineitem(s, d)).select(col("l_partkey"))
+      val sketch = graft.ops.SketchOps.cmsSketch(keys, "l_partkey")
+      val top = keys.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("true_cnt"))
+        .orderBy(col("true_cnt").desc, col("l_partkey")).limit(20)
+      graft.ops.SketchOps.cmsLookup(sketch, top, "l_partkey")
+        .orderBy(col("l_partkey"))
+    }),
+
+    // Ordered event funnel (view → click → purchase, each step within 7
+    // days of the previous): per-user conversion staging, the product-
+    // analytics sequence query. Each step is one |users|-row aggregate
+    // joined back to the (filtered) event scan — the big fact table is
+    // scanned once per step with the step predicate pushed down, and the
+    // per-user step tables are dimension-sized → broadcast. min(ts) per
+    // user is deterministic (min commutes with the ns→µs floor), and
+    // timestamps leave as unix_micros BIGINTs.
+    "q56_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .join(broadcast(views), "user_id")
+        .filter(col("ts") >= col("view_ts") &&
+          col("ts") <= expr("view_ts + INTERVAL 7 DAY"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .join(broadcast(clicks), "user_id")
+        .filter(col("ts") >= col("click_ts") &&
+          col("ts") <= expr("click_ts + INTERVAL 7 DAY"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
+      views.join(clicks, Seq("user_id"), "left")
+        .join(purchases, Seq("user_id"), "left")
+        .select(col("user_id"),
+          unix_micros(col("view_ts")).as("view_us"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("purchase_ts")).as("purchase_us"),
+          (lit(1L) + when(col("click_ts").isNotNull, 1L).otherwise(0L)
+            + when(col("purchase_ts").isNotNull, 1L).otherwise(0L))
+            .as("stage"))
+        .orderBy(col("user_id"))
+    }),
+
+    // EXACT count-distinct at scale via 64-key block bitmaps: dense
+    // integer keys compress 64:1 into (block, OR-of-bit-masks) cells, so
+    // the shuffle carries |keyspace|/64 rows per group instead of
+    // |distinct keys| — and unlike HLL (q51) the answer is exact. The
+    // bitmap cells merge by OR (idempotent: duplicate keys are absorbed
+    // map-side), popcount + sum reads the cardinality off the cells. The
+    // oracle is an ALGORITHM-INDEPENDENT count(DISTINCT ...) — agreement
+    // proves the bitmap math, not just mirrors it.
+    "q57_bitmap_distinct" -> ((s, d) => {
+      Tables.fanout(Tables.lineitem(s, d))
+        .select(col("l_returnflag"),
+          expr("l_orderkey div 64").as("blk"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(l_orderkey % 64 AS INT))")
+            .as("mask"))
+        .groupBy(col("l_returnflag"), col("blk"))
+        .agg(bit_or(col("mask")).as("bits"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(bit_count(col("bits")).cast("long")).as("n_distinct"),
+          count(lit(1)).as("n_blocks"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Session path mining: top event-type SEQUENCES per 30-minute-gap
+    // session (q14's sessionization) — the "what do users do" product
+    // query. Order inside a session is pinned by sort_array over
+    // (ts, event_id, type) structs (collect_list alone is partition-order
+    // nondeterministic — the sort makes the aggregate order-free), paths
+    // truncate to the first 5 steps, and the global path histogram is a
+    // second tiny aggregate. Shuffles: one by user (window), one by path
+    // (|distinct paths| rows) — no row ever carries more than its session.
+    "q58_event_paths" -> ((s, d) => {
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(ord))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_idx", sum(col("new_sess")).over(cum))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+        .select(array_join(
+          slice(transform(col("evs"), e => e.getField("event_type")), 1, 5),
+          "->").as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(25)
     })
   )
 
@@ -1495,6 +1625,115 @@ object RelationalQueries {
         |FROM changes
         |WINDOW w2 AS (PARTITION BY o_custkey
         |              ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_custkey, version""".stripMargin
+        |ORDER BY o_custkey, version""".stripMargin,
+    // deliberately the textbook full MERGE phrasing (NOT EXISTS + UNION of
+    // surviving upserts) — agreement pins applyChanges' anti-join+union
+    // decomposition to SQL MERGE semantics
+    "q54_merge_upsert" ->
+      """WITH changes AS (
+        |  SELECT c_custkey,
+        |         'MERGED_' || CAST(c_custkey AS VARCHAR) AS c_name,
+        |         maxp AS c_acctbal,
+        |         'MERGED' AS c_mktsegment,
+        |         CASE WHEN c_custkey % 5 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM (
+        |    SELECT CASE WHEN o_custkey % 3 = 0 THEN o_custkey + 10000000
+        |                ELSE o_custkey END AS c_custkey,
+        |           max(o_totalprice) AS maxp
+        |    FROM orders GROUP BY 1))
+        |SELECT t.c_custkey, t.c_name, t.c_acctbal, t.c_mktsegment
+        |FROM customer t
+        |WHERE NOT EXISTS (SELECT 1 FROM changes s
+        |                  WHERE s.c_custkey = t.c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM changes WHERE op = 'U'
+        |ORDER BY c_custkey""".stripMargin,
+    // same md5 hash family as the Spark side: bucket(i, key) =
+    // ('0x' || substr(md5(i || '|' || key), 1, 15))::BIGINT % 512
+    "q55_countmin" ->
+      """WITH rws AS (SELECT i FROM (VALUES (0),(1),(2),(3)) AS r(i)),
+        |cells AS (
+        |  SELECT r.i AS rw,
+        |         ('0x' || substr(md5(CAST(r.i AS VARCHAR) || '|' ||
+        |            CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT % 512
+        |           AS bucket
+        |  FROM lineitem, rws r),
+        |sketch AS (
+        |  SELECT rw, bucket, count(*) AS cnt FROM cells GROUP BY rw, bucket),
+        |top AS (
+        |  SELECT l_partkey, count(*) AS true_cnt FROM lineitem
+        |  GROUP BY l_partkey ORDER BY true_cnt DESC, l_partkey LIMIT 20),
+        |lk AS (
+        |  SELECT t.l_partkey, t.true_cnt, r.i AS rw,
+        |         ('0x' || substr(md5(CAST(r.i AS VARCHAR) || '|' ||
+        |            CAST(t.l_partkey AS VARCHAR)), 1, 15))::BIGINT % 512
+        |           AS bucket
+        |  FROM top t, rws r)
+        |SELECT lk.l_partkey, lk.true_cnt, min(s.cnt) AS cms_est
+        |FROM lk JOIN sketch s ON s.rw = lk.rw AND s.bucket = lk.bucket
+        |GROUP BY lk.l_partkey, lk.true_cnt
+        |ORDER BY l_partkey""".stripMargin,
+    "q56_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts::TIMESTAMP) AS view_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS click_ts
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click'
+        |    AND e.ts::TIMESTAMP >= v.view_ts
+        |    AND e.ts::TIMESTAMP <= v.view_ts + INTERVAL 7 DAY
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS purchase_ts
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND e.ts::TIMESTAMP >= c.click_ts
+        |    AND e.ts::TIMESTAMP <= c.click_ts + INTERVAL 7 DAY
+        |  GROUP BY e.user_id)
+        |SELECT v.user_id,
+        |       epoch_us(v.view_ts) AS view_us,
+        |       epoch_us(c.click_ts) AS click_us,
+        |       epoch_us(p.purchase_ts) AS purchase_us,
+        |       CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+        |              + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END
+        |            AS BIGINT) AS stage
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        |       LEFT JOIN p ON p.user_id = v.user_id
+        |ORDER BY v.user_id""".stripMargin,
+    // independent algorithm on purpose: plain COUNT(DISTINCT ...) vs the
+    // Spark side's bitmap cells — agreement proves the bitmap encoding
+    "q57_bitmap_distinct" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_orderkey) AS n_distinct,
+        |       count(DISTINCT l_orderkey // 64) AS n_blocks
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // same sessionization as q14 (date_diff('second') ≡ unix_timestamp
+    // floor subtraction); DuckDB's ordered list() pins in-session order
+    "q58_event_paths" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type,
+        |    lag(ts::TIMESTAMP) OVER (PARTITION BY user_id
+        |      ORDER BY ts::TIMESTAMP, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END
+        |    AS new_sess
+        |  FROM o),
+        |sess AS (
+        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM f),
+        |p AS (
+        |  SELECT user_id, session_idx,
+        |    array_to_string(
+        |      (list(event_type ORDER BY ts, event_id))[1:5], '->') AS path
+        |  FROM sess GROUP BY user_id, session_idx)
+        |SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 25""".stripMargin
   )
 }

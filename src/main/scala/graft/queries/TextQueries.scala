@@ -415,6 +415,37 @@ object TextQueries {
           fingerprint64(col("text")).as("fp64"),
           rollingFingerprint(col("toks")).as("rolling_fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Bigram language-model scoring: per-doc mean P(w2|w1) under the
+    // corpus's own bigram counts — the statistical-LM quality signal
+    // (fluent text scores high, shuffled/rare text low). All arithmetic is
+    // integer: P is scaled to parts-per-million via BIGINT floor-division
+    // (pair_cnt·1e6 div prefix_cnt), so Spark and DuckDB agree bit-for-bit
+    // — same transcendental-free discipline as t19's rational idf.
+    // Plan shape at 100 TB: doc bigrams aggregate map-side before joining
+    // the two model tables (pair counts, prefix counts) on their natural
+    // keys; both models are vocab-bounded, so the joins broadcast once the
+    // vocabulary stabilizes — no quadratic anything.
+    "t24_lm_score" -> ((s, d) => {
+      val bi = Tables.fanout(Tables.documents(s, d))
+        .withColumn("toks", tokens(col("text")))
+        .filter(size(col("toks")) > 1)
+        .select(col("doc_id"),
+          explode(zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => struct(a.as("w1"), concat_ws("|", a, b).as("pair"))))
+            .as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.pair").as("pair"))
+      val pairCnt = bi.groupBy(col("pair")).agg(count(lit(1)).as("pair_cnt"))
+      val prefCnt = bi.groupBy(col("w1")).agg(count(lit(1)).as("pref_cnt"))
+      bi.join(pairCnt, "pair").join(prefCnt, "w1")
+        .withColumn("ppm", expr("(pair_cnt * 1000000) div pref_cnt"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("sum_ppm"))
+        .withColumn("avg_ppm", expr("sum_ppm div n_bigrams"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -682,6 +713,27 @@ object TextQueries {
          |  round(206.835
          |    - (CAST(n_words AS DOUBLE) / n_sents) * 1.015
          |    - (CAST(n_syll AS DOUBLE) / n_words) * 84.6, 4) AS flesch
-         |FROM f ORDER BY doc_id""".stripMargin
+         |FROM f ORDER BY doc_id""".stripMargin,
+    // DuckDB zips parallel unnests row-wise, giving (w1, pair) per bigram
+    // position. CAST(sum(...) AS BIGINT): sum(BIGINT) widens to HUGEINT
+    // (the s9 lesson); // is BIGINT floor division = Spark's `div`.
+    "t24_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $dkToks AS toks FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, len(toks) - 1),
+         |      i -> toks[i])) AS w1,
+         |    unnest(list_transform(generate_series(1, len(toks) - 1),
+         |      i -> toks[i] || '|' || toks[i + 1])) AS pair
+         |  FROM t WHERE len(toks) > 1),
+         |pc AS (SELECT pair, count(*) AS pair_cnt FROM b GROUP BY pair),
+         |fc AS (SELECT w1, count(*) AS pref_cnt FROM b GROUP BY w1)
+         |SELECT b.doc_id, count(*) AS n_bigrams,
+         |  CAST(sum((pc.pair_cnt * 1000000) // fc.pref_cnt) AS BIGINT)
+         |    AS sum_ppm,
+         |  CAST(sum((pc.pair_cnt * 1000000) // fc.pref_cnt) AS BIGINT)
+         |    // count(*) AS avg_ppm
+         |FROM b JOIN pc ON pc.pair = b.pair JOIN fc ON fc.w1 = b.w1
+         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
   )
 }

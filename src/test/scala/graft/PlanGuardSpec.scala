@@ -42,6 +42,23 @@ class PlanGuardSpec extends SparkSpecBase {
       s"n1 must broadcast the query block:\n$ann")
   }
 
+  test("merge and sketch lookups broadcast their small sides") {
+    // q54: the TB-scale target side must probe a BROADCAST left-anti join
+    // (a shuffled anti join would move the whole dimension).
+    val merge = planOf("q54_merge_upsert")
+    assert(merge.contains("BroadcastHashJoin") && merge.contains("LeftAnti"),
+      s"q54 lost its broadcast anti join:\n$merge")
+    // q55: the ≤2048-cell sketch broadcasts under the lookup join.
+    val cms = planOf("q55_countmin")
+    assert(cms.contains("BroadcastHashJoin"),
+      s"q55 must broadcast the sketch side:\n$cms")
+    // q56: each funnel step joins a dimension-sized per-user table back to
+    // the fact scan — all three step joins broadcast.
+    val funnel = planOf("q56_funnel")
+    assert(funnel.contains("BroadcastHashJoin"),
+      s"q56 funnel steps must broadcast the per-user step tables:\n$funnel")
+  }
+
   test("parquet scans prune to the referenced columns") {
     // s4 projects 2 of part's 9 columns; the scan must read only those.
     val p = planOf("s4_array_index")

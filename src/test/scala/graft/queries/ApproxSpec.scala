@@ -118,6 +118,65 @@ class ApproxSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("CMS never undercounts, errs within bound, and merges by cell sum") {
+    import graft.ops.SketchOps
+    val li = Tables.lineitem(spark, sfDir).select(col("l_partkey"))
+    val n = li.count()
+    val sketch = SketchOps.cmsSketch(li, "l_partkey")
+    val truth = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("true_cnt"))
+    val est = SketchOps.cmsLookup(sketch, truth, "l_partkey")
+      .as[(Long, Long, Long)].collect()
+    assert(est.nonEmpty)
+    // one-sided error: min over rows of a cell that contains the key's own
+    // count plus non-negative collision mass can never undercount
+    assert(est.forall { case (_, t, e) => e >= t },
+      "CMS must never undercount")
+    // collision mass per cell averages N/width; min over Depth independent
+    // rows stays well under a loose 5×N/width for every key
+    val bound = 5.0 * n / SketchOps.CmsWidth
+    assert(est.forall { case (_, t, e) => (e - t) <= bound },
+      s"overcount exceeded ${bound}")
+    // mergeability: cell-wise sum of two shard sketches == full sketch
+    def cells(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      SketchOps.cmsSketch(df, "l_partkey")
+        .as[(Int, Long, Long)].collect()
+        .map { case (r, b, c) => ((r.toLong, b), c) }.toMap
+    val a = cells(li.filter(col("l_partkey") % 2 === 0))
+    val b = cells(li.filter(col("l_partkey") % 2 =!= 0))
+    val merged = (a.keySet ++ b.keySet)
+      .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == cells(li), "cell-wise sum merge must equal full sketch")
+  }
+
+  test("streaming CMS cells equal the batch sketch after each batch") {
+    // like the streaming-HLL test but sum-merged: groupBy(rw,bucket).count
+    // in complete mode maintains the frequency sketch as streaming state
+    import graft.ops.SketchOps
+    implicit val ctx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val sketch = SketchOps.cmsSketch(in.toDF().toDF("key"), "key")
+    val q = sketch.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .format("memory").queryName("cms_stream").start()
+    def batchCells(keys: Seq[Long]): Map[(Int, Long), Long] =
+      SketchOps.cmsSketch(keys.toDF("key"), "key")
+        .as[(Int, Long, Long)].collect()
+        .map { case (r, b, c) => ((r, b), c) }.toMap
+    def stateCells(): Map[(Int, Long), Long] =
+      spark.table("cms_stream").as[(Int, Long, Long)].collect()
+        .map { case (r, b, c) => ((r, b), c) }.toMap
+    try {
+      val b1 = (1L to 300L) ++ (1L to 100L) // repeats: counts, not distincts
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(stateCells() == batchCells(b1))
+      val b2 = (250L to 600L).toSeq
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      assert(stateCells() == batchCells(b1 ++ b2))
+    } finally q.stop()
+  }
+
   test("approx percentile brackets the exact median") {
     val li = Tables.lineitem(spark, sfDir)
     val p50 = li.select(percentile_approx(col("l_quantity"), lit(0.5), lit(1000)))
