@@ -152,6 +152,20 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
+  /** Candidate pairs ACROSS two band tables — the incremental-ingest form:
+    * a new batch's bands probe only the existing corpus index, never each
+    * other, so daily ingest cost is |delta| × collision-rate instead of
+    * re-deduping the whole corpus. Same bucketed equi-join shape as
+    * [[candidatePairs]]; output (doc_a = delta id, doc_b = corpus id). */
+  def candidatePairsAcross(deltaBands: DataFrame, corpusBands: DataFrame): DataFrame = {
+    val l = deltaBands.select(col("band_idx"), col("band_hash"),
+      col("doc_id").as("doc_a"))
+    val r = corpusBands.select(col("band_idx").as("bi"),
+      col("band_hash").as("bh"), col("doc_id").as("doc_b"))
+    l.join(r, col("band_idx") === col("bi") && col("band_hash") === col("bh"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
   /** Exact Jaccard over distinct shingle sets for given pairs.
     * Output: doc_a, doc_b, inter, union_sz, jaccard. */
   def jaccardVerify(pairs: DataFrame, shingled: DataFrame): DataFrame = {

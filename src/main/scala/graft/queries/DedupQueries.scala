@@ -289,6 +289,45 @@ object DedupQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Incremental ingest dedup: a new batch (doc_id % 10 = 0 plays the
+    // delta) deduped AGAINST the existing corpus without re-deduping the
+    // corpus itself — the shape a daily 100 TB pipeline actually runs.
+    // Two layers, cheapest first: (1) exact — the delta's content hashes
+    // probe the corpus hash index (an equi-join on 16-byte keys; at scale
+    // the index is a bucketed table and the probe is shuffle-free);
+    // (2) near — the delta's LSH bands probe only the CORPUS bands
+    // (candidatePairsAcross: never delta×delta, never corpus×corpus),
+    // survivors exact-Jaccard-verified. Verdict per delta doc:
+    // exact_dup > near_dup > kept, match_id = smallest matching corpus id.
+    "d12_incremental_dedup" -> ((s, d) => {
+      val all = docs(s, d)
+      val deltaPred = col("doc_id") % 10 === 0
+      val hashed = all.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("content_md5"))
+      val exact = hashed.filter(deltaPred)
+        .join(hashed.filter(!deltaPred)
+          .select(col("content_md5"), col("doc_id").as("cid")), "content_md5")
+        .groupBy(col("doc_id")).agg(min(col("cid")).as("exact_of"))
+      val arr = shingleArrays(all)
+      val bands = lshBands(minhashSignatureNarrow(arr, NumHashes),
+        Bands, RowsPerBand)
+      val cand = candidatePairsAcross(
+        bands.filter(deltaPred), bands.filter(!deltaPred))
+      val near = jaccardVerifyArrays(cand, arr)
+        .filter(col("jaccard") >= JaccardTau)
+        .groupBy(col("doc_a")).agg(min(col("doc_b")).as("near_of"))
+        .withColumnRenamed("doc_a", "doc_id")
+      all.filter(deltaPred).select(col("doc_id"))
+        .join(exact, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("exact_of").isNotNull, "exact_dup")
+            .when(col("near_of").isNotNull, "near_dup")
+            .otherwise("kept").as("status"),
+          coalesce(col("exact_of"), col("near_of")).as("match_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Centrality-chosen canonical keeper: d7's components re-keyed so each
     // cluster keeps its highest-degree member (tie → min id) — the
     // "most representative variant" policy, composed from components + d9's
@@ -549,7 +588,47 @@ object DedupQueries {
          |WHERE CAST(i.inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= $ContainTau
          |ORDER BY doc_a, doc_b""".stripMargin)
 
+  /** d2's sig/band CTEs, pairs re-scoped to delta-probes-corpus and the
+    * Jaccard tail replaced by the two-layer verdict (exact > near > kept). */
+  private val dkIncremental: String =
+    dkMinhashLsh
+      .replace("l.doc_id < r.doc_id",
+        "l.doc_id % 10 = 0 AND r.doc_id % 10 <> 0")
+      .replace(dkJaccardTail,
+        s"""sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
+           |inter AS (
+           |  SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+           |  FROM pairs p
+           |  JOIN shingled a ON a.doc_id = p.doc_a
+           |  JOIN shingled b ON b.doc_id = p.doc_b AND b.sh = a.sh
+           |  GROUP BY p.doc_a, p.doc_b),
+           |near AS (
+           |  SELECT i.doc_a AS doc_id, min(i.doc_b) AS near_of
+           |  FROM inter i
+           |  JOIN sizes sa ON sa.doc_id = i.doc_a
+           |  JOIN sizes sb ON sb.doc_id = i.doc_b
+           |  WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter)
+           |          >= $JaccardTau
+           |  GROUP BY i.doc_a),
+           |ex AS (
+           |  SELECT dd.doc_id, min(c.doc_id) AS exact_of
+           |  FROM documents dd JOIN documents c
+           |    ON md5(dd.text) = md5(c.text) AND c.doc_id % 10 <> 0
+           |  WHERE dd.doc_id % 10 = 0
+           |  GROUP BY dd.doc_id)
+           |SELECT d.doc_id,
+           |  CASE WHEN e.exact_of IS NOT NULL THEN 'exact_dup'
+           |       WHEN n.near_of IS NOT NULL THEN 'near_dup'
+           |       ELSE 'kept' END AS status,
+           |  coalesce(e.exact_of, n.near_of) AS match_id
+           |FROM documents d
+           |LEFT JOIN ex e ON e.doc_id = d.doc_id
+           |LEFT JOIN near n ON n.doc_id = d.doc_id
+           |WHERE d.doc_id % 10 = 0
+           |ORDER BY d.doc_id""".stripMargin)
+
   val oracles: Map[String, String] = Map(
+    "d12_incremental_dedup" -> dkIncremental,
     "d6_dedup_groups" -> dkDedupGroups,
     "d7_simhash_groups" -> dkSimhashGroups,
     "d10_central_keeper" -> dkCentralKeeper,

@@ -148,6 +148,30 @@ class DedupSpec extends SparkSpecBase {
     assert(one("d8d_triangle_doulion") == est, "estimate must be deterministic")
   }
 
+  test("incremental dedup verdicts are consistent with the full-corpus view") {
+    import org.apache.spark.sql.functions._
+    val dir = sfDir
+    val out = graft.queries.DedupQueries
+      .queries("d12_incremental_dedup")(spark, dir)
+      .as[(Long, String, Option[Long])].collect()
+    val all = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .as[(Long, String)].collect()
+    val deltaIds = all.collect { case (id, _) if id % 10 == 0 => id }.toSet
+    // every delta doc gets exactly one verdict
+    assert(out.map(_._1).toSet == deltaIds && out.length == deltaIds.size)
+    // exact_dup ⟺ some corpus doc shares the content hash; match_id is one
+    val corpusByHash = all.filter(_._1 % 10 != 0).groupBy(_._2)
+    val hashOf = all.toMap
+    out.foreach { case (id, status, m) =>
+      val dup = corpusByHash.get(hashOf(id)).map(_.map(_._1).min)
+      if (status == "exact_dup") assert(m == dup, s"doc $id: $m vs $dup")
+      else assert(dup.isEmpty, s"doc $id should be exact_dup")
+      if (status == "kept") assert(m.isEmpty)
+      if (status == "near_dup") assert(m.exists(c => c % 10 != 0))
+    }
+  }
+
   test("shingles fall back to whole text for <3-token docs") {
     val sh = explodedShingles(docs.filter(col("doc_id") === 4))
       .select("sh").as[String].collect()
