@@ -31,6 +31,7 @@ object Bench {
     "s1_cast_projection", "s2_json_extract_filter", "s3_base64_roundtrip",
     "s4_array_index", "s5_split_year", "s6_inner_join", "s7_to_json",
     "s8_decode_chain", "s9_variant_extract", "s10_variant_explode",
+    "s11_corrupt_records",
     "q1_pricing_summary", "q2_star_join_revenue", "q3_top_orders",
     "q4_semi_join", "q5_anti_join", "q6_distinct", "q7_set_ops", "q8_rollup",
     "q9_window_running", "q10_count_distinct", "q11_tumbling_window",
@@ -47,6 +48,7 @@ object Bench {
     "q49_filtered_agg", "q50_regression", "q51_hll_registers",
     "q52_kmv_sample", "q53_overlap_sweep", "q54_merge_upsert",
     "q55_countmin", "q56_funnel", "q57_bitmap_distinct", "q58_event_paths",
+    "q59_topk_agg",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_regex_tokens", "t6_string_funcs", "t7_array_funcs", "t8_explode",
     "t9_regex_extract", "t10_normalize", "t11_hash_split",

@@ -1076,6 +1076,32 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_sessions"))
         .orderBy(col("n_sessions").desc, col("path"))
         .limit(25)
+    }),
+
+    // The bounded top-k AGGREGATOR under the oracle gate (it was spec-only:
+    // equivalence with the window form asserted in SimilaritySpec). Unlike
+    // `row_number().over(orderBy desc)` — which sorts EVERY row per group —
+    // the typed Aggregator's buffer never exceeds k entries, combines
+    // map-side, and merges associatively: k rows per partition per group
+    // shuffle, no sort. The oracle IS the window formulation, so agreement
+    // proves the bounded buffer implements exactly top-k-by-(score desc,
+    // id asc). Doubles pass through unchanged — no arithmetic, bit-stable.
+    "q59_topk_agg" -> ((s, d) => {
+      import s.implicits._
+      val agg = new graft.functions.TopKAggregator(5)
+      Tables.fanout(Tables.lineitem(s, d))
+        .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues { case (_, price, okey) => (price, okey) }
+        .agg(agg.toColumn.name("topk"))
+        .flatMap { case (flag, topk) =>
+          topk.iterator.zipWithIndex.map { case ((price, okey), i) =>
+            (flag, (i + 1).toLong, okey, price)
+          }
+        }
+        .toDF("l_returnflag", "rank", "l_orderkey", "price")
+        .orderBy(col("l_returnflag"), col("rank"))
     })
   )
 
@@ -1734,6 +1760,15 @@ object RelationalQueries {
         |      (list(event_type ORDER BY ts, event_id))[1:5], '->') AS path
         |  FROM sess GROUP BY user_id, session_idx)
         |SELECT path, count(*) AS n_sessions FROM p GROUP BY path
-        |ORDER BY n_sessions DESC, path LIMIT 25""".stripMargin
+        |ORDER BY n_sessions DESC, path LIMIT 25""".stripMargin,
+    // the window formulation the bounded aggregator must reproduce exactly
+    "q59_topk_agg" ->
+      """SELECT l_returnflag, rank, l_orderkey, price FROM (
+        |  SELECT l_returnflag,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice DESC, l_orderkey ASC) AS rank,
+        |         l_orderkey, l_extendedprice AS price
+        |  FROM lineitem)
+        |WHERE rank <= 5 ORDER BY l_returnflag, rank""".stripMargin
   )
 }

@@ -152,6 +152,29 @@ object StediQueries {
           |       schema_of_variant(parse_json(props)) AS v_schema
           |FROM s10_events, LATERAL variant_explode(parse_json(props)) AS ve
           |ORDER BY event_id, ve.pos""".stripMargin)
+    }),
+
+    // Error-tolerant ingestion: PERMISSIVE from_json with a corrupt-record
+    // column — the production posture for a Kafka feed where a bad producer
+    // must not kill the pipeline (the reference's FAILFAST-by-default parse
+    // would). Rows are deterministically corrupted (event_id % 7 = 0 gets a
+    // '{oops' prefix → invalid JSON): good rows shred normally, bad rows
+    // land whole in the quarantine column for a dead-letter sink. Narrow,
+    // one codegen'd stage.
+    "s11_corrupt_records" -> ((s, d) => {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "k INT, _corrupt STRING")
+      Tables.events(s, d)
+        .withColumn("mutated",
+          when(col("event_id") % 7 === 0, concat(lit("{oops"), col("props")))
+            .otherwise(col("props")))
+        .withColumn("parsed", from_json(col("mutated"), schema,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt")))
+        .select(col("event_id"), col("parsed.k").as("k"),
+          col("parsed._corrupt").as("corrupt_payload"),
+          col("parsed._corrupt").isNotNull.as("is_corrupt"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -212,6 +235,19 @@ object StediQueries {
         |  TRY_CAST(json_extract(props, '$.missing') AS BIGINT) AS v_missing,
         |  'OBJECT<k: ' || replace(CAST(json_structure(props)->>'$.k' AS VARCHAR),
         |                          'UBIGINT', 'BIGINT') || '>' AS v_schema
-        |FROM kv ORDER BY event_id, pos""".stripMargin
+        |FROM kv ORDER BY event_id, pos""".stripMargin,
+    "s11_corrupt_records" ->
+      """WITH m AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 7 = 0 THEN '{oops' || props
+        |              ELSE props END AS mutated
+        |  FROM events)
+        |SELECT event_id,
+        |  CASE WHEN json_valid(mutated)
+        |       THEN CAST(json_extract(mutated, '$.k') AS INT) END AS k,
+        |  CASE WHEN NOT json_valid(mutated) THEN mutated END
+        |    AS corrupt_payload,
+        |  NOT json_valid(mutated) AS is_corrupt
+        |FROM m ORDER BY event_id""".stripMargin
   )
 }
