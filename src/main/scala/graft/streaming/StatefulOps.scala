@@ -240,4 +240,71 @@ object StatefulOps {
       .transformWithState(new UserProfileProcessor(k),
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** A heavy-hitter estimate: `lo ≤ true count ≤ hi` (Misra-Gries bounds:
+    * lo = the surviving counter, hi = lo + decrement rounds). */
+  final case class HeavyHitter(shard: Int, token: String, lo: Long, hi: Long)
+
+  /** Streaming Misra-Gries heavy hitters — ingest-time top-token tracking
+    * with HARD-bounded state: at most `capacity` counters per shard, ever,
+    * regardless of stream length or vocabulary size (the batch form is
+    * `FrequentItemsAggregator`; this is its transformWithState twin, closing
+    * the streaming sketch family: HLL = distincts, CMS = point frequencies,
+    * MG = top items). Per shard: a MapState of surviving counters plus one
+    * ValueState counting decrement rounds `d`; the classic invariant
+    * `c ≤ true ≤ c + d` holds for every surviving token, and a token with
+    * true count > d is GUARANTEED to survive. After each batch the shard
+    * re-emits its counters with [lo, hi] bounds (append mode: the latest
+    * emission per (shard, token) supersedes earlier ones).
+    *
+    * Sharding is the scale lever: group by `hash(token) % shards` so each
+    * shard tracks its own token subspace — counters for the SAME token
+    * never split across shards, so per-shard bounds hold globally. */
+  final class HeavyHittersProcessor(capacity: Int)
+      extends StatefulProcessor[Int, (Int, String), HeavyHitter] {
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var decRounds: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long]("mg_counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      decRounds = getHandle.getValueState[Long]("mg_dec_rounds",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(shard: Int, rows: Iterator[(Int, String)],
+        timerValues: TimerValues): Iterator[HeavyHitter] = {
+      var d = if (decRounds.exists()) decRounds.get() else 0L
+      // intra-batch arrival order is not source-guaranteed — fold sorted
+      rows.toSeq.map(_._2).sorted.foreach { tok =>
+        if (counts.containsKey(tok))
+          counts.updateValue(tok, counts.getValue(tok) + 1L)
+        else if (counts.keys().length < capacity)
+          counts.updateValue(tok, 1L)
+        else {
+          // table full and token unseen: decrement EVERY counter (the new
+          // token's implicit 0 absorbs its own +1) — one round, d += 1
+          counts.iterator().toSeq.foreach { case (t, c) =>
+            if (c <= 1L) counts.removeKey(t)
+            else counts.updateValue(t, c - 1L)
+          }
+          d += 1L
+        }
+      }
+      decRounds.update(d)
+      counts.iterator().toSeq
+        .sortBy { case (t, c) => (-c, t) }
+        .iterator.map { case (t, c) => HeavyHitter(shard, t, c, c + d) }
+    }
+  }
+
+  /** Shard-and-track heavy hitters over a token stream. */
+  def heavyHittersTws(spark: SparkSession, tokens: Dataset[String],
+      capacity: Int, shards: Int = 4): Dataset[HeavyHitter] = {
+    import spark.implicits._
+    tokens.map(t => (math.floorMod(t.hashCode, shards), t))
+      .groupByKey(_._1)
+      .transformWithState(new HeavyHittersProcessor(capacity),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -208,4 +208,52 @@ class StatefulOpsSpec extends SparkSpecBase {
         s"expected sessions of 2 and 1 events, got $rows")
     } finally q.stop()
   }
+
+  test("streaming Misra-Gries: exact when capacity suffices, bounded when not") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // zipfish token stream across two batches: token "t<i>" appears 20-i
+    // times total, split between the batches
+    val b1 = (1 to 10).flatMap(i => Seq.fill(12 - i)(s"t$i"))
+    val b2 = (1 to 10).flatMap(i => Seq.fill(8)(s"t$i"))
+    val exact = (b1 ++ b2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+    def run(capacity: Int): Map[(Int, String), (Long, Long)] = {
+      val in = MemoryStream[String]
+      val out = StatefulOps.heavyHittersTws(spark, in.toDS(), capacity)
+      val name = s"mg_$capacity"
+      val q = out.writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(name).start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+        // append mode re-emits per batch: keep the LAST emission per token
+        spark.table(name).as[StatefulOps.HeavyHitter].collect()
+          .groupBy(h => (h.shard, h.token))
+          .view.mapValues(hs => { val h = hs.last; (h.lo, h.hi) }).toMap
+      } finally q.stop()
+    }
+
+    // capacity ≥ per-shard vocabulary → no decrements: counts are EXACT
+    val roomy = run(16)
+    assert(roomy.size == 10)
+    roomy.foreach { case ((_, tok), (lo, hi)) =>
+      assert(lo == exact(tok) && hi == exact(tok),
+        s"$tok: ($lo,$hi) vs exact ${exact(tok)}")
+    }
+    // tight capacity → decrement rounds happen, but every survivor's
+    // bounds bracket its true count, and state never exceeds capacity
+    val tight = run(2)
+    assert(tight.nonEmpty)
+    tight.groupBy(_._1._1).foreach { case (shard, toks) =>
+      assert(toks.size <= 2, s"shard $shard exceeded capacity: $toks")
+    }
+    tight.foreach { case ((_, tok), (lo, hi)) =>
+      assert(lo <= exact(tok) && exact(tok) <= hi,
+        s"$tok: bounds ($lo,$hi) must bracket exact ${exact(tok)}")
+    }
+    // deterministic: a re-run over the same batches reproduces the output
+    assert(run(2) == tight)
+  }
 }
