@@ -307,4 +307,72 @@ object StatefulOps {
       .transformWithState(new HeavyHittersProcessor(capacity),
         TimeMode.None(), OutputMode.Append())
   }
+
+  final case class FunnelEvent(user: Long, ts: java.sql.Timestamp,
+      etype: String)
+  /** -1 marks an unreached step. */
+  final case class FunnelProgress(viewMs: Long, clickMs: Long,
+      purchaseMs: Long)
+  final case class FunnelOut(user: Long, viewMs: Long, clickMs: Long,
+      purchaseMs: Long, stage: Long)
+
+  /** Streaming form of the q56 ordered funnel (view → click → purchase,
+    * each step within `stepWindowMs` of the previous): per-user
+    * constant-size progress state, updated as events arrive, a new
+    * emission on every advance (append mode — the latest row per user is
+    * the current funnel position). On an event-time-ordered replay the
+    * final emissions equal the batch funnel: the first qualifying event
+    * encountered in order IS the min-ts event batch q56 picks. Out-of-
+    * order arrivals that would retroactively change a step are a
+    * documented divergence — production pairs this with a watermark-sized
+    * reorder buffer upstream.
+    *
+    * State: one 3-long struct per user — billions of users hold under
+    * RocksDB, and TTL (not used here) can expire stale funnels. */
+  final class FunnelProcessor(stepWindowMs: Long)
+      extends StatefulProcessor[Long, FunnelEvent, FunnelOut] {
+    @transient private var prog: ValueState[FunnelProgress] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      prog = getHandle.getValueState[FunnelProgress]("funnel",
+        Encoders.product[FunnelProgress], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[FunnelEvent],
+        timerValues: TimerValues): Iterator[FunnelOut] = {
+      var s = if (prog.exists()) prog.get()
+              else FunnelProgress(-1L, -1L, -1L)
+      var advanced = false
+      // intra-batch order is not source-guaranteed — fold in event order
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.etype)).foreach { e =>
+        val t = e.ts.getTime
+        e.etype match {
+          case "view" if s.viewMs < 0 =>
+            s = s.copy(viewMs = t); advanced = true
+          case "click" if s.viewMs >= 0 && s.clickMs < 0 &&
+              t >= s.viewMs && t <= s.viewMs + stepWindowMs =>
+            s = s.copy(clickMs = t); advanced = true
+          case "purchase" if s.clickMs >= 0 && s.purchaseMs < 0 &&
+              t >= s.clickMs && t <= s.clickMs + stepWindowMs =>
+            s = s.copy(purchaseMs = t); advanced = true
+          case _ => ()
+        }
+      }
+      if (!advanced) Iterator.empty
+      else {
+        prog.update(s)
+        val stage = 1L + (if (s.clickMs >= 0) 1L else 0L) +
+          (if (s.purchaseMs >= 0) 1L else 0L)
+        Iterator(FunnelOut(user, s.viewMs, s.clickMs, s.purchaseMs, stage))
+      }
+    }
+  }
+
+  /** Per-user streaming funnel tracking over [[FunnelProcessor]]. */
+  def funnelTws(spark: SparkSession, events: Dataset[FunnelEvent],
+      stepWindowMs: Long): Dataset[FunnelOut] = {
+    import spark.implicits._
+    events.groupByKey(_.user)
+      .transformWithState(new FunnelProcessor(stepWindowMs),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

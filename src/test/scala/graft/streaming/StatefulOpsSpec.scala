@@ -256,4 +256,41 @@ class StatefulOpsSpec extends SparkSpecBase {
     // deterministic: a re-run over the same batches reproduces the output
     assert(run(2) == tight)
   }
+
+  test("streaming funnel advances per user across batches, gated by windows") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def ev(u: Long, min: Int, t: String) = StatefulOps.FunnelEvent(
+      u, java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), t)
+    val in = MemoryStream[StatefulOps.FunnelEvent]
+    val out = StatefulOps.funnelTws(spark, in.toDS(),
+      stepWindowMs = 10 * 60 * 1000L) // 10-minute step window
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("funnel").start()
+    def latest(): Map[Long, (Long, Long)] =
+      spark.table("funnel").as[StatefulOps.FunnelOut].collect()
+        .groupBy(_.user).view
+        .mapValues(hs => { val h = hs.maxBy(_.stage); (h.stage, h.purchaseMs) })
+        .toMap
+    try {
+      // batch 1: u1 views+clicks; u2 views; u3 purchases with NO view (noop);
+      // u4 views then clicks OUTSIDE the 10-min window (stays at stage 1)
+      in.addData(ev(1, 0, "view"), ev(1, 5, "click"),
+        ev(2, 0, "view"), ev(3, 0, "purchase"),
+        ev(4, 0, "view"), ev(4, 20, "click"))
+      q.processAllAvailable()
+      var l = latest()
+      assert(l(1)._1 == 2L && l(2)._1 == 1L && !l.contains(3L) && l(4)._1 == 1L)
+      // batch 2: u1 purchases in-window (cross-batch state continuation);
+      // u2's click lands in-window; a LATER view for u1 must not reset
+      in.addData(ev(1, 9, "purchase"), ev(1, 30, "view"), ev(2, 8, "click"))
+      q.processAllAvailable()
+      l = latest()
+      assert(l(1)._1 == 3L, s"u1 must complete the funnel: $l")
+      assert(l(1)._2 == ev(1, 9, "x").ts.getTime, "purchase ts recorded")
+      assert(l(2)._1 == 2L)
+      assert(l(4)._1 == 1L, "out-of-window click must not advance u4")
+    } finally q.stop()
+  }
 }
