@@ -1102,6 +1102,39 @@ object RelationalQueries {
         }
         .toDF("l_returnflag", "rank", "l_orderkey", "price")
         .orderBy(col("l_returnflag"), col("rank"))
+    }),
+
+    // Bitmap SET ALGEBRA across sources: |A ∩ B| per nation where A =
+    // high-balance customers (customer table) and B = customers with a
+    // finished order (orders table) — an intersection no single-row
+    // predicate can express. Each side folds its keys into q57-style
+    // 64-key block bitmaps; the intersection is a bitwise AND of
+    // co-keyed cells + popcount, so the join carries |keyspace|/64 cells
+    // per side instead of distinct keys, and extends to OR/XOR/ANDNOT
+    // set ops for free. Oracle is the algorithm-independent
+    // COUNT(DISTINCT) over a plain join — agreement proves the algebra.
+    "q60_bitmap_intersect" -> ((s, d) => {
+      def bitmap(keys: DataFrame) = keys
+        .select(col("c_nationkey"),
+          expr("c_custkey div 64").as("blk"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(c_custkey % 64 AS INT))")
+            .as("mask"))
+        .groupBy(col("c_nationkey"), col("blk"))
+        .agg(bit_or(col("mask")).as("bits"))
+      val cust = Tables.customer(s, d)
+      val a = bitmap(cust.filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"), col("c_nationkey")))
+      val b = bitmap(Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("c_custkey")).distinct()
+        .join(broadcast(cust.select(col("c_custkey"), col("c_nationkey"))),
+          "c_custkey"))
+      a.join(b.withColumnRenamed("bits", "bits_b"), Seq("c_nationkey", "blk"))
+        .groupBy(col("c_nationkey"))
+        .agg(sum(bit_count(col("bits").bitwiseAND(col("bits_b")))
+          .cast("long")).as("n_both"))
+        .filter(col("n_both") > 0)
+        .orderBy(col("c_nationkey"))
     })
   )
 
@@ -1769,6 +1802,17 @@ object RelationalQueries {
         |           ORDER BY l_extendedprice DESC, l_orderkey ASC) AS rank,
         |         l_orderkey, l_extendedprice AS price
         |  FROM lineitem)
-        |WHERE rank <= 5 ORDER BY l_returnflag, rank""".stripMargin
+        |WHERE rank <= 5 ORDER BY l_returnflag, rank""".stripMargin,
+    // independent algorithm: plain semi-join + COUNT DISTINCT, no bitmaps
+    "q60_bitmap_intersect" ->
+      """SELECT c.c_nationkey, count(DISTINCT c.c_custkey) AS n_both
+        |FROM customer c
+        |WHERE c.c_acctbal > 5000
+        |  AND EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderstatus = 'F')
+        |GROUP BY c.c_nationkey
+        |HAVING count(DISTINCT c.c_custkey) > 0
+        |ORDER BY c.c_nationkey""".stripMargin
   )
 }
