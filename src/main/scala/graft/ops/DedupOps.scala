@@ -152,6 +152,44 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
+  /** Multi-source BFS hop levels over an undirected `(doc_a, doc_b)` pair
+    * graph: every node reachable from a seed within `maxIters` hops gets
+    * its minimum hop distance. Frontier expansion, not all-pairs: each
+    * round joins only the CURRENT frontier against the (persisted-once)
+    * edge list and anti-joins the visited set, so total work is
+    * O(Σ frontier-degree) — the provenance/contamination-radius traversal
+    * ("which docs sit within k near-dup hops of a flagged source") that
+    * complements connectedComponents' global collapse. Early-exits when a
+    * frontier empties; rounds are O(diameter), fine for the shallow
+    * neighborhoods this query asks about (use pointer-doubling CC for
+    * whole-graph structure instead). */
+  def bfsLevels(pairs: DataFrame, seeds: DataFrame,
+      maxIters: Int): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    var levels = seeds.select(col("doc_id"), lit(0L).as("level"))
+      .localCheckpoint()
+    var frontier = levels.select(col("doc_id"))
+    var i = 1
+    var done = false
+    while (!done && i <= maxIters) {
+      val reached = edges.join(frontier, edges("src") === frontier("doc_id"))
+        .select(col("dst").as("doc_id")).distinct()
+      val next = reached.join(levels, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(i.toLong).as("level")).localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        levels = levels.union(next).localCheckpoint()
+        frontier = next.select(col("doc_id"))
+        i += 1
+      }
+    }
+    edges.unpersist()
+    levels
+  }
+
   /** Candidate pairs ACROSS two band tables — the incremental-ingest form:
     * a new batch's bands probe only the existing corpus index, never each
     * other, so daily ingest cost is |delta| × collision-rate instead of

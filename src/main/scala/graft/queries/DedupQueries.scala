@@ -289,6 +289,22 @@ object DedupQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Contamination-radius traversal: multi-source BFS hop levels from
+    // flagged seed docs (doc_id % 100 = 0) over the SimHash near-dup
+    // graph — "everything within k near-dup hops of a known-bad source".
+    // Frontier-expansion rounds against the once-persisted edge list;
+    // oracle is a DuckDB recursive CTE over the same d5 edges. Not in the
+    // bench headline: the iterative driver loop puts it with d7's CC, and
+    // real pipelines run it after the component collapse anyway.
+    "d13_bfs_levels" -> ((s, d) => {
+      val ds = docs(s, d)
+      val df = ds.withColumn("hs", tokenHashes(tokens(col("text"))))
+      val edges = simhashPairs(simhashBands(df, simhash32(col("hs"))),
+        MaxHamming).select(col("doc_a"), col("doc_b"))
+      val seeds = ds.select(col("doc_id")).filter(col("doc_id") % 100 === 0)
+      bfsLevels(edges, seeds, maxIters = 6).orderBy(col("doc_id"))
+    }),
+
     // Incremental ingest dedup: a new batch (doc_id % 10 = 0 plays the
     // delta) deduped AGAINST the existing corpus without re-deduping the
     // corpus itself — the shape a daily 100 TB pipeline actually runs.
@@ -627,7 +643,35 @@ object DedupQueries {
            |WHERE d.doc_id % 10 = 0
            |ORDER BY d.doc_id""".stripMargin)
 
+  /** d5's edge CTEs + a recursive min-hop BFS; the lvl < 6 cap mirrors the
+    * Spark side's maxIters and bounds the recursion on cyclic graphs. */
+  private val dkBfsLevels: String =
+    s"""WITH RECURSIVE h AS (SELECT doc_id, $dkTokenHashes AS hs FROM documents),
+       |sh AS (SELECT doc_id, $dkSimhashExpr AS simhash FROM h),
+       |bands AS (
+       |  SELECT doc_id, simhash, b.band_idx,
+       |         (simhash >> (b.band_idx * 8)) & 255 AS band_val
+       |  FROM sh, (SELECT unnest([0,1,2,3]) AS band_idx) b),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |         l.simhash AS sh_a, r.simhash AS sh_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+       |   AND l.doc_id < r.doc_id),
+       |e AS (SELECT doc_a, doc_b FROM cand
+       |      WHERE bit_count(xor(sh_a, sh_b)) <= $MaxHamming),
+       |und AS (SELECT doc_a AS u, doc_b AS v FROM e
+       |        UNION ALL SELECT doc_b, doc_a FROM e),
+       |bfs(doc_id, lvl) AS (
+       |  SELECT doc_id, 0 FROM documents WHERE doc_id % 100 = 0
+       |  UNION
+       |  SELECT und.v, bfs.lvl + 1 FROM bfs JOIN und ON und.u = bfs.doc_id
+       |  WHERE bfs.lvl < 6)
+       |SELECT doc_id, CAST(min(lvl) AS BIGINT) AS level
+       |FROM bfs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "d13_bfs_levels" -> dkBfsLevels,
     "d12_incremental_dedup" -> dkIncremental,
     "d6_dedup_groups" -> dkDedupGroups,
     "d7_simhash_groups" -> dkSimhashGroups,
