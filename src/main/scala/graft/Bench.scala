@@ -48,7 +48,7 @@ object Bench {
     "q49_filtered_agg", "q50_regression", "q51_hll_registers",
     "q52_kmv_sample", "q53_overlap_sweep", "q54_merge_upsert",
     "q55_countmin", "q56_funnel", "q57_bitmap_distinct", "q58_event_paths",
-    "q59_topk_agg", "q60_bitmap_intersect",
+    "q59_topk_agg", "q60_bitmap_intersect", "q61_table_diff",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_regex_tokens", "t6_string_funcs", "t7_array_funcs", "t8_explode",
     "t9_regex_extract", "t10_normalize", "t11_hash_split",

@@ -1135,8 +1135,58 @@ object RelationalQueries {
           .cast("long")).as("n_both"))
         .filter(col("n_both") > 0)
         .orderBy(col("c_nationkey"))
+    }),
+
+    // Table diff / version reconciliation: old vs new keyed snapshots →
+    // added / removed / changed rows with both sides' values (the
+    // regression-diff every pipeline migration runs). new = q54's merged
+    // output, so the diff must recover EXACTLY the change-set q54 applied
+    // — the two operators validate each other. Struct-packed row compare
+    // (one codegen'd equality, extends to any column list); the full
+    // outer join co-partitions both snapshots on the key — the only
+    // correct plan for a diff, since either side may hold rows alone.
+    "q61_table_diff" -> ((s, d) => {
+      val rowStruct = struct(col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"))
+      val oldT = Tables.customer(s, d)
+        .select(col("c_custkey"), rowStruct.as("o"))
+      val newT = queries("q54_merge_upsert")(s, d)
+        .select(col("c_custkey"), rowStruct.as("nw"))
+      oldT.join(newT, Seq("c_custkey"), "full_outer")
+        .withColumn("change",
+          when(col("o").isNull, "added")
+            .when(col("nw").isNull, "removed")
+            .when(col("o") =!= col("nw"), "changed"))
+        .filter(col("change").isNotNull)
+        .select(col("c_custkey"), col("change"),
+          col("o.c_name").as("old_name"), col("nw.c_name").as("new_name"),
+          col("o.c_acctbal").as("old_acctbal"),
+          col("nw.c_acctbal").as("new_acctbal"))
+        .orderBy(col("c_custkey"))
     })
   )
+
+  /** The merged-customer state after q54's change-set applies (no ORDER BY
+    * so q61 can embed it as a version CTE). */
+  private val dkMergedCustomer: String =
+    """WITH changes AS (
+      |  SELECT c_custkey,
+      |         'MERGED_' || CAST(c_custkey AS VARCHAR) AS c_name,
+      |         maxp AS c_acctbal,
+      |         'MERGED' AS c_mktsegment,
+      |         CASE WHEN c_custkey % 5 = 0 THEN 'D' ELSE 'U' END AS op
+      |  FROM (
+      |    SELECT CASE WHEN o_custkey % 3 = 0 THEN o_custkey + 10000000
+      |                ELSE o_custkey END AS c_custkey,
+      |           max(o_totalprice) AS maxp
+      |    FROM orders GROUP BY 1))
+      |SELECT t.c_custkey, t.c_name, t.c_acctbal, t.c_mktsegment
+      |FROM customer t
+      |WHERE NOT EXISTS (SELECT 1 FROM changes s
+      |                  WHERE s.c_custkey = t.c_custkey)
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+      |FROM changes WHERE op = 'U'""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q51_hll_registers" ->
@@ -1688,26 +1738,7 @@ object RelationalQueries {
     // deliberately the textbook full MERGE phrasing (NOT EXISTS + UNION of
     // surviving upserts) — agreement pins applyChanges' anti-join+union
     // decomposition to SQL MERGE semantics
-    "q54_merge_upsert" ->
-      """WITH changes AS (
-        |  SELECT c_custkey,
-        |         'MERGED_' || CAST(c_custkey AS VARCHAR) AS c_name,
-        |         maxp AS c_acctbal,
-        |         'MERGED' AS c_mktsegment,
-        |         CASE WHEN c_custkey % 5 = 0 THEN 'D' ELSE 'U' END AS op
-        |  FROM (
-        |    SELECT CASE WHEN o_custkey % 3 = 0 THEN o_custkey + 10000000
-        |                ELSE o_custkey END AS c_custkey,
-        |           max(o_totalprice) AS maxp
-        |    FROM orders GROUP BY 1))
-        |SELECT t.c_custkey, t.c_name, t.c_acctbal, t.c_mktsegment
-        |FROM customer t
-        |WHERE NOT EXISTS (SELECT 1 FROM changes s
-        |                  WHERE s.c_custkey = t.c_custkey)
-        |UNION ALL
-        |SELECT c_custkey, c_name, c_acctbal, c_mktsegment
-        |FROM changes WHERE op = 'U'
-        |ORDER BY c_custkey""".stripMargin,
+    "q54_merge_upsert" -> s"$dkMergedCustomer\nORDER BY c_custkey",
     // same md5 hash family as the Spark side: bucket(i, key) =
     // ('0x' || substr(md5(i || '|' || key), 1, 15))::BIGINT % 512
     "q55_countmin" ->
@@ -1803,6 +1834,24 @@ object RelationalQueries {
         |         l_orderkey, l_extendedprice AS price
         |  FROM lineitem)
         |WHERE rank <= 5 ORDER BY l_returnflag, rank""".stripMargin,
+    // the merged snapshot embeds as a CTE; row compare is column-wise
+    // (mirrors the Spark side's struct equality — no NULL fields inside)
+    "q61_table_diff" ->
+      s"""WITH newt AS (
+         |$dkMergedCustomer),
+         |oldt AS (
+         |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer)
+         |SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+         |  CASE WHEN o.c_custkey IS NULL THEN 'added'
+         |       WHEN n.c_custkey IS NULL THEN 'removed'
+         |       ELSE 'changed' END AS change,
+         |  o.c_name AS old_name, n.c_name AS new_name,
+         |  o.c_acctbal AS old_acctbal, n.c_acctbal AS new_acctbal
+         |FROM oldt o FULL JOIN newt n ON o.c_custkey = n.c_custkey
+         |WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+         |   OR o.c_name <> n.c_name OR o.c_acctbal <> n.c_acctbal
+         |   OR o.c_mktsegment <> n.c_mktsegment
+         |ORDER BY c_custkey""".stripMargin,
     // independent algorithm: plain semi-join + COUNT DISTINCT, no bitmaps
     "q60_bitmap_intersect" ->
       """SELECT c.c_nationkey, count(DISTINCT c.c_custkey) AS n_both
