@@ -38,7 +38,11 @@ class OperatorPropertiesSpec extends SparkSpecBase {
     // was split. Run each oracle-gated sketch query twice with the scan
     // fanout replaced by two different explicit repartitionings.
     val names = Seq("q51_hll_registers", "q52_kmv_sample",
-      "d8d_triangle_doulion", "d8b_triangle_degree")
+      "d8d_triangle_doulion", "d8b_triangle_degree",
+      // round-6 late batch: CMS cells (hash-bucketed counts), block
+      // bitmaps (OR-folded masks), bigram LM (integer ratio joins),
+      // bounded top-k (associative k-buffer merge)
+      "q55_countmin", "q57_bitmap_distinct", "t24_lm_score", "q59_topk_agg")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {
