@@ -58,6 +58,7 @@ object Bench {
     "t23_readability", "t24_lm_score",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
     "d8d_triangle_doulion", "d11_containment", "d12_incremental_dedup",
+    "d14_decontaminate",
     "n1_ann_bruteforce", "n2_ann_lsh", "n3_embedding_neardup",
     "n4_label_centroids", "n5_ivf_ann", "n6_kmeans", "n7_ivf_kmeans",
     "n8_quantize", "n9_knn_graph", "n10_quantized_rerank", "n11_pq_adc",

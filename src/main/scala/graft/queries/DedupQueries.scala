@@ -289,6 +289,33 @@ object DedupQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Benchmark decontamination: flag TRAINING docs whose shingle mass
+    // overlaps an eval/benchmark split (doc_id % 50 = 0 plays the held-out
+    // set) — the test-set-leak scan every LLM data pipeline must run,
+    // distinct from dedup: the question is overlap with a PROTECTED set,
+    // not self-similarity. Exact shingle-keyed equi-join (no LSH needed —
+    // it's train×benchmark, and the benchmark side is small → broadcast
+    // at scale), flag on ≥3 shared distinct shingles — a 5-token verbatim
+    // overlap, the classic n-gram-collision decontamination rule; the
+    // emitted n_own/n_shared lets consumers apply stricter ratios.
+    "d14_decontaminate" -> ((s, d) => {
+      val sh = explodedShingles(docs(s, d))
+      val benchPred = col("doc_id") % 50 === 0
+      val train = sh.filter(!benchPred)
+      val benchSh = sh.filter(benchPred)
+        .select(col("sh"), col("doc_id").as("bench_id"))
+      val own = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_own"))
+      val stats = train.join(benchSh, "sh")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("sh")).as("n_shared"),
+          countDistinct(col("bench_id")).as("n_bench_docs"))
+      stats.join(own, "doc_id")
+        .filter(col("n_shared") >= 3)
+        .select(col("doc_id"), col("n_own"), col("n_shared"),
+          col("n_bench_docs"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Contamination-radius traversal: multi-source BFS hop levels from
     // flagged seed docs (doc_id % 100 = 0) over the SimHash near-dup
     // graph — "everything within k near-dup hops of a known-bad source".
@@ -670,7 +697,24 @@ object DedupQueries {
        |SELECT doc_id, CAST(min(lvl) AS BIGINT) AS level
        |FROM bfs GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  private val dkDecontaminate: String =
+    s"""WITH $dkShingled,
+       |tr AS (SELECT doc_id, sh FROM shingled WHERE doc_id % 50 <> 0),
+       |be AS (SELECT doc_id AS bench_id, sh FROM shingled
+       |       WHERE doc_id % 50 = 0),
+       |own AS (SELECT doc_id, count(*) AS n_own FROM tr GROUP BY doc_id),
+       |st AS (
+       |  SELECT tr.doc_id, count(DISTINCT tr.sh) AS n_shared,
+       |         count(DISTINCT be.bench_id) AS n_bench_docs
+       |  FROM tr JOIN be ON be.sh = tr.sh
+       |  GROUP BY tr.doc_id)
+       |SELECT s.doc_id, o.n_own, s.n_shared, s.n_bench_docs
+       |FROM st s JOIN own o USING (doc_id)
+       |WHERE s.n_shared >= 3
+       |ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "d14_decontaminate" -> dkDecontaminate,
     "d13_bfs_levels" -> dkBfsLevels,
     "d12_incremental_dedup" -> dkIncremental,
     "d6_dedup_groups" -> dkDedupGroups,
