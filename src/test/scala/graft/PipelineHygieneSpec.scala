@@ -25,6 +25,20 @@ class PipelineHygieneSpec extends SparkSpecBase {
     assert(m("max_len").asInstanceOf[Long] > 0L)
   }
 
+  test("every registered query carries a DuckDB oracle, and vice versa") {
+    // the correctness gate only sees queries that have BOTH a `queries`
+    // entry and an `oracleSql` entry — a query missing its oracle would
+    // silently skip verification (driver records only a rows>0 check).
+    // This meta-guard makes the registries drift-proof.
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).mkString(", ")}")
+    assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).mkString(", ")}")
+    // and every benched query must exist in the registry
+    val missing = Bench.headline.filterNot(q.contains)
+    assert(missing.isEmpty, s"bench names not in registry: ${missing.mkString(", ")}")
+  }
+
   test("filters and projections push down into the parquet scan") {
     val df = Tables.lineitem(spark, sfDir)
       .filter(col("l_quantity") > 30.0)
