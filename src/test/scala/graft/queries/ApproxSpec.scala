@@ -177,6 +177,33 @@ class ApproxSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming bitmap distinct: OR-merged cells stay exact per batch") {
+    // q57's block bitmaps as streaming state: groupBy(blk).bit_or in
+    // complete mode — the OR absorbs duplicate keys across batches, so the
+    // popcount readout is an EXACT running distinct count (HLL's streaming
+    // form approximates; this one doesn't, for dense bounded keyspaces)
+    implicit val ctx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val cells = in.toDF().toDF("key")
+      .selectExpr("key div 64 AS blk",
+        "shiftleft(CAST(1 AS BIGINT), CAST(key % 64 AS INT)) AS mask")
+      .groupBy(col("blk")).agg(bit_or(col("mask")).as("bits"))
+    val q = cells.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .format("memory").queryName("bitmap_stream").start()
+    def distinctFromState(): Long =
+      spark.table("bitmap_stream")
+        .select(sum(bit_count(col("bits")).cast("long"))).as[Long].collect()(0)
+    try {
+      val b1 = (1L to 500L) ++ (100L to 200L) // repeats within the batch
+      in.addData(b1: _*); q.processAllAvailable()
+      assert(distinctFromState() == b1.distinct.size)
+      val b2 = (450L to 900L).toSeq // overlaps b1: OR must dedupe
+      in.addData(b2: _*); q.processAllAvailable()
+      assert(distinctFromState() == (b1 ++ b2).distinct.size)
+    } finally q.stop()
+  }
+
   test("approx percentile brackets the exact median") {
     val li = Tables.lineitem(spark, sfDir)
     val p50 = li.select(percentile_approx(col("l_quantity"), lit(0.5), lit(1000)))
