@@ -374,6 +374,130 @@ object DedupOps {
     ranks
   }
 
+  /** [[pageRank]] in integer fixed-point (parts-per-billion), which makes
+    * it ORACLE-GATEABLE: every step is BIGINT arithmetic — contribution =
+    * `rank div degree` (floor division, `div` ≡ DuckDB `//` on positives),
+    * damping = `(85 * in_mass) div 100` — so the sum is order-free and the
+    * result is bit-identical across engines and partitionings (the t19/t24
+    * transcendental-free pattern applied to an iterative graph algorithm).
+    * rank₀ = 10⁹; isolated nodes converge to exactly 150 000 000 (= 1−d).
+    * Overflow-safe: Σ ranks ≤ 10⁹·|V| at the fixpoint, so any single
+    * in-mass ×85 stays ≪ 2⁶³ for |V| < 10¹⁰. Per-division floor loses
+    * < 1 ppb — the ranking (not the 9th decimal) is the product.
+    * Scale shape identical to [[pageRank]]. Returns (doc_id, rank_ppb). */
+  def pageRankExact(pairs: DataFrame, docs: DataFrame, iters: Int): DataFrame =
+    pageRankLoopPpb(pairs, docs, iters,
+      r0 = lit(1000000000L), teleport = lit(150000000L))
+
+  /** Personalized PageRank in the same fixed-point arithmetic: initial
+    * mass and the per-step teleport go ONLY to the `seed` rows, so the
+    * stationary mass measures proximity to the seed set — the
+    * "contamination mass" companion to [[bfsLevels]]' hop counts (a node
+    * two hops out through many parallel paths outscores a node one hop
+    * out through a single weak link). Non-seed nodes with no seed-side
+    * paths converge to exactly 0. `seed` is any boolean over `docs`. */
+  def personalizedPageRankExact(pairs: DataFrame, docs: DataFrame,
+      iters: Int, seed: Column): DataFrame =
+    pageRankLoopPpb(pairs, docs, iters,
+      r0 = when(seed, 1000000000L).otherwise(0L),
+      teleport = when(seed, 150000000L).otherwise(0L))
+
+  private def pageRankLoopPpb(pairs: DataFrame, docs: DataFrame, iters: Int,
+      r0: Column, teleport: Column): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+    var ranks = docs.select(col("doc_id"), r0.as("rank_ppb"))
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
+    var i = 0
+    while (i < iters) {
+      val contribs = edges
+        .join(ranks, edges("src") === ranks("doc_id"))
+        .join(deg, "src")
+        .select(col("dst"), expr("rank_ppb div degree").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      val next = docs
+        .join(contribs, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"),
+          (teleport +
+            expr("(85 * coalesce(in_mass, 0L)) div 100")).as("rank_ppb"))
+        .localCheckpoint(eager = true)
+      prevCkpt.foreach(_.unpersist(blocking = false))
+      prevCkpt = org.apache.spark.sql.graftbridge.Bridge.checkpointedRdd(next)
+      ranks = next
+      i += 1
+    }
+    edges.unpersist()
+    ranks
+  }
+
+  /** Edit-distance similarity self-join via segment partitioning (the
+    * PassJoin scheme — Li/Deng/Feng, ICDE'11): exact `levenshtein ≤ k`
+    * pairs WITHOUT the all-pairs product. Pigeonhole: an optimal alignment
+    * spends ≤ k edits, so of a string's k+1 contiguous segments at least
+    * one maps UNEDITED into the partner — it appears verbatim, shifted by
+    * at most the net indels before it (≤ k). So: index every doc's k+1
+    * segments; probe every doc's substrings of matching segment length at
+    * positions within ±k of the segment start, for every partner length
+    * in [len−k, len+k]; equi-join on (substring, seg_idx, partner_len);
+    * verify only the candidates.
+    *
+    * Scale: index = k+1 rows/doc, probe ≤ (2k+1)²(k+1) rows/doc — both
+    * narrow generates inside the scan stage; the join is an equi-join on
+    * long content keys (segments are len/(k+1) chars — no hot keys), and
+    * `levenshtein` (O(len·k) with banding, O(len²) here) runs on
+    * candidates only. Never a cross join.
+    *
+    * Requires len ≥ k+1 on both sides (shorter strings have empty
+    * segments); callers filter and the oracle mirrors the filter.
+    * Returns (doc_a < doc_b, dist ≤ k). */
+  def editDistancePairs(docs: DataFrame, k: Int): DataFrame = {
+    val n = k + 1
+    val base = docs
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .filter(col("len") >= n)
+
+    // Segment i of an m-char string: the first (n − m%n) segments get
+    // floor(m/n) chars, the last m%n get one more (start/length fully
+    // determined by (m, i) — the probe side recomputes them from ml).
+    val segs = base
+      .withColumn("si", explode(sequence(lit(0), lit(k))))
+      .select(col("doc_id").as("id_a"), col("len").as("m"), col("si"),
+        expr(s"""substring(text,
+          1 + si * (len div $n) + greatest(0, si - ($n - len % $n)),
+          (len div $n) + if(si >= $n - len % $n, 1, 0))""").as("seg"))
+
+    val probe = base
+      .withColumn("ml",
+        explode(sequence(greatest(col("len") - k, lit(n)), col("len") + k)))
+      .withColumn("pi", explode(sequence(lit(0), lit(k))))
+      .withColumn("sl", expr(s"(ml div $n) + if(pi >= $n - ml % $n, 1, 0)"))
+      .withColumn("p",
+        expr(s"1 + pi * (ml div $n) + greatest(0, pi - ($n - ml % $n))"))
+      .withColumn("lo", greatest(lit(1), col("p") - k))
+      .withColumn("hi", least(col("len") - col("sl") + 1, col("p") + k))
+      .filter(col("lo") <= col("hi"))
+      .withColumn("q", explode(sequence(col("lo"), col("hi"))))
+      .select(col("doc_id").as("id_b"), col("ml"), col("pi"),
+        expr("substring(text, q, sl)").as("sub"))
+      .distinct()
+
+    val cand = segs.join(probe,
+        col("seg") === col("sub") && col("si") === col("pi") &&
+          col("m") === col("ml") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+
+    val txt = base.select(col("doc_id"), col("text"))
+    cand
+      .join(txt.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+      .join(txt.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
+      .filter(col("dist") <= k)
+  }
+
   /** Distinct-token 60-bit hash array (materialize once — md5 per token is
     * the expensive part; SimHash reuses it). Compiled kernel, bit-identical
     * to `transform(array_distinct(toks), hash60)`. Order-insensitive

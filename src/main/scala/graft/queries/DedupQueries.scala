@@ -21,6 +21,8 @@ object DedupQueries {
   val JaccardTau = 0.5
   val ContainTau = 0.6
   val MaxHamming = 3  // ≤3 with 4 byte-bands ⇒ banding is EXACT (pigeonhole: some band survives)
+  val PageRankIters = 3
+  val EditK = 4  // PassJoin threshold: k+1 segments, min doc length 47 ≫ 5
 
   private def docs(s: SparkSession, d: String) =
     Tables.fanout(Tables.documents(s, d))
@@ -330,6 +332,65 @@ object DedupQueries {
         MaxHamming).select(col("doc_a"), col("doc_b"))
       val seeds = ds.select(col("doc_id")).filter(col("doc_id") % 100 === 0)
       bfsLevels(edges, seeds, maxIters = 6).orderBy(col("doc_id"))
+    }),
+
+    // PageRank UNDER THE ORACLE GATE: integer parts-per-billion fixed
+    // point makes every iteration bit-exact and summation-order-free
+    // (pageRank's double form is spec-only for exactly that reason), so
+    // the DuckDB oracle is the same 3 iterations unrolled as CTEs. The
+    // centrality signal for choosing canonical keepers beyond raw degree.
+    // Bench-excluded like d13: iterative driver loop over the near-dup
+    // graph; runs after d7's component collapse in a real pipeline.
+    "d15_pagerank" -> ((s, d) => {
+      val ds = docs(s, d)
+      val df = ds.withColumn("hs", tokenHashes(tokens(col("text"))))
+      val edges = simhashPairs(simhashBands(df, simhash32(col("hs"))),
+        MaxHamming).select(col("doc_a"), col("doc_b"))
+      pageRankExact(edges, ds.select(col("doc_id")), PageRankIters)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact edit-distance similarity join (lev ≤ 4) via PassJoin segment
+    // partitioning — catches character-level near-dups (typo/OCR variants)
+    // that token-set methods (d2/d5) miss and that t18's predecessor
+    // screen only samples. The oracle is the naive all-pairs algorithm
+    // (with the exact |len diff| ≤ k prefilter), so agreement proves the
+    // segment windows are COMPLETE, not just sound.
+    "d16_editdist_join" -> ((s, d) => {
+      editDistancePairs(docs(s, d), EditK)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Personalized PageRank from d13's seed set: stationary mass measures
+    // proximity to known-bad sources through ALL paths (d13's BFS answers
+    // "how many hops"; this answers "how much flow"). Same fixed-point
+    // integer arithmetic as d15 ⇒ same unrolled-CTE oracle, with seed-
+    // gated initial mass and teleport. Bench-excluded (driver loop).
+    "d17_personalized_ppr" -> ((s, d) => {
+      val ds = docs(s, d)
+      val df = ds.withColumn("hs", tokenHashes(tokens(col("text"))))
+      val edges = simhashPairs(simhashBands(df, simhash32(col("hs"))),
+        MaxHamming).select(col("doc_a"), col("doc_b"))
+      personalizedPageRankExact(edges, ds.select(col("doc_id")),
+          PageRankIters, seed = col("doc_id") % 100 === 0)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-document n-gram novelty: what fraction of a doc's distinct
+    // 3-shingles appear in NO other document (integer basis points — the
+    // t24 div pattern). The training-mix diversity signal: low-novelty
+    // docs are boilerplate already covered by the corpus; high-novelty
+    // docs carry new content. Two shingle-keyed aggs, both map-side
+    // combining; df table is vocabulary-sized.
+    "d18_ngram_novelty" -> ((s, d) => {
+      val sh = explodedShingles(docs(s, d))
+      val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      sh.join(df, "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .withColumn("novelty_bp", expr("(n_unique * 10000) div n_shingles"))
+        .orderBy(col("doc_id"))
     }),
 
     // Incremental ingest dedup: a new batch (doc_id % 10 = 0 plays the
@@ -697,6 +758,49 @@ object DedupQueries {
        |SELECT doc_id, CAST(min(lvl) AS BIGINT) AS level
        |FROM bfs GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** [[graft.ops.DedupOps.pageRankExact]]'s 3 iterations unrolled as
+    * chained CTEs over the d5 SimHash edge graph. All-BIGINT: `//` is
+    * DuckDB's integer floor division (≡ Spark `div` on positives) and
+    * every `sum` is cast back from HUGEINT. `r0Sql`/`teleportSql` gate the
+    * initial mass and per-step teleport (uniform for d15, seed-only for
+    * d17's personalized form; both may reference `d.doc_id`). */
+  private def dkPageRankSql(r0Sql: String, teleportSql: String): String = {
+    val steps = (1 to PageRankIters).map { i =>
+      s"""m$i AS (
+         |  SELECT und.dst,
+         |    CAST(sum(r${i - 1}.rank_ppb // deg.degree) AS BIGINT) AS in_mass
+         |  FROM und JOIN r${i - 1} ON r${i - 1}.doc_id = und.src
+         |  JOIN deg ON deg.src = und.src
+         |  GROUP BY und.dst),
+         |r$i AS (
+         |  SELECT d.doc_id,
+         |    CAST(($teleportSql) + (85 * coalesce(m$i.in_mass, 0)) // 100
+         |      AS BIGINT) AS rank_ppb
+         |  FROM documents d LEFT JOIN m$i ON m$i.dst = d.doc_id)"""
+    }.mkString(",\n")
+    s"""WITH h AS (SELECT doc_id, $dkTokenHashes AS hs FROM documents),
+       |sh AS (SELECT doc_id, $dkSimhashExpr AS simhash FROM h),
+       |bands AS (
+       |  SELECT doc_id, simhash, b.band_idx,
+       |         (simhash >> (b.band_idx * 8)) & 255 AS band_val
+       |  FROM sh, (SELECT unnest([0,1,2,3]) AS band_idx) b),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |         l.simhash AS sh_a, r.simhash AS sh_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+       |   AND l.doc_id < r.doc_id),
+       |e AS (SELECT doc_a, doc_b FROM cand
+       |      WHERE bit_count(xor(sh_a, sh_b)) <= $MaxHamming),
+       |und AS (SELECT doc_a AS src, doc_b AS dst FROM e
+       |        UNION ALL SELECT doc_b, doc_a FROM e),
+       |deg AS (SELECT src, count(*) AS degree FROM und GROUP BY src),
+       |r0 AS (SELECT d.doc_id, CAST($r0Sql AS BIGINT) AS rank_ppb
+       |       FROM documents d),
+       |$steps
+       |SELECT doc_id, rank_ppb FROM r$PageRankIters ORDER BY doc_id""".stripMargin
+  }
+
   private val dkDecontaminate: String =
     s"""WITH $dkShingled,
        |tr AS (SELECT doc_id, sh FROM shingled WHERE doc_id % 50 <> 0),
@@ -716,6 +820,31 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "d14_decontaminate" -> dkDecontaminate,
     "d13_bfs_levels" -> dkBfsLevels,
+    "d15_pagerank" -> dkPageRankSql("1000000000", "150000000"),
+    "d17_personalized_ppr" -> dkPageRankSql(
+      "CASE WHEN d.doc_id % 100 = 0 THEN 1000000000 ELSE 0 END",
+      "CASE WHEN d.doc_id % 100 = 0 THEN 150000000 ELSE 0 END"),
+    "d18_ngram_novelty" ->
+      s"""WITH $dkShingled,
+         |df AS (SELECT sh, count(*) AS df FROM shingled GROUP BY sh)
+         |SELECT s.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unique,
+         |  CAST((CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |        * 10000) // count(*) AS BIGINT) AS novelty_bp
+         |FROM shingled s JOIN df USING (sh)
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    // the naive algorithm: PassJoin completeness is the thing under test
+    "d16_editdist_join" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+         |           WHERE length(text) >= ${EditK + 1})
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+         |FROM d a JOIN d b
+         |  ON a.doc_id < b.doc_id
+         | AND abs(length(a.text) - length(b.text)) <= $EditK
+         |WHERE levenshtein(a.text, b.text) <= $EditK
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "d12_incremental_dedup" -> dkIncremental,
     "d6_dedup_groups" -> dkDedupGroups,
     "d7_simhash_groups" -> dkSimhashGroups,

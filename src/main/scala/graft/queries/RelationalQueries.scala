@@ -1163,6 +1163,83 @@ object RelationalQueries {
           col("o.c_acctbal").as("old_acctbal"),
           col("nw.c_acctbal").as("new_acctbal"))
         .orderBy(col("c_custkey"))
+    }),
+
+    // Hot-key-salted shuffle join (SkewOps): brand revenue through a
+    // deliberately-salted lineitem ⋈ part sort-merge join. The oracle is
+    // the PLAIN join SQL — agreement proves salting is a pure physical
+    // rewrite (each fact row meets its part exactly once, on its own
+    // salt). At 100 TB this is what unblocks a join whose hot key AQE
+    // can't split finely enough; dims that fit in memory should broadcast
+    // instead (q2's path).
+    "q62_salted_join" -> ((s, d) => {
+      val li = Tables.fanout(Tables.lineitem(s, d))
+      val p = Tables.part(s, d)
+      graft.ops.SkewOps.saltedJoin(li, p, "l_partkey", "p_partkey",
+          salts = 8,
+          saltSrc = col("l_orderkey") * lit(7) + col("l_linenumber"))
+        .groupBy(col("p_brand"))
+        .agg(
+          expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // Burst collapse (interaction debounce): within each (user, type)
+    // stream, events ≤60 s apart collapse into one burst — q14's gap
+    // sessionization at a finer gap — and only the burst's FIRST event
+    // survives, annotated with how many it absorbed. The bot-storm /
+    // double-fire filter a clickstream corpus runs before training. One
+    // user-keyed shuffle; the window and the burst agg share it.
+    "q63_burst_collapse" -> ((s, d) => {
+      val ord = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(ord))
+        .withColumn("new_burst",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 60, 1)
+            .otherwise(0))
+        .withColumn("burst_idx", sum(col("new_burst")).over(cum))
+        .groupBy(col("user_id"), col("event_type"), col("burst_idx"))
+        .agg(count(lit(1)).as("n_collapsed"),
+          min(struct(col("ts"), col("event_id"))).as("first"))
+        .select(col("user_id"), col("event_type"),
+          col("first.event_id").as("event_id"),
+          date_format(col("first.ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+          col("n_collapsed"))
+        .orderBy(col("user_id"), col("event_type"), col("first_ts"),
+          col("event_id"))
+    }),
+
+    // Data-quality profiler: per-column row/null/distinct counts + min/max
+    // in ONE scan (the multi-distinct Expand multiplies rows ×|cols|
+    // map-side, never reshuffles the fact), melted to one row per column.
+    // The ingest-health check a pipeline runs on every new data drop. At
+    // 100 TB swap the exact distincts for q51's HLL registers — the
+    // rest of the plan is unchanged.
+    "q64_profile" -> ((s, d) => {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus")
+      val aggs = count(lit(1)).as("__total") +: cols.flatMap { c => Seq(
+        count(col(c)).as(s"${c}__n"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max")) }
+      val one = Tables.fanout(Tables.lineitem(s, d))
+        .agg(aggs.head, aggs.tail: _*)
+      val entries = cols.map { c =>
+        struct(lit(c).as("col_name"),
+          col("__total").as("n_rows"),
+          (col("__total") - col(s"${c}__n")).as("n_null"),
+          col(s"${c}__nd").as("n_distinct"),
+          col(s"${c}__min").as("min_str"),
+          col(s"${c}__max").as("max_str"))
+      }
+      one.select(explode(array(entries: _*)).as("p"))
+        .select(col("p.*"))
+        .orderBy(col("col_name"))
     })
   )
 
@@ -1862,6 +1939,52 @@ object RelationalQueries {
         |                AND o.o_orderstatus = 'F')
         |GROUP BY c.c_nationkey
         |HAVING count(DISTINCT c.c_custkey) > 0
-        |ORDER BY c.c_nationkey""".stripMargin
+        |ORDER BY c.c_nationkey""".stripMargin,
+    // the PLAIN join — salting must be result-invisible
+    "q62_salted_join" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q63_burst_collapse" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, event_id, ts::TIMESTAMP AS ts,
+        |    lag(ts::TIMESTAMP) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts::TIMESTAMP, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR date_diff('second', prev_ts, ts) > 60 THEN 1 ELSE 0 END
+        |    AS new_burst
+        |  FROM o),
+        |b AS (
+        |  SELECT *, SUM(new_burst) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS burst_idx
+        |  FROM f),
+        |r AS (
+        |  SELECT user_id, event_type, event_id, ts, burst_idx,
+        |    row_number() OVER (PARTITION BY user_id, event_type, burst_idx
+        |      ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, event_type, burst_idx)
+        |      AS n_collapsed
+        |  FROM b)
+        |SELECT user_id, event_type, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts, n_collapsed
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id, event_type, first_ts, event_id""".stripMargin,
+    "q64_profile" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_str,
+           |  CAST(max($c) AS VARCHAR) AS max_str
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    }
   )
 }

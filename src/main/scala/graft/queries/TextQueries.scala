@@ -446,6 +446,34 @@ object TextQueries {
         .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("sum_ppm"))
         .withColumn("avg_ppm", expr("sum_ppm div n_bigrams"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Inverted index build: per term, document frequency, collection
+    // frequency, and the head of the positional posting list (first 50
+    // (doc,pos) entries — serialized doc:pos so the gate compares strings,
+    // the q58 array idiom). The window cap bounds per-term collect state
+    // at 50 rows — a hot term ("the") never accumulates its full posting
+    // list in one aggregation buffer; df/cf stay full-data map-side
+    // combining aggregates. One term-keyed shuffle feeds both.
+    "t25_posting_lists" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"),
+          posexplode(tokens(col("text"))).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+      val stats = toks.groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
+      val w = Window.partitionBy(col("tok")).orderBy(col("doc_id"), col("pos"))
+      val head = toks.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 50)
+        .groupBy(col("tok"))
+        .agg(array_join(transform(sort_array(collect_list(
+          struct(col("doc_id"), col("pos")))), e =>
+            concat(e.getField("doc_id").cast("string"), lit(":"),
+              e.getField("pos").cast("string"))), ",").as("postings_head"))
+      stats.join(head, "tok")
+        .select(col("tok"), col("df"), col("cf"), col("postings_head"))
+        .orderBy(col("tok"))
     })
   )
 
@@ -734,6 +762,26 @@ object TextQueries {
          |  CAST(sum((pc.pair_cnt * 1000000) // fc.pref_cnt) AS BIGINT)
          |    // count(*) AS avg_ppm
          |FROM b JOIN pc ON pc.pair = b.pair JOIN fc ON fc.w1 = b.w1
-         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    "t25_posting_lists" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, u.tok, u.pos
+         |  FROM (SELECT doc_id, $dkToks AS tk FROM documents),
+         |  LATERAL (SELECT unnest(tk) AS tok,
+         |                  generate_subscripts(tk, 1) AS pos) u),
+         |stats AS (
+         |  SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS cf
+         |  FROM toks GROUP BY tok),
+         |h AS (
+         |  SELECT tok, doc_id, pos,
+         |    row_number() OVER (PARTITION BY tok ORDER BY doc_id, pos) AS rn
+         |  FROM toks),
+         |p AS (
+         |  SELECT tok,
+         |    array_to_string(list(doc_id || ':' || pos ORDER BY doc_id, pos),
+         |                    ',') AS postings_head
+         |  FROM h WHERE rn <= 50 GROUP BY tok)
+         |SELECT s.tok, s.df, s.cf, p.postings_head
+         |FROM stats s JOIN p USING (tok) ORDER BY tok""".stripMargin
   )
 }

@@ -375,4 +375,56 @@ object StatefulOps {
       .transformWithState(new FunnelProcessor(stepWindowMs),
         TimeMode.None(), OutputMode.Append())
   }
+
+  // ---- streaming burst collapse (q63's ingest-time form) ----
+
+  final case class BurstEvent(user: Long, etype: String, eventId: Long,
+    ts: java.sql.Timestamp)
+  final case class BurstKept(user: Long, etype: String, eventId: Long,
+    tsMs: Long)
+
+  /** Streaming q63: within a (user, type) stream, an event whose gap to
+    * the PREVIOUS event (kept or dropped — bursts chain) is ≤ `gapSec`
+    * joins the burst and is suppressed; a larger gap opens a new burst and
+    * the opener is emitted immediately. Gaps compare in truncated whole
+    * seconds, mirroring the batch query's `unix_timestamp` arithmetic.
+    * State is one 8-byte ValueState (last event's epoch millis) per live
+    * (user, type) key. Equals batch q63's kept set on event-time-ordered
+    * replay; out-of-order arrivals follow the [[FunnelProcessor]]
+    * contract — pair with an upstream reorder buffer. */
+  final class BurstCollapseProcessor(gapSec: Long)
+      extends StatefulProcessor[(Long, String), BurstEvent, BurstKept] {
+    @transient private var lastMs: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastMs = getHandle.getValueState[Long]("lastMs",
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: (Long, String),
+        rows: Iterator[BurstEvent],
+        timerValues: TimerValues): Iterator[BurstKept] = {
+      var has = lastMs.exists()
+      var last = if (has) lastMs.get() else 0L
+      val kept = scala.collection.mutable.ArrayBuffer.empty[BurstKept]
+      // intra-batch order is not source-guaranteed — fold in event order
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.eventId)).foreach { e =>
+        val t = e.ts.getTime
+        if (!has || t / 1000 - last / 1000 > gapSec)
+          kept += BurstKept(e.user, e.etype, e.eventId, t)
+        last = t
+        has = true
+      }
+      lastMs.update(last)
+      kept.iterator
+    }
+  }
+
+  /** Per-(user, type) streaming debounce over [[BurstCollapseProcessor]]. */
+  def burstCollapseTws(spark: SparkSession, events: Dataset[BurstEvent],
+      gapSec: Long): Dataset[BurstKept] = {
+    import spark.implicits._
+    events.groupByKey(e => (e.user, e.etype))
+      .transformWithState(new BurstCollapseProcessor(gapSec),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -48,4 +48,26 @@ class SkewJoinSpec extends SparkSpecBase {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("salted join equals the plain join and carries the salt through the shuffle") {
+    // hot key 0 holds 90% of the fact; dim covers keys 0..99
+    val fact = spark.range(10000).select(
+      when(col("id") % 10 < 9, 0L).otherwise(col("id") % 100).as("k"),
+      col("id").as("v"))
+    val dim = spark.range(100).select(col("id").as("dk"),
+      concat(lit("d"), col("id")).as("dv"))
+    val salted = graft.ops.SkewOps
+      .saltedJoin(fact, dim, "k", "dk", salts = 4, saltSrc = col("v"))
+    val plain = fact.join(dim, col("k") === col("dk"))
+    val key = Seq("k", "v", "dk", "dv").map(col)
+    assert(salted.select(key: _*).as[(Long, Long, Long, String)]
+        .collect().sorted.toSeq ==
+      plain.select(key: _*).as[(Long, Long, Long, String)]
+        .collect().sorted.toSeq,
+      "salting must be result-invisible")
+    salted.collect()
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") && plan.contains("__salt"),
+      s"expected a salt-keyed sort-merge join:\n$plan")
+  }
 }

@@ -130,6 +130,78 @@ class DedupSpec extends SparkSpecBase {
       math.abs(pr(1L) - pr(4L)) < 1e-9)
   }
 
+  test("pagerank fixed-point form tracks the double form within ppb floor loss") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (2L, 4L), (7L, 9L))
+      .toDF("doc_a", "doc_b")
+    val ds = Seq(1L, 2L, 3L, 4L, 5L, 7L, 9L).toDF("doc_id")
+    val dbl = pageRank(pairs, ds, iters = 3).as[(Long, Double)].collect().toMap
+    val fix = pageRankExact(pairs, ds, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(fix.keySet == dbl.keySet)
+    // each iteration floors once per division and once in the damping —
+    // after 3 iterations the drift stays well under 100 ppb
+    fix.foreach { case (id, ppb) =>
+      assert(math.abs(ppb / 1e9 - dbl(id)) < 1e-7,
+        s"node $id: $ppb ppb vs ${dbl(id)}")
+    }
+    assert(fix(5L) == 150000000L, "isolated node sits at exactly (1-d)·1e9")
+    assert(fix(7L) == fix(9L), "symmetric pair ranks are bit-identical")
+  }
+
+  test("personalized pagerank confines mass to the seed-reachable component") {
+    // star {1,2,3,4} hub 2; pair {7,9}; isolated {5}. Seed = node 1.
+    val pairs = Seq((1L, 2L), (2L, 3L), (2L, 4L), (7L, 9L))
+      .toDF("doc_a", "doc_b")
+    val ds = Seq(1L, 2L, 3L, 4L, 5L, 7L, 9L).toDF("doc_id")
+    val ppr = personalizedPageRankExact(pairs, ds, iters = 3,
+        seed = col("doc_id") === 1L)
+      .as[(Long, Long)].collect().toMap
+    assert(ppr(7L) == 0L && ppr(9L) == 0L && ppr(5L) == 0L,
+      s"no seed-side path ⇒ exactly zero mass: $ppr")
+    assert(ppr(1L) > 0L && ppr(2L) > 0L, s"seed and its hub carry mass: $ppr")
+    assert(ppr(2L) > ppr(3L) && ppr(3L) == ppr(4L),
+      s"mass decays with distance from the seed, symmetrically: $ppr")
+  }
+
+  test("passjoin edit-distance pairs equal brute force (complete AND sound)") {
+    // crafted clusters: substitutions, an insertion, a deletion, a far
+    // pair, and a length-mismatch pair — all around the k=2 boundary
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over dogs",
+      2L -> "the quick brown fox jumps over dogz",   // 1 sub of 1
+      3L -> "the quick brewn fox jumps ever dogz",   // 2 subs of 2
+      4L -> "the quick brown fox jumped over dogs",  // 1 ins of 1
+      5L -> "the quick brown fox jump over dogs",    // 1 del of 1
+      6L -> "a completely different sentence here!",
+      7L -> "the quick brown fox jumps over dogs and cats")  // len diff > k
+    val docs = texts.toDF("doc_id", "text")
+    val k = 2
+    val got = editDistancePairs(docs, k)
+      .as[(Long, Long, Long)].collect().toSet
+    val brute = (for {
+      (ia, ta) <- texts; (ib, tb) <- texts if ia < ib
+      d = levDist(ta, tb) if d <= k
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == brute, s"passjoin $got vs brute $brute")
+    assert(brute.exists(_._3 == 2L), "fixture must exercise the boundary")
+    assert(!brute.exists(p => p._1 == 1L && p._2 == 7L),
+      "fixture must exercise a beyond-k pair")
+  }
+
+  private def levDist(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length)
+  }
+
   test("doulion estimate tracks the exact triangle count on the corpus") {
     // deterministic hash-decided sample ⇒ the estimate is a FIXED number
     // for a fixed corpus — assert unbiasedness empirically (≤10% rel err

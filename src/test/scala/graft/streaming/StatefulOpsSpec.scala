@@ -293,4 +293,33 @@ class StatefulOpsSpec extends SparkSpecBase {
       assert(l(4)._1 == 1L, "out-of-window click must not advance u4")
     } finally q.stop()
   }
+
+  test("streaming burst collapse keeps burst openers across batch boundaries") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def ev(u: Long, t: String, id: Long, sec: Int) = StatefulOps.BurstEvent(
+      u, t, id, new java.sql.Timestamp(1704100000000L + sec * 1000L))
+    val in = MemoryStream[StatefulOps.BurstEvent]
+    val out = StatefulOps.burstCollapseTws(spark, in.toDS(), gapSec = 60)
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("bursts").start()
+    def kept(): Set[Long] =
+      spark.table("bursts").as[StatefulOps.BurstKept].collect()
+        .map(_.eventId).toSet
+    try {
+      // u1/A: burst opens at 0s, chains through 30s/50s; u1/B independent;
+      // u2/A: boundary gap of exactly 60s joins (> is strict)
+      in.addData(ev(1, "A", 1, 0), ev(1, "A", 2, 30),
+        ev(1, "B", 5, 40), ev(2, "A", 6, 10), ev(2, "A", 7, 70))
+      q.processAllAvailable()
+      assert(kept() == Set(1L, 5L, 6L), s"got ${kept()}")
+      // batch 2 splits u1/A's burst mid-chain: 50s is 20s after the
+      // LAST batch-1 event (cross-batch state), so it's absorbed; 200s
+      // opens a new burst; u2/A at 131s is 61s after 70s → new burst
+      in.addData(ev(1, "A", 3, 50), ev(1, "A", 4, 200), ev(2, "A", 8, 131))
+      q.processAllAvailable()
+      assert(kept() == Set(1L, 5L, 6L, 4L, 8L), s"got ${kept()}")
+    } finally q.stop()
+  }
 }
