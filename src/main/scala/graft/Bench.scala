@@ -50,6 +50,7 @@ object Bench {
     "q55_countmin", "q56_funnel", "q57_bitmap_distinct", "q58_event_paths",
     "q59_topk_agg", "q60_bitmap_intersect", "q61_table_diff",
     "q62_salted_join", "q63_burst_collapse", "q64_profile",
+    "q65_rolling_distinct",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_regex_tokens", "t6_string_funcs", "t7_array_funcs", "t8_explode",
     "t9_regex_extract", "t10_normalize", "t11_hash_split",
@@ -57,6 +58,7 @@ object Bench {
     "t16_stratified_sample", "t17_chunking", "t18_edit_distance",
     "t19_tfidf", "t20_quality_logit", "t21_bigram_counts", "t22_sentences",
     "t23_readability", "t24_lm_score", "t25_posting_lists",
+    "t26_pmi_collocations",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
     "d8d_triangle_doulion", "d11_containment", "d12_incremental_dedup",
     "d14_decontaminate", "d16_editdist_join", "d18_ngram_novelty",
@@ -64,7 +66,7 @@ object Bench {
     "n4_label_centroids", "n5_ivf_ann", "n6_kmeans", "n7_ivf_kmeans",
     "n8_quantize", "n9_knn_graph", "n10_quantized_rerank", "n11_pq_adc",
     "m1_binary_meta", "m2_frame_windows", "m3_decode_features",
-    "m4_patch_dedup")
+    "m4_patch_dedup", "m5_shared_patches")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -66,6 +66,34 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // Cross-media near-dup PAIRS by shared patches — m4 scores each medium,
+    // this names who copied whom (re-encoded frames, cropped images, quoted
+    // clips share tiles even when whole-payload hashes differ). Skew
+    // guard: patches shared by >16 media are dropped before pairing
+    // (constant tiles — black frames, silence — would pair everything;
+    // the m-family analog of d5's salted bands), so per-patch fan-out is
+    // capped at C(16,2) pairs. Verdict = ≥3 distinct shared patches.
+    "m5_shared_patches" -> ((s, d) => {
+      val media = asMediaRecords(Tables.documents(s, d), "doc_id", "text", "doc")
+      val patches = media
+        .select(col("media_id"),
+          explode(expr("sequence(0L, (byte_len - 1) DIV 32)")).as("pidx"),
+          col("payload"))
+        .select(col("media_id"),
+          md5(expr("substring(payload, CAST(pidx * 32 + 1 AS INT), 32)"))
+            .as("ph"))
+        .distinct()
+      val df = patches.groupBy(col("ph")).agg(count(lit(1)).as("nm"))
+      val rare = patches.join(df.filter(col("nm").between(2, 16)), "ph")
+      rare.select(col("ph"), col("media_id").as("media_a"))
+        .join(rare.select(col("ph"), col("media_id").as("media_b")), "ph")
+        .filter(col("media_a") < col("media_b"))
+        .groupBy(col("media_a"), col("media_b"))
+        .agg(count(lit(1)).as("n_shared_patches"))
+        .filter(col("n_shared_patches") >= 3)
+        .orderBy(col("media_a"), col("media_b"))
+    }),
+
     // The mapPartitions decode path itself, oracle-checked: the stub's fake
     // features are pure md5-of-payload functions, so SQL can specify them
     // exactly — proving the typed imperative path (Dataset[MediaRecord] →
@@ -130,6 +158,25 @@ object MultimodalQueries {
         |      FROM dm JOIN g ON dm.ph = g.ph WHERE g.nm >= 2 GROUP BY 1)
         |SELECT m.media_id, m.n_patches, m.n_distinct,
         |       coalesce(s.n_shared, 0) AS n_shared
-        |FROM m LEFT JOIN s USING (media_id) ORDER BY media_id""".stripMargin
+        |FROM m LEFT JOIN s USING (media_id) ORDER BY media_id""".stripMargin,
+    "m5_shared_patches" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id, text,
+        |    unnest(generate_series(0, (octet_length(encode(text)) - 1) // 32))
+        |      AS pidx
+        |  FROM documents),
+        |h AS (SELECT DISTINCT media_id,
+        |             md5(substring(text, pidx * 32 + 1, 32)) AS ph
+        |      FROM p),
+        |g AS (SELECT ph, count(*) AS nm FROM h GROUP BY ph),
+        |rare AS (SELECT h.media_id, h.ph FROM h
+        |         JOIN g ON g.ph = h.ph AND g.nm BETWEEN 2 AND 16)
+        |SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |       count(*) AS n_shared_patches
+        |FROM rare a JOIN rare b
+        |  ON a.ph = b.ph AND a.media_id < b.media_id
+        |GROUP BY a.media_id, b.media_id
+        |HAVING count(*) >= 3
+        |ORDER BY media_a, media_b""".stripMargin
   )
 }

@@ -1240,6 +1240,38 @@ object RelationalQueries {
       one.select(explode(array(entries: _*)).as("p"))
         .select(col("p.*"))
         .orderBy(col("col_name"))
+    }),
+
+    // Rolling 7-day distinct users — the moving-window COUNT DISTINCT
+    // every retention/reach dashboard needs, via q57's block bitmaps:
+    // each day's user set compresses to |users|/64 OR-mergeable cells,
+    // each cell fans out to the ≤7 windows it belongs to (explode of a
+    // 7-date sequence), and the per-window union is another bit_or +
+    // popcount. Users shuffle ONCE (day,block-keyed); the window overlap
+    // multiplies only the tiny cell table ×7 — never re-scans or
+    // re-shuffles distinct users per window, which is what the naive
+    // 7-way self-join does.
+    "q65_rolling_distinct" -> ((s, d) => {
+      val du = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val cells = du
+        .select(col("day"), expr("user_id div 64").as("blk"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))")
+            .as("mask"))
+        .groupBy(col("day"), col("blk"))
+        .agg(bit_or(col("mask")).as("bits"))
+      val spine = du.select(col("day")).distinct()
+        .withColumnRenamed("day", "w_day")
+      cells
+        .withColumn("w_day", explode(expr("sequence(day, date_add(day, 6))")))
+        .join(spine, "w_day")
+        .groupBy(col("w_day"), col("blk"))
+        .agg(bit_or(col("bits")).as("wbits"))
+        .groupBy(col("w_day"))
+        .agg(sum(bit_count(col("wbits")).cast("long")).as("n_users_7d"))
+        .select(date_format(col("w_day"), "yyyy-MM-dd").as("day"),
+          col("n_users_7d"))
+        .orderBy(col("day"))
     })
   )
 
@@ -1985,6 +2017,16 @@ object RelationalQueries {
            |  CAST(max($c) AS VARCHAR) AS max_str
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
-    }
+    },
+    // independent algorithm: window-range join + plain COUNT DISTINCT
+    "q65_rolling_distinct" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(ts::TIMESTAMP AS DATE) AS day, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM e)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+        |       count(DISTINCT e.user_id) AS n_users_7d
+        |FROM days d JOIN e ON date_diff('day', e.day, d.day) BETWEEN 0 AND 6
+        |GROUP BY d.day ORDER BY day""".stripMargin
   )
 }

@@ -474,6 +474,38 @@ object TextQueries {
       stats.join(head, "tok")
         .select(col("tok"), col("df"), col("cf"), col("postings_head"))
         .orderBy(col("tok"))
+    }),
+
+    // Collocation mining: top bigrams by pointwise mutual information —
+    // which word pairs co-occur far above chance (the phrase/term
+    // extractor for tokenizer vocab and stop-phrase lists). PMI's log is
+    // monotone, so ranking by the RATIO p(ab)/(p(a)p(b)) needs no
+    // transcendentals: ratio_ppm = pair_cnt·N·10⁶ div (cnt_a·cnt_b),
+    // integer-exact cross-engine (t19/t24 discipline). Count tables are
+    // vocab-bounded → broadcast; the min-count filter kills the noisy
+    // singleton tail before the join.
+    "t26_pmi_collocations" -> ((s, d) => {
+      val bi = Tables.fanout(Tables.documents(s, d))
+        .withColumn("toks", tokens(col("text")))
+        .filter(size(col("toks")) > 1)
+        .select(explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val total = bi.agg(count(lit(1)).as("n_total"))
+      val pairCnt = bi.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("pair_cnt"))
+      val leftCnt = bi.groupBy(col("w1")).agg(count(lit(1)).as("cnt_a"))
+      val rightCnt = bi.groupBy(col("w2")).agg(count(lit(1)).as("cnt_b"))
+      pairCnt.filter(col("pair_cnt") >= 20)
+        .join(leftCnt, "w1").join(rightCnt, "w2")
+        .crossJoin(broadcast(total))
+        .withColumn("pmi_ppm",
+          expr("(pair_cnt * n_total * 1000000L) div (cnt_a * cnt_b)"))
+        .select(col("w1"), col("w2"), col("pair_cnt"), col("pmi_ppm"))
+        .orderBy(col("pmi_ppm").desc, col("w1"), col("w2"))
+        .limit(50)
     })
   )
 
@@ -782,6 +814,28 @@ object TextQueries {
          |                    ',') AS postings_head
          |  FROM h WHERE rn <= 50 GROUP BY tok)
          |SELECT s.tok, s.df, s.cf, p.postings_head
-         |FROM stats s JOIN p USING (tok) ORDER BY tok""".stripMargin
+         |FROM stats s JOIN p USING (tok) ORDER BY tok""".stripMargin,
+    "t26_pmi_collocations" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $dkToks AS toks FROM documents),
+         |b AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+         |           i -> toks[i])) AS w1,
+         |         unnest(list_transform(generate_series(1, len(toks) - 1),
+         |           i -> toks[i + 1])) AS w2
+         |  FROM t WHERE len(toks) > 1),
+         |n AS (SELECT count(*) AS n_total FROM b),
+         |pc AS (SELECT w1, w2, count(*) AS pair_cnt FROM b GROUP BY w1, w2),
+         |lc AS (SELECT w1, count(*) AS cnt_a FROM b GROUP BY w1),
+         |rc AS (SELECT w2, count(*) AS cnt_b FROM b GROUP BY w2)
+         |SELECT pc.w1, pc.w2, pc.pair_cnt,
+         |  CAST((pc.pair_cnt * n.n_total * 1000000) // (lc.cnt_a * rc.cnt_b)
+         |    AS BIGINT) AS pmi_ppm
+         |FROM pc
+         |JOIN lc ON lc.w1 = pc.w1
+         |JOIN rc ON rc.w2 = pc.w2
+         |CROSS JOIN n
+         |WHERE pc.pair_cnt >= 20
+         |ORDER BY pmi_ppm DESC, pc.w1, pc.w2 LIMIT 50""".stripMargin
   )
 }

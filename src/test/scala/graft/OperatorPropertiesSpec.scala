@@ -42,7 +42,12 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       // round-6 late batch: CMS cells (hash-bucketed counts), block
       // bitmaps (OR-folded masks), bigram LM (integer ratio joins),
       // bounded top-k (associative k-buffer merge)
-      "q55_countmin", "q57_bitmap_distinct", "t24_lm_score", "q59_topk_agg")
+      "q55_countmin", "q57_bitmap_distinct", "t24_lm_score", "q59_topk_agg",
+      // round-6 second batch: fixed-point pagerank (integer in-mass sums),
+      // PassJoin (set-valued candidates + exact verify), window bitmaps
+      // (OR folds), PMI (integer ratio), novelty (df equi-join + div)
+      "d15_pagerank", "d16_editdist_join", "q65_rolling_distinct",
+      "t26_pmi_collocations", "d18_ngram_novelty")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {
