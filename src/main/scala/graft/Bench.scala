@@ -50,7 +50,7 @@ object Bench {
     "q55_countmin", "q56_funnel", "q57_bitmap_distinct", "q58_event_paths",
     "q59_topk_agg", "q60_bitmap_intersect", "q61_table_diff",
     "q62_salted_join", "q63_burst_collapse", "q64_profile",
-    "q65_rolling_distinct",
+    "q65_rolling_distinct", "q66_ntile_deciles",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_regex_tokens", "t6_string_funcs", "t7_array_funcs", "t8_explode",
     "t9_regex_extract", "t10_normalize", "t11_hash_split",
@@ -58,7 +58,7 @@ object Bench {
     "t16_stratified_sample", "t17_chunking", "t18_edit_distance",
     "t19_tfidf", "t20_quality_logit", "t21_bigram_counts", "t22_sentences",
     "t23_readability", "t24_lm_score", "t25_posting_lists",
-    "t26_pmi_collocations",
+    "t26_pmi_collocations", "t27_source_gini",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
     "d8d_triangle_doulion", "d11_containment", "d12_incremental_dedup",
     "d14_decontaminate", "d16_editdist_join", "d18_ngram_novelty",

@@ -318,6 +318,28 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // LSH-layer quality evaluation: precision/recall of d2's raw band
+    // candidates against the exact-Jaccard ground truth, in integer basis
+    // points — the measurement that justifies (bands, rowsPerBand) before
+    // a 100 TB run, produced by the engine itself. Contains the quadratic
+    // exact truth, so it lives with the d4/d6 validators: bench-excluded,
+    // run at small SF to tune, then trust the bound at scale.
+    "d19_lsh_quality" -> ((s, d) => {
+      val ds = docs(s, d)
+      val arr = shingleArrays(ds)
+      val cand = candidatePairs(lshBands(
+          minhashSignatureNarrow(arr, NumHashes), Bands, RowsPerBand))
+        .select(col("doc_a"), col("doc_b"))
+      val truth = exactJaccardPairs(explodedShingles(ds), JaccardTau)
+        .select(col("doc_a"), col("doc_b"))
+      val hit = cand.join(truth, Seq("doc_a", "doc_b"))
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .withColumn("precision_bp", expr("(n_hit * 10000) div n_candidates"))
+        .withColumn("recall_bp", expr("(n_hit * 10000) div n_truth"))
+    }),
+
     // Contamination-radius traversal: multi-source BFS hop levels from
     // flagged seed docs (doc_id % 100 = 0) over the SimHash near-dup
     // graph — "everything within k near-dup hops of a known-bad source".
@@ -673,6 +695,39 @@ object DedupQueries {
          |FROM tri""".stripMargin
   }
 
+  /** d2's LSH-candidate CTEs with an evaluation tail: raw band candidates
+    * scored against the exact-Jaccard truth (the d4 CTE chain, re-rooted
+    * at `cand2` so it doesn't collide with the LSH `pairs`). */
+  private val dkLshQuality: String =
+    dkMinhashLsh.replace(dkJaccardTail,
+      s"""cand2 AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM shingled a JOIN shingled b
+         |    ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+         |  FROM cand2 c
+         |  JOIN shingled a ON a.doc_id = c.doc_a
+         |  JOIN shingled b ON b.doc_id = c.doc_b AND b.sh = a.sh
+         |  GROUP BY c.doc_a, c.doc_b),
+         |truth AS (
+         |  SELECT i.doc_a, i.doc_b FROM inter i
+         |  JOIN sizes sa ON sa.doc_id = i.doc_a
+         |  JOIN sizes sb ON sb.doc_id = i.doc_b
+         |  WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter)
+         |    >= $JaccardTau),
+         |hit AS (SELECT p.doc_a FROM pairs p JOIN truth t
+         |        ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b)
+         |SELECT
+         |  (SELECT count(*) FROM pairs) AS n_candidates,
+         |  (SELECT count(*) FROM truth) AS n_truth,
+         |  (SELECT count(*) FROM hit) AS n_hit,
+         |  ((SELECT count(*) FROM hit) * 10000)
+         |    // (SELECT count(*) FROM pairs) AS precision_bp,
+         |  ((SELECT count(*) FROM hit) * 10000)
+         |    // (SELECT count(*) FROM truth) AS recall_bp""".stripMargin)
+
   /** d2's LSH-candidate CTEs with the containment verify tail. */
   private val dkContainment: String =
     dkMinhashLsh.replace(dkJaccardTail,
@@ -821,6 +876,7 @@ object DedupQueries {
     "d14_decontaminate" -> dkDecontaminate,
     "d13_bfs_levels" -> dkBfsLevels,
     "d15_pagerank" -> dkPageRankSql("1000000000", "150000000"),
+    "d19_lsh_quality" -> dkLshQuality,
     "d17_personalized_ppr" -> dkPageRankSql(
       "CASE WHEN d.doc_id % 100 = 0 THEN 1000000000 ELSE 0 END",
       "CASE WHEN d.doc_id % 100 = 0 THEN 150000000 ELSE 0 END"),

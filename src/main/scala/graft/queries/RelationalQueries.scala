@@ -1272,6 +1272,25 @@ object RelationalQueries {
         .select(date_format(col("w_day"), "yyyy-MM-dd").as("day"),
           col("n_users_7d"))
         .orderBy(col("day"))
+    }),
+
+    // Equal-frequency decile segmentation (ntile — the one ranking window
+    // q18/q38 don't cover): customers bucketed into account-balance
+    // deciles, then per-decile spend. The ORDER BY is made total
+    // (acctbal, custkey) so both engines assign identical bucket
+    // boundaries — ntile over a tied prefix is otherwise
+    // implementation-defined. One customer-keyed window + one small agg.
+    "q66_ntile_deciles" -> ((s, d) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"),
+          expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)")
+            .as("sum_acctbal"),
+          min(col("c_custkey")).as("min_key"),
+          max(col("c_custkey")).as("max_key"))
+        .orderBy(col("decile"))
     })
   )
 
@@ -2027,6 +2046,15 @@ object RelationalQueries {
         |SELECT strftime(d.day, '%Y-%m-%d') AS day,
         |       count(DISTINCT e.user_id) AS n_users_7d
         |FROM days d JOIN e ON date_diff('day', e.day, d.day) BETWEEN 0 AND 6
-        |GROUP BY d.day ORDER BY day""".stripMargin
+        |GROUP BY d.day ORDER BY day""".stripMargin,
+    "q66_ntile_deciles" ->
+      """WITH t AS (
+        |  SELECT c_custkey, c_acctbal,
+        |    ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+        |  FROM customer)
+        |SELECT decile, count(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal,
+        |  min(c_custkey) AS min_key, max(c_custkey) AS max_key
+        |FROM t GROUP BY decile ORDER BY decile""".stripMargin
   )
 }

@@ -506,6 +506,27 @@ object TextQueries {
         .select(col("w1"), col("w2"), col("pair_cnt"), col("pmi_ppm"))
         .orderBy(col("pmi_ppm").desc, col("w1"), col("w2"))
         .limit(50)
+    }),
+
+    // Source-concentration Gini impurity per language: 1 − Σ share² in
+    // integer ppm — the training-mix concentration alarm (gini→0 means
+    // one source dominates a language; t13's mixing weights can't fix
+    // what this doesn't flag). Entropy needs log; Gini is the polynomial
+    // concentration measure, so it stays in exact BIGINT arithmetic
+    // (counts here keep cnt²·10⁶ ≪ 2⁶³; at billions of docs per source
+    // switch the moment sums to DECIMAL(38,0) — the q50 pattern).
+    "t27_source_gini" -> ((s, d) => {
+      val counts = Tables.fanout(Tables.documents(s, d))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("cnt"))
+      counts.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sources"),
+          sum(col("cnt")).as("n_docs"),
+          sum(col("cnt") * col("cnt")).as("sum_sq"))
+        .withColumn("gini_ppm",
+          expr("1000000 - (sum_sq * 1000000) div (n_docs * n_docs)"))
+        .select(col("lang"), col("n_sources"), col("n_docs"), col("gini_ppm"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -836,6 +857,16 @@ object TextQueries {
          |JOIN rc ON rc.w2 = pc.w2
          |CROSS JOIN n
          |WHERE pc.pair_cnt >= 20
-         |ORDER BY pmi_ppm DESC, pc.w1, pc.w2 LIMIT 50""".stripMargin
+         |ORDER BY pmi_ppm DESC, pc.w1, pc.w2 LIMIT 50""".stripMargin,
+    "t27_source_gini" ->
+      """WITH c AS (
+        |  SELECT lang, source, count(*) AS cnt
+        |  FROM documents GROUP BY lang, source)
+        |SELECT lang, count(*) AS n_sources,
+        |  CAST(sum(cnt) AS BIGINT) AS n_docs,
+        |  CAST(1000000 - (CAST(sum(cnt * cnt) AS BIGINT) * 1000000)
+        |    // (CAST(sum(cnt) AS BIGINT) * CAST(sum(cnt) AS BIGINT))
+        |    AS BIGINT) AS gini_ppm
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

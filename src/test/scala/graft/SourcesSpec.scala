@@ -190,4 +190,32 @@ class SourcesSpec extends SparkSpecBase {
     assert(plan.contains("PartitionFilters: [isnotnull(status"),
       s"expected partition pruning in plan:\n$plan")
   }
+
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    // the join key is only known at RUN time (it comes from a filtered
+    // dimension), so static pruning can't fire — DPP injects the dim's
+    // key set into the fact scan's partition filter instead of reading
+    // every partition. At 100 TB on a date/tenant-partitioned fact this
+    // is the difference between scanning one partition and all of them.
+    val dir = Files.createTempDirectory("graft-dpp").toString + "/data"
+    Tables.orders(spark, sfDir)
+      .withColumn("status", col("o_orderstatus"))
+      .write.partitionBy("status").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    import spark.implicits._
+    // the PRUNING rule keys on a selective filter on the build side — a
+    // literal relation constant-folds its filter away, so the dim must be
+    // a real source with a surviving Filter node
+    val dimDir = Files.createTempDirectory("graft-dpp-dim").toString + "/dim"
+    Seq(("O", "open"), ("F", "filled"), ("P", "pending"))
+      .toDF("st", "label").write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("label") === "open")
+    val joined = fact.join(dim, fact("status") === dim("st"))
+    val n = joined.count()
+    assert(n == Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "O").count())
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning filter on the fact scan:\n$plan")
+  }
 }
