@@ -433,6 +433,52 @@ object DedupOps {
     ranks
   }
 
+  /** Exact Jaccard ≥ tau similarity self-join via PREFIX FILTERING (the
+    * PPJoin family — Xiao/Wang/Lin/Yu, WWW'08): the scalable exact path
+    * between d2 (probabilistic LSH) and d4 (quadratic ground truth).
+    * Order every doc's shingle set by a global total order (ascending
+    * document frequency, ties by value — rare-first minimizes candidate
+    * fan-out; ANY consistent order preserves correctness), and index only
+    * the first `|s| − ⌈tau·|s|⌉ + 1` shingles: two sets with J ≥ tau
+    * MUST share a prefix token (pigeonhole — skipping both prefixes
+    * leaves fewer than ⌈tau·|s|⌉ shared tokens). Candidates = prefix
+    * equi-join; exact array verify on candidates only.
+    *
+    * Scale: prefix rows ≈ (1−tau)·|doc-shingle|, one content-keyed
+    * equi-join; rare-first prefixes keep hot shingles out of the index.
+    * The positional and suffix filters of full PPJoin are further
+    * candidate cuts, not correctness requirements. Returns d4's exact
+    * output — the two queries share one oracle. */
+  def ppJoinPairs(docs: DataFrame, tau: Double): DataFrame = {
+    require(tau == 0.5, "prefix length arithmetic below is specialized to tau=1/2")
+    val sh = explodedShingles(docs)
+    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val ordered = sh.join(df, "sh")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh"))))
+        .as("ordered"))
+      // ceil(n/2) shared tokens needed ⇒ prefix = n − ceil(n/2) + 1
+      .withColumn("pl",
+        expr("size(ordered) - ((size(ordered) + 1) div 2) + 1"))
+    val prefixes = ordered
+      .select(col("doc_id"), size(col("ordered")).as("n_sh"),
+        explode(expr("slice(transform(ordered, x -> x.sh), 1, pl)"))
+          .as("sh"))
+    // size filter (Arasu et al.): J ≥ τ ⇒ I ≥ τ·max(|a|,|b|) and
+    // I ≤ min(|a|,|b|), so min ≥ τ·max — prune length-mismatched
+    // collisions inside the join before they become candidate rows
+    val cand = prefixes
+      .select(col("sh"), col("doc_id").as("doc_a"), col("n_sh").as("na"))
+      .join(prefixes
+        .select(col("sh"), col("doc_id").as("doc_b"), col("n_sh").as("nb")),
+        "sh")
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    jaccardVerifyArrays(cand, shingleArrays(docs))
+      .filter(col("jaccard") >= tau)
+  }
+
   /** Edit-distance similarity self-join via segment partitioning (the
     * PassJoin scheme — Li/Deng/Feng, ICDE'11): exact `levenshtein ≤ k`
     * pairs WITHOUT the all-pairs product. Pigeonhole: an optimal alignment

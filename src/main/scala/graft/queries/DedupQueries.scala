@@ -98,6 +98,18 @@ object DedupQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Exact Jaccard ≥ tau via PREFIX FILTERING (PPJoin) — the scalable
+    // EXACT path between d2's probabilistic LSH and d4's quadratic truth:
+    // rare-first prefixes indexed, candidates from a prefix equi-join,
+    // array verify on candidates only. Shares d4's oracle text, so a green
+    // row proves the prefix filter is complete, not just fast.
+    "d20_ppjoin" -> ((s, d) => {
+      ppJoinPairs(docs(s, d), JaccardTau)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Dedup groups: connected components over the exact-Jaccard pair graph —
     // every doc mapped to its canonical keeper (smallest doc_id in its
     // near-dup component); the step that turns pair lists into a deduped
@@ -503,6 +515,16 @@ object DedupQueries {
        |  FROM sh0),
        |shingled AS (
        |  SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM sh1)""".stripMargin
+
+  /** Exhaustive exact-Jaccard pairs (d4's oracle; d20 reuses it — same
+    * answer via prefix filtering). */
+  private lazy val dkExactJaccard: String =
+    s"""WITH $dkShingled,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM shingled a JOIN shingled b
+       |    ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       |$dkJaccardTail""".stripMargin
 
   private val dkJaccardTail =
     s"""sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),
@@ -915,13 +937,10 @@ object DedupQueries {
       s"""WITH h AS (SELECT doc_id, $dkTokenHashes AS hs FROM documents)
          |SELECT doc_id, $dkSimhashExpr AS simhash FROM h
          |ORDER BY doc_id""".stripMargin,
-    "d4_ngram_jaccard" ->
-      s"""WITH $dkShingled,
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM shingled a JOIN shingled b
-         |    ON a.sh = b.sh AND a.doc_id < b.doc_id),
-         |$dkJaccardTail""".stripMargin,
+    "d4_ngram_jaccard" -> dkExactJaccard,
+    // d20 = the SAME statistic via prefix filtering: one oracle text pins
+    // the PPJoin candidates to the exhaustive answer (completeness proof)
+    "d20_ppjoin" -> dkExactJaccard,
     "d5_simhash_pairs" ->
       s"""WITH h AS (SELECT doc_id, $dkTokenHashes AS hs FROM documents),
          |sh AS (SELECT doc_id, $dkSimhashExpr AS simhash FROM h),

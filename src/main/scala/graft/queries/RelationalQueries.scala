@@ -1291,6 +1291,31 @@ object RelationalQueries {
           min(col("c_custkey")).as("min_key"),
           max(col("c_custkey")).as("max_key"))
         .orderBy(col("decile"))
+    }),
+
+    // Robust outlier detection: median absolute deviation per group, flag
+    // |x − median| > 3·MAD — the outlier rule that survives the outliers
+    // it's hunting (mean/stddev z-scores get dragged by the tail they
+    // should flag; a filtered training corpus needs the robust form).
+    // Doubles stay deterministic: abs/sub/×3/compare are IEEE-exact given
+    // both engines' identical medians (q34 pins that). Two group-keyed
+    // aggs + two broadcast joins of |groups|-row tables.
+    "q67_mad_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val med = ev.groupBy(col("event_type"))
+        .agg(median(col("value")).as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(median(col("adev")).as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(max(col("med")), 4).as("median_value"),
+          round(max(col("mad")), 4).as("mad_value"),
+          sum(when(col("adev") > lit(3) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -2055,6 +2080,22 @@ object RelationalQueries {
         |SELECT decile, count(*) AS n_customers,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal,
         |  min(c_custkey) AS min_key, max(c_custkey) AS max_key
-        |FROM t GROUP BY decile ORDER BY decile""".stripMargin
+        |FROM t GROUP BY decile ORDER BY decile""".stripMargin,
+    "q67_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, median(value) AS med
+        |  FROM events GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type)
+        |SELECT d.event_type, count(*) AS n,
+        |  round(max(d.med), 4) AS median_value,
+        |  round(max(m.mad), 4) AS mad_value,
+        |  CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
   )
 }

@@ -163,6 +163,21 @@ class DedupSpec extends SparkSpecBase {
       s"mass decays with distance from the seed, symmetrically: $ppr")
   }
 
+  test("ppjoin prefix-filtered pairs equal the exhaustive exact-Jaccard join") {
+    import graft.Tables
+    val docs = Tables.documents(spark, sfDir)
+    val viaPrefix = ppJoinPairs(docs, 0.5)
+      .select("doc_a", "doc_b", "inter", "union_sz")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val exhaustive = exactJaccardPairs(explodedShingles(docs), 0.5)
+      .select("doc_a", "doc_b", "inter", "union_sz")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(viaPrefix == exhaustive,
+      s"prefix filter must be complete and sound: " +
+        s"missed ${exhaustive -- viaPrefix}, extra ${viaPrefix -- exhaustive}")
+    assert(exhaustive.nonEmpty, "corpus must exercise the join")
+  }
+
   test("passjoin edit-distance pairs equal brute force (complete AND sound)") {
     // crafted clusters: substitutions, an insertion, a deletion, a far
     // pair, and a length-mismatch pair — all around the k=2 boundary
