@@ -462,20 +462,58 @@ object DedupOps {
         expr("size(ordered) - ((size(ordered) + 1) div 2) + 1"))
     val prefixes = ordered
       .select(col("doc_id"), size(col("ordered")).as("n_sh"),
-        explode(expr("slice(transform(ordered, x -> x.sh), 1, pl)"))
-          .as("sh"))
-    // size filter (Arasu et al.): J ≥ τ ⇒ I ≥ τ·max(|a|,|b|) and
-    // I ≤ min(|a|,|b|), so min ≥ τ·max — prune length-mismatched
-    // collisions inside the join before they become candidate rows
+        posexplode(expr("slice(transform(ordered, x -> x.sh), 1, pl)"))
+          .as(Seq("pos0", "sh")))
+      .select(col("doc_id"), col("n_sh"), (col("pos0") + 1).as("i"),
+        col("sh"))
+    // Two sound per-collision prunes (neither can drop a true pair):
+    // - size filter (Arasu et al.): J ≥ τ ⇒ I ≥ τ·max(|a|,|b|) and
+    //   I ≤ min, so min ≥ τ·max;
+    // - positional filter: under the global token order, a common token
+    //   at ordered positions (ia, ib) bounds the WHOLE overlap:
+    //   I ≤ 1 + min(ia−1, ib−1) + min(na−ia, nb−ib). A true pair has
+    //   I ≥ α = ⌈τ(na+nb)/(1+τ)⌉ (τ=1/2 ⇒ α = ⌈(na+nb)/3⌉), and every
+    //   one of its collisions satisfies bound ≥ I ≥ α — so dropping
+    //   collision ROWS below α keeps all of a true pair's rows.
     val cand = prefixes
-      .select(col("sh"), col("doc_id").as("doc_a"), col("n_sh").as("na"))
+      .select(col("sh"), col("doc_id").as("doc_a"), col("n_sh").as("na"),
+        col("i").as("ia"))
       .join(prefixes
-        .select(col("sh"), col("doc_id").as("doc_b"), col("n_sh").as("nb")),
+        .select(col("sh"), col("doc_id").as("doc_b"), col("n_sh").as("nb"),
+          col("i").as("ib")),
         "sh")
       .filter(col("doc_a") < col("doc_b") &&
-        least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")))
+        least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")) &&
+        lit(1) + least(col("ia") - 1, col("ib") - 1) +
+          least(col("na") - col("ia"), col("nb") - col("ib")) >=
+          expr("(na + nb + 2) div 3"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    jaccardVerifyArrays(cand, shingleArrays(docs))
+    // Verify on 60-bit shingle hashes, not strings: the candidate volume
+    // is prefix-collision-bound (this word-soup corpus leaves ~300k at
+    // sf0.1), and each survivor intersects two ~|doc| arrays — longs cut
+    // the shuffled payload ~3× and the intersect to integer equality.
+    // Exactness: counts match the string-based oracle unless two distinct
+    // shingles IN THE SAME PAIR'S UNION collide in 60 bits
+    // (~|union|²/2⁶¹ ≈ 10⁻¹⁶ per pair — below any practical concern).
+    // The repartition pins verify parallelism: AQE sees few shuffle BYTES
+    // per candidate row but each row carries heavy compute, and would
+    // otherwise coalesce the verify onto a handful of tasks.
+    val hashedSets = shingleArrays(docs).select(col("doc_id"),
+      array_distinct(transform(col("sh_arr"),
+        s => graft.ops.TextOps.hash60(s))).as("sh_set"))
+    val pinned = cand.repartition(32, col("doc_a"), col("doc_b"))
+    pinned
+      .join(hashedSets.select(col("doc_id").as("doc_a"),
+        col("sh_set").as("set_a")), "doc_a")
+      .join(hashedSets.select(col("doc_id").as("doc_b"),
+        col("sh_set").as("set_b")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("union_sz",
+        (size(col("set_a")) + size(col("set_b"))).cast("long") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("union_sz"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"),
+        col("jaccard"))
       .filter(col("jaccard") >= tau)
   }
 

@@ -1316,6 +1316,33 @@ object RelationalQueries {
           sum(when(col("adev") > lit(3) * col("mad"), 1L).otherwise(0L))
             .as("n_outliers"))
         .orderBy(col("event_type"))
+    }),
+
+    // Weekly cohort retention matrix: users grouped by first-activity
+    // week, each later week's active share in integer basis points — the
+    // engagement-over-time readout (and for data curation: which user
+    // cohorts still generate training signal). Activity collapses to
+    // distinct (user, week) FIRST, so everything downstream is
+    // user-week-sized; cohort assignment is a per-user min; the cohort
+    // size table is |weeks| rows → broadcast.
+    "q68_cohort_retention" -> ((s, d) => {
+      val act = Tables.events(s, d)
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("wk"))
+        .distinct()
+      val cohort = act.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_wk"))
+      val sizes = cohort.groupBy(col("cohort_wk"))
+        .agg(count(lit(1)).as("n_cohort"))
+      act.join(cohort, "user_id")
+        .groupBy(col("cohort_wk"), col("wk"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(broadcast(sizes), "cohort_wk")
+        .select(date_format(col("cohort_wk"), "yyyy-MM-dd").as("cohort_week"),
+          expr("datediff(wk, cohort_wk) div 7").as("week_offset"),
+          col("n_active"), col("n_cohort"),
+          expr("(n_active * 10000) div n_cohort").as("retention_bp"))
+        .orderBy(col("cohort_week"), col("week_offset"))
     })
   )
 
@@ -2096,6 +2123,23 @@ object RelationalQueries {
         |  CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_outliers
         |FROM dev d JOIN mad m USING (event_type)
-        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+    // both engines truncate weeks to ISO Monday
+    "q68_cohort_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts::TIMESTAMP) AS DATE) AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY user_id),
+        |s AS (SELECT cohort_wk, count(*) AS n_cohort FROM c GROUP BY cohort_wk),
+        |r AS (
+        |  SELECT c.cohort_wk, a.wk, count(DISTINCT a.user_id) AS n_active
+        |  FROM a JOIN c USING (user_id) GROUP BY c.cohort_wk, a.wk)
+        |SELECT strftime(r.cohort_wk, '%Y-%m-%d') AS cohort_week,
+        |  date_diff('day', r.cohort_wk, r.wk) // 7 AS week_offset,
+        |  r.n_active, s.n_cohort,
+        |  (r.n_active * 10000) // s.n_cohort AS retention_bp
+        |FROM r JOIN s USING (cohort_wk)
+        |ORDER BY cohort_week, week_offset""".stripMargin
   )
 }
