@@ -51,7 +51,7 @@ object Bench {
     "q59_topk_agg", "q60_bitmap_intersect", "q61_table_diff",
     "q62_salted_join", "q63_burst_collapse", "q64_profile",
     "q65_rolling_distinct", "q66_ntile_deciles", "q67_mad_outliers",
-    "q68_cohort_retention",
+    "q68_cohort_retention", "q69_cooccurrence",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_regex_tokens", "t6_string_funcs", "t7_array_funcs", "t8_explode",
     "t9_regex_extract", "t10_normalize", "t11_hash_split",

@@ -330,6 +330,30 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Dedup savings report: per near-dup component (d7's SimHash graph),
+    // how much the collapse buys — member count, total bytes, bytes saved
+    // by keeping only the canonical doc. The number a 100 TB curation run
+    // reports to justify itself; only multi-member components surface.
+    "d21_dedup_savings" -> ((s, d) => {
+      val ds = docs(s, d)
+      val df = ds.withColumn("hs", tokenHashes(tokens(col("text"))))
+      val pairs = simhashPairs(simhashBands(df, simhash32(col("hs"))),
+        MaxHamming).select(col("doc_a"), col("doc_b"))
+      val labels = connectedComponents(pairs, ds.select(col("doc_id")),
+        uncheckedRounds = 2)
+      labels
+        .join(ds.select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars")), "doc_id")
+        .groupBy(col("canon_id"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(col("n_chars")) -
+            max(when(col("doc_id") === col("canon_id"), col("n_chars"))))
+            .as("saved_chars"))
+        .filter(col("n_members") >= 2)
+        .orderBy(col("canon_id"))
+    }),
+
     // LSH-layer quality evaluation: precision/recall of d2's raw band
     // candidates against the exact-Jaccard ground truth, in integer basis
     // points — the measurement that justifies (bands, rowsPerBand) before
@@ -899,6 +923,24 @@ object DedupQueries {
     "d13_bfs_levels" -> dkBfsLevels,
     "d15_pagerank" -> dkPageRankSql("1000000000", "150000000"),
     "d19_lsh_quality" -> dkLshQuality,
+    // d7's closure CTEs + per-component size/savings aggregation
+    "d21_dedup_savings" -> {
+      val base = dkSimhashGroups
+        .replace("SELECT doc_id, canon_id FROM canon ORDER BY doc_id", "")
+        .trim
+      s"""$base,
+         |len AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+         |        FROM documents)
+         |SELECT c.canon_id, count(*) AS n_members,
+         |  CAST(sum(l.n_chars) AS BIGINT) AS total_chars,
+         |  CAST(sum(l.n_chars) -
+         |    max(CASE WHEN c.doc_id = c.canon_id THEN l.n_chars END)
+         |    AS BIGINT) AS saved_chars
+         |FROM canon c JOIN len l USING (doc_id)
+         |GROUP BY c.canon_id
+         |HAVING count(*) >= 2
+         |ORDER BY canon_id""".stripMargin
+    },
     "d17_personalized_ppr" -> dkPageRankSql(
       "CASE WHEN d.doc_id % 100 = 0 THEN 1000000000 ELSE 0 END",
       "CASE WHEN d.doc_id % 100 = 0 THEN 150000000 ELSE 0 END"),

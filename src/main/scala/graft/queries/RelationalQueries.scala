@@ -1343,6 +1343,26 @@ object RelationalQueries {
           col("n_active"), col("n_cohort"),
           expr("(n_active * 10000) div n_cohort").as("retention_bp"))
         .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+
+    // Co-occurrence mining (market-basket pairs): parts ordered together,
+    // support ≥ 3 orders, top 50 by support. The pair space is bounded by
+    // basket size, not catalog size — the self-join runs WITHIN each
+    // order (equi-join on orderkey, ~C(7,2) pairs per order), so it
+    // scales with |lineitem|, never |parts|². The item-affinity signal
+    // behind co-retrieval and batching decisions.
+    "q69_cooccurrence" -> ((s, d) => {
+      val li = Tables.fanout(Tables.lineitem(s, d))
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+          "l_orderkey")
+        .filter(col("part_a") < col("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 3)
+        .orderBy(col("support").desc, col("part_a"), col("part_b"))
+        .limit(50)
     })
   )
 
@@ -2140,6 +2160,16 @@ object RelationalQueries {
         |  r.n_active, s.n_cohort,
         |  (r.n_active * 10000) // s.n_cohort AS retention_bp
         |FROM r JOIN s USING (cohort_wk)
-        |ORDER BY cohort_week, week_offset""".stripMargin
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "q69_cooccurrence" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |       count(*) AS support
+        |FROM li a JOIN li b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY a.l_partkey, b.l_partkey
+        |HAVING count(*) >= 3
+        |ORDER BY support DESC, part_a, part_b LIMIT 50""".stripMargin
   )
 }

@@ -218,4 +218,32 @@ class SourcesSpec extends SparkSpecBase {
     assert(plan.contains("dynamicpruning"),
       s"expected a dynamic partition pruning filter on the fact scan:\n$plan")
   }
+
+  test("corrupt-file tolerance: ignoreCorruptFiles skips a damaged split, keeps the rest") {
+    // at 100 TB a handful of truncated/bit-rotted files per run is
+    // routine; the batch analog of s11's corrupt-RECORD quarantine is
+    // corrupt-FILE skipping — the job completes on the surviving splits
+    // instead of dying on the first bad footer
+    val dir = Files.createTempDirectory("graft-corrupt").toString + "/data"
+    Tables.nation(spark, sfDir).repartition(4).write.parquet(dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(parts.length == 4)
+    // truncate one split mid-file: unreadable footer
+    val victim = parts.head
+    val ch = java.nio.channels.FileChannel.open(victim.toPath,
+      java.nio.file.StandardOpenOption.WRITE)
+    try ch.truncate(math.max(8, victim.length() / 2)) finally ch.close()
+    val total = Tables.nation(spark, sfDir).count()
+    // fixed schema: inference would read every footer up front, outside
+    // the scan path the skip option governs
+    val schema = Tables.nation(spark, sfDir).schema
+    intercept[org.apache.spark.SparkException] {
+      spark.read.schema(schema).parquet(dir).count() // strict mode surfaces it
+    }
+    val survived = spark.read.schema(schema)
+      .option("ignoreCorruptFiles", "true").parquet(dir).count()
+    assert(survived > 0 && survived < total,
+      s"expected partial rows from the 3 intact splits, got $survived/$total")
+  }
 }

@@ -204,6 +204,49 @@ class ApproxSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming rolling 7-day distinct: windowed bitmap union stays exact across batches") {
+    // q65's ingest-time form: (day, block) bitmap cells as complete-mode
+    // streaming state; the trailing-window union + popcount runs on the
+    // STATE table, so arbitrary cross-batch duplicate arrivals are
+    // absorbed by the OR before any window math sees them
+    implicit val ctx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Int, Long)]
+    val cells = in.toDF().toDF("day", "user")
+      .selectExpr("day", "user div 64 AS blk",
+        "shiftleft(CAST(1 AS BIGINT), CAST(user % 64 AS INT)) AS mask")
+      .groupBy(col("day"), col("blk")).agg(bit_or(col("mask")).as("bits"))
+    val q = cells.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .format("memory").queryName("roll_stream").start()
+    def rollingFromState(): Map[Int, Long] = {
+      val state = spark.table("roll_stream")
+      val spine = state.select(col("day")).distinct()
+        .withColumnRenamed("day", "w_day")
+      state.withColumn("w_day", explode(expr("sequence(day, day + 6)")))
+        .join(spine, "w_day")
+        .groupBy(col("w_day"), col("blk")).agg(bit_or(col("bits")).as("w"))
+        .groupBy(col("w_day"))
+        .agg(sum(bit_count(col("w")).cast("long")).as("n"))
+        .as[(Int, Long)].collect().toMap
+    }
+    def expected(evs: Seq[(Int, Long)]): Map[Int, Long] = {
+      val days = evs.map(_._1).distinct
+      days.map(d => d ->
+        evs.filter(e => e._1 >= d - 6 && e._1 <= d).map(_._2).distinct.size.toLong
+      ).toMap
+    }
+    try {
+      val b1 = Seq((1, 10L), (1, 11L), (2, 10L), (5, 12L), (9, 10L))
+      in.addData(b1: _*); q.processAllAvailable()
+      assert(rollingFromState() == expected(b1))
+      // batch 2 back-fills day 2 with a user day 1 already saw (cross-batch
+      // dedupe) and extends day 9's window
+      val b2 = Seq((2, 11L), (2, 13L), (9, 14L), (8, 10L))
+      in.addData(b2: _*); q.processAllAvailable()
+      assert(rollingFromState() == expected(b1 ++ b2))
+    } finally q.stop()
+  }
+
   test("approx percentile brackets the exact median") {
     val li = Tables.lineitem(spark, sfDir)
     val p50 = li.select(percentile_approx(col("l_quantity"), lit(0.5), lit(1000)))
