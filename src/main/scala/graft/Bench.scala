@@ -51,7 +51,7 @@ object Bench {
     "q59_topk_agg", "q60_bitmap_intersect", "q61_table_diff",
     "q62_salted_join", "q63_burst_collapse", "q64_profile",
     "q65_rolling_distinct", "q66_ntile_deciles", "q67_mad_outliers",
-    "q68_cohort_retention", "q69_cooccurrence",
+    "q68_cohort_retention", "q69_cooccurrence", "q70_markov_transitions",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_regex_tokens", "t6_string_funcs", "t7_array_funcs", "t8_explode",
     "t9_regex_extract", "t10_normalize", "t11_hash_split",
@@ -63,7 +63,7 @@ object Bench {
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
     "d8d_triangle_doulion", "d11_containment", "d12_incremental_dedup",
     "d14_decontaminate", "d16_editdist_join", "d18_ngram_novelty",
-    "d20_ppjoin",
+    "d20_ppjoin", "d22_quote_runs",
     "n1_ann_bruteforce", "n2_ann_lsh", "n3_embedding_neardup",
     "n4_label_centroids", "n5_ivf_ann", "n6_kmeans", "n7_ivf_kmeans",
     "n8_quantize", "n9_knn_graph", "n10_quantized_rerank", "n11_pq_adc",

@@ -354,6 +354,44 @@ object DedupQueries {
         .orderBy(col("canon_id"))
     }),
 
+    // Verbatim quote detection: longest common TOKEN RUN per LSH candidate
+    // pair, via diagonal run-length analysis — positional shingles of both
+    // docs join on content, a match at (pa, pb) lies on diagonal pa−pb,
+    // and k consecutive positions on one diagonal = a verbatim run of k+2
+    // tokens. Distinguishes a QUOTE (one long run) from scattered phrase
+    // reuse (many short runs) — d11's containment ratio can't tell them
+    // apart. Work is bounded by candidate pairs × shared shingles.
+    "d22_quote_runs" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ds = docs(s, d)
+      val cand = candidatePairs(lshBands(
+        minhashSignatureNarrow(shingleArrays(ds), NumHashes),
+        Bands, RowsPerBand)).select(col("doc_a"), col("doc_b"))
+      val posSh = ds.select(col("doc_id"),
+          posexplode(shingles(tokens(col("text")), col("text")))
+            .as(Seq("pos0", "sh")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("sh"))
+      val m = cand
+        .join(posSh.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
+          col("sh")), "doc_a")
+        .join(posSh.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
+          col("sh")), Seq("doc_b", "sh"))
+        .withColumn("diag", col("pa") - col("pb"))
+      val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+        .orderBy(col("pa"))
+      val runs = m.withColumn("grp", col("pa") - row_number().over(w))
+        .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("grp"))
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(max(col("run_len")).as("max_run"))
+      val hits = m.groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_hits"))
+      runs.join(hits, Seq("doc_a", "doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("max_run") + 2).as("longest_run_tokens"), col("n_hits"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // LSH-layer quality evaluation: precision/recall of d2's raw band
     // candidates against the exact-Jaccard ground truth, in integer basis
     // points — the measurement that justifies (bands, rowsPerBand) before
@@ -923,6 +961,41 @@ object DedupQueries {
     "d13_bfs_levels" -> dkBfsLevels,
     "d15_pagerank" -> dkPageRankSql("1000000000", "150000000"),
     "d19_lsh_quality" -> dkLshQuality,
+    // d2's LSH-candidate CTEs with the diagonal run-length tail
+    "d22_quote_runs" -> dkMinhashLsh.replace(dkJaccardTail,
+      s"""ps0 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) >= 3
+         |      THEN list_transform(generate_series(1, len(toks) - 2),
+         |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |      ELSE [trim(text)] END AS shs
+         |  FROM sh0),
+         |ps AS (
+         |  SELECT doc_id, u.p AS pos, u.s AS sh
+         |  FROM ps0, LATERAL (SELECT unnest(shs) AS s,
+         |                            generate_subscripts(shs, 1) AS p) u),
+         |m AS (
+         |  SELECT p.doc_a, p.doc_b, a.pos AS pa, b.pos AS pb,
+         |         a.pos - b.pos AS diag
+         |  FROM pairs p
+         |  JOIN ps a ON a.doc_id = p.doc_a
+         |  JOIN ps b ON b.doc_id = p.doc_b AND b.sh = a.sh),
+         |r AS (
+         |  SELECT doc_a, doc_b, diag, pa,
+         |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+         |                            ORDER BY pa) AS grp
+         |  FROM m),
+         |runs AS (
+         |  SELECT doc_a, doc_b, count(*) AS run_len
+         |  FROM r GROUP BY doc_a, doc_b, diag, grp),
+         |agg1 AS (SELECT doc_a, doc_b, max(run_len) AS max_run
+         |         FROM runs GROUP BY doc_a, doc_b),
+         |agg2 AS (SELECT doc_a, doc_b, count(*) AS n_hits
+         |         FROM m GROUP BY doc_a, doc_b)
+         |SELECT a1.doc_a, a1.doc_b,
+         |  CAST(a1.max_run + 2 AS BIGINT) AS longest_run_tokens, a2.n_hits
+         |FROM agg1 a1 JOIN agg2 a2 USING (doc_a, doc_b)
+         |ORDER BY doc_a, doc_b""".stripMargin),
     // d7's closure CTEs + per-component size/savings aggregation
     "d21_dedup_savings" -> {
       val base = dkSimhashGroups

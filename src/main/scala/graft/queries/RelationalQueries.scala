@@ -1363,6 +1363,27 @@ object RelationalQueries {
         .filter(col("support") >= 3)
         .orderBy(col("support").desc, col("part_a"), col("part_b"))
         .limit(50)
+    }),
+
+    // Event-type Markov transition matrix: P(next | current) per user
+    // stream in integer ppm (t24's bigram-LM discipline applied to
+    // behavioral sequences) — the session-simulation / anomaly baseline.
+    // One user-keyed window for the lag, then two vocabulary-sized aggs.
+    "q70_markov_transitions" -> ((s, d) => {
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val tr = Tables.events(s, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(ord))
+        .filter(col("prev_type").isNotNull)
+        .select(col("prev_type").as("from_type"),
+          col("event_type").as("to_type"))
+      val cnt = tr.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy(col("from_type")).agg(count(lit(1)).as("n_from"))
+      cnt.join(tot, "from_type")
+        .withColumn("p_ppm", expr("(n * 1000000) div n_from"))
+        .select(col("from_type"), col("to_type"), col("n"), col("p_ppm"))
+        .orderBy(col("from_type"), col("to_type"))
     })
   )
 
@@ -2170,6 +2191,23 @@ object RelationalQueries {
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY a.l_partkey, b.l_partkey
         |HAVING count(*) >= 3
-        |ORDER BY support DESC, part_a, part_b LIMIT 50""".stripMargin
+        |ORDER BY support DESC, part_a, part_b LIMIT 50""".stripMargin,
+    "q70_markov_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts::TIMESTAMP, event_id) AS prev_type
+        |  FROM events),
+        |tr AS (
+        |  SELECT prev_type AS from_type, event_type AS to_type
+        |  FROM o WHERE prev_type IS NOT NULL),
+        |cnt AS (SELECT from_type, to_type, count(*) AS n
+        |        FROM tr GROUP BY from_type, to_type),
+        |tot AS (SELECT from_type, count(*) AS n_from
+        |        FROM tr GROUP BY from_type)
+        |SELECT c.from_type, c.to_type, c.n,
+        |       (c.n * 1000000) // t.n_from AS p_ppm
+        |FROM cnt c JOIN tot t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin
   )
 }
