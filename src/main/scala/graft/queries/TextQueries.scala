@@ -385,6 +385,21 @@ object TextQueries {
         .orderBy(col("doc_id"), col("sent_idx"))
     }),
 
+    // Cross-document boilerplate sentences: sentence-level dedup over
+    // t22's segmentation — headers/footers/templates repeat VERBATIM
+    // across documents whose bodies differ, so doc-level dedup (d1-d7)
+    // never sees them; this is the boilerplate-strip list a curation
+    // pipeline applies before training. One sentence-keyed agg.
+    "t29_boilerplate" -> ((s, d) => {
+      queries("t22_sentences")(s, d)
+        .groupBy(col("sentence"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_total"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("n_total").desc, col("sentence"))
+        .limit(50)
+    }),
+
     // Readability scoring (Flesch reading-ease shape): vowel-run syllable
     // heuristic + the 12-token synthetic sentence count (t22's boundary
     // convention) into the classic fixed-weight formula. All inputs are
@@ -529,6 +544,28 @@ object TextQueries {
         .orderBy(col("lang"))
     })
   )
+
+  /** t22's sentence segmentation (t29 embeds it as a CTE). */
+  private lazy val dkSentences: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $dkToks AS toks FROM documents),
+       |p AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_transform(generate_series(1, len(toks)),
+       |      i -> CASE WHEN i % 12 = 0 THEN toks[i] || '.'
+       |           ELSE toks[i] END), ' ') AS punct_text
+       |  FROM t),
+       |s AS (
+       |  SELECT doc_id,
+       |    list_filter(list_transform(string_split_regex(punct_text,
+       |                                                  '[.!?]+'),
+       |                               x -> trim(x)), x -> x <> '') AS sents
+       |  FROM p)
+       |SELECT doc_id, u.i - 1 AS sent_idx, u.s AS sentence,
+       |       length(u.s) AS n_chars
+       |FROM s, LATERAL (SELECT unnest(sents) AS s,
+       |                        generate_subscripts(sents, 1) AS i) u
+       |ORDER BY doc_id, sent_idx""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "t1_token_stats" ->
@@ -763,26 +800,17 @@ object TextQueries {
          |  FROM t WHERE len(toks) > 1)
          |SELECT pair, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
          |FROM pairs GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
-    "t22_sentences" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, $dkToks AS toks FROM documents),
-         |p AS (
-         |  SELECT doc_id,
-         |    array_to_string(list_transform(generate_series(1, len(toks)),
-         |      i -> CASE WHEN i % 12 = 0 THEN toks[i] || '.'
-         |           ELSE toks[i] END), ' ') AS punct_text
-         |  FROM t),
-         |s AS (
-         |  SELECT doc_id,
-         |    list_filter(list_transform(string_split_regex(punct_text,
-         |                                                  '[.!?]+'),
-         |                               x -> trim(x)), x -> x <> '') AS sents
-         |  FROM p)
-         |SELECT doc_id, u.i - 1 AS sent_idx, u.s AS sentence,
-         |       length(u.s) AS n_chars
-         |FROM s, LATERAL (SELECT unnest(sents) AS s,
-         |                        generate_subscripts(sents, 1) AS i) u
-         |ORDER BY doc_id, sent_idx""".stripMargin,
+    "t22_sentences" -> dkSentences,
+    // t22's segmentation as a CTE + the cross-doc duplicate aggregation
+    "t29_boilerplate" ->
+      s"""WITH base AS (
+         |$dkSentences
+         |)
+         |SELECT sentence, count(DISTINCT doc_id) AS n_docs,
+         |       count(*) AS n_total
+         |FROM base GROUP BY sentence
+         |HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY n_docs DESC, n_total DESC, sentence LIMIT 50""".stripMargin,
     "t23_readability" ->
       s"""WITH f AS (
          |  SELECT doc_id,
