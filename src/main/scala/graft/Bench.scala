@@ -60,6 +60,7 @@ object Bench {
     "t19_tfidf", "t20_quality_logit", "t21_bigram_counts", "t22_sentences",
     "t23_readability", "t24_lm_score", "t25_posting_lists",
     "t26_pmi_collocations", "t27_source_gini", "t29_boilerplate",
+    "t30_curation_e2e",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
     "d8d_triangle_doulion", "d11_containment", "d12_incremental_dedup",
     "d14_decontaminate", "d16_editdist_join", "d18_ngram_novelty",

@@ -400,6 +400,31 @@ object TextQueries {
         .limit(50)
     }),
 
+    // End-to-end curation under the cross-engine gate: normalize (t10) →
+    // quality floor (≥20 tokens) → exact dedup on NORMALIZED content
+    // (d1's rule — normalization first makes case/punct variants collapse
+    // too) → per-language corpus report. The composed form of the
+    // pipeline CurationPipelineSpec drives as a stream; this pins the
+    // batch semantics of the whole chain in ONE oracle row.
+    // Narrow until the dedup's hash groupBy — one shuffle — then a
+    // language-keyed agg.
+    "t30_curation_e2e" -> ((s, d) => {
+      val cleaned = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      val base = Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"), cleaned.as("norm_text"))
+        .withColumn("n_tokens", size(tokens(col("norm_text"))).cast("long"))
+        .filter(col("n_tokens") >= 20)
+      val kept = base
+        .groupBy(md5(col("norm_text").cast("binary")).as("content_md5"))
+        .agg(min(col("doc_id")).as("keeper_id"))
+      base.join(kept, base("doc_id") === kept("keeper_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // Readability scoring (Flesch reading-ease shape): vowel-run syllable
     // heuristic + the 12-token synthetic sentence count (t22's boundary
     // convention) into the classic fixed-weight formula. All inputs are
@@ -886,6 +911,24 @@ object TextQueries {
          |CROSS JOIN n
          |WHERE pc.pair_cnt >= 20
          |ORDER BY pmi_ppm DESC, pc.w1, pc.w2 LIMIT 50""".stripMargin,
+    "t30_curation_e2e" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, lang,
+         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]',
+         |         ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+         |  FROM documents),
+         |base AS (
+         |  SELECT doc_id, lang, norm_text,
+         |    len(string_split_regex(trim(norm_text), '\\s+')) AS n_tokens
+         |  FROM n
+         |  WHERE len(string_split_regex(trim(norm_text), '\\s+')) >= 20),
+         |kept AS (
+         |  SELECT md5(norm_text) AS content_md5, min(doc_id) AS keeper_id
+         |  FROM base GROUP BY md5(norm_text))
+         |SELECT b.lang, count(*) AS n_docs_kept,
+         |  CAST(sum(b.n_tokens) AS BIGINT) AS total_tokens
+         |FROM base b JOIN kept k ON b.doc_id = k.keeper_id
+         |GROUP BY b.lang ORDER BY b.lang""".stripMargin,
     "t27_source_gini" ->
       """WITH c AS (
         |  SELECT lang, source, count(*) AS cnt
