@@ -45,6 +45,27 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ANN-layer quality evaluation (d19's twin for the n-family): per
+    // query, recall@K of the LSH index against the exact brute-force
+    // top-K, in integer basis points — the engine measures its own index
+    // quality before serving from it. Both sides are hash/tie-determined
+    // (n1/n2's own oracles pin them), so the intersection is too.
+    "n12_ann_recall" -> ((s, d) => {
+      val v = vecs(s, d)
+      val q = v.filter(col("id") < NumQueries)
+      val exact = bruteForceTopK(q, v, K)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = lshTopK(q, v, K, LshTables, Planes, Dims)
+        .select(col("query_id"), col("neighbor_id"))
+      val hit = exact.join(approx, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      exact.select(col("query_id")).distinct()
+        .join(hit, Seq("query_id"), "left")
+        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .withColumn("recall_bp", expr(s"(n_hit * 10000) div $K"))
+        .orderBy(col("query_id"))
+    }),
+
     // Embedding cosine near-duplicate pairs (exact all-pairs ground truth).
     "n3_embedding_neardup" -> ((s, d) => {
       cosineNearDupPairs(vecs(s, d), NearDupTau)
@@ -397,6 +418,60 @@ object SimilarityQueries {
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_sim
          |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    // n2's LSH CTEs + n1's exact CTEs (renamed e*) + the recall readout
+    "n12_ann_recall" ->
+      s"""WITH v AS (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |w(tbl, plane, wts) AS (VALUES
+         |    $lshWeightValues),
+         |sigs AS (
+         |  SELECT v.id, w.tbl,
+         |    CAST(SUM(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+         |        list_transform(generate_series(1, $Dims),
+         |          i -> v.emb[i] * w.wts[i])),
+         |        (x, y) -> x + y) >= 0
+         |      THEN (1::BIGINT << w.plane) ELSE 0 END) AS BIGINT) AS sig
+         |  FROM v, w GROUP BY v.id, w.tbl),
+         |cand AS (
+         |  SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+         |  FROM sigs q JOIN sigs c
+         |    ON q.tbl = c.tbl AND q.sig = c.sig AND c.id <> q.id
+         |  WHERE q.id < $NumQueries),
+         |ascored AS (
+         |  SELECT k.query_id, k.neighbor_id,
+         |         $dkDot / sqrt(${dkNorm2("a")} * ${dkNorm2("b")}) AS cos
+         |  FROM cand k
+         |  JOIN v a ON a.id = k.query_id
+         |  JOIN v b ON b.id = k.neighbor_id),
+         |approx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM ascored) WHERE rank <= $K),
+         |escored AS (
+         |  SELECT a.id AS query_id, b.id AS neighbor_id,
+         |         $dkDot / sqrt(${dkNorm2("a")} * ${dkNorm2("b")}) AS cos
+         |  FROM v a, v b
+         |  WHERE a.id < $NumQueries AND b.id <> a.id),
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM escored) WHERE rank <= $K),
+         |hit AS (
+         |  SELECT e.query_id, count(*) AS n_hit
+         |  FROM exact e JOIN approx ap
+         |    ON ap.query_id = e.query_id AND ap.neighbor_id = e.neighbor_id
+         |  GROUP BY e.query_id)
+         |SELECT q.query_id, coalesce(h.n_hit, 0) AS n_hit,
+         |       (coalesce(h.n_hit, 0) * 10000) // $K AS recall_bp
+         |FROM (SELECT DISTINCT query_id FROM exact) q
+         |LEFT JOIN hit h USING (query_id)
+         |ORDER BY query_id""".stripMargin,
     "n5_ivf_ann" ->
       s"""WITH v AS (
          |  SELECT vec_id AS id,
