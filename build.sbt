@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run's stdout must reach the console RAW: sbt's default
+// LoggedOutput strategy prefixes every line with "[info] ", which breaks
+// any consumer that parses Bench's one-line JSON output (the driver's
+// bench harness scans stdout for a bare `{"metric":...}` line).
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -24,7 +24,11 @@ import org.apache.spark.sql.SparkSession
   * (d7) BEFORE graph analytics; the exact d8 forms therefore stay out of
   * the single-pass headline mix, like the d4/d6 quadratic validators.
   * d8d (DOULION deterministic-sample estimate, work ~ p³·triangles) is
-  * the bounded-cost member of the family and IS in the headline.
+  * the bounded-cost member of the family and IS in the headline. d9
+  * (exact per-node 2-hop, Σdeg² intermediate rows) now refuses fast above
+  * a wedge budget (DedupOps.requireWedgeBudget) and stays excluded; its
+  * scale-safe replacement d9b (per-node HLL ball-2 registers + DOULION
+  * per-node triangles, ≤64·2|E| rows) IS in the headline.
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -62,7 +66,8 @@ object Bench {
     "t26_pmi_collocations", "t27_source_gini", "t29_boilerplate",
     "t30_curation_e2e",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
-    "d8d_triangle_doulion", "d11_containment", "d12_incremental_dedup",
+    "d8d_triangle_doulion", "d9b_graph_stats_sketch",
+    "d11_containment", "d12_incremental_dedup",
     "d14_decontaminate", "d16_editdist_join", "d18_ngram_novelty",
     "d20_ppjoin", "d22_quote_runs",
     "n1_ann_bruteforce", "n2_ann_lsh", "n3_embedding_neardup",

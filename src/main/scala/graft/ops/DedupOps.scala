@@ -377,12 +377,17 @@ object DedupOps {
   /** [[pageRank]] in integer fixed-point (parts-per-billion), which makes
     * it ORACLE-GATEABLE: every step is BIGINT arithmetic — contribution =
     * `rank div degree` (floor division, `div` ≡ DuckDB `//` on positives),
-    * damping = `(85 * in_mass) div 100` — so the sum is order-free and the
-    * result is bit-identical across engines and partitionings (the t19/t24
-    * transcendental-free pattern applied to an iterative graph algorithm).
+    * damping = `(in_mass div 100)·85 + ((in_mass mod 100)·85) div 100`
+    * (≡ `(85·in_mass) div 100` for all non-negative masses, but the
+    * reassociated form never overflows: the largest intermediate is
+    * `(in_mass div 100)·85 < 2⁶³` for EVERY int64 in_mass, whereas the
+    * naive product wraps once a hub collects ≳10⁸ nodes' worth of ppb
+    * mass) — so the sum is order-free and the result is bit-identical
+    * across engines and partitionings (the t19/t24 transcendental-free
+    * pattern applied to an iterative graph algorithm).
     * rank₀ = 10⁹; isolated nodes converge to exactly 150 000 000 (= 1−d).
-    * Overflow-safe: Σ ranks ≤ 10⁹·|V| at the fixpoint, so any single
-    * in-mass ×85 stays ≪ 2⁶³ for |V| < 10¹⁰. Per-division floor loses
+    * Overflow-safe for any graph whose total mass fits int64, i.e.
+    * |V| < 9.2·10⁹ at 10⁹ ppb per node. Per-division floor loses
     * < 1 ppb — the ranking (not the 9th decimal) is the product.
     * Scale shape identical to [[pageRank]]. Returns (doc_id, rank_ppb). */
   def pageRankExact(pairs: DataFrame, docs: DataFrame, iters: Int): DataFrame =
@@ -422,7 +427,9 @@ object DedupOps {
         .join(contribs, col("doc_id") === col("dst"), "left")
         .select(col("doc_id"),
           (teleport +
-            expr("(85 * coalesce(in_mass, 0L)) div 100")).as("rank_ppb"))
+            expr("(coalesce(in_mass, 0L) div 100) * 85" +
+              " + ((coalesce(in_mass, 0L) % 100) * 85) div 100"))
+            .as("rank_ppb"))
         .localCheckpoint(eager = true)
       prevCkpt.foreach(_.unpersist(blocking = false))
       prevCkpt = org.apache.spark.sql.graftbridge.Bridge.checkpointedRdd(next)
@@ -678,5 +685,28 @@ object DedupOps {
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming && col("band_idx") === firstMatch)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Enforced scale contract for exact 2-hop / wedge expansions. The
+    * intermediate row count of `adj ⋈ adj` is exactly Σ deg(v)² ("wedges"),
+    * which explodes on dense near-dup graphs (the sf0.1 synthetic graph
+    * measures ~4e9). This computes the wedge count with one cheap degree
+    * aggregation (a single row reaches the driver) and refuses FAST when it
+    * exceeds `budget`, naming the scale-safe alternatives — so the "collapse
+    * components (d7) before running graph analytics" rule is code, not
+    * advice. `adj` must carry the node key in a column named `u` (one row
+    * per directed edge, both directions present).
+    */
+  def requireWedgeBudget(adj: DataFrame, budget: Long, op: String): Unit = {
+    val wedges = adj.groupBy(col("u"))
+      .agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d") * col("d")), lit(0L)).as("wedges"))
+      .first().getLong(0)
+    if (wedges > budget) throw new IllegalStateException(
+      s"$op: exact 2-hop expansion would materialize $wedges intermediate " +
+        s"rows (Sum deg^2), over the $budget budget. Collapse near-dup " +
+        "components first (d7 / DedupOps.connectedComponents) or use the " +
+        "sketched form (d9b_graph_stats_sketch: HLL ball-2 registers, " +
+        "64*|E| rows).")
   }
 }

@@ -255,10 +255,12 @@ object DedupQueries {
     // Per-node graph statistics over the near-dup graph: degree, 2-hop
     // reach (friends-of-friends not already adjacent), and triangles
     // through each node — the signals that rank a component's CANONICAL
-    // keeper by centrality instead of min-id, all exact integers. Three
-    // edge-keyed shuffles; the 2-hop expansion is the only super-linear
-    // term and is bounded by Σdeg² (the same budget the pair join already
-    // paid). Bench-excluded like d4/d6-d8.
+    // keeper by centrality instead of min-id, all exact integers.
+    // GROUND-TRUTH VALIDATOR for d9b: the 2-hop expansion materializes
+    // Σdeg² intermediate rows (~4e9 on the dense sf0.1 synthetic graph),
+    // so the builder now REFUSES fast above a wedge budget instead of
+    // churning — run it after d7's component collapse, or use
+    // d9b_graph_stats_sketch (the scale path). Bench-excluded like d4/d6-d8.
     "d9_graph_stats" -> ((s, d) => {
       val df = docs(s, d).withColumn("hs", tokenHashes(tokens(col("text"))))
       val edges = simhashPairs(simhashBands(df, simhash32(col("hs"))), MaxHamming)
@@ -266,6 +268,8 @@ object DedupQueries {
       val adj = edges
         .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .toDF("u", "v")
+      graft.ops.DedupOps.requireWedgeBudget(adj, budget = 200000000L,
+        op = "d9_graph_stats")
       val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("degree"))
       val hop2 = adj.toDF("u", "mid")
         .join(adj.toDF("mid", "v"), "mid")
@@ -282,6 +286,89 @@ object DedupQueries {
         .select(col("u").as("doc_id"), col("degree"),
           coalesce(col("n_2hop"), lit(0L)).as("n_2hop"),
           coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Scale-safe per-node graph stats — d9's replacement above the wedge
+    // budget. Degree stays exact; the 2-hop ball is SKETCHED with per-node
+    // HyperLogLog registers (q51's hash-decided construction, m=64 buckets,
+    // so the DuckDB oracle reproduces every register and the estimate
+    // BIT-EXACTLY); per-node triangles are DOULION-sampled (d8d's p=1/8
+    // deterministic md5 edge sample, ×512 unbiased scale-up). Cost model
+    // vs d9: the exact expansion is Σdeg² rows; here each node's neighbor
+    // REGISTERS (≤64 cells) flow to its neighbors instead of its full
+    // neighbor LIST, so the join is ≤ 64·2|E| rows — linear in edges with
+    // a constant-64 factor (sf0.1: 4e9 → ~275M narrow rows), and the
+    // triangle term drops to p²·wedges. Register semantics: node v hashes
+    // identically everywhere (bucket = h60(v) % 64, rho from the next 32
+    // bits), so max-merge across nodes is a true HLL set union; the union
+    // of own + neighbors' 1-hop registers sketches ball₂(u) = {w :
+    // dist(u,w) ≤ 2} ∪ {u}. ball2_est = α₆₄·m²/Σ2^(−rho) in pure integer
+    // arithmetic: raw = 2⁴⁵ div denom (denom = Σ 2^(33−rho), empty
+    // registers contribute 2³³), then α₆₄ applied as ×709340 div 10⁶ —
+    // deterministic in both engines, ~13% HLL σ (1.04/√64). Callers
+    // needing small-ball exactness have exact `degree` alongside.
+    "d9b_graph_stats_sketch" -> ((s, d) => {
+      val df = docs(s, d).withColumn("hs", tokenHashes(tokens(col("text"))))
+      val edges = simhashPairs(simhashBands(df, simhash32(col("hs"))), MaxHamming)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val adj = edges
+        .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("u", "v")
+      val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("degree"))
+      // 1-hop registers in COLUMNAR form: one row per node, 64 register
+      // COLUMNS (max rho per bucket; NULL = empty). Keeping registers as
+      // columns instead of (u, bucket, rho) rows is the scale move: the
+      // neighbor join below carries ONE row per directed edge rather than
+      // 64, and every merge is a codegen'd partial-max hash aggregation
+      // (map-side combine collapses to |V| rows before any exchange) —
+      // measured 10.9 s → row-form vs ~3 s columnar at sf0.1.
+      val regCols = (0 until 64).map(b =>
+        max(when(col("bucket") === b, col("rho"))).as(s"r$b"))
+      val regs1 = adj
+        .select(col("u"), graft.ops.TextOps.hash60(col("v")).as("h"))
+        .selectExpr("u", "h % 64 AS bucket", "(h DIV 64) % 4294967296 AS w")
+        .selectExpr("u", "bucket",
+          "CAST(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END AS BIGINT) AS rho")
+        .groupBy(col("u")).agg(regCols.head, regCols.tail: _*)
+      // ball-2 union: own registers ∪ each neighbor's registers (u ∈ N(mid)
+      // for mid ∈ N(u), so the union covers u, N(u), and exactly-2-hop).
+      // The register table is |V| rows — AQE broadcasts it at this scale;
+      // at 10⁹ nodes the same plan degrades to a shuffle join, still linear.
+      val mergeCols = (0 until 64).map(b => max(col(s"r$b")).as(s"r$b"))
+      val nbrRegs = adj
+        .join(regs1.withColumnRenamed("u", "nv"), col("v") === col("nv"))
+        .select(col("u") +: (0 until 64).map(b => col(s"r$b")): _*)
+      val denomExpr = (0 until 64)
+        .map(b => s"shiftleft(CAST(1 AS BIGINT), CAST(33 - coalesce(r$b, 0) AS INT))")
+        .mkString(" + ")
+      val emptyExpr = (0 until 64)
+        .map(b => s"CAST(r$b IS NULL AS INT)").mkString(" + ")
+      val ball = nbrRegs
+        .union(regs1.select(col("u") +: (0 until 64).map(b => col(s"r$b")): _*))
+        .groupBy(col("u")).agg(mergeCols.head, mergeCols.tail: _*)
+        .selectExpr("u", s"$denomExpr AS ball2_denom",
+          s"CAST($emptyExpr AS BIGINT) AS ball2_empty")
+        .selectExpr("u", "ball2_denom", "ball2_empty",
+          s"(${1L << 45} DIV ball2_denom) * 709340 DIV 1000000 AS ball2_est")
+      // DOULION per-node triangle estimate on the p=1/8 hash-sampled graph:
+      // each surviving triangle credits its 3 vertices; ×512 = 1/p³.
+      val sampled = edges.filter(
+        graft.ops.TextOps.hash60(
+          concat(col("doc_a").cast("string"), lit("_"),
+            col("doc_b").cast("string"))) % 8 === 0)
+        .localCheckpoint()
+      val triEst = sampled.toDF("a", "b")
+        .join(sampled.toDF("b", "c"), "b")
+        .join(sampled.toDF("a2", "c2"),
+          col("a") === col("a2") && col("c") === col("c2"))
+        .select(explode(array(col("a"), col("b"), col("c"))).as("u"))
+        .groupBy(col("u")).agg((count(lit(1)) * lit(512L)).as("est_tri"))
+      deg.join(ball, Seq("u"), "left")
+        .join(triEst, Seq("u"), "left")
+        .select(col("u").as("doc_id"), col("degree"),
+          col("ball2_denom"), col("ball2_empty"), col("ball2_est"),
+          coalesce(col("est_tri"), lit(0L)).as("est_tri"))
         .orderBy(col("doc_id"))
     }),
 
@@ -410,8 +497,13 @@ object DedupQueries {
       cand.agg(count(lit(1)).as("n_candidates"))
         .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
         .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-        .withColumn("precision_bp", expr("(n_hit * 10000) div n_candidates"))
-        .withColumn("recall_bp", expr("(n_hit * 10000) div n_truth"))
+        // nullif on BOTH engines: Spark's div would yield NULL on an empty
+        // candidate/truth set while DuckDB's // raises — making the guard
+        // explicit keeps degenerate corpora engine-symmetric (NULL).
+        .withColumn("precision_bp",
+          expr("(n_hit * 10000) div nullif(n_candidates, 0)"))
+        .withColumn("recall_bp",
+          expr("(n_hit * 10000) div nullif(n_truth, 0)"))
     }),
 
     // Contamination-radius traversal: multi-source BFS hop levels from
@@ -682,9 +774,11 @@ object DedupQueries {
        |  GROUP BY d.doc_id)
        |SELECT doc_id, canon_id FROM canon ORDER BY doc_id""".stripMargin
 
-  /** Recursive-CTE closure over the SimHash-Hamming pair graph (same
-    * structure as [[dkDedupGroups]], edges from the d5 candidate SQL). */
-  private val dkSimhashGroups: String =
+  /** The d7 closure CTE chain (`h` … `canon`) WITHOUT a final SELECT — the
+    * named shared constant d7/d10/d21 all build on. Factored (rather than
+    * string-replacing d7's final SELECT out) so a rewording of the tail
+    * can never silently no-op the replace into malformed SQL. */
+  private val dkSimhashClosureCtes: String =
     s"""WITH RECURSIVE h AS (SELECT doc_id, $dkTokenHashes AS hs FROM documents),
        |sh AS (SELECT doc_id, $dkSimhashExpr AS simhash FROM h),
        |bands AS (
@@ -708,16 +802,18 @@ object DedupQueries {
        |  SELECT d.doc_id,
        |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS canon_id
        |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-       |  GROUP BY d.doc_id)
+       |  GROUP BY d.doc_id)""".stripMargin
+
+  /** Recursive-CTE closure over the SimHash-Hamming pair graph (same
+    * structure as [[dkDedupGroups]], edges from the d5 candidate SQL). */
+  private val dkSimhashGroups: String =
+    s"""$dkSimhashClosureCtes
        |SELECT doc_id, canon_id FROM canon ORDER BY doc_id""".stripMargin
 
   /** d7's transitive-closure CTEs + degree argmax: the keeper is the
     * max-degree (tie min-id) member of each component. */
-  private val dkCentralKeeper: String = {
-    val base = dkSimhashGroups
-      .replace("SELECT doc_id, canon_id FROM canon ORDER BY doc_id", "")
-      .trim // now ends at the canon CTE's closing paren
-    s"""$base,
+  private val dkCentralKeeper: String =
+    s"""$dkSimhashClosureCtes,
        |deg AS (SELECT src AS doc_id, count(*) AS degree FROM edges
        |        GROUP BY src),
        |m AS (SELECT c.doc_id, c.canon_id, coalesce(g.degree, 0) AS degree
@@ -729,7 +825,6 @@ object DedupQueries {
        |        FROM m) WHERE rn = 1)
        |SELECT m.doc_id, m.degree, k.keeper
        |FROM m JOIN k USING (canon_id) ORDER BY doc_id""".stripMargin
-  }
 
   /** Triangle/node/edge counts over the SimHash-Hamming graph; shared by
     * d8 (id orientation), d8b (degree orientation) and d8c (clique
@@ -808,9 +903,9 @@ object DedupQueries {
          |  (SELECT count(*) FROM truth) AS n_truth,
          |  (SELECT count(*) FROM hit) AS n_hit,
          |  ((SELECT count(*) FROM hit) * 10000)
-         |    // (SELECT count(*) FROM pairs) AS precision_bp,
+         |    // nullif((SELECT count(*) FROM pairs), 0) AS precision_bp,
          |  ((SELECT count(*) FROM hit) * 10000)
-         |    // (SELECT count(*) FROM truth) AS recall_bp""".stripMargin)
+         |    // nullif((SELECT count(*) FROM truth), 0) AS recall_bp""".stripMargin)
 
   /** d2's LSH-candidate CTEs with the containment verify tail. */
   private val dkContainment: String =
@@ -913,7 +1008,9 @@ object DedupQueries {
          |  GROUP BY und.dst),
          |r$i AS (
          |  SELECT d.doc_id,
-         |    CAST(($teleportSql) + (85 * coalesce(m$i.in_mass, 0)) // 100
+         |    CAST(($teleportSql)
+         |      + (coalesce(m$i.in_mass, 0) // 100) * 85
+         |      + ((coalesce(m$i.in_mass, 0) % 100) * 85) // 100
          |      AS BIGINT) AS rank_ppb
          |  FROM documents d LEFT JOIN m$i ON m$i.dst = d.doc_id)"""
     }.mkString(",\n")
@@ -997,11 +1094,8 @@ object DedupQueries {
          |FROM agg1 a1 JOIN agg2 a2 USING (doc_a, doc_b)
          |ORDER BY doc_a, doc_b""".stripMargin),
     // d7's closure CTEs + per-component size/savings aggregation
-    "d21_dedup_savings" -> {
-      val base = dkSimhashGroups
-        .replace("SELECT doc_id, canon_id FROM canon ORDER BY doc_id", "")
-        .trim
-      s"""$base,
+    "d21_dedup_savings" ->
+      s"""$dkSimhashClosureCtes,
          |len AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
          |        FROM documents)
          |SELECT c.canon_id, count(*) AS n_members,
@@ -1012,8 +1106,7 @@ object DedupQueries {
          |FROM canon c JOIN len l USING (doc_id)
          |GROUP BY c.canon_id
          |HAVING count(*) >= 2
-         |ORDER BY canon_id""".stripMargin
-    },
+         |ORDER BY canon_id""".stripMargin,
     "d17_personalized_ppr" -> dkPageRankSql(
       "CASE WHEN d.doc_id % 100 = 0 THEN 1000000000 ELSE 0 END",
       "CASE WHEN d.doc_id % 100 = 0 THEN 150000000 ELSE 0 END"),
@@ -1112,6 +1205,61 @@ object DedupQueries {
          |       coalesce(t.n_tri, 0) AS n_tri
          |FROM deg d LEFT JOIN twohop t2 ON t2.u = d.u
          |LEFT JOIN tri t ON t.u = d.u
+         |ORDER BY doc_id""".stripMargin,
+    // d9's edge CTEs + the register/sample mirror of the sketched form:
+    // every quantity is hash-decided or integer arithmetic, so the sketch
+    // itself is bit-exact across engines (like q51's registers).
+    "d9b_graph_stats_sketch" ->
+      s"""WITH h AS (SELECT doc_id, $dkTokenHashes AS hs FROM documents),
+         |sh AS (SELECT doc_id, $dkSimhashExpr AS simhash FROM h),
+         |bands AS (
+         |  SELECT doc_id, simhash, b.band_idx,
+         |         (simhash >> (b.band_idx * 8)) & 255 AS band_val
+         |  FROM sh, (SELECT unnest([0,1,2,3]) AS band_idx) b),
+         |edges AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM bands l JOIN bands r
+         |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+         |   AND l.doc_id < r.doc_id
+         |  WHERE bit_count(xor(l.simhash, r.simhash)) <= $MaxHamming),
+         |adj AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM edges
+         |  UNION ALL SELECT doc_b, doc_a FROM edges),
+         |deg AS (SELECT u, count(*) AS degree FROM adj GROUP BY u),
+         |r0 AS (
+         |  SELECT u, bucket, max(rho) AS rho FROM (
+         |    SELECT u, h % 64 AS bucket,
+         |      CAST(CASE WHEN (h // 64) % 4294967296 = 0 THEN 33
+         |           ELSE 33 - length(bin((h // 64) % 4294967296)) END
+         |           AS BIGINT) AS rho
+         |    FROM (SELECT u, ${dkHash60("v::VARCHAR")} AS h FROM adj))
+         |  GROUP BY u, bucket),
+         |r2 AS (
+         |  SELECT u, bucket, max(rho) AS rho FROM (
+         |    SELECT a.u, r.bucket, r.rho FROM adj a JOIN r0 r ON r.u = a.v
+         |    UNION ALL SELECT u, bucket, rho FROM r0)
+         |  GROUP BY u, bucket),
+         |ball AS (
+         |  SELECT u,
+         |    CAST(sum(1::BIGINT << CAST(33 - rho AS INT)) AS BIGINT)
+         |      + (64 - count(*)) * ${1L << 33} AS ball2_denom,
+         |    CAST(64 - count(*) AS BIGINT) AS ball2_empty
+         |  FROM r2 GROUP BY u),
+         |sampled AS (
+         |  SELECT doc_a, doc_b FROM edges
+         |  WHERE ${dkHash60("doc_a::VARCHAR || '_' || doc_b::VARCHAR")} % 8 = 0),
+         |trin AS (
+         |  SELECT u, count(*) * 512 AS est_tri FROM (
+         |    SELECT unnest([e1.doc_a, e1.doc_b, e2.doc_b]) AS u
+         |    FROM sampled e1
+         |    JOIN sampled e2 ON e2.doc_a = e1.doc_b
+         |    JOIN sampled e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+         |  GROUP BY u)
+         |SELECT d.u AS doc_id, d.degree, b.ball2_denom, b.ball2_empty,
+         |  (${1L << 45} // b.ball2_denom) * 709340 // 1000000 AS ball2_est,
+         |  coalesce(t.est_tri, 0) AS est_tri
+         |FROM deg d JOIN ball b ON b.u = d.u
+         |LEFT JOIN trin t ON t.u = d.u
          |ORDER BY doc_id""".stripMargin
   )
 }

@@ -110,24 +110,42 @@ object MultimodalQueries {
     })
   )
 
+  /** DuckDB can't slice BLOBs (`substring(BLOB, …)` doesn't bind), so the
+    * m-oracles slice TEXT by characters while Spark slices the encoded
+    * payload by bytes. That equivalence holds only for ASCII corpora — so
+    * instead of assuming it, every slicing oracle reads `documents` through
+    * this CTE, which `error()`s LOUDLY at gate time on the first non-ASCII
+    * doc rather than silently hash-diverging. (The empty-payload corner is
+    * engine-consistent without a guard: both Spark's `DIV` and DuckDB's
+    * `//` truncate toward zero, so byte_len = 0 yields the single
+    * `md5('')` patch in both engines.) */
+  private val dkAsciiGuard =
+    """ascii_docs AS (
+      |  SELECT doc_id,
+      |    CASE WHEN octet_length(encode(text)) = length(text) THEN text
+      |         ELSE error('m-oracle: non-ASCII doc ' || doc_id ||
+      |                    ' breaks char=byte slice equivalence') END AS text
+      |  FROM documents)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "m1_binary_meta" ->
-      """SELECT doc_id AS media_id, 'doc' AS kind,
+      s"""WITH $dkAsciiGuard
+        |SELECT doc_id AS media_id, 'doc' AS kind,
         |  octet_length(encode(text)) AS byte_len,
         |  md5(text) AS checksum,
         |  base64(encode(substring(text, 1, 8))) AS head_b64
-        |FROM documents ORDER BY media_id""".stripMargin,
+        |FROM ascii_docs ORDER BY media_id""".stripMargin,
     // Window starts mirror MultimodalOps.sampleWindows: 1 + i*(len DIV 4)
-    // (text is pure ASCII in the corpus, so char offsets == byte offsets).
     "m2_frame_windows" -> {
       val win = (0 until 4).map(i =>
         s"base64(encode(substring(text, 1 + $i * greatest(octet_length(encode(text)) // 4, 1), 12)))")
         .mkString(",\n        ")
-      s"""SELECT doc_id AS media_id,
+      s"""WITH $dkAsciiGuard
+         |SELECT doc_id AS media_id,
          |  octet_length(encode(text)) AS byte_len,
          |  concat_ws('|',
          |        $win) AS windows_b64
-         |FROM documents ORDER BY media_id""".stripMargin
+         |FROM ascii_docs ORDER BY media_id""".stripMargin
     },
     // mirrors MultimodalOps.decodeStub: ub(i) = i-th md5 digest byte
     "m3_decode_features" ->
@@ -138,15 +156,14 @@ object MultimodalQueries {
         |  CAST(1 + ('0x' || substr(md5(text), 5, 2))::INT % 30 AS BIGINT) AS n_frames,
         |  md5(text) AS checksum
         |FROM documents ORDER BY media_id""".stripMargin,
-    // char-slicing == byte-slicing here for the same reason m2's oracle
-    // slices text: the corpus is ASCII, so substring(text, …) mirrors
-    // Spark's byte-offset substring on the encoded payload
+    // char-slicing == byte-slicing enforced by the ascii_docs guard CTE
     "m4_patch_dedup" ->
-      """WITH p AS (
+      s"""WITH $dkAsciiGuard,
+        |p AS (
         |  SELECT doc_id AS media_id, text,
         |    unnest(generate_series(0, (octet_length(encode(text)) - 1) // 32))
         |      AS pidx
-        |  FROM documents),
+        |  FROM ascii_docs),
         |h AS (SELECT media_id, md5(substring(text, pidx * 32 + 1, 32)) AS ph
         |      FROM p),
         |g AS (SELECT ph, count(DISTINCT media_id) AS nm FROM h GROUP BY ph),
@@ -160,11 +177,12 @@ object MultimodalQueries {
         |       coalesce(s.n_shared, 0) AS n_shared
         |FROM m LEFT JOIN s USING (media_id) ORDER BY media_id""".stripMargin,
     "m5_shared_patches" ->
-      """WITH p AS (
+      s"""WITH $dkAsciiGuard,
+        |p AS (
         |  SELECT doc_id AS media_id, text,
         |    unnest(generate_series(0, (octet_length(encode(text)) - 1) // 32))
         |      AS pidx
-        |  FROM documents),
+        |  FROM ascii_docs),
         |h AS (SELECT DISTINCT media_id,
         |             md5(substring(text, pidx * 32 + 1, 32)) AS ph
         |      FROM p),

@@ -521,8 +521,11 @@ object TextQueries {
     // extractor for tokenizer vocab and stop-phrase lists). PMI's log is
     // monotone, so ranking by the RATIO p(ab)/(p(a)p(b)) needs no
     // transcendentals: ratio_ppm = pair_cnt·N·10⁶ div (cnt_a·cnt_b),
-    // integer-exact cross-engine (t19/t24 discipline). Count tables are
-    // vocab-bounded → broadcast; the min-count filter kills the noisy
+    // integer-exact cross-engine (t19/t24 discipline). The triple product
+    // goes through DECIMAL(38,0) (mirrored by HUGEINT in the oracle):
+    // int64 would wrap SILENTLY in Spark past ~10¹² bigrams while DuckDB
+    // raises — the q50 widening pattern, headroom to 10³⁸. Count tables
+    // are vocab-bounded → broadcast; the min-count filter kills the noisy
     // singleton tail before the join.
     "t26_pmi_collocations" -> ((s, d) => {
       val bi = Tables.fanout(Tables.documents(s, d))
@@ -542,7 +545,8 @@ object TextQueries {
         .join(leftCnt, "w1").join(rightCnt, "w2")
         .crossJoin(broadcast(total))
         .withColumn("pmi_ppm",
-          expr("(pair_cnt * n_total * 1000000L) div (cnt_a * cnt_b)"))
+          expr("CAST((CAST(pair_cnt AS DECIMAL(38,0)) * n_total * 1000000)" +
+            " div (CAST(cnt_a AS DECIMAL(38,0)) * cnt_b) AS BIGINT)"))
         .select(col("w1"), col("w2"), col("pair_cnt"), col("pmi_ppm"))
         .orderBy(col("pmi_ppm").desc, col("w1"), col("w2"))
         .limit(50)
@@ -903,8 +907,8 @@ object TextQueries {
          |lc AS (SELECT w1, count(*) AS cnt_a FROM b GROUP BY w1),
          |rc AS (SELECT w2, count(*) AS cnt_b FROM b GROUP BY w2)
          |SELECT pc.w1, pc.w2, pc.pair_cnt,
-         |  CAST((pc.pair_cnt * n.n_total * 1000000) // (lc.cnt_a * rc.cnt_b)
-         |    AS BIGINT) AS pmi_ppm
+         |  CAST((pc.pair_cnt::HUGEINT * n.n_total * 1000000)
+         |    // (lc.cnt_a::HUGEINT * rc.cnt_b) AS BIGINT) AS pmi_ppm
          |FROM pc
          |JOIN lc ON lc.w1 = pc.w1
          |JOIN rc ON rc.w2 = pc.w2

@@ -264,4 +264,67 @@ class DedupSpec extends SparkSpecBase {
       .select("sh").as[String].collect()
     assert(sh.sameElements(Array("tiny doc")))
   }
+
+  test("wedge budget guard: refuses dense graphs fast, passes sparse ones") {
+    import spark.implicits._
+    // K_20 complete graph: Σdeg² = 20·19² = 7220 wedges.
+    val dense = (for {
+      a <- 0L until 20L; b <- 0L until 20L if a != b
+    } yield (a, b)).toDF("u", "v")
+    val e = intercept[IllegalStateException] {
+      requireWedgeBudget(dense, budget = 1000L, op = "spec")
+    }
+    assert(e.getMessage.contains("d9b_graph_stats_sketch"),
+      "refusal must name the scale-safe alternative")
+    requireWedgeBudget(dense, budget = 10000L, op = "spec") // under budget: ok
+    // path graph on 20 nodes: Σdeg² = 2·1 + 18·4 = 74.
+    val path = (0L until 19L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+      .toDF("u", "v")
+    requireWedgeBudget(path, budget = 100L, op = "spec")
+  }
+
+  test("d9b sketch: HLL ball-2 estimate tracks the exact 2-hop ball at sf0.01") {
+    import spark.implicits._
+    // sf0.01: the near-dup graph is dense enough (417 nodes, ~21k pairs)
+    // that most balls sit in raw-HLL's reliable regime (≥ 2.5·m = 160).
+    val dir = "/root/testdata/sf0.01"
+    val est = graft.queries.DedupQueries
+      .queries("d9b_graph_stats_sketch")(spark, dir)
+      .select(col("doc_id"), col("ball2_est")).as[(Long, Long)]
+      .collect().toMap
+    // Exact |ball₂(u)| including self, from the same edge set.
+    val df = graft.Tables.fanout(graft.Tables.documents(spark, dir))
+      .withColumn("hs", tokenHashes(tokens(col("text"))))
+    val edges = simhashPairs(simhashBands(df, simhash32(col("hs"))), 3)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val adj = edges
+      .union(edges.select(col("doc_b"), col("doc_a"))).toDF("u", "v")
+    val ball2 = adj.toDF("u", "mid").join(adj.toDF("mid", "v"), "mid")
+      .select(col("u"), col("v"))
+      .union(adj)  // exactly-1-hop nodes (2-paths alone miss non-triangle nbrs)
+      .distinct()
+      .groupBy(col("u")).agg(count(lit(1)).as("n"))  // v=u included once: self
+      .as[(Long, Long)].collect().toMap
+    val errs = ball2.toSeq.collect {
+      case (u, exact) if exact >= 160 =>
+        math.abs(est(u) - exact).toDouble / exact
+    }
+    assert(errs.nonEmpty, "expected some balls in the large regime")
+    val sorted = errs.sorted
+    val median = sorted(sorted.length / 2)
+    assert(median <= 0.20, s"median rel err $median over ${errs.length} nodes")
+    assert(sorted.last <= 0.60, s"max rel err ${sorted.last}")
+  }
+
+  test("d9b per-node triangle estimates sum to 3× the d8d global estimate") {
+    // Both use the SAME deterministic p=1/8 edge sample; each sampled
+    // triangle credits exactly its 3 vertices ⇒ the identity is exact.
+    val perNode = graft.queries.DedupQueries
+      .queries("d9b_graph_stats_sketch")(spark, sfDir)
+      .agg(sum(col("est_tri"))).collect().head.getLong(0)
+    val global = graft.queries.DedupQueries
+      .queries("d8d_triangle_doulion")(spark, sfDir)
+      .collect().head.getAs[Long]("est_triangles")
+    assert(perNode == 3 * global, s"$perNode vs 3×$global")
+  }
 }
