@@ -73,7 +73,7 @@ object Bench {
     "n1_ann_bruteforce", "n2_ann_lsh", "n3_embedding_neardup",
     "n4_label_centroids", "n5_ivf_ann", "n6_kmeans", "n7_ivf_kmeans",
     "n8_quantize", "n9_knn_graph", "n10_quantized_rerank", "n11_pq_adc",
-    "n12_ann_recall",
+    "n11b_pq_trained", "n12_ann_recall",
     "m1_binary_meta", "m2_frame_windows", "m3_decode_features",
     "m4_patch_dedup", "m5_shared_patches")
 

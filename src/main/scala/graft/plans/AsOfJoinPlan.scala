@@ -27,10 +27,14 @@ import org.apache.spark.sql.execution.SparkStrategy
   * long-backed (LONG / TIMESTAMP / TIMESTAMP_NTZ — single key) the merge
   * is a specialized primitive loop, and a single STRING key with a
   * long-backed time takes a UTF8String binary-compare loop — no
-  * per-compare ordering dispatch on either hot path. NULL keys compare
-  * like values under the natural ordering
-  * (nulls-first) and therefore match each other — filter them upstream for
-  * SQL join semantics. NULL TIMES take SQL comparison semantics (NULL
+  * per-compare ordering dispatch on either hot path. NULL KEYS are the
+  * caller's contract: filter them upstream (SQL join semantics never match
+  * them anyway). The exec's behavior on un-filtered null keys is
+  * path-dependent — the generic path compares them like values
+  * (nulls-first, so they match each other), while the primitive loops read
+  * them through `getLong`/`getUTF8String`, where a null is
+  * indistinguishable from 0/"" — which is why the contract is upstream
+  * rather than per-path. NULL TIMES take SQL comparison semantics (NULL
   * compares to nothing) uniformly on EVERY merge path: a NULL-rightTime
   * row is skipped at the merge (never matched, never held — it drains at
   * the head of its key group, where nulls-first sorting puts it, at no

@@ -320,24 +320,35 @@ object DedupQueries {
       // COLUMNS (max rho per bucket; NULL = empty). Keeping registers as
       // columns instead of (u, bucket, rho) rows is the scale move: the
       // neighbor join below carries ONE row per directed edge rather than
-      // 64, and every merge is a codegen'd partial-max hash aggregation
-      // (map-side combine collapses to |V| rows before any exchange) —
-      // measured 10.9 s → row-form vs ~3 s columnar at sf0.1.
+      // 64, and every merge is a codegen'd partial-max hash aggregation —
+      // map-side combine collapses each partition to ≤|V| rows before the
+      // exchange, so the merge shuffle is 64× fewer rows than the row
+      // form's. (Wall time at sf0.1 is ~equal — ~10.5 s both forms, edge
+      // build and fixed stage costs dominate this graph size — the
+      // columnar shape is chosen for its exchange volume at 100 TB.)
       val regCols = (0 until 64).map(b =>
         max(when(col("bucket") === b, col("rho"))).as(s"r$b"))
+      // localCheckpoint: regs1 feeds BOTH the neighbor join and the union
+      // below — without it the whole aggregation subtree plans twice.
       val regs1 = adj
         .select(col("u"), graft.ops.TextOps.hash60(col("v")).as("h"))
         .selectExpr("u", "h % 64 AS bucket", "(h DIV 64) % 4294967296 AS w")
         .selectExpr("u", "bucket",
           "CAST(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END AS BIGINT) AS rho")
         .groupBy(col("u")).agg(regCols.head, regCols.tail: _*)
+        .localCheckpoint()
       // ball-2 union: own registers ∪ each neighbor's registers (u ∈ N(mid)
       // for mid ∈ N(u), so the union covers u, N(u), and exactly-2-hop).
-      // The register table is |V| rows — AQE broadcasts it at this scale;
-      // at 10⁹ nodes the same plan degrades to a shuffle join, still linear.
+      // Exchanges are PINNED on both join inputs (the d5/d20 lesson): the
+      // adj side is byte-light (two longs/row) but every joined row fans
+      // into 64 max-merges, so AQE's byte-based coalesce ran the join on 2
+      // tasks (measured 2×5.9 s at sf0.1); repartition keeps all cores on
+      // it. At 10⁹ nodes the same shuffle-join plan holds, still linear.
+      val p = s.sparkContext.defaultParallelism
       val mergeCols = (0 until 64).map(b => max(col(s"r$b")).as(s"r$b"))
-      val nbrRegs = adj
-        .join(regs1.withColumnRenamed("u", "nv"), col("v") === col("nv"))
+      val nbrRegs = adj.repartition(p, col("v"))
+        .join(regs1.toDF("nv" +: regs1.columns.tail: _*)
+          .repartition(p, col("nv")), col("v") === col("nv"))
         .select(col("u") +: (0 until 64).map(b => col(s"r$b")): _*)
       val denomExpr = (0 until 64)
         .map(b => s"shiftleft(CAST(1 AS BIGINT), CAST(33 - coalesce(r$b, 0) AS INT))")
@@ -358,8 +369,10 @@ object DedupQueries {
           concat(col("doc_a").cast("string"), lit("_"),
             col("doc_b").cast("string"))) % 8 === 0)
         .localCheckpoint()
-      val triEst = sampled.toDF("a", "b")
-        .join(sampled.toDF("b", "c"), "b")
+      // wedge join pinned for the same reason as the register join: the
+      // sampled edge list is a few MB but expands to p²·wedges rows
+      val triEst = sampled.toDF("a", "b").repartition(p, col("b"))
+        .join(sampled.toDF("b", "c").repartition(p, col("b")), "b")
         .join(sampled.toDF("a2", "c2"),
           col("a") === col("a2") && col("c") === col("c2"))
         .select(explode(array(col("a"), col("b"), col("c"))).as("u"))

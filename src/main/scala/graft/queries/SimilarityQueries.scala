@@ -173,48 +173,21 @@ object SimilarityQueries {
     // bit-for-bit: same fold orders, same (d2, cid)/(adc, vid)
     // tie-breaks. Compose with IVF (n5/n7) to gate the candidate scan.
     "n11_pq_adc" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val M = 4; val SubDims = 16; val Ksub = 16
       val v = vecs(s, d)
-      val cbRows = v.filter(col("id") < Ksub).select(col("id"), col("emb"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
-      val cbs = (0 until M).map { m =>
-        cbRows.toSeq.map { case (cid, full) =>
-          val cent = full.slice(m * SubDims, (m + 1) * SubDims)
-          (cid, cent, cent.foldLeft(0.0)((a, x) => a + x * x))
-        }
-      }
-      def sub(m: Int) = expr(s"slice(emb, ${m * SubDims + 1}, $SubDims)")
-      def encodeCol(m: Int): Column = {
-        val sn2 = norm2(sub(m))
-        least(cbs(m).map { case (cid, cent, cn2) =>
-          struct(((sn2 + lit(cn2)) - lit(2.0) * dot(sub(m), typedLit(cent)))
-            .as("d2"), lit(cid).as("cid"))
-        }: _*).getField("cid")
-      }
-      def adcArr(m: Int): Column = {
-        val sn2 = norm2(sub(m))
-        array(cbs(m).map { case (_, cent, cn2) =>
-          (sn2 + lit(cn2)) - lit(2.0) * dot(sub(m), typedLit(cent))
-        }: _*)
-      }
-      val codes = v.select(col("id").as("vid"),
-        encodeCol(0).as("c0"), encodeCol(1).as("c1"),
-        encodeCol(2).as("c2"), encodeCol(3).as("c3"))
-      val qs = v.filter(col("id") < NumQueries).select(col("id").as("qid"),
-        adcArr(0).as("a0"), adcArr(1).as("a1"),
-        adcArr(2).as("a2"), adcArr(3).as("a3"))
-      val scored = codes.crossJoin(broadcast(qs))
-        .withColumn("adc",
-          element_at(col("a0"), col("c0").cast("int") + 1) +
-          element_at(col("a1"), col("c1").cast("int") + 1) +
-          element_at(col("a2"), col("c2").cast("int") + 1) +
-          element_at(col("a3"), col("c3").cast("int") + 1))
-      val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vid"))
-      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
-        .select(col("qid").as("query_id"), col("rank"),
-          col("vid").as("vec_id"), round(col("adc"), 6).as("adc_dist2"))
-        .orderBy(col("query_id"), col("rank"))
+      pqAdcTopK(v, fixedCodebooks(v))
+    }),
+
+    // Trained PQ: identical encode/ADC serving path to n11, but each
+    // subspace's 16-entry codebook is LEARNED with the n7 training loop
+    // (kmeansFit per subspace — first-16 init ≡ n11's fixed codebook, then
+    // KmIters decimal-exact Lloyd steps). Lloyd never increases total
+    // quantization SSE from a given init, so the trained codebooks encode
+    // strictly-no-worse than n11's (SimilaritySpec measures the SSE drop
+    // and the recall@K movement under n12's evaluator). Only 4 × 16×16
+    // doubles reach the driver; everything else is the n11 scan shape.
+    "n11b_pq_trained" -> ((s, d) => {
+      val v = vecs(s, d)
+      pqAdcTopK(v, trainedCodebooks(v))
     }),
 
     "n10_quantized_rerank" -> ((s, d) => {
@@ -238,6 +211,91 @@ object SimilarityQueries {
   )
 
   // DuckDB mirrors: same left-to-right double folds.
+  // ---- PQ/ADC shared machinery (n11 fixed codebooks / n11b trained) ----
+
+  val PqM = 4
+  val PqSubDims = 16
+  val PqKsub = 16
+
+  private[graft] def pqSub(m: Int): Column =
+    expr(s"slice(emb, ${m * PqSubDims + 1}, $PqSubDims)")
+
+  /** n11's fixed codebooks: subvectors of the first [[PqKsub]] vectors
+    * (cid, centroid, ‖c‖²) per subspace, sorted by cid. */
+  private[graft] def fixedCodebooks(v: DataFrame): Seq[Seq[(Long, Seq[Double], Double)]] = {
+    val cbRows = v.filter(col("id") < PqKsub).select(col("id"), col("emb"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    (0 until PqM).map { m =>
+      cbRows.toSeq.map { case (cid, full) =>
+        val cent = full.slice(m * PqSubDims, (m + 1) * PqSubDims)
+        (cid, cent, cent.foldLeft(0.0)((a, x) => a + x * x))
+      }
+    }
+  }
+
+  /** n11b's trained codebooks: [[graft.ops.SimilarityOps.kmeansFit]] per
+    * subspace — first-k init (≡ the fixed codebooks) + [[KmIters]]
+    * decimal-exact Lloyd steps. Only k×subdims doubles reach the driver.
+    * The four subspace fits are independent, so they train CONCURRENTLY
+    * (driver threads submitting overlapping Spark jobs — the scheduler
+    * interleaves them); sequential training paid 4× the per-iteration
+    * job+codegen latency for no reason. */
+  private[graft] def trainedCodebooks(v: DataFrame): Seq[Seq[(Long, Seq[Double], Double)]] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fits = (0 until PqM).map { m => Future {
+      val sv = v.select(col("id"), pqSub(m).as("emb"))
+      val (cents, _) = kmeansFit(sv, PqKsub, KmIters)
+      cents.select(col("cid"), col("cent")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+        .map { case (cid, cent) =>
+          (cid, cent, cent.foldLeft(0.0)((a, x) => a + x * x)) }
+    } }
+    fits.map(Await.result(_, Duration.Inf))
+  }
+
+  /** Encode every vector to [[PqM]] one-byte codes (argmin d² per subspace,
+    * ties to the lower codebook POSITION — positions are the sorted-by-cid
+    * order, so fixed codebooks keep n11's exact tie behavior and trained
+    * codebooks with dropped clusters stay dense) and rank ADC distances:
+    * per-query distance tables broadcast as array columns, scoring = 4
+    * lookups + 3 adds. */
+  private[graft] def pqAdcTopK(v: DataFrame,
+      cbs: Seq[Seq[(Long, Seq[Double], Double)]]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def encodeCol(m: Int): Column = {
+      val sn2 = norm2(pqSub(m))
+      least(cbs(m).zipWithIndex.map { case ((_, cent, cn2), pos) =>
+        struct(((sn2 + lit(cn2)) - lit(2.0) * dot(pqSub(m), typedLit(cent)))
+          .as("d2"), lit(pos.toLong).as("cid"))
+      }: _*).getField("cid")
+    }
+    def adcArr(m: Int): Column = {
+      val sn2 = norm2(pqSub(m))
+      array(cbs(m).map { case (_, cent, cn2) =>
+        (sn2 + lit(cn2)) - lit(2.0) * dot(pqSub(m), typedLit(cent))
+      }: _*)
+    }
+    val codes = v.select(col("id").as("vid"),
+      encodeCol(0).as("c0"), encodeCol(1).as("c1"),
+      encodeCol(2).as("c2"), encodeCol(3).as("c3"))
+    val qs = v.filter(col("id") < NumQueries).select(col("id").as("qid"),
+      adcArr(0).as("a0"), adcArr(1).as("a1"),
+      adcArr(2).as("a2"), adcArr(3).as("a3"))
+    val scored = codes.crossJoin(broadcast(qs))
+      .withColumn("adc",
+        element_at(col("a0"), col("c0").cast("int") + 1) +
+        element_at(col("a1"), col("c1").cast("int") + 1) +
+        element_at(col("a2"), col("c2").cast("int") + 1) +
+        element_at(col("a3"), col("c3").cast("int") + 1))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("vid").as("vec_id"), round(col("adc"), 6).as("adc_dist2"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private val dkDot =
     """list_reduce(list_prepend(0.0::DOUBLE,
       |    list_transform(generate_series(1, len(a.emb)),
@@ -343,7 +401,95 @@ object SimilarityQueries {
        |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_sim
        |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  /** Trained-PQ mirror: the [[dkKmeansCtes]] unrolled-Lloyd structure run
+    * once per 16-dim subspace (k = [[PqKsub]], [[KmIters]] steps, first-k
+    * init ≡ n11's fixed codebook), then n11's encode/ADC/rank tail over
+    * the TRAINED codebooks. Encode ties break on (d2, cid); Spark ties
+    * break on sorted-by-cid position — order-isomorphic, so both engines
+    * pick the same centroid, and only (vec_id, adc) surfaces anyway. */
+  private def dkPqTrained: String = {
+    def assign(m: Int, cent: String, out: String) =
+      s"""$out AS (
+         |  SELECT id, cluster, d2 FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+         |      ORDER BY d2, cluster) AS rn FROM (
+         |      SELECT s.id, c.cid AS cluster,
+         |        (${n2of("s.emb")} + ${n2of("c.cent")})
+         |        - 2.0 * ${dot2("s.emb", "c.cent")} AS d2
+         |      FROM sv$m s, $cent c))
+         |  WHERE rn = 1)""".stripMargin
+    def update(m: Int, a: String, i: Int) =
+      s"""u${i}_$m AS (
+         |  SELECT a.cluster, u.dim, u.x
+         |  FROM $a a JOIN sv$m s2 ON s2.id = a.id,
+         |    LATERAL (SELECT unnest(s2.emb) AS x,
+         |                    generate_subscripts(s2.emb, 1) AS dim) u),
+         |cd${i}_$m AS (
+         |  SELECT cluster, dim,
+         |    CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS c
+         |  FROM u${i}_$m GROUP BY cluster, dim),
+         |cent${i}_$m AS (
+         |  SELECT cluster AS cid, list(c ORDER BY dim) AS cent
+         |  FROM cd${i}_$m GROUP BY cluster)""".stripMargin
+    val chains = (0 until PqM).map { m =>
+      val steps = (1 to KmIters).map { i =>
+        assign(m, if (i == 1) s"cent0_$m" else s"cent${i - 1}_$m", s"a${i}_$m") +
+          ",\n" + update(m, s"a${i}_$m", i)
+      }.mkString(",\n")
+      s"""sv$m AS (SELECT id, v.emb[${m * PqSubDims} + 1 :
+         |  ${(m + 1) * PqSubDims}] AS emb FROM v),
+         |cent0_$m AS (SELECT id AS cid, emb AS cent FROM sv$m
+         |             WHERE id < $PqKsub),
+         |$steps""".stripMargin
+    }.mkString(",\n")
+    val cbUnion = (0 until PqM).map { m =>
+      s"SELECT $m AS m, cid, cent AS csv, ${n2of("cent")} AS cn2 FROM cent${KmIters}_$m"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH v AS (
+       |  SELECT vec_id AS id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |$chains,
+       |ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+       |sub AS (SELECT id, m, v.emb[m*16 + 1 : (m + 1)*16] AS sv FROM v, ms),
+       |sn AS (SELECT id, m, sv,
+       |        list_reduce(list_prepend(0.0::DOUBLE,
+       |          list_transform(sv, z -> z * z)), (p, q) -> p + q) AS n2
+       |       FROM sub),
+       |cb AS (
+       |  $cbUnion),
+       |l AS (SELECT s.id, s.m, c.cid,
+       |       (s.n2 + c.cn2) - 2.0 * list_reduce(list_prepend(0.0::DOUBLE,
+       |          list_transform(generate_series(1, 16),
+       |            i -> s.sv[i] * c.csv[i])), (x, y) -> x + y) AS d2
+       |      FROM sn s JOIN cb c ON c.m = s.m),
+       |enc AS (SELECT id, m, cid FROM (
+       |        SELECT id, m, cid,
+       |               ROW_NUMBER() OVER (PARTITION BY id, m
+       |                                  ORDER BY d2, cid) AS rn FROM l)
+       |        WHERE rn = 1),
+       |codes AS (SELECT id AS vid,
+       |        max(CASE WHEN m = 0 THEN cid END) AS c0,
+       |        max(CASE WHEN m = 1 THEN cid END) AS c1,
+       |        max(CASE WHEN m = 2 THEN cid END) AS c2,
+       |        max(CASE WHEN m = 3 THEN cid END) AS c3
+       |        FROM enc GROUP BY id),
+       |ql AS (SELECT id AS qid, m, cid, d2 FROM l WHERE id < $NumQueries),
+       |adc AS (SELECT q0.qid, cd.vid,
+       |        (((q0.d2 + q1.d2) + q2.d2) + q3.d2) AS adc
+       |        FROM codes cd
+       |        JOIN ql q0 ON q0.m = 0 AND q0.cid = cd.c0
+       |        JOIN ql q1 ON q1.m = 1 AND q1.cid = cd.c1 AND q1.qid = q0.qid
+       |        JOIN ql q2 ON q2.m = 2 AND q2.cid = cd.c2 AND q2.qid = q0.qid
+       |        JOIN ql q3 ON q3.m = 3 AND q3.cid = cd.c3 AND q3.qid = q0.qid)
+       |SELECT query_id, rank, vec_id, round(adc, 6) AS adc_dist2 FROM (
+       |  SELECT qid AS query_id, vid AS vec_id, adc,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vid) AS rank
+       |  FROM adc) WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "n11b_pq_trained" -> dkPqTrained,
     "n8_quantize" ->
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

@@ -81,13 +81,25 @@ object Transforms {
 
   /** Hardened variant: watermarks bound join state. Documented divergence
     * from the reference: customers/risk events arriving later than the
-    * watermark delay are dropped (SURVEY.md §7 "what's hard"). */
+    * watermark delay are dropped (SURVEY.md §7 "what's hard").
+    *
+    * Watermarks ALONE never bound an inner equi-join's state — the engine
+    * can't prove when a match stops being possible, so it retains every
+    * row exactly like the unwatermarked parity join (StediStreamingSpec's
+    * offline state-store audit demonstrates both behaviors). The `__cts
+    * BETWEEN __ts ± delay` event-time constraint is what closes each
+    * row's match window and lets its state evict; it also narrows
+    * semantics to versions within `delay` of the event — the trade a
+    * bounded-state production join makes. */
   def joinRiskWithCustomerWatermarked(
       risk: DataFrame, riskTs: Column, customer: DataFrame, custTs: Column,
       delay: String): DataFrame = {
     val r = risk.withColumn("__ts", riskTs).withWatermark("__ts", delay)
     val c = customer.withColumn("__cts", custTs).withWatermark("__cts", delay)
-    r.join(c, expr("email = customer")).drop("__ts", "__cts")
+    r.join(c,
+      expr(s"email = customer AND __cts BETWEEN __ts - INTERVAL $delay" +
+        s" AND __ts + INTERVAL $delay"))
+      .drop("__ts", "__cts")
   }
 
   /** LEFT OUTER stream-stream join (beyond the reference's inner join):

@@ -70,4 +70,92 @@ class OperatorPropertiesSpec extends SparkSpecBase {
     assert(run(2) == run(13),
       "decimal-exact updates must make the result partition-order-free")
   }
+
+  test("as-of NULL-time contract ≡ SQL model on every path × direction × tolerance") {
+    // Randomized model check of the AsOfJoinExec NULL contract (enforced
+    // in the exec since round 6): NULL rightTime never matches on ANY
+    // merge path; NULL leftTime emits null-padded. Generator mixes ~20%
+    // NULL times with heavy key/time collisions; NULL KEYS are also
+    // generated but filtered upstream on both sides — the documented
+    // caller contract (primitive paths read a null key as 0/"", so the
+    // exec can't define them per-path; see AsOfJoinPlan scaladoc).
+    // Model: plain-Scala merge_asof over Options — backward = max (t, tb)
+    // with rt ≤ lt, forward = min (t, tb) with rt ≥ lt, nearest = closer
+    // side (ties backward), tolerance inclusive on the matching side.
+    import scala.util.Random
+    case class L(k: Long, t: Option[Long], lid: Long)
+    case class R(k: Long, t: Option[Long], tb: Long)
+    def model(ls: Seq[L], rs: Seq[R], dir: String, tol: Option[Long])
+        : Map[Long, Option[Long]] =
+      ls.map { l =>
+        l.lid -> l.t.flatMap { lt =>
+          val bound = tol.getOrElse(Long.MaxValue)
+          val cands = rs.filter(r => r.k == l.k && r.t.isDefined)
+          def bwd = cands.filter(r => r.t.get <= lt && lt - r.t.get <= bound)
+            .sortBy(r => (r.t.get, r.tb)).lastOption
+          def fwd = cands.filter(r => r.t.get >= lt && r.t.get - lt <= bound)
+            .sortBy(r => (r.t.get, r.tb)).headOption
+          dir match {
+            case "backward" => bwd
+            case "forward"  => fwd
+            case "nearest"  => (bwd, fwd) match {
+              case (Some(b), Some(f)) =>
+                Some(if (lt - b.t.get <= f.t.get - lt) b else f)
+              case (b, f) => b.orElse(f)
+            }
+          }
+        }.map(_.tb)
+      }.toMap
+    val rnd = new Random(20260813L)
+    def gen(): (Seq[L], Seq[R]) = {
+      // ~12% NULL keys, immediately dropped on BOTH sides — the upstream
+      // filter the contract demands
+      def key() = if (rnd.nextInt(8) == 0) None
+        else Some(rnd.nextInt(3).toLong + 1)
+      def time() = if (rnd.nextInt(5) == 0) None
+        else Some(rnd.nextInt(13).toLong)
+      val ls = (0 until 12 + rnd.nextInt(10)).map(i => (key(), time(), i))
+        .collect { case (Some(k), t, i) => L(k, t, i.toLong) }
+      val rs = (0 until 12 + rnd.nextInt(10)).map(i => (key(), time(), i))
+        .collect { case (Some(k), t, i) => R(k, t, i.toLong) }
+      (ls, rs)
+    }
+    val combos = for {
+      dir <- Seq("backward", "forward", "nearest")
+      tol <- Seq(None, Some(3L))
+    } yield (dir, tol)
+    (1 to 4).foreach { trial =>
+      val (ls, rs) = gen()
+      // path 1: long key + long time (primitive loops, all directions)
+      val lLong = ls.map(l => (l.k, l.t, l.lid)).toDF("lk", "lt", "lid")
+      val rLong = rs.map(r => (r.k, r.t, r.tb)).toDF("rk", "rt", "tb")
+      // path 2: string key + long time (UTF8String binary-compare loop)
+      val lStr = ls.map(l => (s"k${l.k}", l.t, l.lid)).toDF("lk", "lt", "lid")
+      val rStr = rs.map(r => (s"k${r.k}", r.t, r.tb)).toDF("rk", "rt", "tb")
+      combos.foreach { case (dir, tol) =>
+        val exp = model(ls, rs, dir, tol)
+        Seq(("long", lLong, rLong), ("string", lStr, rStr)).foreach {
+          case (path, lDf, rDf) =>
+            val got = graft.ops.AsOfJoinOps
+              .asofJoin(lDf, rDf, "lk", "rk", "lt", "rt", "tb", tol, dir)
+              .select(col("lid"), col("tb"))
+              .as[(Long, Option[Long])].collect().toMap
+            assert(got == exp,
+              s"trial=$trial path=$path dir=$dir tol=$tol:" +
+                s" diff=${(got.toSet -- exp.toSet) ++ (exp.toSet -- got.toSet)}")
+        }
+      }
+      // path 3: generic ordering (date-typed time) — backward, no tolerance
+      val lDate = ls.map(l => (l.k, l.t, l.lid)).toDF("lk", "lt0", "lid")
+        .withColumn("lt", expr("date_add(DATE '1970-01-01', CAST(lt0 AS INT))"))
+      val rDate = rs.map(r => (r.k, r.t, r.tb)).toDF("rk", "rt0", "tb")
+        .withColumn("rt", expr("date_add(DATE '1970-01-01', CAST(rt0 AS INT))"))
+      val gotG = graft.ops.AsOfJoinOps
+        .asofJoin(lDate, rDate, "lk", "rk", "lt", "rt", "tb", None, "backward")
+        .select(col("lid"), col("tb"))
+        .as[(Long, Option[Long])].collect().toMap
+      assert(gotG == model(ls, rs, "backward", None),
+        s"trial=$trial generic-date path diverged")
+    }
+  }
 }

@@ -274,4 +274,76 @@ class StediStreamingSpec extends SparkSpecBase {
       assert(got == Set(("x@test.com", -5.0f), ("y@test.com", 18.5f)))
     } finally q.stop()
   }
+
+  /** Replays `nBatches` of `keysPerBatch` fresh key pairs (event time
+    * advancing 60 s per batch) through `join`, then reads the LEFT join
+    * store's row count at every committed batch via the offline statestore
+    * reader. Returns the per-batch state sizes. */
+  private def leftStateSizes(name: String, nBatches: Int, keysPerBatch: Int)(
+      join: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame)
+      : Seq[Long] = {
+    implicit val ctx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory(s"$name-ckpt").toString
+    val inL = MemoryStream[(String, Double, Long)]
+    val inR = MemoryStream[(String, Long, Long)]
+    val joined = join(
+      inL.toDF().toDF("email", "score", "rsec"),
+      inR.toDF().toDF("customer", "birthYear", "csec"))
+    val q = joined.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName(s"${name}_sink")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      (0 until nBatches).foreach { b =>
+        val sec = 1000L + b * 60L
+        inL.addData((0 until keysPerBatch).map(k =>
+          (s"u$b-$k@t.com", 9.5, sec)))
+        inR.addData((0 until keysPerBatch).map(k =>
+          (s"u$b-$k@t.com", 1960L + k, sec)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // enumerate what actually committed (a MemoryStream may split one
+    // logical round into several micro-batches) and audit each one
+    val committed = new java.io.File(s"$ckpt/commits").listFiles()
+      .map(_.getName).filter(_.forall(_.isDigit)).map(_.toLong).sorted
+    committed.toSeq.map { b =>
+      spark.read.format("statestore")
+        .option("joinSide", "left").option("batchId", b).load(ckpt).count()
+    }
+  }
+
+  test("state audit: watermark+time-bound join plateaus, parity join grows without bound") {
+    // The production claim behind the hardened P3 variant, proven from the
+    // checkpoint itself (round-6's offline statestore reader machinery):
+    // per-batch LEFT join-store sizes. The parity (unwatermarked) join
+    // retains every row ever seen — monotone growth, the documented
+    // reference behavior. The watermarked variant ALSO carries an
+    // event-time bound in its condition (watermarks alone can never evict
+    // inner-join state), so closed match windows drop and the store
+    // plateaus at ~2 batches of live keys regardless of stream length.
+    val n = 6
+    val k = 10
+    val parity = leftStateSizes("parity", n, k) { (l, r) =>
+      Transforms.joinRiskWithCustomer(l.drop("rsec"), r.drop("csec"))
+    }
+    assert(parity.zip(parity.tail).forall { case (a, b) => a <= b },
+      s"parity join state must only grow: $parity")
+    assert(parity.last == n.toLong * k,
+      s"parity join must retain every row ever seen: $parity")
+    val bounded = leftStateSizes("bounded", n, k) { (l, r) =>
+      Transforms.joinRiskWithCustomerWatermarked(
+        l, timestamp_seconds(col("rsec")),
+        r, timestamp_seconds(col("csec")), "10 seconds")
+    }
+    // matches still produced (join works)…
+    assert(spark.table("bounded_sink").count() == n.toLong * k)
+    // …but state stops growing: by the last batch the store holds at most
+    // the final two batches' keys, not the whole history
+    assert(bounded.last <= 2L * k,
+      s"bounded join state must plateau: $bounded")
+    assert(bounded.last < parity.last,
+      s"bounded ${bounded.last} must undercut parity ${parity.last}")
+  }
 }
