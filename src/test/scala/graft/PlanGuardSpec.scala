@@ -42,6 +42,18 @@ class PlanGuardSpec extends SparkSpecBase {
       s"n1 must broadcast the query block:\n$ann")
   }
 
+  test("d9b pins its register and wedge joins against AQE under-parallelization") {
+    // Both joins are byte-light but compute-heavy (each register row fans
+    // into 64 max-merges; each wedge row expands p²-fold), so AQE's
+    // byte-based coalesce ran them on 2 tasks at sf0.1 (measured 2×5.9 s).
+    // The four REPARTITION_BY_NUM exchanges (register join both sides,
+    // wedge join both sides) are the fix — a refactor that drops them
+    // re-serializes the sketch.
+    val p = planOf("d9b_graph_stats_sketch")
+    val pins = "REPARTITION_BY_NUM".r.findAllMatchIn(p).length
+    assert(pins >= 4, s"d9b must pin 4 exchanges, found $pins:\n$p")
+  }
+
   test("merge and sketch lookups broadcast their small sides") {
     // q54: the TB-scale target side must probe a BROADCAST left-anti join
     // (a shuffled anti join would move the whole dimension).
