@@ -1384,6 +1384,144 @@ object RelationalQueries {
         .withColumn("p_ppm", expr("(n * 1000000) div n_from"))
         .select(col("from_type"), col("to_type"), col("n"), col("p_ppm"))
         .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // Deterministic train/val/test split — the reproducible-partitioning
+    // primitive every training-data pipeline needs. Assignment is a pure
+    // per-row function of the stable key: the first 8 hex chars of
+    // md5(doc_id) compared against hex-string thresholds ('cccccccc' =
+    // 0.8·16⁸, 'e6666666' = 0.9·16⁸ — lexicographic compare over
+    // fixed-length lowercase hex ≡ numeric compare, identical in both
+    // engines). No salt/seed state, no sampling RNG, no shuffle until the
+    // final kilobyte-sized report agg: at 100 TB the split is a narrow
+    // map stage, re-runnable anywhere with the same answer, and any doc's
+    // split membership is decidable without seeing the rest of the corpus.
+    "q71_hash_split" -> ((s, d) => {
+      val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8)
+      val assign = when(h < lit("cccccccc"), lit("train"))
+        .when(h < lit("e6666666"), lit("val"))
+        .otherwise(lit("test"))
+      Tables.fanout(Tables.documents(s, d))
+        .select(assign.as("split"), col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("nt"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        .orderBy(col("split"), col("lang"))
+    }),
+
+    // Training-mix allocation: target domain weights (the mixture table a
+    // run config declares) joined to measured per-domain token counts →
+    // token budget per domain and the implied sampling epochs. All
+    // integer: alloc splits budget·ppm as (budget DIV 1e6)·ppm +
+    // ((budget%1e6)·ppm) DIV 1e6 — exact floor(budget·ppm/1e6) without
+    // the 1e19 intermediate (safe to ~9e12 token budgets; beyond that the
+    // first term still fits since budget ≤ 9e18/1e6). epochs_bp =
+    // alloc·1e4 DIV tokens is basis points — alloc ≤ budget keeps the
+    // product under 2⁶³ for corpora to ~9e14 tokens (a 100 TB corpus is
+    // ~2.5e13 tokens; 36× headroom). Weight table is a literal → the join
+    // broadcasts; the only shuffle is the 5-group token count.
+    "q72_mixture_plan" -> ((s, d) => {
+      val weights = s.createDataFrame(Seq(
+        ("en", 300000L), ("zh", 200000L), ("fr", 200000L),
+        ("de", 150000L), ("es", 150000L))).toDF("lang", "target_ppm")
+      val toks = Tables.fanout(Tables.documents(s, d))
+        .select(col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("nt"))
+        .groupBy(col("lang")).agg(sum(col("nt")).as("lang_tokens"))
+      val tot = toks.agg(sum(col("lang_tokens")).as("total_tokens"))
+      toks.join(broadcast(weights), "lang").crossJoin(broadcast(tot))
+        .withColumn("budget", expr("total_tokens DIV 2"))
+        .withColumn("alloc_tokens",
+          expr("(budget DIV 1000000) * target_ppm" +
+            " + ((budget % 1000000) * target_ppm) DIV 1000000"))
+        .select(col("lang"), col("lang_tokens"), col("target_ppm"),
+          col("alloc_tokens"),
+          expr("(alloc_tokens * 10000) DIV lang_tokens").as("epochs_bp"))
+        .orderBy(col("lang"))
+    }),
+
+    // Stratified deterministic k-per-stratum sample: 5 docs per language,
+    // chosen by smallest md5(doc_id) — a seedless uniform draw that is
+    // reproducible and append-stable (adding docs can only displace, never
+    // reshuffle, earlier picks). Uses the bounded TopKAggregator, NOT a
+    // row_number window: the window form sorts every row per stratum
+    // (single reducer per language at 100 TB); the aggregator ships ≤k
+    // rows per partition per stratum through a map-side-combinable merge.
+    // Rank key is the first 13 hex chars (52 bits — exact in the
+    // aggregator's Double score; numeric order ≡ hex-string order, and the
+    // oracle sorts the same 13-char prefix).
+    "q73_stratified_sample" -> ((s, d) => {
+      import s.implicits._
+      val agg = new graft.functions.TopKAggregator(5)
+      Tables.fanout(Tables.documents(s, d))
+        .select(col("lang"),
+          conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+            1, 13), 16, 10).cast("long").as("hv"),
+          col("doc_id"))
+        .as[(String, Long, Long)]
+        .groupByKey(_._1)
+        .mapValues { case (_, hv, id) => (-hv.toDouble, id) }
+        .agg(agg.toColumn.name("topk"))
+        .flatMap { case (lang, topk) =>
+          topk.iterator.zipWithIndex.map { case ((_, id), i) =>
+            (lang, (i + 1).toLong, id)
+          }
+        }
+        .toDF("lang", "rank", "doc_id")
+        .orderBy(col("lang"), col("rank"))
+    }),
+
+    // approx_percentile self-evaluation (q74): Spark's GK-style sketch at
+    // accuracy=100 (ε = 1/100 rank error) checked against the exact
+    // distribution — the d19/n12 "measure your own approximation" pattern
+    // for quantile sketches. The sketch value itself is partition-order
+    // sensitive, so it never surfaces; what surfaces is the exact
+    // percentile (q23's cum-window machinery) plus a boolean per
+    // percentile: does the approx value's rank interval [cnt_lt+1, cnt_le]
+    // overlap the GK guarantee [⌈(p-ε)n⌉, ⌈(p+ε)n⌉]? All-integer compare
+    // (cnt·100 vs (p±1)·n). ANY valid GK merge satisfies it, so the gate
+    // is deterministic even though the sketch isn't. Oracle recomputes the
+    // exact side and expects TRUE. The value histogram (groupBy qty) is
+    // computed once and feeds both the exact ranks and the approx-rank
+    // counts; approx results broadcast (3 doubles per group).
+    "q74_approx_quantile_eval" -> ((s, d) => {
+      val li = Tables.fanout(Tables.lineitem(s, d))
+      val ap = li.groupBy(col("l_returnflag").as("flag"))
+        .agg(expr("approx_percentile(l_quantity, array(0.50, 0.90, 0.99), 100)")
+          .as("ap"))
+        .select(col("flag"), col("ap")(0).as("a50"), col("ap")(1).as("a90"),
+          col("ap")(2).as("a99"))
+      val hist = li.groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+      val vw = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gw = Window.partitionBy(col("l_returnflag"))
+      def atRank(k: Int) =
+        min(when(col("cum") >= expr(s"(n * $k + 99) DIV 100"), col("l_quantity")))
+      val exact = hist
+        .withColumn("cum", sum(col("cnt")).over(vw))
+        .withColumn("n", sum(col("cnt")).over(gw))
+        .groupBy(col("l_returnflag"))
+        .agg(atRank(50).as("p50_exact"), atRank(90).as("p90_exact"),
+          atRank(99).as("p99_exact"))
+      def le(a: String) = sum(when(col("l_quantity") <= col(a), col("cnt")).otherwise(0L))
+      def lt(a: String) = sum(when(col("l_quantity") < col(a), col("cnt")).otherwise(0L))
+      val ranks = hist.join(broadcast(ap), col("l_returnflag") === col("flag"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("cnt")).as("n"),
+          le("a50").as("le50"), lt("a50").as("lt50"),
+          le("a90").as("le90"), lt("a90").as("lt90"),
+          le("a99").as("le99"), lt("a99").as("lt99"))
+      def ok(p: Int, leC: String, ltC: String) =
+        (col(leC) * 100 >= col("n") * (p - 1)) &&
+          (col(ltC) * 100 <= col("n") * (p + 1))
+      exact.join(ranks, "l_returnflag")
+        .select(col("l_returnflag"), col("n"),
+          col("p50_exact"), col("p90_exact"), col("p99_exact"),
+          ok(50, "le50", "lt50").as("ok50"),
+          ok(90, "le90", "lt90").as("ok90"),
+          ok(99, "le99", "lt99").as("ok99"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -2208,6 +2346,68 @@ object RelationalQueries {
         |SELECT c.from_type, c.to_type, c.n,
         |       (c.n * 1000000) // t.n_from AS p_ppm
         |FROM cnt c JOIN tot t USING (from_type)
-        |ORDER BY from_type, to_type""".stripMargin
+        |ORDER BY from_type, to_type""".stripMargin,
+    "q71_hash_split" ->
+      """WITH a AS (
+        |  SELECT CASE
+        |      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+        |        THEN 'train'
+        |      WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666'
+        |        THEN 'val'
+        |      ELSE 'test' END AS split,
+        |    lang,
+        |    len(string_split_regex(trim(text), '\s+')) AS nt
+        |  FROM documents)
+        |SELECT split, lang, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens
+        |FROM a GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "q72_mixture_plan" ->
+      """WITH w(lang, target_ppm) AS (VALUES
+        |    ('en', CAST(300000 AS BIGINT)), ('zh', 200000), ('fr', 200000),
+        |    ('de', 150000), ('es', 150000)),
+        |toks AS (
+        |  SELECT lang,
+        |    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |      AS lang_tokens
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens
+        |        FROM toks),
+        |base AS (
+        |  SELECT t.lang, t.lang_tokens, w.target_ppm,
+        |    (total_tokens // 2) AS budget
+        |  FROM toks t JOIN w USING (lang) CROSS JOIN tot),
+        |alloc AS (
+        |  SELECT lang, lang_tokens, target_ppm,
+        |    (budget // 1000000) * target_ppm
+        |      + ((budget % 1000000) * target_ppm) // 1000000 AS alloc_tokens
+        |  FROM base)
+        |SELECT lang, lang_tokens, target_ppm, alloc_tokens,
+        |  (alloc_tokens * 10000) // lang_tokens AS epochs_bp
+        |FROM alloc ORDER BY lang""".stripMargin,
+    "q73_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id)
+        |      AS rank
+        |  FROM documents)
+        |SELECT lang, rank, doc_id FROM r WHERE rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
+    "q74_approx_quantile_eval" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN l_quantity END)
+        |    AS p50_exact,
+        |  MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN l_quantity END)
+        |    AS p90_exact,
+        |  MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN l_quantity END)
+        |    AS p99_exact,
+        |  TRUE AS ok50, TRUE AS ok90, TRUE AS ok99
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -21,6 +21,11 @@ object SimilarityQueries {
   val NearDupTau = 0.9
   val KmK = 8              // k-means clusters
   val KmIters = 2          // fixed Lloyd iterations (unrolled in the oracle)
+  /** d23 gate threshold. The synthetic embeddings have NO true near-dups
+    * (max corpus cosine ≈0.48, so n3's τ=0.9 correctly returns zero pairs);
+    * d23 gates at 0.25 so the removal/keeper logic is exercised on real
+    * rows — the production SemDeDup knob is ~0.95, a config change. */
+  val SemTau = 0.25
   val LshTables = 8   // LSH hash tables
   val Planes = 8   // hyperplanes (bits) per table
   val Dims = 64
@@ -207,6 +212,38 @@ object SimilarityQueries {
           col("label").as("list_id"))
       labelKnnGraph(v, 3)
         .orderBy(col("src_id"), col("rank"))
+    }),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    // k-means clusters as the candidate filter, exact cosine only WITHIN a
+    // cluster, greedy keep-smallest-id. Registered as d23 (dedup family);
+    // lives here to reuse the n6/n7 training chain and its bit-exact
+    // DuckDB mirror. Scale shape: assignment is n6's broadcast-centroid
+    // map stage; the pair join shuffles once on cluster id, and the
+    // quadratic term is (N/k)² per cluster — the paper's knob is k ∝ N
+    // (50k clusters for LAION-440M), which keeps per-cluster lists
+    // near-constant; no all-pairs term exists anywhere. Each removed row
+    // names its keeper, so the output IS the dedup decision. Pairs equal
+    // cosineNearDupPairs(SemTau) restricted to same-cluster (asserted in
+    // SimilaritySpec) — the cluster filter is what SemDeDup trades for
+    // never computing the cross-cluster terms.
+    "d23_semdedup" -> ((s, d) => {
+      val v = vecs(s, d)
+      val assigned = kmeansAssign(v, KmK, KmIters)
+        .select(col("id"), col("cluster"))
+      val av = v.join(assigned, "id")
+      val a = av.select(col("cluster"), col("id").as("id_a"),
+        col("emb").as("emb_a"), norm2(col("emb")).as("n2_a"))
+      val b = av.select(col("cluster").as("cluster_b"), col("id").as("id_b"),
+        col("emb").as("emb_b"), norm2(col("emb")).as("n2_b"))
+      a.join(b, col("cluster") === col("cluster_b") && col("id_a") < col("id_b"))
+        .withColumn("cos", cosine(dot(col("emb_a"), col("emb_b")),
+          col("n2_a"), col("n2_b")))
+        .filter(col("cos") >= SemTau)
+        .groupBy(col("cluster"), col("id_b").as("removed_id"))
+        .agg(min(col("id_a")).as("kept_id"),
+          round(max(col("cos")), 6).as("max_cos"))
+        .orderBy(col("removed_id"))
     })
   )
 
@@ -791,6 +828,20 @@ object SimilarityQueries {
          |                            ORDER BY cos DESC, nbr_id) AS rank
          |  FROM scored)
          |SELECT src_id, rank, nbr_id, list_id, round(cos, 6) AS cos_sim
-         |FROM ranked WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin
+         |FROM ranked WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin,
+    "d23_semdedup" ->
+      s"""WITH $dkKmeansCtes,
+         |av AS (
+         |  SELECT a.id, a.cluster, v.emb
+         |  FROM afinal a JOIN v ON v.id = a.id),
+         |p AS (
+         |  SELECT a.cluster, a.id AS id_a, b.id AS id_b,
+         |    ${dot2("a.emb", "b.emb")}
+         |    / sqrt(${n2of("a.emb")} * ${n2of("b.emb")}) AS cos
+         |  FROM av a JOIN av b ON a.cluster = b.cluster AND a.id < b.id)
+         |SELECT cluster, id_b AS removed_id, min(id_a) AS kept_id,
+         |  round(max(cos), 6) AS max_cos
+         |FROM p WHERE cos >= $SemTau
+         |GROUP BY cluster, id_b ORDER BY removed_id""".stripMargin
   )
 }

@@ -425,6 +425,84 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // Repetition-rate quality signals (the Gopher filters, Rae et al. 2021
+    // §A1.1: "fraction of characters in the most frequent n-gram" /
+    // "fraction in duplicated n-grams", here over token 2-/3-grams in
+    // integer ppm). Shape at 100 TB: grams explode per row, then TWO
+    // map-side-combinable hash aggs — (doc_id, n, gram) counts, then
+    // doc_id rollup. No windows, no joins; cardinality is bounded by the
+    // token stream itself (≤2 gram instances per token), and a doc's gram
+    // distribution never leaves its (doc_id,·) key space, so skew equals
+    // doc-length skew, which the first agg's partial combine absorbs.
+    // dup3 uses CASE..0 (not a NULL-dropping filter) so a doc whose
+    // 3-grams are all unique reads 0, not NULL, in BOTH engines; docs
+    // with <3 tokens yield NULL 3-gram columns symmetrically.
+    "t31_repetition_stats" -> ((s, d) => {
+      val t = Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      def grams(n: Int): org.apache.spark.sql.Column = {
+        val idx = sequence(lit(0), size(col("toks")) - n)
+        val one = (i: org.apache.spark.sql.Column) => concat_ws(" ",
+          (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*)
+        when(size(col("toks")) >= n, transform(idx, one))
+          .otherwise(array().cast("array<string>"))
+      }
+      def tagged(n: Int): org.apache.spark.sql.Column =
+        transform(grams(n), g => struct(lit(n).as("n"), g.as("g")))
+      t.select(col("doc_id"),
+          explode(concat(tagged(2), tagged(3))).as("gr"))
+        .groupBy(col("doc_id"), col("gr.n").as("n"), col("gr.g").as("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(when(col("n") === 2, col("c"))).as("n_2grams"),
+          max(when(col("n") === 2, col("c"))).as("top2_cnt"),
+          sum(when(col("n") === 3, col("c"))).as("n_3grams"),
+          sum(when(col("n") === 3,
+            when(col("c") >= 2, col("c")).otherwise(0L))).as("dup3_cnt"))
+        .select(col("doc_id"), col("n_2grams"), col("top2_cnt"),
+          expr("top2_cnt * 1000000L DIV n_2grams").as("top2_ppm"),
+          col("n_3grams"), col("dup3_cnt"),
+          expr("dup3_cnt * 1000000L DIV n_3grams").as("dup3_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sub-document exact dedup at chunk granularity (registered d24): the
+    // paragraph-level pass of a CCNet-shaped curation pipeline (Wenzek et
+    // al. 2020 dedups on paragraph hashes; here the unit is t17's
+    // non-overlapping 32-token chunk since the corpus has no newlines).
+    // Doc-level dedup (d1) misses partial copies; this measures them:
+    // per-doc count of chunks whose content appears ≥2× anywhere in the
+    // corpus (including within the same doc). Scale shape: chunks carry a
+    // 60-bit content hash, not text, so the instance-count shuffle and
+    // the dup-status join both move 16-byte keys; both aggs are map-side
+    // combinable and the only skew source is a pathologically hot chunk,
+    // which the (ch)-keyed count absorbs before the join fans it back.
+    // Collision odds at 2⁶⁰ are |chunks|²/2⁶¹ — negligible (d20's
+    // hashed-verify argument).
+    "d24_chunk_dedup" -> ((s, d) => {
+      val chunkTok = 32
+      val chunks = Tables.fanout(Tables.documents(s, d))
+        .withColumn("toks", tokens(col("text")))
+        .filter(size(col("toks")) > 0)
+        .withColumn("chunk_start",
+          explode(sequence(lit(0), size(col("toks")) - 1, lit(chunkTok))))
+        .select(col("doc_id"),
+          hash60(array_join(
+            slice(col("toks"), col("chunk_start") + 1, lit(chunkTok)), " "))
+            .as("ch"))
+      val dups = chunks.groupBy(col("ch")).agg(count(lit(1)).as("n_inst"))
+        .filter(col("n_inst") >= 2)
+      chunks.join(dups, Seq("ch"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n_inst").isNotNull, 1L).otherwise(0L))
+            .as("n_dup_chunks"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          expr("n_dup_chunks * 1000000L DIV n_chunks").as("dup_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Readability scoring (Flesch reading-ease shape): vowel-run syllable
     // heuristic + the 12-token synthetic sentence count (t22's boundary
     // convention) into the classic fixed-weight formula. All inputs are
@@ -933,6 +1011,54 @@ object TextQueries {
          |  CAST(sum(b.n_tokens) AS BIGINT) AS total_tokens
          |FROM base b JOIN kept k ON b.doc_id = k.keeper_id
          |GROUP BY b.lang ORDER BY b.lang""".stripMargin,
+    "t31_repetition_stats" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $dkToks AS toks FROM documents),
+         |grams AS (
+         |  SELECT doc_id, 2 AS n, g
+         |  FROM t, LATERAL (SELECT unnest(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(range(1, len(toks)),
+         |         i -> toks[i] || ' ' || toks[i+1])
+         |    ELSE [] END) AS g) u
+         |  UNION ALL
+         |  SELECT doc_id, 3 AS n, g
+         |  FROM t, LATERAL (SELECT unnest(CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(1, len(toks) - 1),
+         |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |    ELSE [] END) AS g) u),
+         |cnt AS (
+         |  SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3)
+         |SELECT doc_id,
+         |  CAST(sum(c) FILTER (n = 2) AS BIGINT) AS n_2grams,
+         |  max(c) FILTER (n = 2) AS top2_cnt,
+         |  CAST(max(c) FILTER (n = 2) * 1000000 AS BIGINT)
+         |    // CAST(sum(c) FILTER (n = 2) AS BIGINT) AS top2_ppm,
+         |  CAST(sum(c) FILTER (n = 3) AS BIGINT) AS n_3grams,
+         |  CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) FILTER (n = 3)
+         |    AS BIGINT) AS dup3_cnt,
+         |  CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) FILTER (n = 3)
+         |    * 1000000 AS BIGINT)
+         |    // CAST(sum(c) FILTER (n = 3) AS BIGINT) AS dup3_ppm
+         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d24_chunk_dedup" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $dkToks AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    ${dkHash60("array_to_string(toks[cs + 1 : cs + 32], ' ')")} AS ch
+         |  FROM t, LATERAL (
+         |    SELECT unnest(generate_series(0, len(toks) - 1, 32)) AS cs) u
+         |  WHERE len(toks) > 0),
+         |dups AS (
+         |  SELECT ch, count(*) AS n_inst FROM c GROUP BY ch
+         |  HAVING count(*) >= 2)
+         |SELECT c.doc_id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN d.n_inst IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dup_chunks,
+         |  CAST(sum(CASE WHEN d.n_inst IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1000000 AS BIGINT) // count(*) AS dup_ppm
+         |FROM c LEFT JOIN dups d USING (ch)
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     "t27_source_gini" ->
       """WITH c AS (
         |  SELECT lang, source, count(*) AS cnt

@@ -427,4 +427,52 @@ object StatefulOps {
       .transformWithState(new BurstCollapseProcessor(gapSec),
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** One streamed document offered for ingestion. */
+  case class DocArrival(source: String, docId: Long, nTokens: Long)
+  /** Admission decision: admitted until the domain budget is spent. */
+  case class DocAdmit(source: String, docId: Long, nTokens: Long,
+      admitted: Boolean, remaining: Long)
+
+  /** Streaming front half of q72's mixture plan: admit documents per
+    * source domain until that domain's token budget is exhausted, then
+    * deny — the online form of "stop ingesting domain X once its mixture
+    * allocation is met". State is ONE long per domain (tokens spent);
+    * decisions are greedy in docId order within a batch so replays are
+    * deterministic, and cross-batch continuation comes from the persisted
+    * counter, not event-time — TimeMode.None. A denied doc never charges
+    * the budget (admission is all-or-nothing per doc, no partial spend).
+    * At scale the key space is |domains| (tiny), so the stateful shuffle
+    * is a rebalance by domain; skew equals domain-arrival skew, which is
+    * exactly what the budget is throttling in the first place. */
+  final class DomainBudgetProcessor(budgetTokens: Long)
+      extends StatefulProcessor[String, DocArrival, DocAdmit] {
+    @transient private var spent: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      spent = getHandle.getValueState[Long]("spent",
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[DocArrival],
+        timerValues: TimerValues): Iterator[DocAdmit] = {
+      var s = if (spent.exists()) spent.get() else 0L
+      val out = scala.collection.mutable.ArrayBuffer.empty[DocAdmit]
+      rows.toSeq.sortBy(_.docId).foreach { d =>
+        val admit = s + d.nTokens <= budgetTokens
+        if (admit) s += d.nTokens
+        out += DocAdmit(d.source, d.docId, d.nTokens, admit, budgetTokens - s)
+      }
+      spent.update(s)
+      out.iterator
+    }
+  }
+
+  /** Per-source streaming budget admission over [[DomainBudgetProcessor]]. */
+  def domainBudgetTws(spark: SparkSession, docs: Dataset[DocArrival],
+      budgetTokens: Long): Dataset[DocAdmit] = {
+    import spark.implicits._
+    docs.groupByKey(_.source)
+      .transformWithState(new DomainBudgetProcessor(budgetTokens),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

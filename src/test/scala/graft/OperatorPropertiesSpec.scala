@@ -47,7 +47,13 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       // PassJoin (set-valued candidates + exact verify), window bitmaps
       // (OR folds), PMI (integer ratio), novelty (df equi-join + div)
       "d15_pagerank", "d16_editdist_join", "q65_rolling_distinct",
-      "t26_pmi_collocations", "d18_ngram_novelty")
+      "t26_pmi_collocations", "d18_ngram_novelty",
+      // round-7 batch: hash split (pure per-row md5), stratified sample
+      // (bounded top-k merge), repetition stats (two-level gram aggs),
+      // chunk dedup (hash-keyed instance counts), GK bound gate (any
+      // valid sketch merge satisfies the rank interval)
+      "q71_hash_split", "q73_stratified_sample", "t31_repetition_stats",
+      "d24_chunk_dedup", "q74_approx_quantile_eval")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {

@@ -273,4 +273,38 @@ class SimilaritySpec extends SparkSpecBase {
     assert(sses.zip(sses.tail).forall { case (a, b) => b <= a + 1e-9 },
       s"Lloyd iterations must not increase total SSE: $sses")
   }
+
+  test("d23 SemDeDup pairs = exact near-dup pairs restricted to same cluster") {
+    import graft.queries.SimilarityQueries.{KmK, KmIters, SemTau}
+    // The cluster filter is the ONLY approximation SemDeDup makes: its
+    // within-cluster pair set must equal the exhaustive τ-pair set
+    // intersected with "same final k-means cluster" — no pair gained,
+    // none lost inside a cluster.
+    val assigned = kmeansAssign(vecs, KmK, KmIters).select(col("id"), col("cluster"))
+    val exact = cosineNearDupPairs(vecs, SemTau)
+      .join(assigned.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("cluster", "ca"), "id_a")
+      .join(assigned.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("cluster", "cb"), "id_b")
+      .filter(col("ca") === col("cb"))
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    val semPairs = graft.SparkEntry.queries("d23_semdedup")(spark, sfDir)
+      .select(col("kept_id"), col("removed_id"))
+    // d23 groups pairs by removed_id; recover the pair set from a rerun of
+    // the ungrouped join to compare apples to apples
+    val v = vecs
+    val a = v.join(assigned, "id").select(col("cluster"), col("id").as("id_a"),
+      col("emb").as("emb_a"), norm2(col("emb")).as("n2_a"))
+    val b = v.join(assigned, "id").select(col("cluster").as("cb"),
+      col("id").as("id_b"), col("emb").as("emb_b"), norm2(col("emb")).as("n2_b"))
+    val within = a.join(b, col("cluster") === col("cb") && col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(dot(col("emb_a"), col("emb_b")),
+        col("n2_a"), col("n2_b")))
+      .filter(col("cos") >= SemTau)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(within == exact, "within-cluster pairs must equal cluster-restricted exact pairs")
+    // and every removed doc in d23 is the larger id of at least one such pair
+    val removed = semPairs.select("removed_id").as[Long].collect().toSet
+    assert(removed == within.map(_._2), "removed set = {larger ids of τ-pairs}")
+  }
 }

@@ -322,4 +322,54 @@ class StatefulOpsSpec extends SparkSpecBase {
       assert(kept() == Set(1L, 5L, 6L, 4L, 8L), s"got ${kept()}")
     } finally q.stop()
   }
+
+  test("streaming domain-budget admission: greedy, persistent, batch-equivalent") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[StatefulOps.DocArrival]
+    val out = StatefulOps.domainBudgetTws(spark, in.toDS(), budgetTokens = 100L)
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("admits").start()
+    def admits(): Map[Long, (Boolean, Long)] =
+      spark.table("admits").as[StatefulOps.DocAdmit].collect()
+        .map(a => a.docId -> (a.admitted, a.remaining)).toMap
+    try {
+      // batch 1, srcA: 40+40 admitted (spent 80), 30 denied (would exceed),
+      // then 15 admitted (95) — greedy by docId, denial does NOT spend.
+      // srcB keyed independently.
+      in.addData(
+        StatefulOps.DocArrival("A", 1, 40), StatefulOps.DocArrival("A", 2, 40),
+        StatefulOps.DocArrival("A", 3, 30), StatefulOps.DocArrival("A", 4, 15),
+        StatefulOps.DocArrival("B", 5, 90))
+      q.processAllAvailable()
+      var a = admits()
+      assert(a(1) == (true, 60L) && a(2) == (true, 20L))
+      assert(a(3) == (false, 20L), s"doc 3 must be denied without spending: $a")
+      assert(a(4) == (true, 5L))
+      assert(a(5) == (true, 10L))
+      // batch 2: srcA has 5 left — a 5-token doc fits exactly (<=), then deny
+      in.addData(StatefulOps.DocArrival("A", 6, 5),
+        StatefulOps.DocArrival("A", 7, 1), StatefulOps.DocArrival("B", 8, 11))
+      q.processAllAvailable()
+      a = admits()
+      assert(a(6) == (true, 0L), "exact-fit doc must be admitted")
+      assert(a(7) == (false, 0L), "post-exhaustion doc must be denied")
+      assert(a(8) == (false, 10L), "srcB over-budget doc denied")
+      // batch equivalence: same greedy fold expressed as a batch query
+      // (running admitted-sum in docId order per source)
+      val arrivals = Seq(
+        ("A", 1L, 40L), ("A", 2L, 40L), ("A", 3L, 30L), ("A", 4L, 15L),
+        ("B", 5L, 90L), ("A", 6L, 5L), ("A", 7L, 1L), ("B", 8L, 11L))
+      val expect = arrivals.groupBy(_._1).flatMap { case (_, ds) =>
+        var s = 0L
+        ds.sortBy(_._2).map { case (_, id, nt) =>
+          val ok = s + nt <= 100L
+          if (ok) s += nt
+          id -> ok
+        }
+      }
+      expect.foreach { case (id, ok) =>
+        assert(a(id)._1 == ok, s"doc $id streaming/batch admission disagree")
+      }
+    } finally q.stop()
+  }
 }
