@@ -162,6 +162,56 @@ object SimilarityOps {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Multi-probe LSH ANN (Lv et al., VLDB 2007): instead of adding hash
+    * tables to recover recall, probe MORE BUCKETS of one table — the
+    * query's own bucket plus perturbations that flip the hyperplane bits
+    * the query was least confident about (smallest |margin| = closest to
+    * the plane, so the true neighbor most plausibly landed just across
+    * it). Probe set here is the 4 subsets of the two lowest-|margin|
+    * planes (ties to the lower plane index, total order).
+    *
+    * Why it matters at 100 TB: each extra hash table re-signs and
+    * re-shuffles the ENTIRE corpus; an extra probe only adds a row to the
+    * broadcast query side of the bucket join. The index cost is one
+    * signature column; recall scales with probes, not with corpus passes.
+    * Deterministic: margins are the same fold-ordered doubles in both
+    * engines (n2's sign-exactness argument, strengthened to magnitude
+    * order by bit-identical IEEE ops), so the flip choice is
+    * oracle-exact. */
+  def multiProbeTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      planes: Int, dims: Int): DataFrame = {
+    def margin(p: Int): Column = {
+      val w = typedLit(planeWeights(p, dims)) // table-0 plane family
+      graft.functions.VectorExpressions.dot_product(col("emb"), w)
+    }
+    val sig = lshSignature(col("emb"), 0, planes, dims)
+    val flipOrder = array_sort(array((0 until planes).map(p =>
+      struct(abs(margin(p)).as("am"), lit(p).as("plane"))): _*))
+    val q = queries.select(col("id").as("query_id"), col("emb").as("q_emb"),
+        norm2(col("emb")).as("q_n2"), sig.as("sig"),
+        flipOrder.getItem(0).getField("plane").as("p1"),
+        flipOrder.getItem(1).getField("plane").as("p2"))
+      .withColumn("probe", explode(array(
+        col("sig"),
+        expr("sig ^ shiftleft(CAST(1 AS BIGINT), p1)"),
+        expr("sig ^ shiftleft(CAST(1 AS BIGINT), p2)"),
+        expr("sig ^ shiftleft(CAST(1 AS BIGINT), p1)" +
+          " ^ shiftleft(CAST(1 AS BIGINT), p2)"))))
+    val c = candidates.select(col("id").as("neighbor_id"),
+      col("emb").as("c_emb"), norm2(col("emb")).as("c_n2"), sig.as("c_sig"))
+    val scored = c.join(broadcast(q),
+        col("c_sig") === col("probe") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(dot(col("q_emb"), col("c_emb")),
+        col("q_n2"), col("c_n2")))
+      .select(col("query_id"), col("neighbor_id"), col("cos")).distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Deterministic per-list centroids for the IVF coarse quantizer:
     * element sums through DECIMAL so the result is partition-order-exact
     * (engine-portable); returns (list_id, centroid ARRAY<DOUBLE>).

@@ -244,6 +244,18 @@ object SimilarityQueries {
         .agg(min(col("id_a")).as("kept_id"),
           round(max(col("cos")), 6).as("max_cos"))
         .orderBy(col("removed_id"))
+    }),
+
+    // Multi-probe LSH (Lv et al. 2007): recover recall by probing MORE
+    // BUCKETS of one table (the 4 subsets of the two lowest-|margin|
+    // plane flips) instead of signing the corpus under more tables —
+    // probes cost broadcast rows; tables cost full corpus re-shuffles.
+    // Recall ordering vs the 1-probe single table is asserted in
+    // SimilaritySpec; the serving shape is n2's bucket equi-join.
+    "n13_multiprobe_lsh" -> ((s, d) => {
+      val v = vecs(s, d)
+      multiProbeTopK(v.filter(col("id") < NumQueries), v, K, Planes, Dims)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -842,6 +854,51 @@ object SimilarityQueries {
          |SELECT cluster, id_b AS removed_id, min(id_a) AS kept_id,
          |  round(max(cos), 6) AS max_cos
          |FROM p WHERE cos >= $SemTau
-         |GROUP BY cluster, id_b ORDER BY removed_id""".stripMargin
+         |GROUP BY cluster, id_b ORDER BY removed_id""".stripMargin,
+    "n13_multiprobe_lsh" ->
+      s"""WITH v AS (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |w(tbl, plane, wts) AS (VALUES
+         |    $lshWeightValues),
+         |m AS (
+         |  SELECT v.id, w.plane,
+         |    ${dot2("v.emb", "w.wts")} AS marg
+         |  FROM v, w WHERE w.tbl = 0),
+         |sigs AS (
+         |  SELECT id, CAST(SUM(CASE WHEN marg >= 0
+         |      THEN (1::BIGINT << plane) ELSE 0 END) AS BIGINT) AS sig
+         |  FROM m GROUP BY id),
+         |fl AS (
+         |  SELECT id, plane, ROW_NUMBER() OVER (PARTITION BY id
+         |    ORDER BY abs(marg), plane) AS r
+         |  FROM m),
+         |p12 AS (
+         |  SELECT id, MAX(CASE WHEN r = 1 THEN plane END) AS p1,
+         |         MAX(CASE WHEN r = 2 THEN plane END) AS p2
+         |  FROM fl GROUP BY id),
+         |probes AS (
+         |  SELECT s.id, unnest([s.sig,
+         |      xor(s.sig, 1::BIGINT << p1),
+         |      xor(s.sig, 1::BIGINT << p2),
+         |      xor(xor(s.sig, 1::BIGINT << p1), 1::BIGINT << p2)]) AS psig
+         |  FROM sigs s JOIN p12 USING (id) WHERE s.id < $NumQueries),
+         |cand AS (
+         |  SELECT DISTINCT p.id AS query_id, c.id AS neighbor_id
+         |  FROM probes p JOIN sigs c ON c.sig = p.psig AND c.id <> p.id),
+         |scored AS (
+         |  SELECT k.query_id, k.neighbor_id,
+         |         $dkDot / sqrt(${dkNorm2("a")} * ${dkNorm2("b")}) AS cos
+         |  FROM cand k
+         |  JOIN v a ON a.id = k.query_id
+         |  JOIN v b ON b.id = k.neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_sim
+         |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   )
 }

@@ -42,6 +42,16 @@ class PlanGuardSpec extends SparkSpecBase {
       s"n1 must broadcast the query block:\n$ann")
   }
 
+  test("q73 samples through a bounded aggregator, not a per-stratum window sort") {
+    // The point of q73 is that k-per-stratum sampling merges ≤k-row
+    // buffers map-side; a regression to the row_number() formulation
+    // would plan a Window over a full per-stratum sort — the 100 TB
+    // single-reducer-per-language trap.
+    val p = planOf("q73_stratified_sample")
+    assert(!p.contains("Window"), s"q73 must not sort-and-rank per stratum:\n$p")
+    assert(p.contains("Aggregate"), s"q73 must aggregate with the bounded buffer:\n$p")
+  }
+
   test("d9b pins its register and wedge joins against AQE under-parallelization") {
     // Both joins are byte-light but compute-heavy (each register row fans
     // into 64 max-merges; each wedge row expands p²-fold), so AQE's

@@ -274,6 +274,33 @@ class SimilaritySpec extends SparkSpecBase {
       s"Lloyd iterations must not increase total SSE: $sses")
   }
 
+  test("multi-probe LSH recall dominates the single-probe same-table form") {
+    import graft.queries.SimilarityQueries.{NumQueries, K, Planes, Dims}
+    val qs = vecs.filter(col("id") < NumQueries)
+    def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val exact = hits(bruteForceTopK(qs, vecs, K))
+    val single = hits(lshTopK(qs, vecs, K, tables = 1, Planes, Dims))
+    val multi = hits(multiProbeTopK(qs, vecs, K, Planes, Dims))
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val per = exact.map { case (q, t) =>
+        approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      per.sum / per.size
+    }
+    // probing bucket 0 is part of the probe set → candidates are a
+    // superset per query, so recall can only go up; on this corpus it
+    // must go STRICTLY up (asserted so a probe-generation bug that
+    // silently yields only the original bucket fails loudly)
+    exact.keys.foreach { q =>
+      assert(single.getOrElse(q, Set.empty).subsetOf(
+        multi.getOrElse(q, Set.empty) ++ single.getOrElse(q, Set.empty)))
+    }
+    val (rs, rm) = (recall(single), recall(multi))
+    assert(rm >= rs, s"multi-probe recall $rm must be >= single-probe $rs")
+    assert(rm > rs, s"multi-probe must strictly improve recall here ($rs -> $rm)")
+  }
+
   test("d23 SemDeDup pairs = exact near-dup pairs restricted to same cluster") {
     import graft.queries.SimilarityQueries.{KmK, KmIters, SemTau}
     // The cluster filter is the ONLY approximation SemDeDup makes: its
