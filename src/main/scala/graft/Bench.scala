@@ -56,6 +56,8 @@ object Bench {
     "q62_salted_join", "q63_burst_collapse", "q64_profile",
     "q65_rolling_distinct", "q66_ntile_deciles", "q67_mad_outliers",
     "q68_cohort_retention", "q69_cooccurrence", "q70_markov_transitions",
+    "q71_hash_split", "q72_mixture_plan", "q73_stratified_sample",
+    "q74_approx_quantile_eval",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_regex_tokens", "t6_string_funcs", "t7_array_funcs", "t8_explode",
     "t9_regex_extract", "t10_normalize", "t11_hash_split",
@@ -64,18 +66,18 @@ object Bench {
     "t19_tfidf", "t20_quality_logit", "t21_bigram_counts", "t22_sentences",
     "t23_readability", "t24_lm_score", "t25_posting_lists",
     "t26_pmi_collocations", "t27_source_gini", "t29_boilerplate",
-    "t30_curation_e2e",
+    "t30_curation_e2e", "t31_repetition_stats", "t32_langid_confusion",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
     "d8d_triangle_doulion", "d9b_graph_stats_sketch",
     "d11_containment", "d12_incremental_dedup",
     "d14_decontaminate", "d16_editdist_join", "d18_ngram_novelty",
-    "d20_ppjoin", "d22_quote_runs",
+    "d20_ppjoin", "d22_quote_runs", "d23_semdedup", "d24_chunk_dedup",
     "n1_ann_bruteforce", "n2_ann_lsh", "n3_embedding_neardup",
     "n4_label_centroids", "n5_ivf_ann", "n6_kmeans", "n7_ivf_kmeans",
     "n8_quantize", "n9_knn_graph", "n10_quantized_rerank", "n11_pq_adc",
-    "n11b_pq_trained", "n12_ann_recall",
+    "n11b_pq_trained", "n12_ann_recall", "n13_multiprobe_lsh",
     "m1_binary_meta", "m2_frame_windows", "m3_decode_features",
-    "m4_patch_dedup", "m5_shared_patches")
+    "m4_patch_dedup", "m5_shared_patches", "m6_crossmodal_retrieval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

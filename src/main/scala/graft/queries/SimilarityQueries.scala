@@ -256,6 +256,27 @@ object SimilarityQueries {
       val v = vecs(s, d)
       multiProbeTopK(v.filter(col("id") < NumQueries), v, K, Planes, Dims)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Cross-modal retrieval serving join (registered m6): ANN neighbors
+    // resolved back to document metadata — embeddings and documents share
+    // the id space (vec_id = doc_id), so the top-k result set (k·|queries|
+    // rows, tiny) joins INTO the metadata table; at scale Spark broadcasts
+    // the result side into the metadata scan, never the reverse. This is
+    // the last hop every vector-search product runs and the first place
+    // id-space drift between modalities surfaces (an unmatched neighbor
+    // would vanish from the inner join — count parity with n1 is implied
+    // by the oracle).
+    "m6_crossmodal_retrieval" -> ((s, d) => {
+      val v = vecs(s, d)
+      val meta = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"))
+      bruteForceTopK(v.filter(col("id") < NumQueries), v, 3)
+        .join(meta, col("neighbor_id") === col("doc_id"))
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("lang").as("nbr_lang"), col("source").as("nbr_source"),
+          col("cos_sim"))
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -899,6 +920,26 @@ object SimilarityQueries {
          |                            ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_sim
-         |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+         |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    "m6_crossmodal_retrieval" ->
+      s"""WITH v AS (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT a.id AS query_id, b.id AS neighbor_id,
+         |         $dkDot / sqrt(${dkNorm2("a")} * ${dkNorm2("b")}) AS cos
+         |  FROM v a, v b
+         |  WHERE a.id < $NumQueries AND b.id <> a.id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT r.query_id, r.rank, r.neighbor_id,
+         |  d.lang AS nbr_lang, d.source AS nbr_source,
+         |  round(r.cos, 6) AS cos_sim
+         |FROM ranked r JOIN documents d ON d.doc_id = r.neighbor_id
+         |WHERE r.rank <= 3 ORDER BY r.query_id, r.rank""".stripMargin
   )
 }

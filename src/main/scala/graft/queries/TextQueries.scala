@@ -59,6 +59,26 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Language-ID confusion matrix (t3 evaluated against the corpus's own
+    // labels — the d19/n12/q74 "measure your own approximation" pattern
+    // applied to the classifier): per (true lang, predicted lang) doc
+    // counts. The full matrix, not just accuracy, because routing
+    // decisions care WHICH languages confuse (here: fr/zh lack marker
+    // sets and land on the en/de/es argmax floor — visible, not hidden).
+    // One narrow scan + a |langs|² grouped count; shuffle is bytes.
+    "t32_langid_confusion" -> ((s, d) => {
+      Tables.fanout(Tables.documents(s, d))
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("s_en", wordSetCount(col("toks"), langMarkers("en")))
+        .withColumn("s_de", wordSetCount(col("toks"), langMarkers("de")))
+        .withColumn("s_es", wordSetCount(col("toks"), langMarkers("es")))
+        .select(col("lang"),
+          langPredict(col("s_en"), col("s_de"), col("s_es")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("lang_pred"))
+    }),
+
     // Scalar string-function coverage (upper/lower/trim/substring/replace/
     // concat/lpad/instr) over part names.
     "t6_string_funcs" -> ((s, d) => {
@@ -709,6 +729,23 @@ object TextQueries {
          |  CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
          |       WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS lang_pred
          |FROM sc ORDER BY doc_id""".stripMargin,
+    "t32_langid_confusion" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, $dkToks AS toks FROM documents),
+         |sc AS (
+         |  SELECT doc_id, lang,
+         |    len(list_filter(toks, t -> t IN ${dkWordSet(langMarkers("en"))})) AS s_en,
+         |    len(list_filter(toks, t -> t IN ${dkWordSet(langMarkers("de"))})) AS s_de,
+         |    len(list_filter(toks, t -> t IN ${dkWordSet(langMarkers("es"))})) AS s_es
+         |  FROM base),
+         |pred AS (
+         |  SELECT lang,
+         |    CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+         |         WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS lang_pred
+         |  FROM sc)
+         |SELECT lang, lang_pred, count(*) AS n_docs
+         |FROM pred GROUP BY lang, lang_pred
+         |ORDER BY lang, lang_pred""".stripMargin,
     "t6_string_funcs" ->
       """SELECT p_partkey,
         |  upper(p_brand) AS brand_up,
