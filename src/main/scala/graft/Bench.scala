@@ -67,6 +67,7 @@ object Bench {
     "t23_readability", "t24_lm_score", "t25_posting_lists",
     "t26_pmi_collocations", "t27_source_gini", "t29_boilerplate",
     "t30_curation_e2e", "t31_repetition_stats", "t32_langid_confusion",
+    "t33_rake_keywords",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
     "d8d_triangle_doulion", "d9b_graph_stats_sketch",
     "d11_containment", "d12_incremental_dedup",

@@ -152,6 +152,38 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
+  /** Bounded k-core peeling over an undirected `(doc_a, doc_b)` pair
+    * graph: `rounds` rounds of (degree → drop nodes with deg < k → drop
+    * their incident edges), then the residual per-node degree. The
+    * dense-subgraph signal for template/boilerplate farms: a document
+    * surviving the k-core peel of the near-dup graph sits in a cluster
+    * whose members each have ≥k similar peers — mass-produced template
+    * families, which raw pair counts can't separate from long chains.
+    * `rounds` is FIXED (no convergence test) so the computation unrolls
+    * into oracle SQL verbatim; full coreness is the same per-round plan
+    * run O(degeneracy) times. Scale shape: each round is one map-side-
+    * combinable degree count over 8-byte ids plus two semi joins keyed by
+    * an endpoint — work ∝ |E| per round, never quadratic; the survivor
+    * set is checkpointed (node-count-bounded) and each residual edge set
+    * localCheckpoints to cut lineage, the connectedComponents discipline.
+    * Driver-loop operator: bench-excluded, and like all graph analytics
+    * here it runs AFTER d7's component collapse at scale. */
+  def kcoreResidual(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val alive = e.select(col("doc_a").as("u")).union(e.select(col("doc_b").as("u")))
+        .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("u"))
+        .localCheckpoint()
+      e = e.join(alive, col("doc_a") === col("u"), "left_semi")
+        .join(alive, col("doc_b") === col("u"), "left_semi")
+        .localCheckpoint()
+    }
+    e.select(col("doc_a").as("u")).union(e.select(col("doc_b").as("u")))
+      .groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .select(col("u").as("doc_id"), col("deg"))
+  }
+
   /** Multi-source BFS hop levels over an undirected `(doc_a, doc_b)` pair
     * graph: every node reachable from a seed within `maxIters` hops gets
     * its minimum hop distance. Frontier expansion, not all-pairs: each

@@ -23,6 +23,8 @@ object DedupQueries {
   val MaxHamming = 3  // ≤3 with 4 byte-bands ⇒ banding is EXACT (pigeonhole: some band survives)
   val PageRankIters = 3
   val EditK = 4  // PassJoin threshold: k+1 segments, min doc length 47 ≫ 5
+  val KCoreK = 3      // k-core threshold (d25)
+  val KCoreRounds = 3 // fixed peel rounds, unrolled in the oracle
 
   private def docs(s: SparkSession, d: String) =
     Tables.fanout(Tables.documents(s, d))
@@ -535,6 +537,23 @@ object DedupQueries {
       bfsLevels(edges, seeds, maxIters = 6).orderBy(col("doc_id"))
     }),
 
+    // k-core peeling (bounded rounds): the dense-subgraph membership
+    // signal over the SimHash near-dup graph — nodes surviving the k=3
+    // peel belong to template families where EVERY member has ≥3 similar
+    // peers (chains and stars peel away; d8's triangles count closure,
+    // this isolates the mutually-dense cores a curation pass samples
+    // down). Residual per-node degree after KCoreRounds rounds; fixed
+    // rounds ⇒ the DuckDB oracle is the same peel unrolled as CTEs.
+    // Bench-excluded like d13/d15: iterative driver loop, run after d7's
+    // component collapse in a real pipeline.
+    "d25_kcore" -> ((s, d) => {
+      val ds = docs(s, d)
+      val df = ds.withColumn("hs", tokenHashes(tokens(col("text"))))
+      val edges = simhashPairs(simhashBands(df, simhash32(col("hs"))),
+        MaxHamming).select(col("doc_a"), col("doc_b"))
+      kcoreResidual(edges, KCoreK, KCoreRounds).orderBy(col("doc_id"))
+    }),
+
     // PageRank UNDER THE ORACLE GATE: integer parts-per-billion fixed
     // point makes every iteration bit-exact and summation-order-free
     // (pageRank's double form is spec-only for exactly that reason), so
@@ -980,6 +999,42 @@ object DedupQueries {
 
   /** d5's edge CTEs + a recursive min-hop BFS; the lvl < 6 cap mirrors the
     * Spark side's maxIters and bounds the recursion on cyclic graphs. */
+  /** [[graft.ops.DedupOps.kcoreResidual]]'s peel unrolled: the d5 edge
+    * CTEs as e0, then KCoreRounds × (degree over both endpoints → keep
+    * nodes with deg ≥ k → keep edges whose endpoints both survive), and
+    * the residual degree readout. All counts are BIGINT in both engines. */
+  private val dkKcore: String = {
+    val rounds = (1 to KCoreRounds).map { i =>
+      s"""d$i AS (
+         |  SELECT u, COUNT(*) AS deg FROM (
+         |    SELECT doc_a AS u FROM e${i - 1}
+         |    UNION ALL SELECT doc_b FROM e${i - 1})
+         |  GROUP BY u),
+         |k$i AS (SELECT u FROM d$i WHERE deg >= $KCoreK),
+         |e$i AS (
+         |  SELECT doc_a, doc_b FROM e${i - 1}
+         |  WHERE doc_a IN (SELECT u FROM k$i)
+         |    AND doc_b IN (SELECT u FROM k$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h AS (SELECT doc_id, $dkTokenHashes AS hs FROM documents),
+       |sh AS (SELECT doc_id, $dkSimhashExpr AS simhash FROM h),
+       |bands AS (
+       |  SELECT doc_id, simhash, b.band_idx,
+       |         (simhash >> (b.band_idx * 8)) & 255 AS band_val
+       |  FROM sh, (SELECT unnest([0,1,2,3]) AS band_idx) b),
+       |e0 AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+       |   AND l.doc_id < r.doc_id
+       |  WHERE bit_count(xor(l.simhash, r.simhash)) <= $MaxHamming),
+       |$rounds
+       |SELECT u AS doc_id, COUNT(*) AS deg FROM (
+       |  SELECT doc_a AS u FROM e$KCoreRounds
+       |  UNION ALL SELECT doc_b FROM e$KCoreRounds)
+       |GROUP BY u ORDER BY doc_id""".stripMargin
+  }
+
   private val dkBfsLevels: String =
     s"""WITH RECURSIVE h AS (SELECT doc_id, $dkTokenHashes AS hs FROM documents),
        |sh AS (SELECT doc_id, $dkSimhashExpr AS simhash FROM h),
@@ -1069,6 +1124,7 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "d14_decontaminate" -> dkDecontaminate,
     "d13_bfs_levels" -> dkBfsLevels,
+    "d25_kcore" -> dkKcore,
     "d15_pagerank" -> dkPageRankSql("1000000000", "150000000"),
     "d19_lsh_quality" -> dkLshQuality,
     // d2's LSH-candidate CTEs with the diagonal run-length tail

@@ -487,6 +487,38 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    // Extraction from Individual Documents"): candidate phrases are the
+    // maximal stopword-free token runs; a word's degree is Σ len(phrase)
+    // over its phrase occurrences, its score deg/freq (integer ppm — the
+    // t24 div discipline, so both engines agree bit-for-bit). The corpus
+    // keyword table a curation pipeline derives topic/domain labels from.
+    // Plan at 100 TB: one explode, then phrase segmentation is a per-doc
+    // running count (window keyed by doc_id — skew equals doc-length skew);
+    // phrase lengths join back on (doc_id, grp), i.e. within the same key
+    // space, and the final word rollup is vocab-bounded with map-side
+    // combine. Nothing is quadratic; no state outlives its doc except the
+    // vocab-sized word table.
+    "t33_rake_keywords" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val nonStop = toks
+        .withColumn("grp",
+          sum(when(col("tok").isin(stopwords: _*), 1L).otherwise(0L)).over(w))
+        .filter(!col("tok").isin(stopwords: _*))
+      val phrases = nonStop.groupBy(col("doc_id"), col("grp"))
+        .agg(count(lit(1)).as("phrase_len"))
+      nonStop.join(phrases, Seq("doc_id", "grp"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("freq"), sum(col("phrase_len")).as("deg"))
+        .withColumn("score_ppm", expr("deg * 1000000L div freq"))
+        .select(col("tok"), col("freq"), col("deg"), col("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("tok"))
+        .limit(50)
+    }),
+
     // Sub-document exact dedup at chunk granularity (registered d24): the
     // paragraph-level pass of a CCNet-shaped curation pipeline (Wenzek et
     // al. 2020 dedups on paragraph hashes; here the unit is t17's
@@ -1077,6 +1109,31 @@ object TextQueries {
          |    * 1000000 AS BIGINT)
          |    // CAST(sum(c) FILTER (n = 3) AS BIGINT) AS dup3_ppm
          |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t33_rake_keywords" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, $dkToks AS toks FROM documents),
+         |pos AS (
+         |  SELECT doc_id, unnest(toks) AS tok,
+         |         generate_subscripts(toks, 1) AS pos
+         |  FROM base),
+         |g AS (
+         |  SELECT doc_id, tok, pos,
+         |    SUM(CASE WHEN tok IN ${dkWordSet(stopwords)} THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM pos),
+         |nw AS (
+         |  SELECT doc_id, tok, grp FROM g
+         |  WHERE tok NOT IN ${dkWordSet(stopwords)}),
+         |ph AS (
+         |  SELECT doc_id, grp, COUNT(*) AS phrase_len
+         |  FROM nw GROUP BY doc_id, grp),
+         |wd AS (
+         |  SELECT nw.tok, COUNT(*) AS freq,
+         |         CAST(SUM(ph.phrase_len) AS BIGINT) AS deg
+         |  FROM nw JOIN ph ON ph.doc_id = nw.doc_id AND ph.grp = nw.grp
+         |  GROUP BY nw.tok)
+         |SELECT tok, freq, deg, (deg * 1000000) // freq AS score_ppm
+         |FROM wd ORDER BY score_ppm DESC, tok LIMIT 50""".stripMargin,
     "d24_chunk_dedup" ->
       s"""WITH t AS (
          |  SELECT doc_id, $dkToks AS toks FROM documents),

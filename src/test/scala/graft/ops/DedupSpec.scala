@@ -111,6 +111,25 @@ class DedupSpec extends SparkSpecBase {
     assert(out(5L) == ((0L, 5L)), "isolated node keeps itself")
   }
 
+  test("kcore peel: triangle survives k=2, chain peels away; k monotone") {
+    // triangle {1,2,3} + pendant chain 3-4-5: at k=2 the chain peels off
+    // over successive rounds (4's degree drops to 1 only after 5 goes),
+    // the triangle is its own 2-core; at k=3 nothing survives.
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val core2 = kcoreResidual(pairs, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(core2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      s"triangle is the 2-core, every member at residual degree 2: $core2")
+    val core3 = kcoreResidual(pairs, k = 3, rounds = 3)
+    assert(core3.isEmpty, "no 3-core exists in a triangle+chain")
+    // k=1 with any rounds is the identity on a graph with no repeats
+    val core1 = kcoreResidual(pairs, k = 1, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(core1.keySet == Set(1L, 2L, 3L, 4L, 5L),
+      "k=1 peels nothing on a connected graph")
+  }
+
   test("pagerank: hubs outrank leaves, isolated nodes sit at 1-d") {
     // star 1..5 centered on 2, plus the 7-9 pair and isolated 5... keys:
     // star {1,2,3,4} hub 2; pair {7,9}; isolated {5}
