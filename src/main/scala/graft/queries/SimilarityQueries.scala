@@ -258,6 +258,21 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVFADC end-to-end: n7's trained coarse quantizer gates the scan to
+    // nprobe=2 inverted lists, n11b's trained PQ codes + per-query ADC
+    // tables score the survivors — the composition every billion-scale
+    // vector store actually serves (coarse gate bounds WHAT is scored,
+    // PQ bounds WHAT EACH COSTS). Oracle = the unrolled Lloyd chains of
+    // both trainings + the probe-gated ADC join.
+    "n14_ivfpq" -> ((s, d) => {
+      val v = vecs(s, d)
+      val (cents, assigned) = kmeansFit(v, KmK, KmIters)
+      val centroids = cents.select(col("cid").as("list_id"),
+        col("cent").as("centroid"))
+      ivfPqTopK(v, assigned.select(col("id"), col("cluster")), centroids,
+        trainedCodebooks(v), K, nprobe = 2)
+    }),
+
     // Cross-modal retrieval serving join (registered m6): ANN neighbors
     // resolved back to document metadata — embeddings and documents share
     // the id space (vec_id = doc_id), so the top-k result set (k·|queries|
@@ -331,22 +346,30 @@ object SimilarityQueries {
     * codebooks with dropped clusters stay dense) and rank ADC distances:
     * per-query distance tables broadcast as array columns, scoring = 4
     * lookups + 3 adds. */
+  /** Argmin PQ code for subspace `m` (ties to the lower codebook position). */
+  private def pqEncodeCol(cbs: Seq[Seq[(Long, Seq[Double], Double)]],
+      m: Int): Column = {
+    val sn2 = norm2(pqSub(m))
+    least(cbs(m).zipWithIndex.map { case ((_, cent, cn2), pos) =>
+      struct(((sn2 + lit(cn2)) - lit(2.0) * dot(pqSub(m), typedLit(cent)))
+        .as("d2"), lit(pos.toLong).as("cid"))
+    }: _*).getField("cid")
+  }
+
+  /** Per-query ADC distance table for subspace `m` as an array column. */
+  private def pqAdcArr(cbs: Seq[Seq[(Long, Seq[Double], Double)]],
+      m: Int): Column = {
+    val sn2 = norm2(pqSub(m))
+    array(cbs(m).map { case (_, cent, cn2) =>
+      (sn2 + lit(cn2)) - lit(2.0) * dot(pqSub(m), typedLit(cent))
+    }: _*)
+  }
+
   private[graft] def pqAdcTopK(v: DataFrame,
       cbs: Seq[Seq[(Long, Seq[Double], Double)]]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def encodeCol(m: Int): Column = {
-      val sn2 = norm2(pqSub(m))
-      least(cbs(m).zipWithIndex.map { case ((_, cent, cn2), pos) =>
-        struct(((sn2 + lit(cn2)) - lit(2.0) * dot(pqSub(m), typedLit(cent)))
-          .as("d2"), lit(pos.toLong).as("cid"))
-      }: _*).getField("cid")
-    }
-    def adcArr(m: Int): Column = {
-      val sn2 = norm2(pqSub(m))
-      array(cbs(m).map { case (_, cent, cn2) =>
-        (sn2 + lit(cn2)) - lit(2.0) * dot(pqSub(m), typedLit(cent))
-      }: _*)
-    }
+    def encodeCol(m: Int): Column = pqEncodeCol(cbs, m)
+    def adcArr(m: Int): Column = pqAdcArr(cbs, m)
     val codes = v.select(col("id").as("vid"),
       encodeCol(0).as("c0"), encodeCol(1).as("c1"),
       encodeCol(2).as("c2"), encodeCol(3).as("c3"))
@@ -361,6 +384,52 @@ object SimilarityQueries {
         element_at(col("a3"), col("c3").cast("int") + 1))
     val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= K)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("vid").as("vec_id"), round(col("adc"), 6).as("adc_dist2"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVFADC (Jégou et al. 2011, "Product Quantization for Nearest
+    * Neighbor Search" §IV): the full billion-scale serving stack — coarse
+    * quantizer gates the scan to nprobe inverted lists (n7), PQ codes +
+    * per-query ADC tables score what's left (n11b). Candidates touch
+    * nprobe/nlists of the corpus AND each costs 4 lookups + 3 adds, with
+    * raw vectors appearing nowhere in the serving path: the probe frame
+    * (queries × ADC arrays × probed list ids) broadcasts into the 4-byte
+    * code scan, which at scale is partition-pruned by list id. Self
+    * excluded (n7's serving contract). */
+  private[graft] def ivfPqTopK(v: DataFrame, assigned: DataFrame,
+      centroids: DataFrame, cbs: Seq[Seq[(Long, Seq[Double], Double)]],
+      k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codes = v.join(assigned.select(col("id"), col("cluster").as("list_id")), "id")
+      .select(col("id").as("vid"), col("list_id"),
+        pqEncodeCol(cbs, 0).as("c0"), pqEncodeCol(cbs, 1).as("c1"),
+        pqEncodeCol(cbs, 2).as("c2"), pqEncodeCol(cbs, 3).as("c3"))
+    val q = v.filter(col("id") < NumQueries).select(col("id").as("qid"),
+      col("emb").as("q_emb"),
+      pqAdcArr(cbs, 0).as("a0"), pqAdcArr(cbs, 1).as("a1"),
+      pqAdcArr(cbs, 2).as("a2"), pqAdcArr(cbs, 3).as("a3"))
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("c_cos").desc, col("p_list"))
+    val probes = q.crossJoin(broadcast(
+        centroids.select(col("list_id").as("p_list"), col("centroid"))))
+      .withColumn("c_cos", graft.functions.VectorExpressions.cosine_sim(
+        col("q_emb"), col("centroid")))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("a0"), col("a1"), col("a2"), col("a3"),
+        col("p_list"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vid"))
+    codes.join(broadcast(probes),
+        col("list_id") === col("p_list") && col("vid") =!= col("qid"))
+      .withColumn("adc",
+        element_at(col("a0"), col("c0").cast("int") + 1) +
+        element_at(col("a1"), col("c1").cast("int") + 1) +
+        element_at(col("a2"), col("c2").cast("int") + 1) +
+        element_at(col("a3"), col("c3").cast("int") + 1))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
       .select(col("qid").as("query_id"), col("rank"),
         col("vid").as("vec_id"), round(col("adc"), 6).as("adc_dist2"))
       .orderBy(col("query_id"), col("rank"))
@@ -477,7 +546,7 @@ object SimilarityQueries {
     * the TRAINED codebooks. Encode ties break on (d2, cid); Spark ties
     * break on sorted-by-cid position — order-isomorphic, so both engines
     * pick the same centroid, and only (vec_id, adc) surfaces anyway. */
-  private def dkPqTrained: String = {
+  private def dkPqChains: String = {
     def assign(m: Int, cent: String, out: String) =
       s"""$out AS (
          |  SELECT id, cluster, d2 FROM (
@@ -515,11 +584,7 @@ object SimilarityQueries {
     val cbUnion = (0 until PqM).map { m =>
       s"SELECT $m AS m, cid, cent AS csv, ${n2of("cent")} AS cn2 FROM cent${KmIters}_$m"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH v AS (
-       |  SELECT vec_id AS id,
-       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-       |  FROM embeddings),
-       |$chains,
+    s"""$chains,
        |ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
        |sub AS (SELECT id, m, v.emb[m*16 + 1 : (m + 1)*16] AS sv FROM v, ms),
        |sn AS (SELECT id, m, sv,
@@ -544,7 +609,17 @@ object SimilarityQueries {
        |        max(CASE WHEN m = 2 THEN cid END) AS c2,
        |        max(CASE WHEN m = 3 THEN cid END) AS c3
        |        FROM enc GROUP BY id),
-       |ql AS (SELECT id AS qid, m, cid, d2 FROM l WHERE id < $NumQueries),
+       |ql AS (SELECT id AS qid, m, cid, d2 FROM l WHERE id < $NumQueries)""".stripMargin
+  }
+
+  /** Trained-PQ mirror body (see the n11b scaladoc above dkPqChains' old
+    * site): v + the per-subspace chains + full-corpus ADC rank. */
+  private def dkPqTrained: String =
+    s"""WITH v AS (
+       |  SELECT vec_id AS id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |$dkPqChains,
        |adc AS (SELECT q0.qid, cd.vid,
        |        (((q0.d2 + q1.d2) + q2.d2) + q3.d2) AS adc
        |        FROM codes cd
@@ -556,10 +631,47 @@ object SimilarityQueries {
        |  SELECT qid AS query_id, vid AS vec_id, adc,
        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vid) AS rank
        |  FROM adc) WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
-  }
+
+  /** n14's mirror: [[dkKmeansCtes]] (coarse quantizer — defines v, the
+    * cent0..cent2 Lloyd chain and afinal) + [[dkPqChains]] (per-subspace
+    * PQ trainings, codes, per-query ADC tables; CTE names are disjoint by
+    * construction: the PQ chain suffixes everything `_m`) + the probe-
+    * gated ADC join. Probe selection mirrors dkIvfKmeans (cosine DESC,
+    * ties to the smaller list id); self excluded on both sides. */
+  private def dkIvfPq: String =
+    s"""WITH $dkKmeansCtes,
+       |$dkPqChains,
+       |probe_scored AS (
+       |  SELECT q.id AS qid, ct.cid AS p_list,
+       |    ${dot2("q.emb", "ct.cent")}
+       |    / sqrt(${n2of("q.emb")} * ${n2of("ct.cent")}) AS c_cos
+       |  FROM v q, cent$KmIters ct WHERE q.id < $NumQueries),
+       |probes AS (
+       |  SELECT qid, p_list FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY c_cos DESC, p_list) AS pr
+       |    FROM probe_scored) WHERE pr <= 2),
+       |gated AS (
+       |  SELECT p.qid, af.id AS vid
+       |  FROM probes p JOIN afinal af ON af.cluster = p.p_list
+       |  WHERE af.id <> p.qid),
+       |adcg AS (
+       |  SELECT g.qid, g.vid,
+       |    (((q0.d2 + q1.d2) + q2.d2) + q3.d2) AS adc
+       |  FROM gated g
+       |  JOIN codes cd ON cd.vid = g.vid
+       |  JOIN ql q0 ON q0.qid = g.qid AND q0.m = 0 AND q0.cid = cd.c0
+       |  JOIN ql q1 ON q1.qid = g.qid AND q1.m = 1 AND q1.cid = cd.c1
+       |  JOIN ql q2 ON q2.qid = g.qid AND q2.m = 2 AND q2.cid = cd.c2
+       |  JOIN ql q3 ON q3.qid = g.qid AND q3.m = 3 AND q3.cid = cd.c3)
+       |SELECT query_id, rank, vec_id, round(adc, 6) AS adc_dist2 FROM (
+       |  SELECT qid AS query_id, vid AS vec_id, adc,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vid) AS rank
+       |  FROM adcg) WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "n11b_pq_trained" -> dkPqTrained,
+    "n14_ivfpq" -> dkIvfPq,
     "n8_quantize" ->
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

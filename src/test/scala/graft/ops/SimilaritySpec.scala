@@ -334,4 +334,37 @@ class SimilaritySpec extends SparkSpecBase {
     val removed = semPairs.select("removed_id").as[Long].collect().toSet
     assert(removed == within.map(_._2), "removed set = {larger ids of τ-pairs}")
   }
+
+  test("n14 IVFADC: results confined to probed lists, self-free, ADC-ordered") {
+    import graft.queries.SimilarityQueries.{KmK, KmIters, NumQueries}
+    val (cents, assigned) = kmeansFit(vecs, KmK, KmIters)
+    val out = graft.SparkEntry.queries("n14_ivfpq")(spark, sfDir)
+      .select("query_id", "rank", "vec_id", "adc_dist2")
+      .as[(Long, Int, Long, Double)].collect()
+    val cluster = assigned.select(col("id"), col("cluster"))
+      .as[(Long, Long)].collect().toMap
+    // per-query probed lists: top-2 centroid cosine, ties to smaller cid —
+    // recomputed here independently of the serving path
+    val cent = cents.select(col("cid"), col("cent"))
+      .as[(Long, Seq[Double])].collect()
+    val q = vecs.filter(col("id") < NumQueries)
+      .as[(Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val probed = q.map { case (qid, emb) =>
+      qid -> cent.map { case (cid, c) => (cos(emb, c), cid) }
+        .sortBy { case (cs, cid) => (-cs, cid) }.take(2).map(_._2).toSet
+    }.toMap
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.forall(_._3 != qid), "self must be excluded")
+      assert(rows.forall(r => probed(qid).contains(cluster(r._3))),
+        s"q$qid returned a vector outside its probed lists")
+      val byRank = rows.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b },
+        "ADC distance must be non-decreasing in rank")
+    }
+  }
 }
