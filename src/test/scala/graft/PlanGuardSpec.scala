@@ -42,6 +42,16 @@ class PlanGuardSpec extends SparkSpecBase {
       s"n1 must broadcast the query block:\n$ann")
   }
 
+  test("n14 broadcasts the probe frame into the code scan, never the reverse") {
+    // IVFADC's entire point is that the corpus side is a 4-byte-code scan
+    // gated by a tiny broadcast (queries × ADC arrays × probed lists). A
+    // plan that shuffles the code side to meet the probes has reintroduced
+    // the full-corpus exchange PQ exists to avoid.
+    val p = planOf("n14_ivfpq")
+    assert(p.contains("BroadcastHashJoin"),
+      s"n14's probe-gate join must broadcast:\n$p")
+  }
+
   test("q73 samples through a bounded aggregator, not a per-stratum window sort") {
     // The point of q73 is that k-per-stratum sampling merges ≤k-row
     // buffers map-side; a regression to the row_number() formulation

@@ -182,6 +182,36 @@ class DedupSpec extends SparkSpecBase {
       s"mass decays with distance from the seed, symmetrically: $ppr")
   }
 
+  test("pagerank on the corpus near-dup graph: mass bounds and L1 contraction") {
+    // NEXT.md open item: the double-form pageRank on the REAL near-dup
+    // graph (sf0.001). Two math invariants that hold for any graph:
+    //   mass: N(1-d) ≤ Σ rank ≤ N (dangling/isolated nodes leak, never add)
+    //   contraction: ‖r_{k+1}−r_k‖₁ ≤ d·‖r_k−r_{k−1}‖₁ (power iteration
+    //   through a substochastic transfer matrix contracts in L1 by ≥ d)
+    val ds = graft.Tables.documents(spark, sfDir).select(col("doc_id"))
+    val df = graft.Tables.documents(spark, sfDir)
+      .withColumn("hs", tokenHashes(tokens(col("text"))))
+    val edges = simhashPairs(simhashBands(df, simhash32(col("hs"))), 3)
+      .select(col("doc_a"), col("doc_b"))
+    val n = ds.count().toDouble
+    val d = 0.85
+    val byIter = (1 to 3).map(k =>
+      pageRank(edges, ds, iters = k).as[(Long, Double)].collect().toMap)
+    byIter.foreach { r =>
+      val mass = r.values.sum
+      assert(mass <= n + 1e-6 && mass >= n * (1 - d) - 1e-6,
+        s"rank mass $mass outside [${n * (1 - d)}, $n]")
+    }
+    val r0 = byIter.head.keys.map(_ -> 1.0).toMap
+    def l1(a: Map[Long, Double], b: Map[Long, Double]): Double =
+      a.keys.map(k => math.abs(a(k) - b(k))).sum
+    val deltas = Seq(l1(byIter(0), r0), l1(byIter(1), byIter(0)),
+      l1(byIter(2), byIter(1)))
+    assert(deltas(1) <= d * deltas(0) + 1e-9 &&
+      deltas(2) <= d * deltas(1) + 1e-9,
+      s"L1 deltas must contract by ≥ d per iteration: $deltas")
+  }
+
   test("ppjoin prefix-filtered pairs equal the exhaustive exact-Jaccard join") {
     import graft.Tables
     val docs = Tables.documents(spark, sfDir)
