@@ -1522,8 +1522,66 @@ object RelationalQueries {
           ok(90, "le90", "lt90").as("ok90"),
           ok(99, "le99", "lt99").as("ok99"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Linear multi-touch attribution: every view/click in the 7 days
+    // before a purchase shares the conversion credit equally, in integer
+    // basis points (10000 div n per touch, remainder to the LAST touch so
+    // per-purchase credit sums to exactly 10000 — auditability is the
+    // point of an attribution table). The as-of family (q44/q45) picks
+    // ONE touch; marketing mix models want them all. Scale shape: the
+    // touch↔purchase join is user-keyed with a 7-day band — fan-out is
+    // per-user activity², bounded by the window (salt hot users with q62,
+    // band time with q37 if a user's week is still too hot); both windows
+    // repartition on purchase_id only.
+    "q75_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"), col("ts").as("pts"))
+      val touches = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id").as("t_user"), col("event_id").as("touch_id"),
+          col("event_type").as("touch_type"), col("ts").as("tts"))
+      val w = Window.partitionBy(col("purchase_id"))
+        .orderBy(col("tts"), col("touch_id"))
+      val wn = Window.partitionBy(col("purchase_id"))
+      purchases.join(touches,
+          col("p_user") === col("t_user") && col("tts") <= col("pts") &&
+            col("tts") > col("pts") - expr("INTERVAL 7 DAYS"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .withColumn("n_touches", count(lit(1)).over(wn))
+        .withColumn("credit_bp", expr(
+          "CASE WHEN pos = n_touches THEN 10000 - (n_touches - 1) * (10000 div n_touches) " +
+          "ELSE 10000 div n_touches END"))
+        .select(col("purchase_id"), col("pos"), col("touch_id"),
+          col("touch_type"), col("n_touches"), col("credit_bp"))
+        .orderBy(col("purchase_id"), col("pos"))
     })
   )
+
+  private val dkAttribution: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id AS purchase_id, ts::TIMESTAMP AS pts
+      |  FROM events WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+      |         ts::TIMESTAMP AS tts
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |j AS (
+      |  SELECT p.purchase_id, t.touch_id, t.touch_type, t.tts
+      |  FROM p JOIN t ON t.user_id = p.user_id
+      |    AND t.tts <= p.pts AND t.tts > p.pts - INTERVAL 7 DAY),
+      |r AS (
+      |  SELECT purchase_id, touch_id, touch_type,
+      |    ROW_NUMBER() OVER (PARTITION BY purchase_id
+      |                       ORDER BY tts, touch_id) AS pos,
+      |    COUNT(*) OVER (PARTITION BY purchase_id) AS n_touches
+      |  FROM j)
+      |SELECT purchase_id, pos, touch_id, touch_type, n_touches,
+      |  CASE WHEN pos = n_touches
+      |       THEN 10000 - (n_touches - 1) * (10000 // n_touches)
+      |       ELSE 10000 // n_touches END AS credit_bp
+      |FROM r ORDER BY purchase_id, pos""".stripMargin
 
   /** The merged-customer state after q54's change-set applies (no ORDER BY
     * so q61 can embed it as a version CTE). */
@@ -2393,6 +2451,7 @@ object RelationalQueries {
         |  FROM documents)
         |SELECT lang, rank, doc_id FROM r WHERE rank <= 5
         |ORDER BY lang, rank""".stripMargin,
+    "q75_attribution" -> dkAttribution,
     "q74_approx_quantile_eval" ->
       """WITH r AS (
         |  SELECT l_returnflag, l_quantity,

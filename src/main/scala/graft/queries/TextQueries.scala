@@ -519,6 +519,37 @@ object TextQueries {
         .limit(50)
     }),
 
+    // Vocabulary-growth curve (Heaps' law measurement): distinct-token
+    // count at each decile prefix of the corpus — the tokenizer-sizing /
+    // corpus-diversity diagnostic (sub-linear growth = healthy natural
+    // text; near-linear = id/hash pollution inflating the vocab). The
+    // scale formulation is the point: NOT 10 count-distincts over 10
+    // prefixes (10 full scans), but ONE vocab-bounded first-occurrence
+    // agg (min doc_id per token) + ONE per-doc token count, each joined
+    // against the broadcast 10-row threshold table on an inequality —
+    // the fan-out is ×10 on vocab-sized and doc-count-sized tables, and
+    // the token stream is scanned once.
+    "t34_vocab_growth" -> ((s, d) => {
+      val docs = Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val th = docs.agg(count(lit(1)).as("n_docs"))
+        .select(explode(sequence(lit(1L), lit(10L))).as("decile"), col("n_docs"))
+        .select(col("decile"), expr("decile * n_docs div 10").as("cutoff"))
+      val firsts = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+      val vocab = firsts.join(broadcast(th), col("first_doc") < col("cutoff"))
+        .groupBy(col("decile"), col("cutoff"))
+        .agg(count(lit(1)).as("prefix_vocab"))
+      val toksAt = docs.select(col("doc_id"), size(col("toks")).cast("long").as("nt"))
+        .join(broadcast(th), col("doc_id") < col("cutoff"))
+        .groupBy(col("decile"), col("cutoff"))
+        .agg(sum(col("nt")).as("prefix_tokens"))
+      toksAt.join(vocab, Seq("decile", "cutoff"))
+        .select(col("decile"), col("cutoff"), col("prefix_tokens"),
+          col("prefix_vocab"))
+        .orderBy(col("decile"))
+    }),
+
     // Sub-document exact dedup at chunk granularity (registered d24): the
     // paragraph-level pass of a CCNet-shaped curation pipeline (Wenzek et
     // al. 2020 dedups on paragraph hashes; here the unit is t17's
@@ -1134,6 +1165,29 @@ object TextQueries {
          |  GROUP BY nw.tok)
          |SELECT tok, freq, deg, (deg * 1000000) // freq AS score_ppm
          |FROM wd ORDER BY score_ppm DESC, tok LIMIT 50""".stripMargin,
+    "t34_vocab_growth" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, $dkToks AS toks FROM documents),
+         |n AS (SELECT COUNT(*) AS n_docs FROM docs),
+         |th AS (
+         |  SELECT u.d AS decile, (u.d * n_docs) // 10 AS cutoff
+         |  FROM n, (SELECT unnest(generate_series(1, 10)) AS d) u),
+         |firsts AS (
+         |  SELECT tok, min(doc_id) AS first_doc
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM docs)
+         |  GROUP BY tok),
+         |vocab AS (
+         |  SELECT th.decile, th.cutoff, COUNT(*) AS prefix_vocab
+         |  FROM firsts JOIN th ON firsts.first_doc < th.cutoff
+         |  GROUP BY th.decile, th.cutoff),
+         |toks_at AS (
+         |  SELECT th.decile, th.cutoff,
+         |         CAST(SUM(len(docs.toks)) AS BIGINT) AS prefix_tokens
+         |  FROM docs JOIN th ON docs.doc_id < th.cutoff
+         |  GROUP BY th.decile, th.cutoff)
+         |SELECT t.decile, t.cutoff, t.prefix_tokens, v.prefix_vocab
+         |FROM toks_at t JOIN vocab v USING (decile, cutoff)
+         |ORDER BY t.decile""".stripMargin,
     "d24_chunk_dedup" ->
       s"""WITH t AS (
          |  SELECT doc_id, $dkToks AS toks FROM documents),
