@@ -258,6 +258,17 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Residual-encoded IVFADC (what FAISS's IndexIVFPQ stores): n14 with
+    // PQ trained on v − centroid(v) and per-(query, probed-list) residual
+    // ADC tables — the coarse quantizer absorbs the coarse structure, so
+    // the 16 codewords model a tighter distribution. See ivfPqResidualTopK.
+    "n14b_ivfpq_residual" -> ((s, d) => {
+      val v = vecs(s, d)
+      val (cents, assigned) = kmeansFit(v, KmK, KmIters)
+      ivfPqResidualTopK(v, assigned.select(col("id"), col("cluster")),
+        cents, K, nprobe = 2)
+    }),
+
     // IVFADC end-to-end: n7's trained coarse quantizer gates the scan to
     // nprobe=2 inverted lists, n11b's trained PQ codes + per-query ADC
     // tables score the survivors — the composition every billion-scale
@@ -435,6 +446,58 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Residual-encoded IVFADC (Jégou et al. 2011 §IV.B — what FAISS's
+    * IndexIVFPQ actually stores): PQ codes quantize `v − centroid(v)`
+    * instead of `v`, and each query builds a distance table PER PROBED
+    * LIST from its own residual `q − centroid(list)`. Residuals
+    * concentrate near 0 once the coarse quantizer has captured the
+    * coarse structure, so the same 4-byte budget spends its 16 codewords
+    * on a tighter distribution. Costs one extra broadcast-join on the
+    * build side (8-row centroid table) and nprobe× the ADC tables on the
+    * query side; the scan stays 4-byte codes gated by a broadcast. */
+  private[graft] def ivfPqResidualTopK(v: DataFrame, assigned: DataFrame,
+      cents: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centB = broadcast(cents.select(col("cid").as("cluster"),
+      col("cent")))
+    val rv = v.join(assigned.select(col("id"), col("cluster")), "id")
+      .join(centB, "cluster")
+      .select(col("id"), col("cluster").as("list_id"),
+        zip_with(col("emb"), col("cent"), (a, b) => a - b).as("emb"))
+    val cbs = trainedCodebooks(rv.select(col("id"), col("emb")))
+    val codes = rv.select(col("id").as("vid"), col("list_id"),
+      pqEncodeCol(cbs, 0).as("c0"), pqEncodeCol(cbs, 1).as("c1"),
+      pqEncodeCol(cbs, 2).as("c2"), pqEncodeCol(cbs, 3).as("c3"))
+    val q = v.filter(col("id") < NumQueries)
+      .select(col("id").as("qid"), col("emb").as("q_emb"))
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("c_cos").desc, col("p_list"))
+    val probes = q.crossJoin(broadcast(cents.select(
+        col("cid").as("p_list"), col("cent").as("centroid"))))
+      .withColumn("c_cos", graft.functions.VectorExpressions.cosine_sim(
+        col("q_emb"), col("centroid")))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .withColumn("emb",
+        zip_with(col("q_emb"), col("centroid"), (a, b) => a - b))
+      .select(col("qid"), col("p_list"),
+        pqAdcArr(cbs, 0).as("a0"), pqAdcArr(cbs, 1).as("a1"),
+        pqAdcArr(cbs, 2).as("a2"), pqAdcArr(cbs, 3).as("a3"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vid"))
+    codes.join(broadcast(probes),
+        col("list_id") === col("p_list") && col("vid") =!= col("qid"))
+      .withColumn("adc",
+        element_at(col("a0"), col("c0").cast("int") + 1) +
+        element_at(col("a1"), col("c1").cast("int") + 1) +
+        element_at(col("a2"), col("c2").cast("int") + 1) +
+        element_at(col("a3"), col("c3").cast("int") + 1))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("vid").as("vec_id"), round(col("adc"), 6).as("adc_dist2"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private val dkDot =
     """list_reduce(list_prepend(0.0::DOUBLE,
       |    list_transform(generate_series(1, len(a.emb)),
@@ -546,7 +609,13 @@ object SimilarityQueries {
     * the TRAINED codebooks. Encode ties break on (d2, cid); Spark ties
     * break on sorted-by-cid position — order-isomorphic, so both engines
     * pick the same centroid, and only (vec_id, adc) surfaces anyway. */
-  private def dkPqChains: String = {
+  /** Per-subspace PQ training + encode CTE chain over base relation
+    * `base` (id, emb): sv_m subspace slices, unrolled Lloyd per subspace,
+    * cb codebooks, l all-pairs subspace distances, enc argmin codes,
+    * codes pivoted, ql per-query distance tables (from `base`'s own
+    * vectors — the residual variant builds its own probe-relative
+    * tables). */
+  private def dkPqChains(base: String = "v"): String = {
     def assign(m: Int, cent: String, out: String) =
       s"""$out AS (
          |  SELECT id, cluster, d2 FROM (
@@ -575,8 +644,8 @@ object SimilarityQueries {
         assign(m, if (i == 1) s"cent0_$m" else s"cent${i - 1}_$m", s"a${i}_$m") +
           ",\n" + update(m, s"a${i}_$m", i)
       }.mkString(",\n")
-      s"""sv$m AS (SELECT id, v.emb[${m * PqSubDims} + 1 :
-         |  ${(m + 1) * PqSubDims}] AS emb FROM v),
+      s"""sv$m AS (SELECT id, $base.emb[${m * PqSubDims} + 1 :
+         |  ${(m + 1) * PqSubDims}] AS emb FROM $base),
          |cent0_$m AS (SELECT id AS cid, emb AS cent FROM sv$m
          |             WHERE id < $PqKsub),
          |$steps""".stripMargin
@@ -586,7 +655,7 @@ object SimilarityQueries {
     }.mkString("\n  UNION ALL\n  ")
     s"""$chains,
        |ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
-       |sub AS (SELECT id, m, v.emb[m*16 + 1 : (m + 1)*16] AS sv FROM v, ms),
+       |sub AS (SELECT id, m, $base.emb[m*16 + 1 : (m + 1)*16] AS sv FROM $base, ms),
        |sn AS (SELECT id, m, sv,
        |        list_reduce(list_prepend(0.0::DOUBLE,
        |          list_transform(sv, z -> z * z)), (p, q) -> p + q) AS n2
@@ -619,7 +688,7 @@ object SimilarityQueries {
        |  SELECT vec_id AS id,
        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings),
-       |$dkPqChains,
+       |${dkPqChains()},
        |adc AS (SELECT q0.qid, cd.vid,
        |        (((q0.d2 + q1.d2) + q2.d2) + q3.d2) AS adc
        |        FROM codes cd
@@ -640,7 +709,7 @@ object SimilarityQueries {
     * ties to the smaller list id); self excluded on both sides. */
   private def dkIvfPq: String =
     s"""WITH $dkKmeansCtes,
-       |$dkPqChains,
+       |${dkPqChains()},
        |probe_scored AS (
        |  SELECT q.id AS qid, ct.cid AS p_list,
        |    ${dot2("q.emb", "ct.cent")}
@@ -669,9 +738,68 @@ object SimilarityQueries {
        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vid) AS rank
        |  FROM adcg) WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  /** n14b's mirror: [[dkKmeansCtes]] + residual relation rv (v − its
+    * cluster's trained centroid, elementwise) + [[dkPqChains]] over rv +
+    * per-(query, probed-list) residual distance tables + the probe-gated
+    * ADC join. The chain's `ql` CTE (rv-based query tables) goes unused —
+    * the residual variant's query tables are probe-relative. */
+  private def dkIvfPqResidual: String =
+    s"""WITH $dkKmeansCtes,
+       |rv AS (
+       |  SELECT af.id, af.cluster AS list_id,
+       |    list_transform(generate_series(1, $Dims),
+       |      i -> v2.emb[i] - c.cent[i]) AS emb
+       |  FROM afinal af JOIN v v2 ON v2.id = af.id
+       |  JOIN cent$KmIters c ON c.cid = af.cluster),
+       |${dkPqChains("rv")},
+       |probe_scored AS (
+       |  SELECT q.id AS qid, ct.cid AS p_list, ct.cent,
+       |    ${dot2("q.emb", "ct.cent")}
+       |    / sqrt(${n2of("q.emb")} * ${n2of("ct.cent")}) AS c_cos
+       |  FROM v q, cent$KmIters ct WHERE q.id < $NumQueries),
+       |probes AS (
+       |  SELECT qid, p_list, cent FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY c_cos DESC, p_list) AS pr
+       |    FROM probe_scored) WHERE pr <= 2),
+       |qres AS (
+       |  SELECT p.qid, p.p_list,
+       |    list_transform(generate_series(1, $Dims),
+       |      i -> q.emb[i] - p.cent[i]) AS emb
+       |  FROM probes p JOIN v q ON q.id = p.qid),
+       |qsub AS (SELECT qid, p_list, m,
+       |         qres.emb[m*16 + 1 : (m + 1)*16] AS sv FROM qres, ms),
+       |qsn AS (SELECT qid, p_list, m, sv,
+       |        list_reduce(list_prepend(0.0::DOUBLE,
+       |          list_transform(sv, z -> z * z)), (p, q) -> p + q) AS n2
+       |       FROM qsub),
+       |qd AS (SELECT s.qid, s.p_list, s.m, c.cid,
+       |       (s.n2 + c.cn2) - 2.0 * list_reduce(list_prepend(0.0::DOUBLE,
+       |          list_transform(generate_series(1, 16),
+       |            i -> s.sv[i] * c.csv[i])), (x, y) -> x + y) AS d2
+       |      FROM qsn s JOIN cb c ON c.m = s.m),
+       |adcg AS (
+       |  SELECT q0.qid, cd.vid,
+       |    (((q0.d2 + q1.d2) + q2.d2) + q3.d2) AS adc
+       |  FROM codes cd
+       |  JOIN rv ON rv.id = cd.vid
+       |  JOIN qd q0 ON q0.p_list = rv.list_id AND q0.m = 0
+       |            AND q0.cid = cd.c0 AND cd.vid <> q0.qid
+       |  JOIN qd q1 ON q1.qid = q0.qid AND q1.p_list = rv.list_id
+       |            AND q1.m = 1 AND q1.cid = cd.c1
+       |  JOIN qd q2 ON q2.qid = q0.qid AND q2.p_list = rv.list_id
+       |            AND q2.m = 2 AND q2.cid = cd.c2
+       |  JOIN qd q3 ON q3.qid = q0.qid AND q3.p_list = rv.list_id
+       |            AND q3.m = 3 AND q3.cid = cd.c3)
+       |SELECT query_id, rank, vec_id, round(adc, 6) AS adc_dist2 FROM (
+       |  SELECT qid AS query_id, vid AS vec_id, adc,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vid) AS rank
+       |  FROM adcg) WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "n11b_pq_trained" -> dkPqTrained,
     "n14_ivfpq" -> dkIvfPq,
+    "n14b_ivfpq_residual" -> dkIvfPqResidual,
     "n8_quantize" ->
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

@@ -335,6 +335,58 @@ class SimilaritySpec extends SparkSpecBase {
     assert(removed == within.map(_._2), "removed set = {larger ids of τ-pairs}")
   }
 
+  test("n14b residual IVFADC: in-list recall vs raw-vector codes, measured") {
+    import graft.queries.SimilarityQueries
+    import graft.queries.SimilarityQueries.{KmK, KmIters, NumQueries}
+    // Ground truth RESTRICTED to each query's probed lists (the coarse
+    // gate is shared by n14 and n14b — only the code quality differs, so
+    // the in-gate comparison isolates exactly the residual-encoding
+    // claim). Recall here = |ADC top-10 ∩ exact in-gate top-10| / 10.
+    val (cents, assigned) = kmeansFit(vecs, KmK, KmIters)
+    val cluster = assigned.select(col("id"), col("cluster"))
+      .as[(Long, Long)].collect().toMap
+    val cent = cents.select(col("cid"), col("cent"))
+      .as[(Long, Seq[Double])].collect()
+    val all = vecs.as[(Long, Seq[Double])].collect()
+    val qs = all.filter(_._1 < NumQueries)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exactInGate = qs.map { case (qid, qemb) =>
+      val probed = cent.map { case (cid, c) => (cos(qemb, c), cid) }
+        .sortBy { case (cs, cid) => (-cs, cid) }.take(2).map(_._2).toSet
+      qid -> all.filter { case (id, _) =>
+          id != qid && probed.contains(cluster(id)) }
+        .map { case (id, e) => (d2(qemb, e), id) }
+        .sortBy(identity).take(10).map(_._2).toSet
+    }.toMap
+    def recall(name: String): Double = {
+      val got = SimilarityQueries.queries(name)(spark, sfDir)
+        .select(col("query_id"), col("vec_id")).as[(Long, Long)]
+        .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val hits = exactInGate.map { case (q, truth) =>
+        truth.intersect(got.getOrElse(q, Set.empty)).size }.sum
+      hits.toDouble / exactInGate.values.map(_.size).sum
+    }
+    val (raw, res) = (recall("n14_ivfpq"), recall("n14b_ivfpq_residual"))
+    info(f"IVFADC in-gate recall@10: raw-codes=$raw%.3f residual-codes=$res%.3f")
+    assert(res >= 0.25, s"residual IVFADC recall collapsed: $res")
+    // structural: per-query output confined to its probed lists, self-free
+    val out = SimilarityQueries.queries("n14b_ivfpq_residual")(spark, sfDir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    val probedOf = qs.map { case (qid, qemb) =>
+      qid -> cent.map { case (cid, c) => (cos(qemb, c), cid) }
+        .sortBy { case (cs, cid) => (-cs, cid) }.take(2).map(_._2).toSet
+    }.toMap
+    out.foreach { case (qid, vid) =>
+      assert(vid != qid && probedOf(qid).contains(cluster(vid)),
+        s"q$qid returned $vid outside its gate")
+    }
+  }
+
   test("n14 IVFADC: results confined to probed lists, self-free, ADC-ordered") {
     import graft.queries.SimilarityQueries.{KmK, KmIters, NumQueries}
     val (cents, assigned) = kmeansFit(vecs, KmK, KmIters)
