@@ -73,6 +73,7 @@ object Bench {
     "d11_containment", "d12_incremental_dedup",
     "d14_decontaminate", "d16_editdist_join", "d18_ngram_novelty",
     "d20_ppjoin", "d22_quote_runs", "d23_semdedup", "d24_chunk_dedup",
+    "d26_repeated_spans",
     "n1_ann_bruteforce", "n2_ann_lsh", "n3_embedding_neardup",
     "n4_label_centroids", "n5_ivf_ann", "n6_kmeans", "n7_ivf_kmeans",
     "n8_quantize", "n9_knn_graph", "n10_quantized_rerank", "n11_pq_adc",

@@ -25,6 +25,7 @@ object DedupQueries {
   val EditK = 4  // PassJoin threshold: k+1 segments, min doc length 47 ≫ 5
   val KCoreK = 3      // k-core threshold (d25)
   val KCoreRounds = 3 // fixed peel rounds, unrolled in the oracle
+  val SpanL = 16      // d26 repeated-substring window length (tokens)
 
   private def docs(s: SparkSession, d: String) =
     Tables.fanout(Tables.documents(s, d))
@@ -537,6 +538,45 @@ object DedupQueries {
       bfsLevels(edges, seeds, maxIters = 6).orderBy(col("doc_id"))
     }),
 
+    // Exact repeated-substring spans (the Lee et al. 2022 "Deduplicating
+    // Training Data Makes Language Models Better" objective, shingled):
+    // every stride-1 SpanL-token window is content-hashed; windows whose
+    // content occurs ≥2× anywhere in the corpus are duplicate instances;
+    // consecutive duplicate window starts merge into maximal spans (the
+    // pos − row_number run trick), whose token length is run + SpanL − 1.
+    // This is what the suffix-array pass computes, re-expressed in two
+    // hash aggs + one doc-keyed window: d24 sees only aligned 32-token
+    // chunks and d22 only LSH-candidate pairs; this catches EVERY ≥SpanL
+    // verbatim overlap corpus-wide. Scale shape: |tokens| window rows
+    // carrying 8-byte hashes (same cardinality as d18's shingle table),
+    // one map-side-combinable count, one join back, one doc-keyed window
+    // whose skew equals doc length. Per doc: duplicate-window count,
+    // span count, longest span.
+    "d26_repeated_spans" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= SpanL)
+      val wins = toks.select(col("doc_id"),
+          posexplode(expr(s"transform(sequence(0, size(toks) - $SpanL), " +
+            s"p -> array_join(slice(toks, p + 1, $SpanL), ' '))"))
+            .as(Seq("pos", "w")))
+        .select(col("doc_id"), col("pos"), hash60(col("w")).as("wh"))
+      val hot = wins.groupBy(col("wh")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      wins.join(hot, "wh")
+        .withColumn("rk", row_number().over(w))
+        .withColumn("grp", col("pos") - col("rk"))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("run_len")).as("n_dup_windows"),
+          count(lit(1)).as("n_spans"),
+          (max(col("run_len")) + lit(SpanL - 1)).as("longest_span_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // k-core peeling (bounded rounds): the dense-subgraph membership
     // signal over the SimHash near-dup graph — nodes surviving the k=3
     // peel belong to template families where EVERY member has ≥3 similar
@@ -999,6 +1039,31 @@ object DedupQueries {
 
   /** d5's edge CTEs + a recursive min-hop BFS; the lvl < 6 cap mirrors the
     * Spark side's maxIters and bounds the recursion on cyclic graphs. */
+  /** d26's mirror: stride-1 window hashes, ≥2-instance contents, runs of
+    * consecutive duplicate window starts via pos − row_number. */
+  private val dkRepeatedSpans: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $dkToks AS toks FROM documents),
+       |w AS (
+       |  SELECT doc_id, u.p AS pos,
+       |    ${dkHash60(s"array_to_string(toks[u.p + 1 : u.p + $SpanL], ' ')")} AS wh
+       |  FROM t, LATERAL (
+       |    SELECT unnest(generate_series(0, len(toks) - $SpanL)) AS p) u
+       |  WHERE len(toks) >= $SpanL),
+       |c AS (SELECT wh FROM w GROUP BY wh HAVING COUNT(*) >= 2),
+       |r AS (
+       |  SELECT w.doc_id, w.pos,
+       |    ROW_NUMBER() OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS rk
+       |  FROM w JOIN c USING (wh)),
+       |runs AS (
+       |  SELECT doc_id, pos - rk AS grp, COUNT(*) AS run_len
+       |  FROM r GROUP BY doc_id, grp)
+       |SELECT doc_id,
+       |  CAST(SUM(run_len) AS BIGINT) AS n_dup_windows,
+       |  COUNT(*) AS n_spans,
+       |  MAX(run_len) + ${SpanL - 1} AS longest_span_tokens
+       |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** [[graft.ops.DedupOps.kcoreResidual]]'s peel unrolled: the d5 edge
     * CTEs as e0, then KCoreRounds × (degree over both endpoints → keep
     * nodes with deg ≥ k → keep edges whose endpoints both survive), and
@@ -1125,6 +1190,7 @@ object DedupQueries {
     "d14_decontaminate" -> dkDecontaminate,
     "d13_bfs_levels" -> dkBfsLevels,
     "d25_kcore" -> dkKcore,
+    "d26_repeated_spans" -> dkRepeatedSpans,
     "d15_pagerank" -> dkPageRankSql("1000000000", "150000000"),
     "d19_lsh_quality" -> dkLshQuality,
     // d2's LSH-candidate CTEs with the diagonal run-length tail
