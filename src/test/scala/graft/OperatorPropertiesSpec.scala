@@ -53,7 +53,13 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       // chunk dedup (hash-keyed instance counts), GK bound gate (any
       // valid sketch merge satisfies the rank interval)
       "q71_hash_split", "q73_stratified_sample", "t31_repetition_stats",
-      "d24_chunk_dedup", "q74_approx_quantile_eval")
+      "d24_chunk_dedup", "q74_approx_quantile_eval",
+      // round-7 second batch: RAKE (integer deg/freq ratios), vocab
+      // growth (min-agg first occurrences), attribution (integer bp
+      // splits over tie-broken windows), repeated spans (hash-keyed
+      // window counts + run grouping), k-core peel (degree thresholds)
+      "t33_rake_keywords", "t34_vocab_growth", "q75_attribution",
+      "d26_repeated_spans", "d25_kcore")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {
