@@ -57,7 +57,7 @@ object Bench {
     "q65_rolling_distinct", "q66_ntile_deciles", "q67_mad_outliers",
     "q68_cohort_retention", "q69_cooccurrence", "q70_markov_transitions",
     "q71_hash_split", "q72_mixture_plan", "q73_stratified_sample",
-    "q74_approx_quantile_eval", "q75_attribution",
+    "q74_approx_quantile_eval", "q75_attribution", "q76_decay_score",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_regex_tokens", "t6_string_funcs", "t7_array_funcs", "t8_explode",
     "t9_regex_extract", "t10_normalize", "t11_hash_split",

@@ -720,6 +720,33 @@ object DedupQueries {
       connectedComponents(pairs, docs(s, d).select(col("doc_id")),
           uncheckedRounds = 2)
         .orderBy(col("doc_id"))
+    }),
+
+    // Component-size distribution over d7's collapse: how many duplicate
+    // families exist at each size, and what share of the corpus the
+    // LARGEST family holds (giant_share_ppm repeated per row — a
+    // one-glance health readout: a giant component usually means the
+    // near-dup threshold is too loose or a template family exploded,
+    // and it is exactly the case where graph analytics must run
+    // post-collapse). Rollup of the component map — the d21 savings
+    // report's structural complement. Bench-excluded (d7's driver loop).
+    "d27_component_sizes" -> ((s, d) => {
+      val df = docs(s, d).withColumn("hs", tokenHashes(tokens(col("text"))))
+      val pairs = simhashPairs(simhashBands(df, simhash32(col("hs"))), MaxHamming)
+        .select(col("doc_a"), col("doc_b"))
+      val comp = connectedComponents(pairs, docs(s, d).select(col("doc_id")),
+        uncheckedRounds = 2)
+      val sizes = comp.groupBy(col("canon_id"))
+        .agg(count(lit(1)).as("comp_size"))
+      val hist = sizes.groupBy(col("comp_size"))
+        .agg(count(lit(1)).as("n_components"))
+      val tot = sizes.agg(sum(col("comp_size")).as("n_docs"),
+        max(col("comp_size")).as("max_size"))
+      hist.crossJoin(broadcast(tot))
+        .select(col("comp_size"), col("n_components"),
+          (col("comp_size") * col("n_components")).as("docs_at_size"),
+          expr("max_size * 1000000L div n_docs").as("giant_share_ppm"))
+        .orderBy(col("comp_size"))
     })
   )
 
@@ -1269,6 +1296,22 @@ object DedupQueries {
     "d12_incremental_dedup" -> dkIncremental,
     "d6_dedup_groups" -> dkDedupGroups,
     "d7_simhash_groups" -> dkSimhashGroups,
+    "d27_component_sizes" ->
+      s"""$dkSimhashClosureCtes,
+         |sizes AS (
+         |  SELECT canon_id, COUNT(*) AS comp_size
+         |  FROM canon GROUP BY canon_id),
+         |hist AS (
+         |  SELECT comp_size, COUNT(*) AS n_components
+         |  FROM sizes GROUP BY comp_size),
+         |tot AS (
+         |  SELECT CAST(SUM(comp_size) AS BIGINT) AS n_docs,
+         |         MAX(comp_size) AS max_size
+         |  FROM sizes)
+         |SELECT comp_size, n_components,
+         |  comp_size * n_components AS docs_at_size,
+         |  (max_size * 1000000) // n_docs AS giant_share_ppm
+         |FROM hist CROSS JOIN tot ORDER BY comp_size""".stripMargin,
     "d10_central_keeper" -> dkCentralKeeper,
     "d11_containment" -> dkContainment,
     "d1_exact_dedup" ->

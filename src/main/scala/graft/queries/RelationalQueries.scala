@@ -1556,6 +1556,28 @@ object RelationalQueries {
         .select(col("purchase_id"), col("pos"), col("touch_id"),
           col("touch_type"), col("n_touches"), col("credit_bp"))
         .orderBy(col("purchase_id"), col("pos"))
+    }),
+
+    // Time-decayed engagement score: per user, Σ value·2^(−age_weeks) —
+    // recency weighting without transcendentals. value goes to integer
+    // cents (floor — portable), the decay is an arithmetic RIGHT SHIFT by
+    // whole weeks (capped at 62 so the shift is always defined), and the
+    // per-user sum is order-free integer addition — bit-identical under
+    // any partitioning, unlike a pow()-weighted double sum. The reference
+    // instant is the corpus max(ts), attached as a broadcast scalar.
+    // Narrow scan + one map-side-combinable agg; no windows, no joins.
+    "q76_decay_score" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val ref = ev.agg(max(col("ts")).as("ref_ts"))
+      ev.crossJoin(broadcast(ref))
+        .withColumn("age_weeks", expr(
+          "CAST(least(datediff(to_date(ref_ts), to_date(ts)) div 7, 62) AS INT)"))
+        .withColumn("cents", expr("CAST(floor(value * 100) AS BIGINT)"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).as("raw_cents"),
+          sum(expr("shiftright(cents, age_weeks)")).as("decayed_cents"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -2452,6 +2474,18 @@ object RelationalQueries {
         |SELECT lang, rank, doc_id FROM r WHERE rank <= 5
         |ORDER BY lang, rank""".stripMargin,
     "q75_attribution" -> dkAttribution,
+    "q76_decay_score" ->
+      """WITH ref AS (SELECT max(ts)::TIMESTAMP AS ref_ts FROM events),
+        |e AS (
+        |  SELECT user_id,
+        |    least(date_diff('day', (ts::TIMESTAMP)::DATE, ref_ts::DATE) // 7,
+        |          62) AS age_weeks,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events CROSS JOIN ref)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(cents) AS BIGINT) AS raw_cents,
+        |  CAST(SUM(cents >> age_weeks) AS BIGINT) AS decayed_cents
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q74_approx_quantile_eval" ->
       """WITH r AS (
         |  SELECT l_returnflag, l_quantity,
