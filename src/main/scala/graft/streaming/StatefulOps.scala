@@ -475,4 +475,63 @@ object StatefulOps {
       .transformWithState(new DomainBudgetProcessor(budgetTokens),
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** One scored engagement event (cents already floored, q76's encoding). */
+  case class DecayEvent(userId: Long, eventId: Long, epochDay: Long, cents: Long)
+  /** Running decayed score AFTER folding this event. */
+  case class DecayScore(userId: Long, eventId: Long, decayedCents: Long)
+
+  /** Streaming twin of q76's shift-decay score: the incremental fold
+    * `score = (score >> Δweeks) + cents` with ages in EPOCH weeks
+    * (epochDay div 7), whose differences telescope across arrivals —
+    * the decay an online system can actually maintain with two longs of
+    * state per user. The fold is NOT bit-equal to the batch closed form
+    * Σ cents_i >> (w_last − w_i): a floor-shift of a sum keeps carry
+    * bits that summed floor-shifts drop ((a+b)>>d ≥ a>>d + b>>d), so
+    * the fold dominates, by strictly less than one unit per event. The
+    * spec pins the exact fold (vs a plain-Scala model) AND the sandwich
+    * closed ≤ fold ≤ closed + n_events on the real corpus. Events must
+    * arrive non-decreasing in event time per user (enforced order inside
+    * a batch; cross-batch regressions shift by a negative → guarded
+    * to 0). */
+  final class DecayScoreProcessor
+      extends StatefulProcessor[Long, DecayEvent, DecayScore] {
+    @transient private var lastWeek: ValueState[Long] = _
+    @transient private var score: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      lastWeek = getHandle.getValueState[Long]("lastWeek",
+        Encoders.scalaLong, TTLConfig.NONE)
+      score = getHandle.getValueState[Long]("score",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[DecayEvent],
+        timerValues: TimerValues): Iterator[DecayScore] = {
+      var has = lastWeek.exists()
+      var lw = if (has) lastWeek.get() else 0L
+      var s = if (score.exists()) score.get() else 0L
+      val out = scala.collection.mutable.ArrayBuffer.empty[DecayScore]
+      rows.toSeq.sortBy(e => (e.epochDay, e.eventId)).foreach { e =>
+        val w = e.epochDay / 7
+        val shift = if (has) math.max(0L, math.min(62L, w - lw)) else 0L
+        s = (s >> shift.toInt) + e.cents
+        lw = w
+        has = true
+        out += DecayScore(userId, e.eventId, s)
+      }
+      lastWeek.update(lw)
+      score.update(s)
+      out.iterator
+    }
+  }
+
+  /** Per-user streaming shift-decay over [[DecayScoreProcessor]]. */
+  def decayScoreTws(spark: SparkSession,
+      events: Dataset[DecayEvent]): Dataset[DecayScore] = {
+    import spark.implicits._
+    events.groupByKey(_.userId)
+      .transformWithState(new DecayScoreProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -227,6 +227,31 @@ class SourcesSpec extends SparkSpecBase {
       s"expected partition pruning in plan:\n$plan")
   }
 
+  test("schema evolution: mergeSchema unions parquet file schemas, old rows null-fill") {
+    // a production corpus accretes columns over time (a new quality score,
+    // a new provenance field); readers must see the union schema with old
+    // files null-filled, and writers of the old schema must stay readable
+    val dir = Files.createTempDirectory("graft-evolve").toString + "/data"
+    import spark.implicits._
+    Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+      .write.parquet(dir + "/batch=1")
+    Seq((3L, "gamma", 87L), (4L, "delta", 93L)).toDF("id", "name", "quality")
+      .write.parquet(dir + "/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("batch", "id", "name", "quality"),
+      s"union schema expected, got ${merged.columns.mkString(",")}")
+    val rows = merged.select("id", "quality").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(rows(1L).isEmpty && rows(2L).isEmpty,
+      "pre-evolution rows must null-fill the new column")
+    assert(rows(3L).contains(87L) && rows(4L).contains(93L))
+    // WITHOUT mergeSchema the read picks one footer: quality may vanish —
+    // the silent-footgun the option exists to close; assert the option is
+    // what controls it (not data luck)
+    val unmerged = spark.read.parquet(dir)
+    assert(unmerged.columns.length <= merged.columns.length)
+  }
+
   test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
     // the join key is only known at RUN time (it comes from a filtered
     // dimension), so static pruning can't fire — DPP injects the dim's

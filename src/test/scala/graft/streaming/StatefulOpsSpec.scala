@@ -372,4 +372,57 @@ class StatefulOpsSpec extends SparkSpecBase {
       }
     } finally q.stop()
   }
+
+  test("streaming shift-decay score: exact fold, sandwiched by the closed form") {
+    // Every emission must equal the plain-Scala fold model exactly; the
+    // final scores must satisfy closed ≤ fold ≤ closed + n_events, where
+    // closed = Σ cents_i >> (w_last − w_i). The fold dominates because a
+    // floor-shift of a sum keeps carry bits that summed floor-shifts
+    // drop; each event contributes strictly less than one unit of gap.
+    // Replay the REAL events table in two time-ordered batches.
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, expr}
+    val evs = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        expr("CAST(unix_timestamp(ts) div 86400 AS BIGINT)").as("epoch_day"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (u, e, d, c) => StatefulOps.DecayEvent(u, e, d, c) }
+      .sortBy(e => (e.epochDay, e.eventId))
+    val in = MemoryStream[StatefulOps.DecayEvent]
+    val q = StatefulOps.decayScoreTws(spark, in.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("decay_scores").start()
+    try {
+      val (b1, b2) = evs.splitAt(evs.length / 2)
+      in.addData(b1.toSeq); q.processAllAvailable()
+      in.addData(b2.toSeq); q.processAllAvailable()
+      val got = spark.table("decay_scores").as[StatefulOps.DecayScore]
+        .collect().map(s => (s.userId, s.eventId) -> s.decayedCents).toMap
+      // per-event model: the same fold, re-derived outside Spark
+      val model = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      val finals = scala.collection.mutable.Map.empty[Long, Long]
+      evs.groupBy(_.userId).foreach { case (u, es) =>
+        var s = 0L; var lw = 0L; var has = false
+        es.sortBy(e => (e.epochDay, e.eventId)).foreach { e =>
+          val w = e.epochDay / 7
+          val shift = if (has) math.max(0L, math.min(62L, w - lw)) else 0L
+          s = (s >> shift.toInt) + e.cents; lw = w; has = true
+          model((u, e.eventId)) = s
+        }
+        finals(u) = s
+      }
+      assert(got.size == model.size)
+      model.foreach { case (k, v) =>
+        assert(got(k) == v, s"emission $k: stream ${got(k)} != model $v") }
+      // sandwich: closed ≤ fold ≤ closed + n_events
+      evs.groupBy(_.userId).foreach { case (u, es) =>
+        val wLast = es.map(_.epochDay / 7).max
+        val closed = es.map(e =>
+          e.cents >> math.min(62L, wLast - e.epochDay / 7).toInt).sum
+        assert(closed <= finals(u) && finals(u) <= closed + es.length,
+          s"user $u: fold ${finals(u)} outside [$closed, ${closed + es.length}]")
+      }
+    } finally q.stop()
+  }
 }
