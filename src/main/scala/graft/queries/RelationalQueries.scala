@@ -1578,6 +1578,35 @@ object RelationalQueries {
           sum(col("cents")).as("raw_cents"),
           sum(expr("shiftright(cents, age_weeks)")).as("decayed_cents"))
         .orderBy(col("user_id"))
+    }),
+
+    // Incremental view maintenance of an aggregate: a materialized
+    // per-customer rollup (the 90% "base" slice) absorbs a delta batch
+    // (the 10% slice) by FULL OUTER delta-apply — counts add, DECIMAL
+    // partial sums add exactly (decimal addition is associative, so
+    // base⊕delta ≡ recompute bit-for-bit). THE ORACLE IS THE DIRECT
+    // FULL AGGREGATE: agreement proves the maintenance path equals the
+    // recompute it exists to avoid — at 100 TB the delta-apply touches
+    // |delta| + |affected keys| instead of the whole fact table, which
+    // is the entire economics of a materialized view. The delta side of
+    // the join broadcasts when small (the common case).
+    "q77_ivm_agg" -> ((s, d) => {
+      val o = Tables.fanout(Tables.orders(s, d))
+      def part(df: DataFrame) = df.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"),
+          expr("SUM(CAST(o_totalprice AS DECIMAL(18,4)))").as("t"))
+      val base = part(o.filter(col("o_orderkey") % 10 =!= 0))
+        .toDF("o_custkey", "bn", "bt")
+      val delta = part(o.filter(col("o_orderkey") % 10 === 0))
+        .toDF("o_custkey", "dn", "dt")
+      base.join(delta, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_orders"),
+          expr("CAST(coalesce(bt, CAST(0 AS DECIMAL(18,4))) " +
+            "+ coalesce(dt, CAST(0 AS DECIMAL(18,4))) AS DOUBLE)")
+            .as("total_price"))
+        .orderBy(col("o_custkey"))
     })
   )
 
@@ -2474,6 +2503,11 @@ object RelationalQueries {
         |SELECT lang, rank, doc_id FROM r WHERE rank <= 5
         |ORDER BY lang, rank""".stripMargin,
     "q75_attribution" -> dkAttribution,
+    "q77_ivm_agg" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q76_decay_score" ->
       """WITH ref AS (SELECT max(ts)::TIMESTAMP AS ref_ts FROM events),
         |e AS (

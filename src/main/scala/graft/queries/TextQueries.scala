@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
 object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** t35's banned token sequences (2- and 3-grams; a real pipeline loads
+    * these from a policy table — the join shape is identical). */
+  val blockedPhrases: Seq[String] = Seq(
+    "window join", "data slow", "order fast", "table scan merge")
+
   // Shared DuckDB fragments (mirror of TextOps)
   private val dkToks = "string_split_regex(trim(text), '\\s+')"
   private def dkHash60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
@@ -517,6 +522,36 @@ object TextQueries {
         .select(col("tok"), col("freq"), col("deg"), col("score_ppm"))
         .orderBy(col("score_ppm").desc, col("tok"))
         .limit(50)
+    }),
+
+    // Blocklist phrase filtering: every doc's 2-/3-grams equi-joined
+    // against a broadcast phrase table — the scalable form of multi-
+    // pattern matching (the Aho-Corasick substitute when patterns are
+    // token sequences): the scan explodes ≤2 grams per token and the
+    // phrase table broadcasts, so matching ANY number of phrases costs
+    // one codegen'd hash probe per gram, not a regex alternation that
+    // grows with the list. The spam/profanity/boilerplate screen of a
+    // curation pipeline; per-doc hit counts feed the reject rule.
+    "t35_blocklist" -> ((s, d) => {
+      import s.implicits._
+      val t = Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      def grams(n: Int): org.apache.spark.sql.Column = {
+        val idx = sequence(lit(0), size(col("toks")) - n)
+        val one = (i: org.apache.spark.sql.Column) => concat_ws(" ",
+          (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*)
+        when(size(col("toks")) >= n, transform(idx, one))
+          .otherwise(array().cast("array<string>"))
+      }
+      val g = t.select(col("doc_id"),
+        explode(concat(grams(2), grams(3))).as("g"))
+      val bl = blockedPhrases.toDF("phrase")
+      g.join(broadcast(bl), col("g") === col("phrase"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct(col("phrase")).as("n_phrases"),
+          min(col("phrase")).as("first_phrase"))
+        .orderBy(col("doc_id"))
     }),
 
     // Vocabulary-growth curve (Heaps' law measurement): distinct-token
@@ -1165,6 +1200,25 @@ object TextQueries {
          |  GROUP BY nw.tok)
          |SELECT tok, freq, deg, (deg * 1000000) // freq AS score_ppm
          |FROM wd ORDER BY score_ppm DESC, tok LIMIT 50""".stripMargin,
+    "t35_blocklist" -> {
+      val vals = blockedPhrases.map(p => s"('$p')").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, $dkToks AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+         |  FROM t, LATERAL (SELECT unnest(CASE WHEN len(toks) >= 2
+         |    THEN range(1, len(toks)) ELSE [] END) AS i) u
+         |  UNION ALL
+         |  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |  FROM t, LATERAL (SELECT unnest(CASE WHEN len(toks) >= 3
+         |    THEN range(1, len(toks) - 1) ELSE [] END) AS i) u),
+         |bl(phrase) AS (VALUES $vals)
+         |SELECT doc_id, COUNT(*) AS n_hits,
+         |  COUNT(DISTINCT phrase) AS n_phrases,
+         |  MIN(phrase) AS first_phrase
+         |FROM g JOIN bl ON g.g = bl.phrase
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "t34_vocab_growth" ->
       s"""WITH docs AS (
          |  SELECT doc_id, $dkToks AS toks FROM documents),
