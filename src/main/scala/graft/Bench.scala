@@ -81,7 +81,8 @@ object Bench {
     "n11b_pq_trained", "n12_ann_recall", "n13_multiprobe_lsh",
     "n14_ivfpq", "n14b_ivfpq_residual",
     "m1_binary_meta", "m2_frame_windows", "m3_decode_features",
-    "m4_patch_dedup", "m5_shared_patches", "m6_crossmodal_retrieval")
+    "m4_patch_dedup", "m5_shared_patches", "m6_crossmodal_retrieval",
+    "m7_modality_mix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -107,6 +107,34 @@ object MultimodalQueries {
           col("height").cast("long").as("height"),
           col("n_frames").cast("long").as("n_frames"), col("checksum"))
         .orderBy(col("media_id"))
+    }),
+
+    // Modality-mix accounting — q72's media counterpart: per modality
+    // (deterministic doc_id%3 split stands in for a real kind column),
+    // media count, byte totals, byte share in ppm, and a token-equivalent
+    // budget under fixed per-modality rates (≈4 bytes/text-token; images
+    // cost a fixed patch-grid floor + bytes/1024; audio ≈320 bytes/frame
+    // — illustrative constants, the CASE is the shape). One combinable
+    // agg + a broadcast scalar; the report a mixture planner reads before
+    // allocating a multimodal token budget.
+    "m7_modality_mix" -> ((s, d) => {
+      val media = Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id").as("media_id"),
+          expr("CASE doc_id % 3 WHEN 0 THEN 'text' WHEN 1 THEN 'image' " +
+            "ELSE 'audio' END").as("kind"),
+          length(col("text").cast("binary")).cast("long").as("byte_len"))
+      val agg = media.groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("byte_len")).as("total_bytes"),
+          sum(expr("CASE kind WHEN 'text' THEN byte_len div 4 " +
+            "WHEN 'image' THEN 256 + byte_len div 1024 " +
+            "ELSE byte_len div 320 END")).as("token_equiv"))
+      val tot = agg.agg(sum(col("total_bytes")).as("all_bytes"))
+      agg.crossJoin(broadcast(tot))
+        .select(col("kind"), col("n_media"), col("total_bytes"),
+          expr("total_bytes * 1000000L div all_bytes").as("byte_share_ppm"),
+          col("token_equiv"))
+        .orderBy(col("kind"))
     })
   )
 
@@ -128,6 +156,26 @@ object MultimodalQueries {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "m7_modality_mix" ->
+      s"""WITH $dkAsciiGuard,
+         |media AS (
+         |  SELECT doc_id AS media_id,
+         |    CASE doc_id % 3 WHEN 0 THEN 'text' WHEN 1 THEN 'image'
+         |         ELSE 'audio' END AS kind,
+         |    octet_length(encode(text)) AS byte_len
+         |  FROM ascii_docs),
+         |agg AS (
+         |  SELECT kind, COUNT(*) AS n_media,
+         |    CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+         |    CAST(SUM(CASE kind WHEN 'text' THEN byte_len // 4
+         |      WHEN 'image' THEN 256 + byte_len // 1024
+         |      ELSE byte_len // 320 END) AS BIGINT) AS token_equiv
+         |  FROM media GROUP BY kind),
+         |tot AS (SELECT CAST(SUM(total_bytes) AS BIGINT) AS all_bytes FROM agg)
+         |SELECT kind, n_media, total_bytes,
+         |  (total_bytes * 1000000) // all_bytes AS byte_share_ppm,
+         |  token_equiv
+         |FROM agg CROSS JOIN tot ORDER BY kind""".stripMargin,
     "m1_binary_meta" ->
       s"""WITH $dkAsciiGuard
         |SELECT doc_id AS media_id, 'doc' AS kind,
