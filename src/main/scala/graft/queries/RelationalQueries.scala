@@ -1588,8 +1588,9 @@ object RelationalQueries {
     // FULL AGGREGATE: agreement proves the maintenance path equals the
     // recompute it exists to avoid — at 100 TB the delta-apply touches
     // |delta| + |affected keys| instead of the whole fact table, which
-    // is the entire economics of a materialized view. The delta side of
-    // the join broadcasts when small (the common case).
+    // is the entire economics of a materialized view. (FULL OUTER can't
+    // broadcast in Spark; the apply join shuffles BOTH sides — but both
+    // are aggregate-sized, |keys| and |delta keys| rows, never the fact.)
     "q77_ivm_agg" -> ((s, d) => {
       val o = Tables.fanout(Tables.orders(s, d))
       def part(df: DataFrame) = df.groupBy(col("o_custkey"))

@@ -59,7 +59,11 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       // splits over tie-broken windows), repeated spans (hash-keyed
       // window counts + run grouping), k-core peel (degree thresholds)
       "t33_rake_keywords", "t34_vocab_growth", "q75_attribution",
-      "d26_repeated_spans", "d25_kcore")
+      "d26_repeated_spans", "d25_kcore",
+      // round-7 third batch: blocklist (broadcast gram probes), shift
+      // decay (order-free integer adds), IVM (decimal partial sums),
+      // modality mix (combinable CASE-rate agg)
+      "t35_blocklist", "q76_decay_score", "q77_ivm_agg", "m7_modality_mix")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {
