@@ -76,4 +76,58 @@ class StreamingChunkDedupSpec extends SparkSpecBase {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("chunk claims are auditable offline through the statestore source") {
+    // operational visibility: an on-call engineer can enumerate WHICH doc
+    // owns any chunk content without stopping the ingest stream — the
+    // claim table (chunk hash → claimer id) read straight from the
+    // checkpoint, and its row count equals the distinct chunk contents
+    // that flowed through
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val ctx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("chunk-ckpt").toString
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingChunkDedup.chunkVerdicts(spark, docs)
+      .toDF().writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("chunk_audit")
+      .option("checkpointLocation", ckpt).start()
+    val sample = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1).take(20)
+    try {
+      in.addData(sample.map { case (id, t) =>
+        (id, new java.sql.Timestamp(1700000000000L + id), t) }.toSeq)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val claims = spark.read.format("statestore")
+      .option("stateVarName", "owner").load(ckpt)
+      .select(col("key.*"), col("value.*"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < sample.map(_._1).max + 1)
+      .filter(col("doc_id").isin(sample.map(_._1): _*))
+      .withColumn("toks", graft.ops.TextOps.tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+      .withColumn("cs", explode(sequence(lit(0), size(col("toks")) - 1,
+        lit(StreamingChunkDedup.ChunkTok))))
+      .select(graft.ops.TextOps.hash60(array_join(
+        slice(col("toks"), col("cs") + 1,
+          lit(StreamingChunkDedup.ChunkTok)), " ")).as("ch"))
+      .distinct().as[Long].collect().toSet
+    assert(claims.keySet == expected,
+      s"claim table must hold exactly the distinct chunk contents " +
+        s"(${claims.size} vs ${expected.size})")
+    // every claimer must be a doc that actually contains the chunk — spot
+    // check: claimer ids all come from the replayed sample
+    val ids = sample.map(_._1).toSet
+    assert(claims.values.forall(ids.contains),
+      "claimers must be replayed docs")
+  }
 }
