@@ -152,6 +152,36 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
+  /** Exact repeated-substring spans (d26): stride-1 `spanL`-token window
+    * hashes → ≥2-instance contents → maximal consecutive runs per doc
+    * (pos − row_number). Input needs (doc_id, text); returns per-doc
+    * (n_dup_windows, n_spans, longest_span_tokens). See the d26 query
+    * scaladoc for the scale accounting. */
+  def repeatedSpans(docs: DataFrame, spanL: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), graft.ops.TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= spanL)
+    val wins = toks.select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, size(toks) - $spanL), " +
+          s"p -> array_join(slice(toks, p + 1, $spanL), ' '))"))
+          .as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"),
+        graft.ops.TextOps.hash60(col("w")).as("wh"))
+    val hot = wins.groupBy(col("wh")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    wins.join(hot, "wh")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("grp", col("pos") - col("rk"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("run_len")).as("n_dup_windows"),
+        count(lit(1)).as("n_spans"),
+        (max(col("run_len")) + lit(spanL - 1)).as("longest_span_tokens"))
+  }
+
   /** Bounded k-core peeling over an undirected `(doc_a, doc_b)` pair
     * graph: `rounds` rounds of (degree → drop nodes with deg < k → drop
     * their incident edges), then the residual per-node degree. The

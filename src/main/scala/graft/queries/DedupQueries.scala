@@ -553,28 +553,7 @@ object DedupQueries {
     // whose skew equals doc length. Per doc: duplicate-window count,
     // span count, longest span.
     "d26_repeated_spans" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val toks = docs(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= SpanL)
-      val wins = toks.select(col("doc_id"),
-          posexplode(expr(s"transform(sequence(0, size(toks) - $SpanL), " +
-            s"p -> array_join(slice(toks, p + 1, $SpanL), ' '))"))
-            .as(Seq("pos", "w")))
-        .select(col("doc_id"), col("pos"), hash60(col("w")).as("wh"))
-      val hot = wins.groupBy(col("wh")).agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") >= 2)
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      wins.join(hot, "wh")
-        .withColumn("rk", row_number().over(w))
-        .withColumn("grp", col("pos") - col("rk"))
-        .groupBy(col("doc_id"), col("grp"))
-        .agg(count(lit(1)).as("run_len"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("run_len")).as("n_dup_windows"),
-          count(lit(1)).as("n_spans"),
-          (max(col("run_len")) + lit(SpanL - 1)).as("longest_span_tokens"))
-        .orderBy(col("doc_id"))
+      repeatedSpans(docs(s, d), SpanL).orderBy(col("doc_id"))
     }),
 
     // k-core peeling (bounded rounds): the dense-subgraph membership

@@ -111,6 +111,32 @@ class DedupSpec extends SparkSpecBase {
     assert(out(5L) == ((0L, 5L)), "isolated node keeps itself")
   }
 
+  test("repeated spans: planted passages produce exactly the planted geometry") {
+    // filler tokens are globally unique → zero accidental window
+    // collisions; every reported span must be a planted one
+    def f(r: Range) = r.map(i => s"f$i")
+    val passage = (0 until 40).map(i => s"p$i") // shared 40-token passage
+    val phrase = (0 until 20).map(i => s"q$i")  // doubled 20-token phrase
+    val corpus = Seq(
+      (0L, (f(0 until 30) ++ passage ++ f(100 until 120)).mkString(" ")),
+      (1L, (f(200 until 230) ++ passage ++ f(300 until 310)).mkString(" ")),
+      (2L, (f(400 until 420) ++ phrase ++ f(500 until 520) ++ phrase ++
+        f(600 until 605)).mkString(" ")),
+      (3L, f(700 until 760).mkString(" ")) // clean doc: must not appear
+    ).toDF("doc_id", "text")
+    val out = repeatedSpans(corpus, 16)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, dw, ns, ls) => id -> ((dw, ns, ls)) }.toMap
+    // 40-token passage: 40−16+1 = 25 consecutive dup starts, one span of
+    // exactly 40 tokens (boundary-straddling windows mix in unique filler
+    // and must NOT count)
+    assert(out(0L) == ((25L, 1L, 40L)), s"doc 0: ${out.get(0L)}")
+    assert(out(1L) == ((25L, 1L, 40L)), s"doc 1: ${out.get(1L)}")
+    // doubled 20-token phrase: two runs of 20−16+1 = 5 starts each
+    assert(out(2L) == ((10L, 2L, 20L)), s"doc 2: ${out.get(2L)}")
+    assert(!out.contains(3L), "clean doc must produce no span row")
+  }
+
   test("kcore peel: triangle survives k=2, chain peels away; k monotone") {
     // triangle {1,2,3} + pendant chain 3-4-5: at k=2 the chain peels off
     // over successive rounds (4's degree drops to 1 only after 5 goes),
