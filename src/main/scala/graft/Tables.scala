@@ -46,15 +46,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default (PARQUET_TYPE_ILLEGAL). Read it as raw nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and floor-convert to a µs
-    * TimestampType — the same instant DuckDB sees (its ns value truncates
-    * to µs in comparisons/strftime at µs granularity). */
+  /** `events.ts` arrives as parquet TIMESTAMP(MICROS, ntz) in current
+    * corpus generations, and as TIMESTAMP(NANOS) in older ones — which
+    * Spark 4 rejects by default (PARQUET_TYPE_ILLEGAL), hence the
+    * `nanosAsLong` read + floor-convert fallback. Both paths yield a µs
+    * TimestampType carrying the same instant DuckDB sees (session tz is
+    * UTC everywhere, so the ntz→tz cast is wall-clock-identity; ns values
+    * truncate to µs in both engines). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val raw = table(s, d, "events")
+    import org.apache.spark.sql.functions.{col, expr}
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
