@@ -58,7 +58,7 @@ object Bench {
     "q68_cohort_retention", "q69_cooccurrence", "q70_markov_transitions",
     "q71_hash_split", "q72_mixture_plan", "q73_stratified_sample",
     "q74_approx_quantile_eval", "q75_attribution", "q76_decay_score",
-    "q77_ivm_agg",
+    "q77_ivm_agg", "q78_interpolate",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_regex_tokens", "t6_string_funcs", "t7_array_funcs", "t8_explode",
     "t9_regex_extract", "t10_normalize", "t11_hash_split",
@@ -74,7 +74,7 @@ object Bench {
     "d11_containment", "d12_incremental_dedup",
     "d14_decontaminate", "d16_editdist_join", "d18_ngram_novelty",
     "d20_ppjoin", "d22_quote_runs", "d23_semdedup", "d24_chunk_dedup",
-    "d26_repeated_spans",
+    "d26_repeated_spans", "d28_weighted_jaccard", "d29_label_propagation",
     "n1_ann_bruteforce", "n2_ann_lsh", "n3_embedding_neardup",
     "n4_label_centroids", "n5_ivf_ann", "n6_kmeans", "n7_ivf_kmeans",
     "n8_quantize", "n9_knn_graph", "n10_quantized_rerank", "n11_pq_adc",

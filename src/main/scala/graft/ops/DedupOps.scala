@@ -771,4 +771,83 @@ object DedupOps {
         "sketched form (d9b_graph_stats_sketch: HLL ball-2 registers, " +
         "64*|E| rows).")
   }
+
+  /** Term-frequency WEIGHTED Jaccard verify over given candidate pairs:
+    * J_w(a,b) = Σ_t min(tf_a(t), tf_b(t)) / Σ_t max(tf_a(t), tf_b(t)),
+    * the multiset generalization of d4's set Jaccard (a doc that repeats a
+    * sentence 10× no longer looks identical to one containing it once —
+    * the weighting near-dup papers use for templated/boilerplate-heavy
+    * corpora). Only Σmin is joined: Σmax = |a| + |b| − Σmin, so the verify
+    * reads each doc's total token count once. All arithmetic is integer
+    * (score in basis points via `div`) — bit-exact across engines.
+    *
+    * Scale: `tf` is one map-side-combinable groupBy (one shuffle of
+    * (doc, token, tf) triples — bounded by corpus token count, like any
+    * inverted index); the Σmin join touches candidate pairs only, so cost
+    * is candidate-bounded, never all-pairs. Returns doc_a, doc_b, wmin,
+    * wunion, wjacc_bp. */
+  def weightedJaccardVerify(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val sizes = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("n_tok"))
+    val a = tf.select(col("doc_id").as("doc_a"), col("tok"),
+      col("tf").as("tf_a"))
+    val b = tf.select(col("doc_id").as("id_b"), col("tok").as("tok_b"),
+      col("tf").as("tf_b"))
+    val wmin = pairs.join(a, "doc_a")
+      .join(b, col("doc_b") === col("id_b") && col("tok") === col("tok_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(least(col("tf_a"), col("tf_b"))).as("wmin"))
+    wmin
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_tok").as("n_a")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_tok").as("n_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("wmin"),
+        (col("n_a") + col("n_b") - col("wmin")).as("wunion"),
+        expr("wmin * 10000 div (n_a + n_b - wmin)").as("wjacc_bp"))
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) over an
+    * undirected pair graph, deterministic form: every node simultaneously
+    * adopts the most frequent label among its neighbors (ties → smallest
+    * label; isolated nodes keep their own), for a FIXED number of rounds.
+    * Fixed rounds + min-tie-break make the result partition-order-free, so
+    * the DuckDB oracle is the same rounds unrolled as CTEs — community
+    * detection's analog of d15's integer PageRank contract. Unlike
+    * [[connectedComponents]] (reachability), LPA splits a weakly-bridged
+    * component into densely-connected communities.
+    *
+    * Scale: each round is one edges⋈labels shuffle (|E| rows, 8-byte
+    * payloads) + a map-side-combinable (node, label) count + a per-node
+    * top-1 window — no quadratic term anywhere. The edge list is
+    * localCheckpointed once; per-round labels are checkpointed to sever
+    * the self-referential lineage (round k's plan would otherwise embed
+    * k − 1 nested joins). */
+  def labelPropagation(pairs: DataFrame, docs: DataFrame,
+      rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
+    val byCount = Window.partitionBy(col("doc_id"))
+      .orderBy(col("c").desc, col("lbl").asc)
+    for (_ <- 1 to rounds) {
+      val counts = edges
+        .join(labels.select(col("doc_id").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src").as("doc_id"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val top = counts.withColumn("rn", row_number().over(byCount))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lbl").as("new_lbl"))
+      labels = labels.join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

@@ -26,6 +26,8 @@ object DedupQueries {
   val KCoreK = 3      // k-core threshold (d25)
   val KCoreRounds = 3 // fixed peel rounds, unrolled in the oracle
   val SpanL = 16      // d26 repeated-substring window length (tokens)
+  val WJTauBp = 4000  // d28 weighted-Jaccard keep threshold (basis points)
+  val LpaRounds = 3   // d29 fixed synchronous label-propagation rounds
 
   private def docs(s: SparkSession, d: String) =
     Tables.fanout(Tables.documents(s, d))
@@ -111,6 +113,41 @@ object DedupQueries {
         .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"),
           round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Term-frequency WEIGHTED Jaccard near-dup pairs: d2's LSH candidates,
+    // verified with the multiset score Σmin(tf)/Σmax(tf) instead of the
+    // set score — a doc that repeats a template 10× is no longer
+    // indistinguishable from one containing it once. Candidates are the
+    // SAME band join as d2 (the oracle mirrors it), so this row costs one
+    // extra tf groupBy over d2; the verify join is candidate-bounded.
+    // Integer basis points end-to-end — no doubles anywhere.
+    "d28_weighted_jaccard" -> ((s, d) => {
+      val ds = docs(s, d)
+      val sig = minhashSignatureNarrow(shingleArrays(ds), NumHashes)
+      val pairs = candidatePairs(lshBands(sig, Bands, RowsPerBand))
+      weightedJaccardVerify(pairs, ds)
+        .filter(col("wjacc_bp") >= WJTauBp)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Label-propagation communities (Raghavan et al. 2007) over the
+    // SimHash-Hamming graph — d7's reachability components split into
+    // DENSELY-connected communities: each node adopts its neighbors'
+    // majority label (tie → min) for LpaRounds synchronous rounds. Fixed
+    // rounds + deterministic tie-break ⇒ the oracle is the same rounds
+    // unrolled as CTEs (the d15 PageRank contract, argmax instead of mass).
+    // Each round is one |E|-row shuffle + a per-node top-1 window; the
+    // quadratic terms of this 41%-dense graph never appear. Bench: kept in
+    // the headline — 3 bounded rounds, unlike d7's fixpoint driver loop.
+    "d29_label_propagation" -> ((s, d) => {
+      val ds = docs(s, d)
+      val df = ds.withColumn("hs", tokenHashes(tokens(col("text"))))
+      val pairs = simhashPairs(simhashBands(df, simhash32(col("hs"))),
+        MaxHamming).select(col("doc_a"), col("doc_b"))
+      labelPropagation(pairs, ds.select(col("doc_id")), LpaRounds)
+        .select(col("doc_id"), col("lbl").as("community"))
+        .orderBy(col("doc_id"))
     }),
 
     // Dedup groups: connected components over the exact-Jaccard pair graph —
@@ -882,6 +919,60 @@ object DedupQueries {
        |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
        |  GROUP BY d.doc_id)""".stripMargin
 
+  /** d2's candidate CTEs with the tf-weighted verify tail (d28): Σmin of
+    * term frequencies joined on candidate pairs, Σmax derived from total
+    * token counts, score in integer basis points. */
+  private val dkWeightedJaccard: String =
+    dkMinhashLsh.replace(dkJaccardTail,
+      s"""tf0 AS (SELECT doc_id, unnest(toks) AS tok FROM sh0),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tf0
+         |       GROUP BY doc_id, tok),
+         |wsz AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok FROM tf
+         |        GROUP BY doc_id),
+         |wint AS (
+         |  SELECT p.doc_a, p.doc_b, CAST(sum(least(a.tf, b.tf)) AS BIGINT)
+         |           AS wmin
+         |  FROM pairs p
+         |  JOIN tf a ON a.doc_id = p.doc_a
+         |  JOIN tf b ON b.doc_id = p.doc_b AND b.tok = a.tok
+         |  GROUP BY p.doc_a, p.doc_b)
+         |SELECT w.doc_a, w.doc_b, w.wmin,
+         |  sa.n_tok + sb.n_tok - w.wmin AS wunion,
+         |  (w.wmin * 10000) // (sa.n_tok + sb.n_tok - w.wmin) AS wjacc_bp
+         |FROM wint w
+         |JOIN wsz sa ON sa.doc_id = w.doc_a
+         |JOIN wsz sb ON sb.doc_id = w.doc_b
+         |WHERE (w.wmin * 10000) // (sa.n_tok + sb.n_tok - w.wmin)
+         |  >= $WJTauBp
+         |ORDER BY doc_a, doc_b""".stripMargin)
+
+  /** d29's oracle: the SimHash edge CTEs + [[LpaRounds]] synchronous
+    * label-propagation rounds UNROLLED (majority neighbor label, tie →
+    * min, isolated nodes keep their own) — the d15 pattern of mirroring a
+    * fixed-round iteration as a CTE chain, argmax instead of mass. */
+  private val dkLabelPropagation: String = {
+    val rounds = (1 to LpaRounds).map { r =>
+      s"""n$r AS (
+         |  SELECT e.src AS doc_id, l.lbl, count(*) AS c
+         |  FROM edges e JOIN l${r - 1} l ON l.doc_id = e.dst
+         |  GROUP BY e.src, l.lbl),
+         |t$r AS (
+         |  SELECT doc_id, lbl FROM (
+         |    SELECT doc_id, lbl,
+         |      ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                         ORDER BY c DESC, lbl) AS rn
+         |    FROM n$r) WHERE rn = 1),
+         |l$r AS (
+         |  SELECT p.doc_id, coalesce(t.lbl, p.lbl) AS lbl
+         |  FROM l${r - 1} p LEFT JOIN t$r t USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    s"""$dkSimhashClosureCtes,
+       |l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),
+       |$rounds
+       |SELECT doc_id, lbl AS community FROM l$LpaRounds
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Recursive-CTE closure over the SimHash-Hamming pair graph (same
     * structure as [[dkDedupGroups]], edges from the d5 candidate SQL). */
   private val dkSimhashGroups: String =
@@ -1273,6 +1364,8 @@ object DedupQueries {
          |WHERE levenshtein(a.text, b.text) <= $EditK
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d12_incremental_dedup" -> dkIncremental,
+    "d28_weighted_jaccard" -> dkWeightedJaccard,
+    "d29_label_propagation" -> dkLabelPropagation,
     "d6_dedup_groups" -> dkDedupGroups,
     "d7_simhash_groups" -> dkSimhashGroups,
     "d27_component_sizes" ->

@@ -1608,6 +1608,54 @@ object RelationalQueries {
             "+ coalesce(dt, CAST(0 AS DECIMAL(18,4))) AS DOUBLE)")
             .as("total_price"))
         .orderBy(col("o_custkey"))
+    }),
+
+    // As-of LINEAR INTERPOLATION: each click event gets a value estimated
+    // between the user's surrounding purchase samples — the time-series
+    // resample step (pandas merge_asof + interpolate) that q13/q47's
+    // nearest-sample joins can't express. One union + two frames over the
+    // same (user, time) window: prev sample via last(IGNORE NULLS) over the
+    // preceding frame, next via first over the following frame — no
+    // join at all, so the cost is one shuffle on user_id regardless of the
+    // sample:query ratio. Determinism: the window order (ts, tag, event_id)
+    // is total (tag 0 = sample sorts first, so a same-instant sample is
+    // "previous"); the lerp is integer cents × µs with `div` (truncating in
+    // both engines; |Δcents|·|Δµs| < 5e4·1e12 ≪ 2⁶³ even at decade spans).
+    "q78_interpolate" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tagged = Tables.fanout(Tables.events(s, d))
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          when(col("event_type") === "purchase", lit(0)).otherwise(lit(1))
+            .as("tag"),
+          when(col("event_type") === "purchase",
+            expr("CAST(floor(value * 100) AS BIGINT)")).as("vc"))
+      val wPrev = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("tag"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("tag"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      tagged
+        .withColumn("prev_vc", last(col("vc"), ignoreNulls = true).over(wPrev))
+        .withColumn("prev_ts",
+          last(when(col("tag") === 0, col("ts_us")), ignoreNulls = true)
+            .over(wPrev))
+        .withColumn("next_vc",
+          first(col("vc"), ignoreNulls = true).over(wNext))
+        .withColumn("next_ts",
+          first(when(col("tag") === 0, col("ts_us")), ignoreNulls = true)
+            .over(wNext))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("prev_ts"), col("next_ts"),
+          expr("""CASE WHEN prev_ts IS NULL THEN next_vc
+                 WHEN next_ts IS NULL THEN prev_vc
+                 WHEN next_ts = prev_ts THEN prev_vc
+                 ELSE prev_vc + ((next_vc - prev_vc) * (ts_us - prev_ts))
+                        div (next_ts - prev_ts) END""").as("interp_c"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -1658,6 +1706,33 @@ object RelationalQueries {
       |FROM changes WHERE op = 'U'""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q78_interpolate" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+        |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS tag,
+        |    CASE WHEN event_type = 'purchase'
+        |         THEN CAST(floor(value * 100) AS BIGINT) END AS vc
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |w AS (
+        |  SELECT event_id, user_id, ts_us, tag,
+        |    last_value(vc IGNORE NULLS) OVER pw AS prev_vc,
+        |    last_value(CASE WHEN tag = 0 THEN ts_us END IGNORE NULLS)
+        |      OVER pw AS prev_ts,
+        |    first_value(vc IGNORE NULLS) OVER nw AS next_vc,
+        |    first_value(CASE WHEN tag = 0 THEN ts_us END IGNORE NULLS)
+        |      OVER nw AS next_ts
+        |  FROM ev
+        |  WINDOW pw AS (PARTITION BY user_id ORDER BY ts_us, tag, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         nw AS (PARTITION BY user_id ORDER BY ts_us, tag, event_id
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id, ts_us, prev_ts, next_ts,
+        |  CASE WHEN prev_ts IS NULL THEN next_vc
+        |       WHEN next_ts IS NULL THEN prev_vc
+        |       WHEN next_ts = prev_ts THEN prev_vc
+        |       ELSE prev_vc + ((next_vc - prev_vc) * (ts_us - prev_ts))
+        |              // (next_ts - prev_ts) END AS interp_c
+        |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin,
     "q51_hll_registers" ->
       """WITH h AS (
         |  SELECT ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 15))::BIGINT AS h

@@ -63,7 +63,11 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       // round-7 third batch: blocklist (broadcast gram probes), shift
       // decay (order-free integer adds), IVM (decimal partial sums),
       // modality mix (combinable CASE-rate agg)
-      "t35_blocklist", "q76_decay_score", "q77_ivm_agg", "m7_modality_mix")
+      "t35_blocklist", "q76_decay_score", "q77_ivm_agg", "m7_modality_mix",
+      // round-7 fourth batch: weighted jaccard (integer bp over tf sums),
+      // label propagation (fixed rounds, min-tie-break argmax), as-of
+      // interpolation (total window order + integer lerp)
+      "d28_weighted_jaccard", "d29_label_propagation", "q78_interpolate")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {

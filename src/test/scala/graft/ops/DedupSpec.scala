@@ -94,6 +94,49 @@ class DedupSpec extends SparkSpecBase {
     assert(canon == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("weighted jaccard: repetition breaks the set-score blindness") {
+    // doc 10 = one copy of "a b c", doc 11 = the same three tokens with "a"
+    // repeated 4×. SET Jaccard of their token sets is 1.0 (identical
+    // support); the weighted score sees the multiset difference:
+    // Σmin = 1+1+1 = 3, Σmax = |10| + |11| − Σmin = 3 + 6 − 3 = 6 → 5000 bp.
+    // docs 12/13 are identical multisets → exactly 10000 bp.
+    val wdocs = Seq(
+      (10L, "a b c"),
+      (11L, "a a a a b c"),
+      (12L, "x y x"),
+      (13L, "y x x")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((10L, 11L), (12L, 13L)).toDF("doc_a", "doc_b")
+    val out = weightedJaccardVerify(pairs, wdocs)
+      .select("doc_a", "doc_b", "wmin", "wunion", "wjacc_bp")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out((10L, 11L)) == ((3L, 6L, 5000L)),
+      s"repetition must halve the score: $out")
+    assert(out((12L, 13L)) == ((3L, 3L, 10000L)),
+      "identical multisets score exactly 1.0")
+  }
+
+  test("label propagation: bridged triangles split; components would merge") {
+    // Two triangles joined by one bridge edge (2,3): reachability (d6/d7)
+    // collapses all six nodes into one component, but 3 rounds of
+    // min-tie-break majority LPA keep two communities — the bridge is
+    // outvoted by each triangle's internal majority. Isolated 6 keeps
+    // its own label. (Hand-rolled rounds: [1,0,0,2,3,3] → [0,0,0,3,2,2]
+    // → [0,0,0,2,2,2].)
+    val pairs = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (3L, 4L), (3L, 5L), (4L, 5L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val ds = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val out = labelPropagation(pairs, ds, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      3L -> 2L, 4L -> 2L, 5L -> 2L, 6L -> 6L),
+      s"expected two communities plus the isolated node: $out")
+    val comp = connectedComponents(pairs, ds).as[(Long, Long)].collect().toMap
+    assert(comp.filterNot(_._1 == 6L).values.toSet == Set(0L),
+      "sanity: reachability merges the bridged triangles that LPA splits")
+  }
+
   test("central keeper: max-degree member represents each component") {
     // component {1,2,3,4}: 2 has degree 3 (hub), others 1; component {7,9}
     // tie at degree 1 → min id 7; isolated 5 keeps itself
