@@ -55,6 +55,11 @@ object Tables {
     * truncate to µs in both engines). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The MICROS path below casts TimestampNTZ → TimestampType, which is
+    // instant-preserving ONLY under a UTC session zone. Every graft entry
+    // point sets it, but a session built elsewhere would silently shift
+    // all event timestamps — pin it here so the dependency can't drift.
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(s, d, "events")
     import org.apache.spark.sql.functions.{col, expr}
     raw.schema("ts").dataType match {

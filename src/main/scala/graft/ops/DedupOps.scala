@@ -158,7 +158,6 @@ object DedupOps {
     * (n_dup_windows, n_spans, longest_span_tokens). See the d26 query
     * scaladoc for the scale accounting. */
   def repeatedSpans(docs: DataFrame, spanL: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = docs
       .select(col("doc_id"), graft.ops.TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= spanL)
@@ -168,6 +167,37 @@ object DedupOps {
           .as(Seq("pos", "w")))
       .select(col("doc_id"), col("pos"),
         graft.ops.TextOps.hash60(col("w")).as("wh"))
+    dupWindowRuns(wins, spanL, "longest_span_tokens")
+  }
+
+  /** Character-level exact repeated spans (d26b) — Lee et al. 2022's
+    * 50-CHARACTER dedup unit. [[repeatedSpans]] hashes token windows, so
+    * overlap that tokenization normalizes away (whitespace runs collapsed
+    * by the splitter, sub-token boundaries) is invisible to it; this
+    * hashes every stride-1 `spanC`-char substring of the raw (trimmed)
+    * text instead — the granularity the paper's suffix array actually
+    * dedups on. Same two-agg + one-window shape as the token form; the
+    * window table is |chars| rows of 8-byte hashes (the substring strings
+    * themselves die inside the projection that hashes them — only
+    * (doc_id, pos, hash) reaches the exchange). */
+  def repeatedCharSpans(docs: DataFrame, spanC: Int): DataFrame = {
+    val t = docs.select(col("doc_id"), trim(col("text")).as("txt"))
+      .filter(length(col("txt")) >= spanC)
+    val wins = t.select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, length(txt) - $spanC), " +
+          s"p -> substring(txt, p + 1, $spanC))"))
+          .as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"),
+        graft.ops.TextOps.hash60(col("w")).as("wh"))
+    dupWindowRuns(wins, spanC, "longest_span_chars")
+  }
+
+  /** Shared tail of the repeated-span family: ≥2-instance window contents
+    * → maximal consecutive runs per doc (pos − row_number) → per-doc
+    * (n_dup_windows, n_spans, longest span in source units). */
+  private def dupWindowRuns(wins: DataFrame, spanLen: Int,
+      longestCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val hot = wins.groupBy(col("wh")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -179,7 +209,7 @@ object DedupOps {
       .groupBy(col("doc_id"))
       .agg(sum(col("run_len")).as("n_dup_windows"),
         count(lit(1)).as("n_spans"),
-        (max(col("run_len")) + lit(spanL - 1)).as("longest_span_tokens"))
+        (max(col("run_len")) + lit(spanLen - 1)).as(longestCol))
   }
 
   /** Bounded k-core peeling over an undirected `(doc_a, doc_b)` pair
@@ -828,9 +858,17 @@ object DedupOps {
   def labelPropagation(pairs: DataFrame, docs: DataFrame,
       rounds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // distinct: neighbor-vote counts assume each undirected edge appears
+    // exactly once per direction. d29 feeds canonical (doc_a < doc_b,
+    // DISTINCT) pairs where this is a no-op, but a caller passing
+    // duplicated or pre-symmetrized edges would silently double-count
+    // votes and flip majority/tie outcomes — one narrow 16-byte-row
+    // shuffle buys that invariant. (The oracle's UNION ALL over DISTINCT
+    // jpairs is equivalent.)
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
       .localCheckpoint()
     var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
     val byCount = Window.partitionBy(col("doc_id"))

@@ -26,6 +26,7 @@ object DedupQueries {
   val KCoreK = 3      // k-core threshold (d25)
   val KCoreRounds = 3 // fixed peel rounds, unrolled in the oracle
   val SpanL = 16      // d26 repeated-substring window length (tokens)
+  val SpanC = 50      // d26b window length in CHARACTERS (Lee et al.'s unit)
   val WJTauBp = 4000  // d28 weighted-Jaccard keep threshold (basis points)
   val LpaRounds = 3   // d29 fixed synchronous label-propagation rounds
 
@@ -591,6 +592,16 @@ object DedupQueries {
     // span count, longest span.
     "d26_repeated_spans" -> ((s, d) => {
       repeatedSpans(docs(s, d), SpanL).orderBy(col("doc_id"))
+    }),
+
+    // Character-level repeated spans — the same Lee et al. objective at
+    // the paper's actual granularity (50-char substrings of the raw
+    // text). Catches verbatim overlap that d26's tokenizer normalizes
+    // away (collapsed whitespace, sub-token boundaries). Window table is
+    // |chars| rows of (doc_id, pos, 8-byte hash); same cost family as
+    // d26/d18, one map-side-combinable count + one doc-keyed window.
+    "d26b_repeated_char_spans" -> ((s, d) => {
+      repeatedCharSpans(docs(s, d), SpanC).orderBy(col("doc_id"))
     }),
 
     // k-core peeling (bounded rounds): the dense-subgraph membership
@@ -1161,6 +1172,33 @@ object DedupQueries {
        |  MAX(run_len) + ${SpanL - 1} AS longest_span_tokens
        |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** d26b's mirror: the d26 run structure over stride-1 [[SpanC]]-char
+    * substrings of trim(text) (both engines count CHARACTERS — Spark
+    * `substring`/`length` and DuckDB `substr`/`length` are codepoint-
+    * based). */
+  private val dkRepeatedCharSpans: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, trim(text) AS txt FROM documents),
+       |w AS (
+       |  SELECT doc_id, u.p AS pos,
+       |    ${dkHash60(s"substr(txt, u.p + 1, $SpanC)")} AS wh
+       |  FROM t, LATERAL (
+       |    SELECT unnest(generate_series(0, length(txt) - $SpanC)) AS p) u
+       |  WHERE length(txt) >= $SpanC),
+       |c AS (SELECT wh FROM w GROUP BY wh HAVING COUNT(*) >= 2),
+       |r AS (
+       |  SELECT w.doc_id, w.pos,
+       |    ROW_NUMBER() OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS rk
+       |  FROM w JOIN c USING (wh)),
+       |runs AS (
+       |  SELECT doc_id, pos - rk AS grp, COUNT(*) AS run_len
+       |  FROM r GROUP BY doc_id, grp)
+       |SELECT doc_id,
+       |  CAST(SUM(run_len) AS BIGINT) AS n_dup_windows,
+       |  COUNT(*) AS n_spans,
+       |  MAX(run_len) + ${SpanC - 1} AS longest_span_chars
+       |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** [[graft.ops.DedupOps.kcoreResidual]]'s peel unrolled: the d5 edge
     * CTEs as e0, then KCoreRounds × (degree over both endpoints → keep
     * nodes with deg ≥ k → keep edges whose endpoints both survive), and
@@ -1288,6 +1326,7 @@ object DedupQueries {
     "d13_bfs_levels" -> dkBfsLevels,
     "d25_kcore" -> dkKcore,
     "d26_repeated_spans" -> dkRepeatedSpans,
+    "d26b_repeated_char_spans" -> dkRepeatedCharSpans,
     "d15_pagerank" -> dkPageRankSql("1000000000", "150000000"),
     "d19_lsh_quality" -> dkLshQuality,
     // d2's LSH-candidate CTEs with the diagonal run-length tail

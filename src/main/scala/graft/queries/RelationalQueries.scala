@@ -1623,8 +1623,14 @@ object RelationalQueries {
     // both engines; |Δcents|·|Δµs| < 5e4·1e12 ≪ 2⁶³ even at decade spans).
     "q78_interpolate" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // NULL-value purchases are dropped up front: a sample row with no
+      // value would otherwise set prev_ts/next_ts (it has tag = 0) while
+      // contributing no vc, so the lerp could pair prev_vc and prev_ts
+      // from DIFFERENT sample rows — "interpolated between surrounding
+      // samples" requires (ts, value) to travel together.
       val tagged = Tables.fanout(Tables.events(s, d))
-        .filter(col("event_type").isin("purchase", "click"))
+        .filter(col("event_type") === "click" ||
+          (col("event_type") === "purchase" && col("value").isNotNull))
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("ts_us"),
           when(col("event_type") === "purchase", lit(0)).otherwise(lit(1))
@@ -1712,7 +1718,9 @@ object RelationalQueries {
         |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS tag,
         |    CASE WHEN event_type = 'purchase'
         |         THEN CAST(floor(value * 100) AS BIGINT) END AS vc
-        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |  FROM events
+        |  WHERE event_type = 'click'
+        |     OR (event_type = 'purchase' AND value IS NOT NULL)),
         |w AS (
         |  SELECT event_id, user_id, ts_us, tag,
         |    last_value(vc IGNORE NULLS) OVER pw AS prev_vc,

@@ -180,6 +180,59 @@ class DedupSpec extends SparkSpecBase {
     assert(!out.contains(3L), "clean doc must produce no span row")
   }
 
+  test("char spans: planted passages produce the geometry at char granularity") {
+    // globally-unique filler blocks → zero accidental 50-char collisions;
+    // a window collides iff it lies entirely inside a planted passage
+    // one-char sentinels (A..H, unique corpus-wide) wrap every planted
+    // occurrence: a window straddling a passage boundary contains its
+    // sentinel and so can never collide — without them, filler blocks
+    // sharing a few boundary digits ("x0001…" vs "x0003…") extend the
+    // match past the planted span
+    def fill(r: Range) = r.map(i => f"x$i%06d").mkString
+    val passage = (0 until 10).map(i => f"P$i%07d").mkString // 80 chars
+    val phrase = (0 until 10).map(i => f"Q$i%05d").mkString  // 60 chars
+    val corpus = Seq(
+      (0L, fill(0 until 10) + "A" + passage + "B" + fill(100 until 110)),
+      (1L, fill(200 until 210) + "C" + passage + "D" + fill(300 until 305)),
+      (2L, fill(400 until 410) + "E" + phrase + "F" + fill(500 until 510) +
+        "G" + phrase + "H" + fill(600 until 603)),
+      (3L, fill(700 until 720)) // clean doc: must not appear
+    ).toDF("doc_id", "text")
+    val out = repeatedCharSpans(corpus, 50)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, dw, ns, ls) => id -> ((dw, ns, ls)) }.toMap
+    // 80-char passage: 80−50+1 = 31 consecutive dup starts, one span of
+    // exactly 80 chars (boundary-straddling windows mix unique filler)
+    assert(out(0L) == ((31L, 1L, 80L)), s"doc 0: ${out.get(0L)}")
+    assert(out(1L) == ((31L, 1L, 80L)), s"doc 1: ${out.get(1L)}")
+    // doubled 60-char phrase: two runs of 60−50+1 = 11 starts each
+    assert(out(2L) == ((22L, 2L, 60L)), s"doc 2: ${out.get(2L)}")
+    assert(!out.contains(3L), "clean doc must produce no span row")
+  }
+
+  test("char spans see whitespace-normalized overlap that token spans miss") {
+    // same 30-token passage, but doc 1 doubles every inter-token space:
+    // the token windows still match (the splitter collapses whitespace);
+    // the 50-char windows must NOT (the raw bytes differ) — and vice
+    // versa, an exact byte-identical passage is caught by both.
+    val toks = (0 until 30).map(i => f"w$i%04d")
+    val single = toks.mkString(" ")
+    val double = toks.mkString("  ")
+    val corpus = Seq(
+      (0L, s"${fillTok(0)} $single ${fillTok(1)}"),
+      (1L, s"${fillTok(2)} $double ${fillTok(3)}")
+    ).toDF("doc_id", "text")
+    val tokenHits = repeatedSpans(corpus, 16).count()
+    val charHits = repeatedCharSpans(corpus, 50).count()
+    assert(tokenHits == 2L,
+      s"token spans normalize whitespace, must match: $tokenHits")
+    assert(charHits == 0L,
+      s"char spans see the raw text, must not match: $charHits")
+  }
+
+  private def fillTok(block: Int): String =
+    (0 until 12).map(i => f"u$block%02d$i%04d").mkString(" ")
+
   test("kcore peel: triangle survives k=2, chain peels away; k monotone") {
     // triangle {1,2,3} + pendant chain 3-4-5: at k=2 the chain peels off
     // over successive rounds (4's degree drops to 1 only after 5 goes),
