@@ -63,6 +63,54 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Collapsed-class analytics edges: one node per distinct SimHash
+    * (min-id representative), edges = hamming ≤ [[MaxHamming]] pairs
+    * between distinct sketches via the same banded+salted candidate join
+    * as d5, run over the class table (|classes| rows, not |docs|). The
+    * executable form of "collapse duplicate components before graph
+    * analytics" — see the d9r query scaladoc for measured reductions. */
+  private def residualClassGraph(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val df = docs(s, d).withColumn("hs", tokenHashes(tokens(col("text"))))
+    val classes = df.select(col("doc_id"), simhash32(col("hs")).as("simhash"))
+      .groupBy(col("simhash")).agg(min(col("doc_id")).as("doc_id"))
+      .localCheckpoint()
+    (classes,
+      simhashPairs(simhashBands(classes, col("simhash")), MaxHamming)
+        .select(col("doc_a"), col("doc_b")))
+  }
+
+  private def residualClassEdges(s: SparkSession, d: String): DataFrame =
+    residualClassGraph(s, d)._2
+
+  /** d9's exact per-node stats (degree / non-adjacent 2-hop reach /
+    * triangles) over an undirected `(doc_a < doc_b)` edge list, guarded
+    * by the wedge budget ([[graft.ops.DedupOps.requireWedgeBudget]]). */
+  private def exactGraphStats(pairs: DataFrame, op: String): DataFrame = {
+    val edges = pairs.localCheckpoint()
+    val adj = edges
+      .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("u", "v")
+    graft.ops.DedupOps.requireWedgeBudget(adj, budget = 200000000L, op = op)
+    val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("degree"))
+    val hop2 = adj.toDF("u", "mid")
+      .join(adj.toDF("mid", "v"), "mid")
+      .filter(col("v") =!= col("u"))
+      .select(col("u"), col("v")).distinct()
+      .join(adj, Seq("u", "v"), "left_anti")
+      .groupBy(col("u")).agg(count(lit(1)).as("n_2hop"))
+    val tri = adj.toDF("u", "v1")
+      .join(adj.toDF("u", "v2"), "u")
+      .filter(col("v1") < col("v2"))
+      .join(edges, col("v1") === col("doc_a") && col("v2") === col("doc_b"))
+      .groupBy(col("u")).agg(count(lit(1)).as("n_tri"))
+    deg.join(hop2, Seq("u"), "left").join(tri, Seq("u"), "left")
+      .select(col("u").as("doc_id"), col("degree"),
+        coalesce(col("n_2hop"), lit(0L)).as("n_2hop"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: content-hash groupBy; keeper = min doc_id. At scale:
     // hash-partitioned shuffle on a 32-hex key — perfectly distributed.
@@ -305,28 +353,41 @@ object DedupQueries {
     "d9_graph_stats" -> ((s, d) => {
       val df = docs(s, d).withColumn("hs", tokenHashes(tokens(col("text"))))
       val edges = simhashPairs(simhashBands(df, simhash32(col("hs"))), MaxHamming)
-        .select(col("doc_a"), col("doc_b")).localCheckpoint()
-      val adj = edges
-        .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .toDF("u", "v")
-      graft.ops.DedupOps.requireWedgeBudget(adj, budget = 200000000L,
-        op = "d9_graph_stats")
-      val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("degree"))
-      val hop2 = adj.toDF("u", "mid")
-        .join(adj.toDF("mid", "v"), "mid")
-        .filter(col("v") =!= col("u"))
-        .select(col("u"), col("v")).distinct()
-        .join(adj, Seq("u", "v"), "left_anti")
-        .groupBy(col("u")).agg(count(lit(1)).as("n_2hop"))
-      val tri = adj.toDF("u", "v1")
-        .join(adj.toDF("u", "v2"), "u")
-        .filter(col("v1") < col("v2"))
-        .join(edges, col("v1") === col("doc_a") && col("v2") === col("doc_b"))
-        .groupBy(col("u")).agg(count(lit(1)).as("n_tri"))
-      deg.join(hop2, Seq("u"), "left").join(tri, Seq("u"), "left")
-        .select(col("u").as("doc_id"), col("degree"),
-          coalesce(col("n_2hop"), lit(0L)).as("n_2hop"),
-          coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+        .select(col("doc_a"), col("doc_b"))
+      exactGraphStats(edges, "d9_graph_stats")
+    }),
+
+    // The post-collapse contract, EXECUTABLE (the Bench/d9b prose made it
+    // advice; these three rows make it code): sketch-identical documents
+    // (SimHash hamming 0 — the "duplicate component" relation) collapse to
+    // one node each, and the near-dup analytics edges (hamming ≤
+    // MaxHamming between DISTINCT sketches) connect the collapsed
+    // classes. At sf0.1 the collapse takes 5 000 docs → 2 783 classes and
+    // 2.15M doc edges → 57.6k class edges (37×); Σdeg² falls 4.0e9 →
+    // 1.15e7, so the EXACT graph family fits its wedge budget again —
+    // d9r runs to completion where d9 refuses fast. The collapse itself
+    // is one map-side-combinable groupBy on the 8-byte sketch; the class
+    // edge build is the same banded+salted join as d5 over the (smaller)
+    // class table.
+    "d9r_graph_stats_residual" -> ((s, d) => {
+      exactGraphStats(residualClassEdges(s, d), "d9r_graph_stats_residual")
+    }),
+
+    // k-core peel on the collapsed class graph — the form a real pipeline
+    // runs (d25 pays the pre-collapse clique blowup; here rounds cost
+    // |class edges|). In the bench headline: bounded rounds, small graph.
+    "d25r_kcore_residual" -> ((s, d) => {
+      kcoreResidual(residualClassEdges(s, d), KCoreK, KCoreRounds)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Label-propagation communities on the collapsed class graph (d29's
+    // production form): near-identical docs no longer vote as cliques, so
+    // communities reflect BETWEEN-template structure.
+    "d29r_lpa_residual" -> ((s, d) => {
+      val (classes, edges) = residualClassGraph(s, d)
+      labelPropagation(edges, classes.select(col("doc_id")), LpaRounds)
+        .select(col("doc_id"), col("lbl").as("community"))
         .orderBy(col("doc_id"))
     }),
 
@@ -961,7 +1022,10 @@ object DedupQueries {
     * label-propagation rounds UNROLLED (majority neighbor label, tie →
     * min, isolated nodes keep their own) — the d15 pattern of mirroring a
     * fixed-round iteration as a CTE chain, argmax instead of mass. */
-  private val dkLabelPropagation: String = {
+  /** The synchronous LPA rounds + community readout, over a directed edge
+    * CTE named `edges` (src, dst) and an initial label CTE `l0` — shared
+    * by d29 (doc graph) and d29r (collapsed class graph). */
+  private val dkLpaTail: String = {
     val rounds = (1 to LpaRounds).map { r =>
       s"""n$r AS (
          |  SELECT e.src AS doc_id, l.lbl, count(*) AS c
@@ -977,12 +1041,73 @@ object DedupQueries {
          |  SELECT p.doc_id, coalesce(t.lbl, p.lbl) AS lbl
          |  FROM l${r - 1} p LEFT JOIN t$r t USING (doc_id))""".stripMargin
     }.mkString(",\n")
-    s"""$dkSimhashClosureCtes,
-       |l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),
-       |$rounds
+    s"""$rounds
        |SELECT doc_id, lbl AS community FROM l$LpaRounds
        |ORDER BY doc_id""".stripMargin
   }
+
+  private val dkLabelPropagation: String =
+    s"""$dkSimhashClosureCtes,
+       |l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),
+       |$dkLpaTail""".stripMargin
+
+  /** Shared class-collapse CTEs for the residual graph family: one node
+    * per distinct SimHash (min-id rep, CTE `cls`), class pair list `ce`
+    * from the same band join over classes. */
+  private val dkClassCtes: String =
+    s"""h AS (SELECT doc_id, $dkTokenHashes AS hs FROM documents),
+       |shx AS (SELECT doc_id, $dkSimhashExpr AS simhash FROM h),
+       |cls AS (SELECT simhash, min(doc_id) AS doc_id FROM shx
+       |        GROUP BY simhash),
+       |cbands AS (
+       |  SELECT doc_id, simhash, b.band_idx,
+       |         (simhash >> (b.band_idx * 8)) & 255 AS band_val
+       |  FROM cls, (SELECT unnest([0,1,2,3]) AS band_idx) b),
+       |ce AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM cbands l JOIN cbands r
+       |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+       |   AND l.doc_id < r.doc_id
+       |  WHERE bit_count(xor(l.simhash, r.simhash)) <= $MaxHamming)""".stripMargin
+
+  private val dkKcoreResidual: String =
+    s"""WITH $dkClassCtes,
+       |e0 AS (SELECT doc_a, doc_b FROM ce),
+       |$dkKcoreTail""".stripMargin
+
+  private val dkLpaResidual: String =
+    s"""WITH $dkClassCtes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM ce
+       |  UNION ALL SELECT doc_b, doc_a FROM ce),
+       |l0 AS (SELECT doc_id, doc_id AS lbl FROM cls),
+       |$dkLpaTail""".stripMargin
+
+  /** d9's exact per-node stats tail over the collapsed class graph. */
+  private val dkGraphStatsResidual: String =
+    s"""WITH $dkClassCtes,
+       |adj AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM ce
+       |  UNION ALL SELECT doc_b, doc_a FROM ce),
+       |deg AS (SELECT u, count(*) AS degree FROM adj GROUP BY u),
+       |twohop AS (
+       |  SELECT a1.u, count(DISTINCT a2.v) AS n_2hop
+       |  FROM adj a1 JOIN adj a2 ON a1.v = a2.u
+       |  WHERE a2.v <> a1.u
+       |    AND NOT EXISTS (SELECT 1 FROM adj d
+       |                    WHERE d.u = a1.u AND d.v = a2.v)
+       |  GROUP BY a1.u),
+       |tri AS (
+       |  SELECT a1.u, count(*) AS n_tri
+       |  FROM adj a1 JOIN adj a2 ON a1.u = a2.u AND a1.v < a2.v
+       |  JOIN ce e ON e.doc_a = a1.v AND e.doc_b = a2.v
+       |  GROUP BY a1.u)
+       |SELECT d.u AS doc_id, d.degree,
+       |       coalesce(t2.n_2hop, 0) AS n_2hop,
+       |       coalesce(t.n_tri, 0) AS n_tri
+       |FROM deg d LEFT JOIN twohop t2 ON t2.u = d.u
+       |LEFT JOIN tri t ON t.u = d.u
+       |ORDER BY doc_id""".stripMargin
 
   /** Recursive-CTE closure over the SimHash-Hamming pair graph (same
     * structure as [[dkDedupGroups]], edges from the d5 candidate SQL). */
@@ -1203,7 +1328,11 @@ object DedupQueries {
     * CTEs as e0, then KCoreRounds × (degree over both endpoints → keep
     * nodes with deg ≥ k → keep edges whose endpoints both survive), and
     * the residual degree readout. All counts are BIGINT in both engines. */
-  private val dkKcore: String = {
+  /** The peel rounds + residual-degree readout over a pair CTE named
+    * `e0` — shared by d25 (doc graph) and d25r (collapsed class graph). */
+  // lazy: referenced by dkKcoreResidual, which is declared earlier in the
+  // object — a strict val would still be null at its initializer.
+  private lazy val dkKcoreTail: String = {
     val rounds = (1 to KCoreRounds).map { i =>
       s"""d$i AS (
          |  SELECT u, COUNT(*) AS deg FROM (
@@ -1216,6 +1345,14 @@ object DedupQueries {
          |  WHERE doc_a IN (SELECT u FROM k$i)
          |    AND doc_b IN (SELECT u FROM k$i))""".stripMargin
     }.mkString(",\n")
+    s"""$rounds
+       |SELECT u AS doc_id, COUNT(*) AS deg FROM (
+       |  SELECT doc_a AS u FROM e$KCoreRounds
+       |  UNION ALL SELECT doc_b FROM e$KCoreRounds)
+       |GROUP BY u ORDER BY doc_id""".stripMargin
+  }
+
+  private val dkKcore: String =
     s"""WITH h AS (SELECT doc_id, $dkTokenHashes AS hs FROM documents),
        |sh AS (SELECT doc_id, $dkSimhashExpr AS simhash FROM h),
        |bands AS (
@@ -1228,12 +1365,7 @@ object DedupQueries {
        |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
        |   AND l.doc_id < r.doc_id
        |  WHERE bit_count(xor(l.simhash, r.simhash)) <= $MaxHamming),
-       |$rounds
-       |SELECT u AS doc_id, COUNT(*) AS deg FROM (
-       |  SELECT doc_a AS u FROM e$KCoreRounds
-       |  UNION ALL SELECT doc_b FROM e$KCoreRounds)
-       |GROUP BY u ORDER BY doc_id""".stripMargin
-  }
+       |$dkKcoreTail""".stripMargin
 
   private val dkBfsLevels: String =
     s"""WITH RECURSIVE h AS (SELECT doc_id, $dkTokenHashes AS hs FROM documents),
@@ -1327,6 +1459,9 @@ object DedupQueries {
     "d25_kcore" -> dkKcore,
     "d26_repeated_spans" -> dkRepeatedSpans,
     "d26b_repeated_char_spans" -> dkRepeatedCharSpans,
+    "d9r_graph_stats_residual" -> dkGraphStatsResidual,
+    "d25r_kcore_residual" -> dkKcoreResidual,
+    "d29r_lpa_residual" -> dkLpaResidual,
     "d15_pagerank" -> dkPageRankSql("1000000000", "150000000"),
     "d19_lsh_quality" -> dkLshQuality,
     // d2's LSH-candidate CTEs with the diagonal run-length tail
