@@ -77,7 +77,8 @@ object Bench {
     "d8d_triangle_doulion", "d9b_graph_stats_sketch",
     "d11_containment", "d12_incremental_dedup",
     "d14_decontaminate", "d16_editdist_join", "d18_ngram_novelty",
-    "d20_ppjoin", "d22_quote_runs", "d23_semdedup", "d24_chunk_dedup",
+    "d20_ppjoin", "d22_quote_runs", "d23_semdedup", "d23b_semdedup_planted",
+    "d24_chunk_dedup",
     "d26_repeated_spans", "d26b_repeated_char_spans", "d28_weighted_jaccard",
     "d29_label_propagation",
     "d9r_graph_stats_residual", "d25r_kcore_residual", "d29r_lpa_residual",

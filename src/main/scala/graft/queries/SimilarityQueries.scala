@@ -26,6 +26,11 @@ object SimilarityQueries {
     * d23 gates at 0.25 so the removal/keeper logic is exercised on real
     * rows — the production SemDeDup knob is ~0.95, a config change. */
   val SemTau = 0.25
+  /** d23b/d23c gate: the PRODUCTION SemDeDup knob (Abbas et al. 2023 use
+    * ~0.95 on LAION). Exercised against a corpus with PLANTED semantic
+    * near-dups — see [[plantedVecs]]. */
+  val SemTauProd = 0.95
+  val PlantMod = 3    // every vec_id % 3 == 0 gains a near-identical twin
   val LshTables = 8   // LSH hash tables
   val Planes = 8   // hyperplanes (bits) per table
   val Dims = 64
@@ -33,6 +38,47 @@ object SimilarityQueries {
   private def vecs(s: SparkSession, d: String) =
     Tables.fanout(Tables.embeddings(s, d))
       .select(col("vec_id").as("id"), toDouble(col("embedding")).as("emb"))
+
+  /** The planted near-duplicate corpus for the production-knob SemDeDup
+    * rows: every `id % PlantMod == 0` vector gains a twin at
+    * `id + (max id + 1)` whose elements are scaled by
+    * `1 + 2e-4·(((id+i) % 5) − 2)` — a deterministic ±0.04% perturbation
+    * (cos ≈ 0.9999997, far above τ=0.95; the corpus's max non-planted
+    * cosine is ≈0.48, far below). Pure doubles, same IEEE ops both
+    * engines → bit-exact in the oracle. The twin-id offset comes from a
+    * 1-row agg broadcast into the projection — no literal depends on sf. */
+  private def plantedVecs(s: SparkSession, d: String): DataFrame = {
+    val v = vecs(s, d)
+    val off = v.agg((max(col("id")) + lit(1L)).as("off"))
+    val twins = v.filter(col("id") % PlantMod === 0)
+      .crossJoin(broadcast(off))
+      .select((col("id") + col("off")).as("id"),
+        expr("transform(emb, (x, i) -> x * (1.0D + 0.0002D * " +
+          "CAST((id + i) % 5 - 2 AS DOUBLE)))").as("emb"))
+    v.unionByName(twins)
+  }
+
+  /** SemDeDup removal decisions (Abbas et al. 2023): k-means clusters as
+    * the candidate filter, exact cosine within a cluster only, greedy
+    * keep-smallest-id. Shared by d23 (raw corpus, exploratory τ) and d23b
+    * (planted corpus, production τ). */
+  private def semDedupRemovals(v: DataFrame, tau: Double): DataFrame = {
+    val assigned = kmeansAssign(v, KmK, KmIters)
+      .select(col("id"), col("cluster"))
+    val av = v.join(assigned, "id")
+    val a = av.select(col("cluster"), col("id").as("id_a"),
+      col("emb").as("emb_a"), norm2(col("emb")).as("n2_a"))
+    val b = av.select(col("cluster").as("cluster_b"), col("id").as("id_b"),
+      col("emb").as("emb_b"), norm2(col("emb")).as("n2_b"))
+    a.join(b, col("cluster") === col("cluster_b") && col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(dot(col("emb_a"), col("emb_b")),
+        col("n2_a"), col("n2_b")))
+      .filter(col("cos") >= tau)
+      .groupBy(col("cluster"), col("id_b").as("removed_id"))
+      .agg(min(col("id_a")).as("kept_id"),
+        round(max(col("cos")), 6).as("max_cos"))
+      .orderBy(col("removed_id"))
+  }
 
   val queries: Map[String, Q] = Map(
     // Exact ANN baseline: top-10 cosine neighbors of the first 8 vectors.
@@ -227,23 +273,40 @@ object SimilarityQueries {
     // cosineNearDupPairs(SemTau) restricted to same-cluster (asserted in
     // SimilaritySpec) — the cluster filter is what SemDeDup trades for
     // never computing the cross-cluster terms.
-    "d23_semdedup" -> ((s, d) => {
-      val v = vecs(s, d)
-      val assigned = kmeansAssign(v, KmK, KmIters)
-        .select(col("id"), col("cluster"))
-      val av = v.join(assigned, "id")
-      val a = av.select(col("cluster"), col("id").as("id_a"),
-        col("emb").as("emb_a"), norm2(col("emb")).as("n2_a"))
-      val b = av.select(col("cluster").as("cluster_b"), col("id").as("id_b"),
-        col("emb").as("emb_b"), norm2(col("emb")).as("n2_b"))
-      a.join(b, col("cluster") === col("cluster_b") && col("id_a") < col("id_b"))
-        .withColumn("cos", cosine(dot(col("emb_a"), col("emb_b")),
-          col("n2_a"), col("n2_b")))
-        .filter(col("cos") >= SemTau)
-        .groupBy(col("cluster"), col("id_b").as("removed_id"))
-        .agg(min(col("id_a")).as("kept_id"),
-          round(max(col("cos")), 6).as("max_cos"))
-        .orderBy(col("removed_id"))
+    "d23_semdedup" -> ((s, d) => semDedupRemovals(vecs(s, d), SemTau)),
+
+    // SemDeDup AT THE PRODUCTION KNOB (τ=0.95, the Abbas et al. regime):
+    // the synthetic corpus has no true semantic dups (max cosine ≈0.48),
+    // so d23's τ=0.25 exercises the machinery but not the regime — here
+    // the corpus is augmented with planted near-identical twins
+    // ([[plantedVecs]]) and the gate must remove them: every removal is a
+    // genuine ≥0.95 pair, nonzero by construction. Same cluster-filter +
+    // in-cluster exact verify plan as d23; cost adds |v|/3 rows.
+    "d23b_semdedup_planted" -> ((s, d) =>
+      semDedupRemovals(plantedVecs(s, d), SemTauProd)),
+
+    // The d19/n12-style self-evaluation of d23b: recall and precision of
+    // the cluster-filtered removal set against the EXACT all-pairs cosine
+    // truth at the same τ. Removed-set recall measures what the cluster
+    // filter trades (a twin split from its original by the k-means
+    // boundary would be missed); precision is structurally 10000 (every
+    // detected pair is verified by exact cosine) and a non-10000 value
+    // would flag a broken verify. Quadratic truth term → bench-excluded
+    // validator, like d4/d19.
+    "d23c_semdedup_eval" -> ((s, d) => {
+      val v = plantedVecs(s, d)
+      val truth = cosineNearDupPairs(v, SemTauProd)
+        .select(col("id_b").as("rid")).distinct()
+      val det = semDedupRemovals(v, SemTauProd)
+        .select(col("removed_id").as("rid"))
+      val nT = truth.agg(count(lit(1)).as("n_true_removed"))
+      val nD = det.agg(count(lit(1)).as("n_removed"))
+      val nH = truth.join(det, "rid").agg(count(lit(1)).as("n_hit"))
+      nT.crossJoin(nD).crossJoin(nH)
+        .select(col("n_true_removed"), col("n_removed"), col("n_hit"),
+          expr("n_hit * 10000 div n_true_removed").as("recall_bp"),
+          expr("CASE WHEN n_removed = 0 THEN CAST(NULL AS BIGINT) " +
+            "ELSE n_hit * 10000 div n_removed END").as("precision_bp"))
     }),
 
     // Multi-probe LSH (Lv et al. 2007): recover recall by probing MORE
@@ -532,7 +595,33 @@ object SimilarityQueries {
     * (assign + decimal-mean update), and `afinal` (assignment against
     * `cent{KmIters}`). Same (‖v‖²+‖c‖²)−2·v·c double arithmetic, same
     * (d2, cid) tie-break. */
-  private def dkKmeansCtes: String = {
+  private def dkKmeansCtes: String = dkKmeansCtesOver(
+    s"""v AS (
+       |  SELECT vec_id AS id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings)""".stripMargin)
+
+  /** [[plantedVecs]]'s mirror: originals ∪ perturbed twins. DuckDB's
+    * generate_series index is 1-based where Spark's transform index is
+    * 0-based, hence the `i - 1`. */
+  private def dkPlantedV: String =
+    s"""pv0 AS (
+       |  SELECT vec_id AS id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |poff AS (SELECT max(id) + 1 AS off FROM pv0),
+       |v AS (
+       |  SELECT id, emb FROM pv0
+       |  UNION ALL
+       |  SELECT pv0.id + poff.off AS id,
+       |    list_transform(generate_series(1, len(emb)),
+       |      i -> emb[i] * (1.0 + 0.0002 *
+       |        CAST((pv0.id + i - 1) % 5 - 2 AS DOUBLE))) AS emb
+       |  FROM pv0, poff WHERE pv0.id % $PlantMod = 0)""".stripMargin
+
+  /** [[dkKmeansCtes]] over a caller-supplied CTE chain whose LAST relation
+    * is `v (id, emb)` — d23b trains on the planted augmented corpus. */
+  private def dkKmeansCtesOver(vCtes: String): String = {
     def assign(cent: String, out: String) =
       s"""$out AS (
          |  SELECT id, cluster, d2 FROM (
@@ -559,10 +648,7 @@ object SimilarityQueries {
     val steps = (1 to KmIters).map { i =>
       assign(if (i == 1) "cent0" else s"cent${i - 1}", s"a$i") + ",\n" + update(s"a$i", i)
     }.mkString(",\n")
-    s"""v AS (
-       |  SELECT vec_id AS id,
-       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-       |  FROM embeddings),
+    s"""$vCtes,
        |cent0 AS (SELECT id AS cid, emb AS cent FROM v WHERE id < $KmK),
        |$steps,
        |${assign(s"cent$KmIters", "afinal")}""".stripMargin
@@ -1116,6 +1202,47 @@ object SimilarityQueries {
          |  round(max(cos), 6) AS max_cos
          |FROM p WHERE cos >= $SemTau
          |GROUP BY cluster, id_b ORDER BY removed_id""".stripMargin,
+    "d23b_semdedup_planted" ->
+      s"""WITH ${dkKmeansCtesOver(dkPlantedV)},
+         |av AS (
+         |  SELECT a.id, a.cluster, v.emb
+         |  FROM afinal a JOIN v ON v.id = a.id),
+         |p AS (
+         |  SELECT a.cluster, a.id AS id_a, b.id AS id_b,
+         |    ${dot2("a.emb", "b.emb")}
+         |    / sqrt(${n2of("a.emb")} * ${n2of("b.emb")}) AS cos
+         |  FROM av a JOIN av b ON a.cluster = b.cluster AND a.id < b.id)
+         |SELECT cluster, id_b AS removed_id, min(id_a) AS kept_id,
+         |  round(max(cos), 6) AS max_cos
+         |FROM p WHERE cos >= $SemTauProd
+         |GROUP BY cluster, id_b ORDER BY removed_id""".stripMargin,
+    "d23c_semdedup_eval" ->
+      s"""WITH ${dkKmeansCtesOver(dkPlantedV)},
+         |av AS (
+         |  SELECT a.id, a.cluster, v.emb
+         |  FROM afinal a JOIN v ON v.id = a.id),
+         |p AS (
+         |  SELECT a.cluster, a.id AS id_a, b.id AS id_b,
+         |    ${dot2("a.emb", "b.emb")}
+         |    / sqrt(${n2of("a.emb")} * ${n2of("b.emb")}) AS cos
+         |  FROM av a JOIN av b ON a.cluster = b.cluster AND a.id < b.id),
+         |det AS (SELECT DISTINCT id_b AS rid FROM p WHERE cos >= $SemTauProd),
+         |tp AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |    ${dot2("a.emb", "b.emb")}
+         |    / sqrt(${n2of("a.emb")} * ${n2of("b.emb")}) AS cos
+         |  FROM v a JOIN v b ON a.id < b.id),
+         |truth AS (SELECT DISTINCT id_b AS rid FROM tp
+         |          WHERE cos >= $SemTauProd),
+         |counts AS (
+         |  SELECT (SELECT count(*) FROM truth) AS n_true_removed,
+         |         (SELECT count(*) FROM det) AS n_removed,
+         |         (SELECT count(*) FROM truth JOIN det USING (rid)) AS n_hit)
+         |SELECT n_true_removed, n_removed, n_hit,
+         |  (n_hit * 10000) // n_true_removed AS recall_bp,
+         |  CASE WHEN n_removed = 0 THEN NULL
+         |       ELSE (n_hit * 10000) // n_removed END AS precision_bp
+         |FROM counts""".stripMargin,
     "n13_multiprobe_lsh" ->
       s"""WITH v AS (
          |  SELECT vec_id AS id,
