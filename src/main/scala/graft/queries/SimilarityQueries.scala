@@ -347,6 +347,18 @@ object SimilarityQueries {
         trainedCodebooks(v), K, nprobe = 2)
     }),
 
+    // IVFADC SERVING against the persisted index ([[graft.ops.IvfIndex]])
+    // — the lifecycle n14 conflates, split: training + materialization
+    // happen ONCE (first invocation per corpus, or an explicit build);
+    // this query is the steady-state read path a vector store actually
+    // serves. Probed list ids resolve on the driver and partition-prune
+    // the 4-byte code scan (the directory tree IS the inverted-list
+    // index); the probe frame broadcasts into it. Same oracle as n14 —
+    // the persisted index stores exactly what n14's in-query training
+    // computes, so byte-equal results PROVE the round-trip is lossless.
+    "n15_ivfpq_serve" -> ((s, d) =>
+      graft.ops.IvfIndex.serve(s, d, K, nprobe = 2)),
+
     // Cross-modal retrieval serving join (registered m6): ANN neighbors
     // resolved back to document metadata — embeddings and documents share
     // the id space (vec_id = doc_id), so the top-k result set (k·|queries|
@@ -421,7 +433,7 @@ object SimilarityQueries {
     * per-query distance tables broadcast as array columns, scoring = 4
     * lookups + 3 adds. */
   /** Argmin PQ code for subspace `m` (ties to the lower codebook position). */
-  private def pqEncodeCol(cbs: Seq[Seq[(Long, Seq[Double], Double)]],
+  private[graft] def pqEncodeCol(cbs: Seq[Seq[(Long, Seq[Double], Double)]],
       m: Int): Column = {
     val sn2 = norm2(pqSub(m))
     least(cbs(m).zipWithIndex.map { case ((_, cent, cn2), pos) =>
@@ -431,7 +443,7 @@ object SimilarityQueries {
   }
 
   /** Per-query ADC distance table for subspace `m` as an array column. */
-  private def pqAdcArr(cbs: Seq[Seq[(Long, Seq[Double], Double)]],
+  private[graft] def pqAdcArr(cbs: Seq[Seq[(Long, Seq[Double], Double)]],
       m: Int): Column = {
     val sn2 = norm2(pqSub(m))
     array(cbs(m).map { case (_, cent, cn2) =>
@@ -886,6 +898,10 @@ object SimilarityQueries {
     "n11b_pq_trained" -> dkPqTrained,
     "n14_ivfpq" -> dkIvfPq,
     "n14b_ivfpq_residual" -> dkIvfPqResidual,
+    // n15 serves from the persisted index, which stores exactly the
+    // quantities n14's in-query training computes — one oracle pins both
+    // (and a drifting index build fails THIS row, not just a spec).
+    "n15_ivfpq_serve" -> dkIvfPq,
     "n8_quantize" ->
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

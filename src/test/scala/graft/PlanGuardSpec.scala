@@ -52,6 +52,20 @@ class PlanGuardSpec extends SparkSpecBase {
       s"n14's probe-gate join must broadcast:\n$p")
   }
 
+  test("n15 partition-prunes the persisted code scan to the probed lists") {
+    // The serve path's contract: the 4-byte code scan reads ONLY the
+    // probed inverted lists' directories (the partitionBy(list_id)
+    // layout is the index structure), and the probe frame broadcasts
+    // into it — a plan that lists every partition or shuffles the code
+    // side has lost the IVF access path. (First run per corpus builds
+    // the index; the assertions are on the steady-state serve plan.)
+    val p = planOf("n15_ivfpq_serve")
+    assert("PartitionFilters: \\[[^\\]]*list_id".r.findFirstIn(p).isDefined,
+      s"n15's code scan must carry a list_id partition filter:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"n15's probe-gate join must broadcast:\n$p")
+  }
+
   test("q73 samples through a bounded aggregator, not a per-stratum window sort") {
     // The point of q73 is that k-per-stratum sampling merges ≤k-row
     // buffers map-side; a regression to the row_number() formulation

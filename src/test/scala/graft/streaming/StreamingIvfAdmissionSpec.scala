@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+import graft.ops.IvfIndex
+import org.apache.spark.sql.functions._
+
+class StreamingIvfAdmissionSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("streamed admissions replay byte-equal to the persisted index codes") {
+    // The whole point of the admission path: a vector arriving AFTER the
+    // index build must land in the same inverted list with the same PQ
+    // codes as if it had been in the build corpus. Replaying the corpus
+    // itself through the stream makes that falsifiable row-for-row
+    // against the index's own codes table.
+    val p = IvfIndex.ensure(spark, sfDir)
+    val expected = spark.read.parquet(p.codes)
+      .select(col("vid"), col("list_id").cast("long"),
+        col("c0").cast("long"), col("c1").cast("long"),
+        col("c2").cast("long"), col("c3").cast("long"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "index must hold codes")
+
+    val corpus = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    // two micro-batches: admission must not depend on batch boundaries
+    val (b1, b2) = corpus.splitAt(corpus.length / 2)
+
+    implicit val ctx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val q = StreamingIvfAdmission
+      .admissions(spark, in.toDF().toDF("id", "emb"), p)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("ivf_admissions").start()
+    try {
+      in.addData(b1)
+      q.processAllAvailable()
+      val afterB1 = spark.table("ivf_admissions").count()
+      assert(afterB1 == b1.length.toLong,
+        s"batch 1 must admit exactly its rows: $afterB1")
+      in.addData(b2)
+      q.processAllAvailable()
+      val streamed = spark.table("ivf_admissions")
+        .select(col("vid"), col("list_id"),
+          col("c0").cast("long"), col("c1").cast("long"),
+          col("c2").cast("long"), col("c3").cast("long"))
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed == expected,
+        s"streamed admissions must equal the index codes; " +
+          s"only-streamed=${(streamed -- expected).take(3)} " +
+          s"only-index=${(expected -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
+  test("admission of a NOVEL vector assigns the nearest list deterministically") {
+    // not in the build corpus: a perturbed copy of vector 0 must follow
+    // vector 0's list assignment (perturbation ≪ inter-centroid gaps)
+    // and produce identical PQ codes under the same tie rule as batch.
+    val p = IvfIndex.ensure(spark, sfDir)
+    val v0 = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .filter(col("id") === 0L).as[(Long, Seq[Double])].head()
+    val near = (900001L, v0._2.map(_ * 1.0000001))
+    val out = StreamingIvfAdmission.admissions(spark,
+        Seq(v0, near).toDF("id", "emb"), p)
+      .as[(Long, Long, Byte, Byte, Byte, Byte)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out(900001L) == out(0L),
+      s"near-identical vector must admit identically: $out")
+  }
+}
