@@ -58,6 +58,7 @@ object Bench {
     "q55_countmin", "q56_funnel", "q57_bitmap_distinct", "q58_event_paths",
     "q59_topk_agg", "q60_bitmap_intersect", "q61_table_diff",
     "q62_salted_join", "q63_burst_collapse", "q64_profile",
+    "q64b_profile_sketch",
     "q65_rolling_distinct", "q66_ntile_deciles", "q67_mad_outliers",
     "q68_cohort_retention", "q69_cooccurrence", "q70_markov_transitions",
     "q71_hash_split", "q72_mixture_plan", "q73_stratified_sample",

@@ -27,6 +27,14 @@ object RelationalQueries {
   private def dsum(e: String): org.apache.spark.sql.Column =
     expr(s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)")
 
+  /** q64b's small-range (linear counting) correction, precomputed:
+    * entry V (1-based) = round(1024·ln(1024/V)) for V empty registers.
+    * Computed ONCE here and embedded as a literal in BOTH engines'
+    * plans, so no runtime `ln` — and therefore no cross-engine libm
+    * divergence — ever executes. */
+  private[graft] val hllLcTable: Seq[Long] =
+    (1 to 1024).map(v => math.round(1024.0 * math.log(1024.0 / v)))
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q1-shaped pricing summary. Map-side partial aggregation on
     // (returnflag, linestatus) — only |groups| rows shuffle, so this scans
@@ -1240,6 +1248,72 @@ object RelationalQueries {
       one.select(explode(array(entries: _*)).as("p"))
         .select(col("p.*"))
         .orderBy(col("col_name"))
+    }),
+
+    // q64 WITH THE 100 TB DISTINCT KNOB ENGAGED: the profiler's
+    // n_distinct is the one per-column statistic whose exact form doesn't
+    // scale — multi-column countDistinct plans an Expand (|cols|× the
+    // scan) feeding exact distinct shuffles whose state is
+    // O(distinct values) per column. Here the distinct column is SKETCHED
+    // with q51's register construction instead (m=1024 md5-bucketed
+    // registers per column, melted through one Generate): agg state is a
+    // CONSTANT ≤ 6×1024 (col, bucket, max-rho) cells regardless of
+    // cardinality, map-side combined, and the readout is d9b's pure-
+    // integer estimator ((2^53 div denom)·α_1024 in ppm — α=720541;
+    // hash-decided, so the oracle reproduces it bit-exactly; σ ≈
+    // 1.04/√1024 ≈ 3.3%). n_rows/n_null/min/max stay exact — they
+    // partial-aggregate in O(1) anyway. The standard small-range
+    // correction (linear counting m·ln(m/V) when V = empty registers > 0
+    // and the raw estimate ≤ 2.5m) is applied WITHOUT cross-engine libm
+    // risk: V has only 1024 possible values, so the whole correction is
+    // a precomputed integer table ([[hllLcTable]]) embedded as a literal
+    // in both the Spark plan and the generated oracle SQL — the
+    // lshWeightValues trick. Measured at sf0.01: low-card columns land
+    // exact (2/3/7/99 vs true 2/3/7/100) and l_orderkey reads -1.7%.
+    "q64b_profile_sketch" -> ((s, d) => {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus")
+      val li = Tables.fanout(Tables.lineitem(s, d))
+      val aggs = count(lit(1)).as("__total") +: cols.flatMap { c => Seq(
+        count(col(c)).as(s"${c}__n"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max")) }
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      val entries = cols.map { c =>
+        struct(lit(c).as("col_name"),
+          col("__total").as("n_rows"),
+          (col("__total") - col(s"${c}__n")).as("n_null"),
+          col(s"${c}__min").as("min_str"),
+          col(s"${c}__max").as("max_str"))
+      }
+      val exact = one.select(explode(array(entries: _*)).as("p"))
+        .select(col("p.*"))
+      val melted = li.select(explode(array(cols.map(c =>
+          struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*))
+          .as("e"))
+        .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
+        .filter(col("v").isNotNull)
+      val regs = melted
+        .select(col("col_name"), graft.ops.TextOps.hash60(col("v")).as("h"))
+        .selectExpr("col_name", "h % 1024 AS bucket",
+          "(h DIV 1024) % 4294967296 AS w")
+        .selectExpr("col_name", "bucket",
+          "CAST(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END AS BIGINT) AS rho")
+        .groupBy(col("col_name"), col("bucket")).agg(max(col("rho")).as("rho"))
+      val est = regs.groupBy(col("col_name"))
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - rho AS INT))"))
+            .as("occ_denom"),
+          count(lit(1)).as("n_occ"))
+        .selectExpr("col_name",
+          s"occ_denom + (1024 - n_occ) * ${1L << 33}L AS hll_denom",
+          "1024 - n_occ AS hll_empty")
+        .selectExpr("col_name", "hll_denom", "hll_empty",
+          s"(${1L << 53}L DIV hll_denom) * 720541 DIV 1000000 AS est_raw")
+        .withColumn("est_distinct",
+          when(col("hll_empty") > 0 && col("est_raw") <= 2560L,
+            element_at(typedLit(hllLcTable), col("hll_empty").cast("int")))
+            .otherwise(col("est_raw")))
+      exact.join(est, "col_name").orderBy(col("col_name"))
     }),
 
     // Rolling 7-day distinct users — the moving-window COUNT DISTINCT
@@ -2460,6 +2534,49 @@ object RelationalQueries {
            |  CAST(max($c) AS VARCHAR) AS max_str
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    "q64b_profile_sketch" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus")
+      val lcList = hllLcTable.mkString("[", ", ", "]")
+      val base = cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  CAST(min($c) AS VARCHAR) AS min_str,
+           |  CAST(max($c) AS VARCHAR) AS max_str
+           |FROM lineitem""".stripMargin
+      }.mkString("(", "\nUNION ALL\n", ")")
+      val melt = cols.map { c =>
+        s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS v FROM lineitem"
+      }.mkString("(", "\nUNION ALL\n", ")")
+      s"""WITH base AS $base,
+         |m AS $melt,
+         |h AS (
+         |  SELECT col_name, ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
+         |  FROM m WHERE v IS NOT NULL),
+         |r AS (
+         |  SELECT col_name, h % 1024 AS bucket,
+         |    max(CAST(CASE WHEN (h // 1024) % 4294967296 = 0 THEN 33
+         |             ELSE 33 - length(bin((h // 1024) % 4294967296)) END
+         |        AS BIGINT)) AS rho
+         |  FROM h GROUP BY col_name, bucket),
+         |e AS (
+         |  SELECT col_name,
+         |    CAST(sum(1::BIGINT << CAST(33 - rho AS INT)) AS BIGINT)
+         |      + (1024 - count(*)) * ${1L << 33} AS hll_denom,
+         |    1024 - count(*) AS hll_empty
+         |  FROM r GROUP BY col_name),
+         |raw AS (
+         |  SELECT col_name, hll_denom, hll_empty,
+         |    (${1L << 53} // hll_denom) * 720541 // 1000000 AS est_raw
+         |  FROM e)
+         |SELECT b.col_name, b.n_rows, b.n_null, b.min_str, b.max_str,
+         |  r.hll_denom, r.hll_empty, r.est_raw,
+         |  CASE WHEN r.hll_empty > 0 AND r.est_raw <= 2560
+         |       THEN ($lcList)[r.hll_empty]
+         |       ELSE r.est_raw END AS est_distinct
+         |FROM base b JOIN raw r USING (col_name)
+         |ORDER BY col_name""".stripMargin
     },
     // independent algorithm: window-range join + plain COUNT DISTINCT
     "q65_rolling_distinct" ->

@@ -66,6 +66,19 @@ class PlanGuardSpec extends SparkSpecBase {
       s"n15's probe-gate join must broadcast:\n$p")
   }
 
+  test("q64b profiles distincts through registers, not an Expand") {
+    // q64's exact multi-column countDistinct plans an Expand (|cols|× the
+    // scan) feeding distinct shuffles with O(cardinality) state; q64b's
+    // whole reason to exist is replacing that with ≤6×1024 register
+    // cells. An Expand reappearing means the sketch regressed to exact.
+    val p = planOf("q64b_profile_sketch")
+    assert(!p.contains("Expand"), s"q64b must not plan an Expand:\n$p")
+    val q64 = planOf("q64_profile")
+    assert(q64.contains("Expand"),
+      "q64 (exact) is EXPECTED to Expand — if this stops holding, " +
+        "re-check what q64b is claiming to save")
+  }
+
   test("q73 samples through a bounded aggregator, not a per-stratum window sort") {
     // The point of q73 is that k-per-stratum sampling merges ≤k-row
     // buffers map-side; a regression to the row_number() formulation
