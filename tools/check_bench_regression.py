@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Mechanical per-query bench regression check.
+
+Builds the best (minimum) prior per-query time from every BENCH_r*.json
+in the repo root — the driver stores the full per-query map only inside
+the (possibly truncated) "tail" string, so pairs are harvested by regex,
+which tolerates truncation at either end — then diffs a current bench
+run against it and flags queries slower than FACTOR x their best prior.
+
+Best-prior (not last-round) is the right baseline on a noisy shared
+host: a query's minimum across rounds approximates its true plan cost,
+so "current > 2 x best-ever" is signal, not noise (NEXT.md's measured
++-2x single-run noise stays under the default factor).
+
+Usage:
+  sbt -batch "runMain graft.Bench" | tee /tmp/bench.out
+  python3 tools/check_bench_regression.py /tmp/bench.out [factor]
+
+Input: any file (or - for stdin) containing Bench's stdout — the line
+with the "queries" map is located automatically. Exit 1 iff regressions.
+"""
+import glob
+import json
+import os
+import re
+import sys
+
+PAIR = re.compile(r'"([a-z][a-z0-9_]+)":([0-9]+\.[0-9]+)')
+META = {"value", "sf"}  # numeric non-query keys in the bench line
+
+
+def query_times(text):
+    return {k: float(v) for k, v in PAIR.findall(text) if k not in META}
+
+
+def best_prior(root):
+    best = {}
+    for path in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
+        try:
+            tail = json.load(open(path)).get("tail") or ""
+        except (json.JSONDecodeError, OSError):
+            continue
+        for name, sec in query_times(tail).items():
+            if name not in best or sec < best[name]:
+                best[name] = sec
+    return best
+
+
+def main():
+    src = sys.argv[1] if len(sys.argv) > 1 else "-"
+    factor = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
+    text = sys.stdin.read() if src == "-" else open(src).read()
+    current = query_times(text)
+    if not current:
+        print("no per-query timings found in input", file=sys.stderr)
+        return 2
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    best = best_prior(root)
+    if not best:
+        print("no BENCH_r*.json priors found — nothing to compare")
+        return 0
+    regressions = []
+    fresh = []
+    for name, sec in sorted(current.items()):
+        if name not in best:
+            fresh.append((name, sec))
+        elif sec > factor * best[name]:
+            regressions.append((name, sec, best[name]))
+    for name, sec in fresh:
+        print(f"NEW  {name}: {sec:.3f}s (no prior)")
+    for name, sec, prior in sorted(regressions, key=lambda r: -r[1] / r[2]):
+        print(f"REGR {name}: {sec:.3f}s vs best {prior:.3f}s "
+              f"({sec / prior:.1f}x > {factor:.1f}x)")
+    n_ok = len(current) - len(regressions) - len(fresh)
+    print(f"== {n_ok} ok, {len(fresh)} new, {len(regressions)} regressions "
+          f"(factor {factor:.1f}, {len(best)} priors) ==")
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
