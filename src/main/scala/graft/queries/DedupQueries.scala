@@ -92,15 +92,21 @@ object DedupQueries {
       .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("u", "v")
     graft.ops.DedupOps.requireWedgeBudget(adj, budget = 200000000L, op = op)
+    // The wedge-expansion joins are byte-light (2 longs/row) but each
+    // input row fans out wedge-fold, so AQE's byte-based coalesce plans
+    // them onto ONE task (measured: a single 3.6 s straggler on d9r's
+    // 11.5M-wedge residual graph). Pin both sides of each expansion on
+    // the join key — the d9b/d5 discipline.
+    val p = pairs.sparkSession.sparkContext.defaultParallelism
     val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("degree"))
-    val hop2 = adj.toDF("u", "mid")
-      .join(adj.toDF("mid", "v"), "mid")
+    val hop2 = adj.toDF("u", "mid").repartition(p, col("mid"))
+      .join(adj.toDF("mid", "v").repartition(p, col("mid")), "mid")
       .filter(col("v") =!= col("u"))
       .select(col("u"), col("v")).distinct()
       .join(adj, Seq("u", "v"), "left_anti")
       .groupBy(col("u")).agg(count(lit(1)).as("n_2hop"))
-    val tri = adj.toDF("u", "v1")
-      .join(adj.toDF("u", "v2"), "u")
+    val tri = adj.toDF("u", "v1").repartition(p, col("u"))
+      .join(adj.toDF("u", "v2").repartition(p, col("u")), "u")
       .filter(col("v1") < col("v2"))
       .join(edges, col("v1") === col("doc_a") && col("v2") === col("doc_b"))
       .groupBy(col("u")).agg(count(lit(1)).as("n_tri"))
