@@ -31,6 +31,7 @@ object SimilarityQueries {
     * near-dups — see [[plantedVecs]]. */
   val SemTauProd = 0.95
   val PlantMod = 3    // every vec_id % 3 == 0 gains a near-identical twin
+  val RrfDfCap = 100  // n16 lexical side: drop terms with df > cap
   val LshTables = 8   // LSH hash tables
   val Planes = 8   // hyperplanes (bits) per table
   val Dims = 64
@@ -345,6 +346,56 @@ object SimilarityQueries {
         col("cent").as("centroid"))
       ivfPqTopK(v, assigned.select(col("id"), col("cluster")), centroids,
         trainedCodebooks(v), K, nprobe = 2)
+    }),
+
+    // Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009):
+    // the lexical top-K (shared RARE-token counts over an inverted-index
+    // join — stopword-frequency terms are df-capped out, the capped-
+    // posting-list discipline) and the vector top-K (n1's exact cosine)
+    // fuse by RRF_ppm = Σ 10⁶ div (60 + rank) — rank-only fusion needs
+    // no score calibration between the two systems, which is why
+    // production hybrid search uses it. Integer end-to-end; both ranked
+    // lists and the fusion are oracle-mirrored. Scale: the query side
+    // (8 docs' rare tokens, k·|queries| vector hits) broadcasts; the
+    // posting-list join fans out ≤ df-cap per query term; no all-pairs
+    // term anywhere.
+    "n16_rrf_fusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"))
+      val toks = docs.select(col("doc_id"),
+        explode(array_distinct(graft.ops.TextOps.tokens(col("text"))))
+          .as("tok"))
+      val dfT = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= RrfDfCap)
+      val rare = toks.join(dfT.select(col("tok")), "tok")
+      val ql = rare.filter(col("doc_id") < NumQueries)
+        .select(col("doc_id").as("qid"), col("tok"))
+      val lex = rare.select(col("doc_id").as("did"), col("tok"))
+        .join(broadcast(ql), "tok")
+        .filter(col("did") =!= col("qid"))
+        .groupBy(col("qid"), col("did")).agg(count(lit(1)).as("n_shared"))
+      val wLex = Window.partitionBy(col("qid"))
+        .orderBy(col("n_shared").desc, col("did"))
+      val lexTop = lex.withColumn("lex_rank", row_number().over(wLex))
+        .filter(col("lex_rank") <= K)
+        .select(col("qid"), col("did"), col("lex_rank").cast("long").as("lex_rank"))
+      val v = vecs(s, d)
+      val vecTop = bruteForceTopK(v.filter(col("id") < NumQueries), v, K)
+        .select(col("query_id").as("qid"), col("neighbor_id").as("did"),
+          col("rank").as("vec_rank"))
+      val wF = Window.partitionBy(col("qid"))
+        .orderBy(col("rrf_ppm").desc, col("did"))
+      lexTop.join(vecTop, Seq("qid", "did"), "full_outer")
+        .withColumn("rrf_ppm",
+          coalesce(expr("1000000 div (60 + lex_rank)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + vec_rank)"), lit(0L)))
+        .withColumn("rank", row_number().over(wF))
+        .filter(col("rank") <= K)
+        .select(col("qid").as("query_id"), col("rank"),
+          col("did").as("doc_id"), col("rrf_ppm"),
+          col("lex_rank"), col("vec_rank"))
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     // IVFADC SERVING against the persisted index ([[graft.ops.IvfIndex]])
@@ -902,6 +953,54 @@ object SimilarityQueries {
     // quantities n14's in-query training computes — one oracle pins both
     // (and a drifting index build fails THIS row, not just a spec).
     "n15_ivfpq_serve" -> dkIvfPq,
+    "n16_rrf_fusion" ->
+      s"""WITH toks0 AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+         |  FROM documents),
+         |dft AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, count(*) AS df FROM toks0 GROUP BY tok)
+         |  WHERE df <= $RrfDfCap),
+         |rare AS (SELECT t.doc_id, t.tok FROM toks0 t JOIN dft USING (tok)),
+         |lex AS (
+         |  SELECT q.doc_id AS qid, c.doc_id AS did, count(*) AS n_shared
+         |  FROM rare q JOIN rare c ON c.tok = q.tok AND c.doc_id <> q.doc_id
+         |  WHERE q.doc_id < $NumQueries
+         |  GROUP BY q.doc_id, c.doc_id),
+         |lext AS (SELECT qid, did, lex_rank FROM (
+         |  SELECT qid, did,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |                       ORDER BY n_shared DESC, did) AS lex_rank
+         |  FROM lex) WHERE lex_rank <= $K),
+         |v AS (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |vscored AS (
+         |  SELECT a.id AS qid, b.id AS did,
+         |         $dkDot / sqrt(${dkNorm2("a")} * ${dkNorm2("b")}) AS cos
+         |  FROM v a, v b
+         |  WHERE a.id < $NumQueries AND b.id <> a.id),
+         |vect AS (
+         |  SELECT qid, did, vec_rank FROM (
+         |    SELECT qid, did,
+         |      ROW_NUMBER() OVER (PARTITION BY qid
+         |                         ORDER BY cos DESC, did) AS vec_rank
+         |    FROM vscored) WHERE vec_rank <= $K),
+         |f AS (
+         |  SELECT coalesce(l.qid, vt.qid) AS qid,
+         |         coalesce(l.did, vt.did) AS did,
+         |         l.lex_rank, vt.vec_rank,
+         |         coalesce(1000000 // (60 + l.lex_rank), 0)
+         |           + coalesce(1000000 // (60 + vt.vec_rank), 0) AS rrf_ppm
+         |  FROM lext l FULL OUTER JOIN vect vt
+         |    ON vt.qid = l.qid AND vt.did = l.did)
+         |SELECT query_id, rank, doc_id, rrf_ppm, lex_rank, vec_rank FROM (
+         |  SELECT qid AS query_id, did AS doc_id, rrf_ppm, lex_rank, vec_rank,
+         |         ROW_NUMBER() OVER (PARTITION BY qid
+         |                            ORDER BY rrf_ppm DESC, did) AS rank
+         |  FROM f) WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
     "n8_quantize" ->
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
