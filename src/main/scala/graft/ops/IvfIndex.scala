@@ -140,18 +140,37 @@ object IvfIndex {
       .filter(col("list_id").isin(probedLists: _*))
       .select(col("vid"), col("list_id").cast("long").as("list_id"),
         col("c0"), col("c1"), col("c2"), col("c3"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vid"))
-    codes.join(broadcast(probes),
+    // Ranking goes through the BOUNDED TopKAggregator, not a per-query
+    // window: the window form sorts every probed candidate on one
+    // reducer per query (nprobe/nlists of the corpus — the serve-path
+    // bottleneck at scale); the aggregator's ≤k buffer partial-
+    // aggregates map-side so only k rows per partition per query ever
+    // shuffle. Score is NEGATED adc ((adc ASC, vid ASC) ≡ the
+    // aggregator's (score DESC, id ASC)); negation and un-negation are
+    // exact, and the final HALF_UP rounding matches round(adc, 6) — the
+    // bruteForceTopKAgg equivalence argument.
+    import s.implicits._
+    val scored = codes.join(broadcast(probes),
         col("list_id") === col("p_list") && col("vid") =!= col("qid"))
-      .withColumn("adc",
-        element_at(col("a0"), col("c0").cast("int") + 1) +
-        element_at(col("a1"), col("c1").cast("int") + 1) +
-        element_at(col("a2"), col("c2").cast("int") + 1) +
-        element_at(col("a3"), col("c3").cast("int") + 1))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid").as("query_id"), col("rank"),
-        col("vid").as("vec_id"), round(col("adc"), 6).as("adc_dist2"))
+      .select(col("qid"),
+        -(element_at(col("a0"), col("c0").cast("int") + 1) +
+          element_at(col("a1"), col("c1").cast("int") + 1) +
+          element_at(col("a2"), col("c2").cast("int") + 1) +
+          element_at(col("a3"), col("c3").cast("int") + 1)).as("neg_adc"),
+        col("vid"))
+      .as[(Long, Double, Long)]
+    val agg = new graft.functions.TopKAggregator(k)
+    scored.groupByKey(_._1)
+      .mapValues { case (_, negAdc, id) => (negAdc, id) }
+      .agg(agg.toColumn.name("topk"))
+      .flatMap { case (qid, topk) =>
+        topk.iterator.zipWithIndex.map { case ((negAdc, id), i) =>
+          (qid, (i + 1).toLong, id,
+            BigDecimal(-negAdc)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+      .toDF("query_id", "rank", "vec_id", "adc_dist2")
       .orderBy(col("query_id"), col("rank"))
   }
 }

@@ -64,6 +64,10 @@ class PlanGuardSpec extends SparkSpecBase {
       s"n15's code scan must carry a list_id partition filter:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"n15's probe-gate join must broadcast:\n$p")
+    // ranking must stay in the bounded aggregator: a Window here means
+    // every probed candidate sorts on one reducer per query
+    assert(!p.contains("Window"),
+      s"n15 must rank through the bounded TopKAggregator, not a window:\n$p")
   }
 
   test("q64b profiles distincts through registers, not an Expand") {
