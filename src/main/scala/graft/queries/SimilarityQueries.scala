@@ -32,6 +32,7 @@ object SimilarityQueries {
   val SemTauProd = 0.95
   val PlantMod = 3    // every vec_id % 3 == 0 gains a near-identical twin
   val RrfDfCap = 100  // n16 lexical side: drop terms with df > cap
+  val MrlDims = 16    // n17: matryoshka prefix length (64 → 16 dims)
   val LshTables = 8   // LSH hash tables
   val Planes = 8   // hyperplanes (bits) per table
   val Dims = 64
@@ -395,6 +396,62 @@ object SimilarityQueries {
         .select(col("qid").as("query_id"), col("rank"),
           col("did").as("doc_id"), col("rrf_ppm"),
           col("lex_rank"), col("vec_rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Matryoshka truncation evaluation (Kusupati et al. 2022): serve from
+    // the FIRST MrlDims dims only — 4× fewer bytes and flops per
+    // candidate — and measure recall@K against the full-width truth,
+    // per query in integer bp (the n12 evaluator pattern). The
+    // dimension-budget knob every MRL-embedding deployment tunes, with
+    // its cost measured by the engine itself rather than assumed.
+    "n17_matryoshka_recall" -> ((s, d) => {
+      val v = vecs(s, d)
+      val vp = v.select(col("id"), expr(s"slice(emb, 1, $MrlDims)").as("emb"))
+      val exact = bruteForceTopK(v.filter(col("id") < NumQueries), v, K)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = bruteForceTopK(vp.filter(col("id") < NumQueries), vp, K)
+        .select(col("query_id"), col("neighbor_id"))
+      val hit = exact.join(approx, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      exact.select(col("query_id")).distinct()
+        .join(hit, Seq("query_id"), "left")
+        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .withColumn("recall_bp", expr(s"(n_hit * 10000) div $K"))
+        .orderBy(col("query_id"))
+    }),
+
+    // 1-bit sign quantization + Hamming ranking — the extreme end of the
+    // n8→n11 compression ladder: 64 dims collapse to 64 SIGN BITS stored
+    // as two 32-bit words (8 bytes/vector, 64× smaller than fp64; two
+    // words, not one, so no engine touches the sign bit of a BIGINT
+    // shift). Scoring = 2 XOR + 2 popcounts — pure integer, perfectly
+    // deterministic, SIMD-friendly at scale; the standard first-stage
+    // filter ahead of an exact rerank (n10's ladder with a 64× cheaper
+    // stage 1). Ranking ties (many pairs share a Hamming distance) break
+    // on neighbor id — total order, oracle-exact.
+    "n18_binary_ann" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def sigWord(off: Int): Column =
+        (0 until 32).map { j =>
+          when(element_at(col("emb"), off + j + 1) >= 0, lit(1L << j))
+            .otherwise(lit(0L))
+        }.reduce(_ + _)
+      val b = vecs(s, d)
+        .select(col("id"), sigWord(0).as("lo"), sigWord(32).as("hi"))
+      val q = b.filter(col("id") < NumQueries)
+        .select(col("id").as("qid"), col("lo").as("qlo"), col("hi").as("qhi"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("hamming"), col("id"))
+      b.crossJoin(broadcast(q))
+        .filter(col("id") =!= col("qid"))
+        .withColumn("hamming",
+          (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+           bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("long"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= K)
+        .select(col("qid").as("query_id"), col("rank"),
+          col("id").as("vec_id"), col("hamming"))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -953,6 +1010,68 @@ object SimilarityQueries {
     // quantities n14's in-query training computes — one oracle pins both
     // (and a drifting index build fails THIS row, not just a spec).
     "n15_ivfpq_serve" -> dkIvfPq,
+    // two n1 chains (full-width truth, MrlDims prefix) + the n12 readout
+    "n17_matryoshka_recall" ->
+      s"""WITH v AS (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |vp AS (SELECT id, emb[1 : $MrlDims] AS emb FROM v),
+         |escored AS (
+         |  SELECT a.id AS query_id, b.id AS neighbor_id,
+         |         $dkDot / sqrt(${dkNorm2("a")} * ${dkNorm2("b")}) AS cos
+         |  FROM v a, v b
+         |  WHERE a.id < $NumQueries AND b.id <> a.id),
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM escored) WHERE rank <= $K),
+         |ascored AS (
+         |  SELECT a.id AS query_id, b.id AS neighbor_id,
+         |         $dkDot / sqrt(${dkNorm2("a")} * ${dkNorm2("b")}) AS cos
+         |  FROM vp a, vp b
+         |  WHERE a.id < $NumQueries AND b.id <> a.id),
+         |approx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM ascored) WHERE rank <= $K),
+         |hit AS (
+         |  SELECT e.query_id, count(*) AS n_hit
+         |  FROM exact e JOIN approx ap
+         |    ON ap.query_id = e.query_id AND ap.neighbor_id = e.neighbor_id
+         |  GROUP BY e.query_id)
+         |SELECT q.query_id, coalesce(h.n_hit, 0) AS n_hit,
+         |       (coalesce(h.n_hit, 0) * 10000) // $K AS recall_bp
+         |FROM (SELECT DISTINCT query_id FROM exact) q
+         |LEFT JOIN hit h USING (query_id)
+         |ORDER BY query_id""".stripMargin,
+    "n18_binary_ann" -> {
+      def word(off: Int) = (0 until 32).map { j =>
+        s"(CASE WHEN emb[${off + j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("(", " + ", ")::BIGINT")
+      s"""WITH v AS (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |b AS (
+         |  SELECT id, ${word(0)} AS lo, ${word(32)} AS hi FROM v),
+         |q AS (SELECT id AS qid, lo AS qlo, hi AS qhi FROM b
+         |      WHERE id < $NumQueries),
+         |scored AS (
+         |  SELECT q.qid, b.id,
+         |    CAST(bit_count(xor(b.lo, q.qlo))
+         |       + bit_count(xor(b.hi, q.qhi)) AS BIGINT) AS hamming
+         |  FROM b, q WHERE b.id <> q.qid)
+         |SELECT query_id, rank, vec_id, hamming FROM (
+         |  SELECT qid AS query_id, id AS vec_id, hamming,
+         |         ROW_NUMBER() OVER (PARTITION BY qid
+         |                            ORDER BY hamming, id) AS rank
+         |  FROM scored) WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+    },
     "n16_rrf_fusion" ->
       s"""WITH toks0 AS (
          |  SELECT doc_id,
