@@ -455,6 +455,47 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // The binary-rerank ladder (n10's two-stage serving with n18's 64×
+    // cheaper stage 1): Hamming-rank ALL candidates on 8-byte sign
+    // signatures, keep a 50-deep shortlist, exact-cosine rerank only
+    // those to the final top-10. Stage-1 reads 8 B/vector and does
+    // integer ops; stage 2 touches 50 raw vectors per query — the
+    // recall-vs-cost trade every production binary index ships.
+    "n18b_binary_rerank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def sigWord(off: Int): Column =
+        (0 until 32).map { j =>
+          when(element_at(col("emb"), off + j + 1) >= 0, lit(1L << j))
+            .otherwise(lit(0L))
+        }.reduce(_ + _)
+      val v = vecs(s, d)
+      val b = v.select(col("id"), col("emb"), norm2(col("emb")).as("n2"),
+        sigWord(0).as("lo"), sigWord(32).as("hi"))
+      val q = b.filter(col("id") < NumQueries)
+        .select(col("id").as("qid"), col("emb").as("q_emb"),
+          col("n2").as("q_n2"), col("lo").as("qlo"), col("hi").as("qhi"))
+      val wH = Window.partitionBy(col("qid"))
+        .orderBy(col("hamming"), col("id"))
+      val short = b.crossJoin(broadcast(q))
+        .filter(col("id") =!= col("qid"))
+        .withColumn("hamming",
+          (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+           bit_count(col("hi").bitwiseXOR(col("qhi")))).cast("long"))
+        .withColumn("hrank", row_number().over(wH))
+        .filter(col("hrank") <= 50)
+      val wC = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("id"))
+      short
+        .withColumn("cos", cosine(dot(col("q_emb"), col("emb")),
+          col("q_n2"), col("n2")))
+        .withColumn("rank", row_number().over(wC).cast("long"))
+        .filter(col("rank") <= K)
+        .select(col("qid").as("query_id"), col("rank"),
+          col("id").as("vec_id"), round(col("cos"), 6).as("cos_sim"),
+          col("hamming"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // IVFADC SERVING against the persisted index ([[graft.ops.IvfIndex]])
     // — the lifecycle n14 conflates, split: training + materialization
     // happen ONCE (first invocation per corpus, or an explicit build);
@@ -1071,6 +1112,45 @@ object SimilarityQueries {
          |         ROW_NUMBER() OVER (PARTITION BY qid
          |                            ORDER BY hamming, id) AS rank
          |  FROM scored) WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+    },
+    "n18b_binary_rerank" -> {
+      def word(off: Int) = (0 until 32).map { j =>
+        s"(CASE WHEN emb[${off + j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("(", " + ", ")::BIGINT")
+      s"""WITH v AS (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |b AS (
+         |  SELECT id, emb, ${word(0)} AS lo, ${word(32)} AS hi FROM v),
+         |q AS (SELECT id AS qid, emb AS q_emb, lo AS qlo, hi AS qhi FROM b
+         |      WHERE id < $NumQueries),
+         |hs AS (
+         |  SELECT q.qid, b.id, b.emb, q.q_emb,
+         |    CAST(bit_count(xor(b.lo, q.qlo))
+         |       + bit_count(xor(b.hi, q.qhi)) AS BIGINT) AS hamming
+         |  FROM b, q WHERE b.id <> q.qid),
+         |short AS (
+         |  SELECT qid, id, emb, q_emb, hamming FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY hamming, id) AS hrank FROM hs) WHERE hrank <= 50),
+         |rer AS (
+         |  SELECT qid, id, hamming,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(generate_series(1, len(q_emb)),
+         |        i -> q_emb[i] * emb[i])), (x, y) -> x + y)
+         |    / sqrt(
+         |      list_reduce(list_prepend(0.0::DOUBLE,
+         |        list_transform(q_emb, z -> z * z)), (p, r) -> p + r)
+         |      * list_reduce(list_prepend(0.0::DOUBLE,
+         |        list_transform(emb, z -> z * z)), (p, r) -> p + r)) AS cos
+         |  FROM short)
+         |SELECT query_id, rank, vec_id, round(cos, 6) AS cos_sim, hamming
+         |FROM (
+         |  SELECT qid AS query_id, id AS vec_id, cos, hamming,
+         |         ROW_NUMBER() OVER (PARTITION BY qid
+         |                            ORDER BY cos DESC, id) AS rank
+         |  FROM rer) WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
     },
     "n16_rrf_fusion" ->
       s"""WITH toks0 AS (
