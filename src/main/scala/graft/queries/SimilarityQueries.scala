@@ -508,6 +508,27 @@ object SimilarityQueries {
     "n15_ivfpq_serve" -> ((s, d) =>
       graft.ops.IvfIndex.serve(s, d, K, nprobe = 2)),
 
+    // Index maintenance readout over the PERSISTED index: per-list code
+    // counts, corpus share, and the max/mean imbalance ratio (ppm) — the
+    // numbers an operator watches to decide list re-splits (a hot
+    // inverted list serves a disproportionate share of every probe) and
+    // when to retrain the coarse quantizer. Reads only the 4-byte code
+    // table; the oracle recomputes the same sizes from the unrolled
+    // training chain, so a drifting index also fails THIS row.
+    "n15b_index_stats" -> ((s, d) => {
+      val p = graft.ops.IvfIndex.ensure(s, d)
+      val sizes = s.read.parquet(p.codes)
+        .groupBy(col("list_id").cast("long").as("list_id"))
+        .agg(count(lit(1)).as("n_codes"))
+      val tot = sizes.agg(sum(col("n_codes")).as("n_total"),
+        max(col("n_codes")).as("n_max"), count(lit(1)).as("n_lists"))
+      sizes.crossJoin(broadcast(tot))
+        .select(col("list_id"), col("n_codes"),
+          expr("n_codes * 1000000 div n_total").as("share_ppm"),
+          expr("n_max * n_lists * 1000000 div n_total").as("imbalance_ppm"))
+        .orderBy(col("list_id"))
+    }),
+
     // Cross-modal retrieval serving join (registered m6): ANN neighbors
     // resolved back to document metadata — embeddings and documents share
     // the id space (vec_id = doc_id), so the top-k result set (k·|queries|
@@ -1051,6 +1072,21 @@ object SimilarityQueries {
     // quantities n14's in-query training computes — one oracle pins both
     // (and a drifting index build fails THIS row, not just a spec).
     "n15_ivfpq_serve" -> dkIvfPq,
+    // the persisted index's list sizes ≡ the training chain's final
+    // assignment histogram
+    "n15b_index_stats" ->
+      s"""WITH $dkKmeansCtes,
+         |sizes AS (
+         |  SELECT cluster AS list_id, count(*) AS n_codes
+         |  FROM afinal GROUP BY cluster),
+         |tot AS (
+         |  SELECT CAST(sum(n_codes) AS BIGINT) AS n_total,
+         |         max(n_codes) AS n_max, count(*) AS n_lists
+         |  FROM sizes)
+         |SELECT s.list_id, s.n_codes,
+         |  (s.n_codes * 1000000) // t.n_total AS share_ppm,
+         |  (t.n_max * t.n_lists * 1000000) // t.n_total AS imbalance_ppm
+         |FROM sizes s, tot t ORDER BY list_id""".stripMargin,
     // two n1 chains (full-width truth, MrlDims prefix) + the n12 readout
     "n17_matryoshka_recall" ->
       s"""WITH v AS (

@@ -67,7 +67,16 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       // round-7 fourth batch: weighted jaccard (integer bp over tf sums),
       // label propagation (fixed rounds, min-tie-break argmax), as-of
       // interpolation (total window order + integer lerp)
-      "d28_weighted_jaccard", "d29_label_propagation", "q78_interpolate")
+      "d28_weighted_jaccard", "d29_label_propagation", "q78_interpolate",
+      // round-8 batch: char spans (hash-keyed window counts), residual
+      // graph family (sketch-class collapse + fixed-round peels/votes),
+      // planted SemDeDup (decimal-exact Lloyd + integer gates), sketched
+      // profiler (register max-merges + literal LC table), binary ANN
+      // (sign bits + popcount, total tie order), RRF fusion (integer
+      // rank arithmetic over tie-broken windows)
+      "d26b_repeated_char_spans", "d9r_graph_stats_residual",
+      "d25r_kcore_residual", "d29r_lpa_residual", "d23b_semdedup_planted",
+      "q64b_profile_sketch", "n18_binary_ann", "n16_rrf_fusion")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {
