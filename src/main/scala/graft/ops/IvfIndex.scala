@@ -114,9 +114,16 @@ object IvfIndex {
     * partition filter — the scan reads only the probed inverted lists'
     * directories. Output ≡ n14 (same oracle): the index stores exactly
     * the values n14's in-query training computes. */
-  def serve(s: SparkSession, sfDir: String, k: Int, nprobe: Int): DataFrame = {
+  def serve(s: SparkSession, sfDir: String, k: Int, nprobe: Int): DataFrame =
+    serveFrom(s, sfDir, ensure(s, sfDir), k, nprobe)
+
+  /** [[serve]] against an explicit index location — lets tests (and a
+    * production deployment holding several index generations) pick which
+    * physical index answers, e.g. one that has ACCRETED streamed
+    * admissions since its build. */
+  def serveFrom(s: SparkSession, sfDir: String, p: IndexPaths, k: Int,
+      nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val p = ensure(s, sfDir)
     val cbs = readCodebooks(s, p)
     val cents = s.read.parquet(p.centroids)
       .select(col("list_id").cast("long").as("p_list"), col("centroid"))

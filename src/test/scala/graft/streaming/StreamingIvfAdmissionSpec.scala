@@ -56,6 +56,31 @@ class StreamingIvfAdmissionSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("admitted vectors ACCRETE: append to a copied index, then get served") {
+    // the full ingest loop on an isolated index copy (never the shared
+    // per-corpus index — other suites assert its exact contents): build,
+    // admit a near-twin of vector 0, append its row to the partitioned
+    // code table, serve — the newcomer must surface for query 0, whose
+    // own codes it carries while v0 itself is self-excluded.
+    val p = IvfIndex.build(spark, sfDir, "target/ivf-index-test/accrete")
+    val before = spark.read.parquet(p.codes).count()
+    val v0 = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .filter(col("id") === 0L).as[(Long, Seq[Double])].head()
+    StreamingIvfAdmission.admissions(spark,
+        Seq((900001L, v0._2.map(_ * 1.0000001))).toDF("id", "emb"), p)
+      .write.mode("append").partitionBy("list_id").parquet(p.codes)
+    assert(spark.read.parquet(p.codes).count() == before + 1,
+      "append must add exactly the admitted row")
+    val top0 = IvfIndex.serveFrom(spark, sfDir, p,
+        graft.queries.SimilarityQueries.K, nprobe = 2)
+      .filter(col("query_id") === 0L)
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(top0.contains(900001L),
+      s"the accreted near-twin of v0 must serve for query 0: $top0")
+  }
+
   test("admission of a NOVEL vector assigns the nearest list deterministically") {
     // not in the build corpus: a perturbed copy of vector 0 must follow
     // vector 0's list assignment (perturbation ≪ inter-centroid gaps)
