@@ -81,6 +81,41 @@ class StreamingIvfAdmissionSpec extends SparkSpecBase {
       s"the accreted near-twin of v0 must serve for query 0: $top0")
   }
 
+  test("accreted list directories compact back to right-sized files") {
+    // continuous admission leaves a trail of tiny per-batch files in each
+    // inverted list's directory — the classic streaming-sink pathology
+    // (file COUNT, not bytes, is what kills scan planning at scale). The
+    // maintenance job is LayoutOps.compactParquet per list dir; this
+    // closes the ingest→maintain loop on an isolated index copy.
+    val p = IvfIndex.build(spark, sfDir, "target/ivf-index-test/compact")
+    val v0 = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .filter(col("id") === 0L).as[(Long, Seq[Double])].head()
+    val twins = (1 to 5).map(i =>
+      (900000L + i, v0._2.map(_ * (1.0 + i * 1e-7))))
+    val adm = StreamingIvfAdmission
+      .admissions(spark, twins.toDF("id", "emb"), p)
+    val lists = adm.select(col("list_id")).distinct().as[Long].collect()
+    assert(lists.length == 1, s"tiny perturbations share v0's list: $lists")
+    // 5 separate "micro-batch" files land in the one list dir
+    adm.repartition(5).write.mode("append")
+      .partitionBy("list_id").parquet(p.codes)
+    val listDir = s"${p.codes}/list_id=${lists.head}"
+    val before = spark.read.parquet(listDir)
+      .select(col("vid"), col("c0"), col("c1"), col("c2"), col("c3"))
+      .as[(Long, Byte, Byte, Byte, Byte)].collect().toSet
+    val stats = graft.ops.LayoutOps.compactParquet(spark, listDir,
+      listDir + "_compacted", targetBytes = 64L * 1024 * 1024)
+    assert(stats.filesBefore >= 6,
+      s"append trail must be visible pre-compaction: $stats")
+    assert(stats.filesOut == 1, s"one right-sized file out: $stats")
+    val after = spark.read.parquet(listDir + "_compacted")
+      .select(col("vid"), col("c0"), col("c1"), col("c2"), col("c3"))
+      .as[(Long, Byte, Byte, Byte, Byte)].collect().toSet
+    assert(after == before, "compaction must preserve every code row")
+  }
+
   test("admission of a NOVEL vector assigns the nearest list deterministically") {
     // not in the build corpus: a perturbed copy of vector 0 must follow
     // vector 0's list assignment (perturbation ≪ inter-centroid gaps)
