@@ -100,6 +100,49 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       "decimal-exact updates must make the result partition-order-free")
   }
 
+  test("repeated spans ≡ brute-force model on random collision-heavy corpora") {
+    // Randomized model check of the d26b pipeline (window hash → ≥2-
+    // instance contents → pos−row_number run merge): a tiny-alphabet
+    // random corpus makes 6-char window collisions COMMON — within docs,
+    // across docs, overlapping, back-to-back — exactly the geometries the
+    // planted test can't enumerate. Model: literal substring multiset
+    // count, then a linear run scan per doc. Seeded generator → stable.
+    import scala.util.Random
+    val spanC = 6
+    def model(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] = {
+      val wins = docs.flatMap { case (id, t0) =>
+        val t = t0.trim
+        if (t.length < spanC) Seq.empty
+        else (0 to t.length - spanC).map(p => (id, p, t.substring(p, p + spanC)))
+      }
+      val counts = wins.groupBy(_._3).map { case (w, g) => w -> g.size }
+      wins.filter(w => counts(w._3) >= 2).groupBy(_._1).map { case (id, g) =>
+        val pos = g.map(_._2).sorted
+        val runs = pos.foldLeft(List.empty[List[Int]]) {
+          case (Nil, p) => List(List(p))
+          case (h :: t, p) if p == h.head + 1 => (p :: h) :: t
+          case (acc, p) => List(p) :: acc
+        }.map(_.length)
+        id -> ((pos.size.toLong, runs.size.toLong,
+          (runs.max + spanC - 1).toLong))
+      }
+    }
+    val rnd = new Random(20260814L)
+    (1 to 5).foreach { trial =>
+      val docs = (0L until 12L).map { id =>
+        // alphabet of 3 → dense accidental collisions; lengths 0..40
+        (id, (0 until rnd.nextInt(41)).map(_ => ('a' + rnd.nextInt(3)).toChar)
+          .mkString)
+      }
+      val got = graft.ops.DedupOps
+        .repeatedCharSpans(docs.toDF("doc_id", "text"), spanC)
+        .as[(Long, Long, Long, Long)].collect()
+        .map { case (id, dw, ns, ls) => id -> ((dw, ns, ls)) }.toMap
+      assert(got == model(docs), s"trial $trial diverged (seed fixed); " +
+        s"docs=${docs.filter(d => got.get(d._1) != model(docs).get(d._1))}")
+    }
+  }
+
   test("as-of NULL-time contract ≡ SQL model on every path × direction × tolerance") {
     // Randomized model check of the AsOfJoinExec NULL contract (enforced
     // in the exec since round 6): NULL rightTime never matches on ANY
