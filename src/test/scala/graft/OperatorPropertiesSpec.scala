@@ -100,6 +100,34 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       "decimal-exact updates must make the result partition-order-free")
   }
 
+  test("label propagation is invariant to duplicated or pre-symmetrized edges") {
+    // The latent hazard the round-7 review flagged: duplicate or already-
+    // bidirectional input pairs would double-count neighbor votes and
+    // flip majority/tie outcomes. Closed by the internal edge distinct —
+    // proven here by feeding the SAME graph three ways.
+    import scala.util.Random
+    val rnd = new Random(20260814L)
+    (1 to 3).foreach { trial =>
+      val base = (0 until 25).map(_ =>
+        (rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
+        .filter(p => p._1 != p._2)
+        .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+        .distinct
+      val nodes = (0L until 10L).toDF("doc_id")
+      def run(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+        graft.ops.DedupOps
+          .labelPropagation(pairs.toDF("doc_a", "doc_b"), nodes, 3)
+          .as[(Long, Long)].collect().toMap
+      val canonical = run(base)
+      val duplicated = run(base ++ base ++ base)
+      val symmetrized = run(base ++ base.map(p => (p._2, p._1)))
+      assert(duplicated == canonical,
+        s"trial $trial: duplicated edges changed communities")
+      assert(symmetrized == canonical,
+        s"trial $trial: pre-symmetrized edges changed communities")
+    }
+  }
+
   test("repeated spans ≡ brute-force model on random collision-heavy corpora") {
     // Randomized model check of the d26b pipeline (window hash → ≥2-
     // instance contents → pos−row_number run merge): a tiny-alphabet
