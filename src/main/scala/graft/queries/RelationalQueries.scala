@@ -1250,6 +1250,54 @@ object RelationalQueries {
         .orderBy(col("col_name"))
     }),
 
+    // Time-series motif discovery via SAX (Lin et al. 2003 — the EDBT'19
+    // streaming-similarity lineage): every 8-point sliding window of a
+    // user's purchase series z-normalizes, compresses to 4 PAA segments,
+    // and symbolizes against the gaussian quartile breakpoints (±0.6745)
+    // into a 4-symbol word; words occurring ≥2× are motif candidates —
+    // repeated temporal shapes across users and time, the time-series
+    // analog of d26's span dedup. Determinism: the window array is
+    // collected over a TOTAL (ts, event_id) frame order and every
+    // statistic is a per-row left-to-right HOF fold over that array (the
+    // vector-math contract — no cross-row double aggregation anywhere);
+    // flat windows (std = 0) map to the all-1s word by definition.
+    // Scale: one user-keyed shuffle for the frames; the motif rollup is
+    // a ≤256-word map-side-combinable agg.
+    "q79_sax_motifs" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.fanout(Tables.events(s, d))
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("value").cast("double").as("v"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.currentRow, 7)
+      val wins = ev.withColumn("arr", collect_list(col("v")).over(w))
+        .filter(size(col("arr")) === 8)
+      val stats = wins
+        .withColumn("mean", expr(
+          "aggregate(arr, 0.0D, (a, x) -> a + x) / 8.0D"))
+        .withColumn("std", expr(
+          "sqrt(aggregate(transform(arr, x -> (x - mean) * (x - mean)), " +
+            "0.0D, (a, x) -> a + x) / 8.0D)"))
+      def sym(i: Int) = {
+        val paa = s"((arr[$i * 2] + arr[$i * 2 + 1]) / 2.0D)"
+        val z = s"(CASE WHEN std = 0.0D THEN 0.0D ELSE ($paa - mean) / std END)"
+        s"(CASE WHEN $z < -0.6745D THEN 0 WHEN $z < 0.0D THEN 1 " +
+          s"WHEN $z < 0.6745D THEN 2 ELSE 3 END)"
+      }
+      stats
+        .selectExpr("user_id",
+          s"CAST(${sym(0)} + 4 * ${sym(1)} + 16 * ${sym(2)} + " +
+            s"64 * ${sym(3)} AS BIGINT) AS word_id")
+        .groupBy(col("word_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          countDistinct(col("user_id")).as("n_users"))
+        .filter(col("n_windows") >= 2)
+        .orderBy(col("word_id"))
+    }),
+
     // q64 WITH THE 100 TB DISTINCT KNOB ENGAGED: the profiler's
     // n_distinct is the one per-column statistic whose exact form doesn't
     // scale — multi-column countDistinct plans an Expand (|cols|× the
@@ -2534,6 +2582,47 @@ object RelationalQueries {
            |  CAST(max($c) AS VARCHAR) AS max_str
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    // same total frame order, same L2R folds; DuckDB subscripts are
+    // 1-based where Spark SQL's arr[i] is 0-based — hence the +1 shifts
+    "q79_sax_motifs" -> {
+      def sym(i: Int) = {
+        val paa = s"((arr[${i * 2 + 1}] + arr[${i * 2 + 2}]) / 2.0)"
+        val z = s"(CASE WHEN std = 0.0 THEN 0.0 ELSE ($paa - mean) / std END)"
+        s"(CASE WHEN $z < -0.6745 THEN 0 WHEN $z < 0.0 THEN 1 " +
+          s"WHEN $z < 0.6745 THEN 2 ELSE 3 END)"
+      }
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+         |         CAST(value AS DOUBLE) AS v
+         |  FROM events
+         |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+         |w AS (
+         |  SELECT user_id,
+         |    list(v) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS arr
+         |  FROM ev),
+         |f AS (SELECT user_id, arr FROM w WHERE len(arr) = 8),
+         |m AS (
+         |  SELECT user_id, arr,
+         |    list_reduce(list_prepend(0.0::DOUBLE, arr), (a, x) -> a + x)
+         |      / 8.0 AS mean
+         |  FROM f),
+         |s AS (
+         |  SELECT user_id, arr, mean,
+         |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(arr, x -> (x - mean) * (x - mean))),
+         |      (a, x) -> a + x) / 8.0) AS std
+         |  FROM m),
+         |words AS (
+         |  SELECT user_id,
+         |    CAST(${sym(0)} + 4 * ${sym(1)} + 16 * ${sym(2)}
+         |         + 64 * ${sym(3)} AS BIGINT) AS word_id
+         |  FROM s)
+         |SELECT word_id, count(*) AS n_windows,
+         |       count(DISTINCT user_id) AS n_users
+         |FROM words GROUP BY word_id HAVING count(*) >= 2
+         |ORDER BY word_id""".stripMargin
     },
     "q64b_profile_sketch" -> {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",

@@ -76,7 +76,9 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       // rank arithmetic over tie-broken windows)
       "d26b_repeated_char_spans", "d9r_graph_stats_residual",
       "d25r_kcore_residual", "d29r_lpa_residual", "d23b_semdedup_planted",
-      "q64b_profile_sketch", "n18_binary_ann", "n16_rrf_fusion")
+      "q64b_profile_sketch", "n18_binary_ann", "n16_rrf_fusion",
+      // SAX motifs (total-ordered frames + per-row HOF folds)
+      "q79_sax_motifs")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {
