@@ -35,6 +35,52 @@ object RelationalQueries {
   private[graft] val hllLcTable: Seq[Long] =
     (1 to 1024).map(v => math.round(1024.0 * math.log(1024.0 / v)))
 
+  val SaxWordCap = 64    // q79b hot-word guard: pair only words ≤ cap windows
+  val SaxDistTau2 = 2.0  // q79b verify threshold (z-normalized squared L2)
+
+  /** DuckDB SAX symbol for PAA segment `i` (1-based subscripts). */
+  private def dkSaxSym(i: Int): String = {
+    val paa = s"((arr[${i * 2 + 1}] + arr[${i * 2 + 2}]) / 2.0)"
+    val z = s"(CASE WHEN std = 0.0 THEN 0.0 ELSE ($paa - mean) / std END)"
+    s"(CASE WHEN $z < -0.6745 THEN 0 WHEN $z < 0.0 THEN 1 " +
+      s"WHEN $z < 0.6745 THEN 2 ELSE 3 END)"
+  }
+
+  /** Shared q79/q79b machinery: every full 8-point sliding window of a
+    * user's purchase series with its frame array, window mean/std (L2R
+    * HOF folds — no cross-row double agg), SAX word id, and a (user,
+    * window) index from the same total frame order. */
+  private def saxWindows(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.fanout(Tables.events(s, d))
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("value").cast("double").as("v"))
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val frame = order.rowsBetween(Window.currentRow, 7)
+    val wins = ev
+      .withColumn("widx", row_number().over(order).cast("long"))
+      .withColumn("arr", collect_list(col("v")).over(frame))
+      .filter(size(col("arr")) === 8)
+    val stats = wins
+      .withColumn("mean", expr(
+        "aggregate(arr, 0.0D, (a, x) -> a + x) / 8.0D"))
+      .withColumn("std", expr(
+        "sqrt(aggregate(transform(arr, x -> (x - mean) * (x - mean)), " +
+          "0.0D, (a, x) -> a + x) / 8.0D)"))
+    def sym(i: Int) = {
+      val paa = s"((arr[$i * 2] + arr[$i * 2 + 1]) / 2.0D)"
+      val z = s"(CASE WHEN std = 0.0D THEN 0.0D ELSE ($paa - mean) / std END)"
+      s"(CASE WHEN $z < -0.6745D THEN 0 WHEN $z < 0.0D THEN 1 " +
+        s"WHEN $z < 0.6745D THEN 2 ELSE 3 END)"
+    }
+    stats.selectExpr("user_id", "widx", "arr", "mean", "std",
+      s"CAST(${sym(0)} + 4 * ${sym(1)} + 16 * ${sym(2)} + " +
+        s"64 * ${sym(3)} AS BIGINT) AS word_id")
+  }
+
   val queries: Map[String, Q] = Map(
     // TPC-H Q1-shaped pricing summary. Map-side partial aggregation on
     // (returnflag, linestatus) — only |groups| rows shuffle, so this scans
@@ -1264,38 +1310,49 @@ object RelationalQueries {
     // Scale: one user-keyed shuffle for the frames; the motif rollup is
     // a ≤256-word map-side-combinable agg.
     "q79_sax_motifs" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val ev = Tables.fanout(Tables.events(s, d))
-        .filter(col("event_type") === "purchase" && col("value").isNotNull)
-        .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("ts_us"),
-          col("value").cast("double").as("v"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_us"), col("event_id"))
-        .rowsBetween(Window.currentRow, 7)
-      val wins = ev.withColumn("arr", collect_list(col("v")).over(w))
-        .filter(size(col("arr")) === 8)
-      val stats = wins
-        .withColumn("mean", expr(
-          "aggregate(arr, 0.0D, (a, x) -> a + x) / 8.0D"))
-        .withColumn("std", expr(
-          "sqrt(aggregate(transform(arr, x -> (x - mean) * (x - mean)), " +
-            "0.0D, (a, x) -> a + x) / 8.0D)"))
-      def sym(i: Int) = {
-        val paa = s"((arr[$i * 2] + arr[$i * 2 + 1]) / 2.0D)"
-        val z = s"(CASE WHEN std = 0.0D THEN 0.0D ELSE ($paa - mean) / std END)"
-        s"(CASE WHEN $z < -0.6745D THEN 0 WHEN $z < 0.0D THEN 1 " +
-          s"WHEN $z < 0.6745D THEN 2 ELSE 3 END)"
-      }
-      stats
-        .selectExpr("user_id",
-          s"CAST(${sym(0)} + 4 * ${sym(1)} + 16 * ${sym(2)} + " +
-            s"64 * ${sym(3)} AS BIGINT) AS word_id")
+      saxWindows(s, d)
         .groupBy(col("word_id"))
         .agg(count(lit(1)).as("n_windows"),
           countDistinct(col("user_id")).as("n_users"))
         .filter(col("n_windows") >= 2)
         .orderBy(col("word_id"))
+    }),
+
+    // Cross-user time-series similarity JOIN (the REPOSE/EDBT'19 top-k
+    // subsequence-similarity problem, batch form): q79's SAX words act
+    // as the LSH-style candidate filter — only window pairs sharing a
+    // word are verified — and the verify is the EXACT z-normalized
+    // squared Euclidean distance over the full 8 points, ≤ τ². Hot-word
+    // guard: words claiming more than SaxWordCap windows are dropped
+    // before pairing (flat/common shapes would pair everything — n16's
+    // df-cap and m5's patch cap, applied to shapes), so per-word fan-out
+    // is bounded. Symbolize → bucket-join → verify: the d2/d5 dedup
+    // discipline transplanted to time series.
+    "q79b_ts_similarity" -> ((s, d) => {
+      val wins = saxWindows(s, d).localCheckpoint()
+      val hot = wins.groupBy(col("word_id")).agg(count(lit(1)).as("nw"))
+        .filter(col("nw") <= SaxWordCap).select(col("word_id"))
+      val cand = wins.join(hot, "word_id")
+      val a = cand.select(col("word_id"), col("user_id").as("user_a"),
+        col("widx").as("widx_a"), col("arr").as("arr_a"),
+        col("mean").as("mean_a"), col("std").as("std_a"))
+      val b = cand.select(col("word_id").as("word_b"),
+        col("user_id").as("user_b"), col("widx").as("widx_b"),
+        col("arr").as("arr_b"), col("mean").as("mean_b"),
+        col("std").as("std_b"))
+      a.join(b, col("word_id") === col("word_b") &&
+          col("user_a") < col("user_b"))
+        .withColumn("dist2", expr(
+          "aggregate(zip_with(arr_a, arr_b, (x, y) -> " +
+            "(CASE WHEN std_a = 0.0D THEN 0.0D " +
+            "ELSE (x - mean_a) / std_a END) - " +
+            "(CASE WHEN std_b = 0.0D THEN 0.0D " +
+            "ELSE (y - mean_b) / std_b END)), " +
+            "0.0D, (a, z) -> a + z * z)"))
+        .filter(col("dist2") <= SaxDistTau2)
+        .select(col("user_a"), col("widx_a"), col("user_b"), col("widx_b"),
+          round(col("dist2"), 6).as("dist2"))
+        .orderBy(col("user_a"), col("widx_a"), col("user_b"), col("widx_b"))
     }),
 
     // q64 WITH THE 100 TB DISTINCT KNOB ENGAGED: the profiler's
@@ -2623,6 +2680,60 @@ object RelationalQueries {
          |       count(DISTINCT user_id) AS n_users
          |FROM words GROUP BY word_id HAVING count(*) >= 2
          |ORDER BY word_id""".stripMargin
+    },
+    // q79's CTEs + widx, hot-word cap, exact z-norm verify (the
+    // difference fold squares inside the reducer, matching Spark's
+    // zip_with → aggregate structure)
+    "q79b_ts_similarity" -> {
+      def z(t: String, i: String) =
+        s"(CASE WHEN $t.std = 0.0 THEN 0.0 " +
+          s"ELSE ($t.arr[$i] - $t.mean) / $t.std END)"
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+         |         CAST(value AS DOUBLE) AS v
+         |  FROM events
+         |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+         |w AS (
+         |  SELECT user_id,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |                       ORDER BY ts_us, event_id) AS widx,
+         |    list(v) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS arr
+         |  FROM ev),
+         |f AS (SELECT user_id, widx, arr FROM w WHERE len(arr) = 8),
+         |m AS (
+         |  SELECT user_id, widx, arr,
+         |    list_reduce(list_prepend(0.0::DOUBLE, arr), (a, x) -> a + x)
+         |      / 8.0 AS mean
+         |  FROM f),
+         |s AS (
+         |  SELECT user_id, widx, arr, mean,
+         |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(arr, x -> (x - mean) * (x - mean))),
+         |      (a, x) -> a + x) / 8.0) AS std
+         |  FROM m),
+         |ws AS (
+         |  SELECT user_id, widx, arr, mean, std,
+         |    CAST(${dkSaxSym(0)} + 4 * ${dkSaxSym(1)} + 16 * ${dkSaxSym(2)}
+         |         + 64 * ${dkSaxSym(3)} AS BIGINT) AS word_id
+         |  FROM s),
+         |hot AS (SELECT word_id FROM ws GROUP BY word_id
+         |        HAVING count(*) <= $SaxWordCap),
+         |c AS (SELECT ws.* FROM ws JOIN hot USING (word_id)),
+         |p AS (
+         |  SELECT a.user_id AS user_a, a.widx AS widx_a,
+         |         b.user_id AS user_b, b.widx AS widx_b,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(generate_series(1, 8),
+         |        i -> ${z("a", "i")} - ${z("b", "i")})),
+         |      (a, z) -> a + z * z) AS dist2
+         |  FROM c a JOIN c b
+         |    ON a.word_id = b.word_id AND a.user_id < b.user_id)
+         |SELECT user_a, CAST(widx_a AS BIGINT) AS widx_a,
+         |       user_b, CAST(widx_b AS BIGINT) AS widx_b,
+         |       round(dist2, 6) AS dist2
+         |FROM p WHERE dist2 <= $SaxDistTau2
+         |ORDER BY user_a, widx_a, user_b, widx_b""".stripMargin
     },
     "q64b_profile_sketch" -> {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
