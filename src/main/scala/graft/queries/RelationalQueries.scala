@@ -50,7 +50,7 @@ object RelationalQueries {
     * user's purchase series with its frame array, window mean/std (L2R
     * HOF folds — no cross-row double agg), SAX word id, and a (user,
     * window) index from the same total frame order. */
-  private def saxWindows(s: SparkSession, d: String): DataFrame = {
+  private[graft] def saxWindows(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.fanout(Tables.events(s, d))
       .filter(col("event_type") === "purchase" && col("value").isNotNull)
