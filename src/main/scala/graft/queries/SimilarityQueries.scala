@@ -60,6 +60,24 @@ object SimilarityQueries {
     v.unionByName(twins)
   }
 
+  /** n16/n16b's shared lexical leg: (qid, did, n_shared) — shared RARE-
+    * token counts over the df-capped inverted-index join. */
+  private def rrfLexCandidates(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"),
+        explode(array_distinct(graft.ops.TextOps.tokens(col("text"))))
+          .as("tok"))
+    val dfT = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= RrfDfCap)
+    val rare = toks.join(dfT.select(col("tok")), "tok")
+    val ql = rare.filter(col("doc_id") < NumQueries)
+      .select(col("doc_id").as("qid"), col("tok"))
+    rare.select(col("doc_id").as("did"), col("tok"))
+      .join(broadcast(ql), "tok")
+      .filter(col("did") =!= col("qid"))
+      .groupBy(col("qid"), col("did")).agg(count(lit(1)).as("n_shared"))
+  }
+
   /** SemDeDup removal decisions (Abbas et al. 2023): k-means clusters as
     * the candidate filter, exact cosine within a cluster only, greedy
     * keep-smallest-id. Shared by d23 (raw corpus, exploratory τ) and d23b
@@ -362,20 +380,7 @@ object SimilarityQueries {
     // term anywhere.
     "n16_rrf_fusion" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.fanout(Tables.documents(s, d))
-        .select(col("doc_id"), col("text"))
-      val toks = docs.select(col("doc_id"),
-        explode(array_distinct(graft.ops.TextOps.tokens(col("text"))))
-          .as("tok"))
-      val dfT = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= RrfDfCap)
-      val rare = toks.join(dfT.select(col("tok")), "tok")
-      val ql = rare.filter(col("doc_id") < NumQueries)
-        .select(col("doc_id").as("qid"), col("tok"))
-      val lex = rare.select(col("doc_id").as("did"), col("tok"))
-        .join(broadcast(ql), "tok")
-        .filter(col("did") =!= col("qid"))
-        .groupBy(col("qid"), col("did")).agg(count(lit(1)).as("n_shared"))
+      val lex = rrfLexCandidates(s, d)
       val wLex = Window.partitionBy(col("qid"))
         .orderBy(col("n_shared").desc, col("did"))
       val lexTop = lex.withColumn("lex_rank", row_number().over(wLex))
@@ -396,6 +401,46 @@ object SimilarityQueries {
         .select(col("qid").as("query_id"), col("rank"),
           col("did").as("doc_id"), col("rrf_ppm"),
           col("lex_rank"), col("vec_rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // n16 IN ONE AGGREGATION: both legs' raw candidates union into a
+    // single [[graft.functions.RrfFusionAggregator]] — per-leg bounded
+    // top-k buffers merge map-side and fusion happens at finish, so the
+    // 3-shuffle rank-rank-join plan collapses to one aggregation (and
+    // becomes LEGAL as a streaming update-mode query, where n16's two
+    // chained rank aggregations are not). Oracle = n16's SQL: the fused
+    // output must be IDENTICAL, proving the buffers reproduce both
+    // windows' tie semantics exactly.
+    "n16b_rrf_onepass" -> ((s, d) => {
+      import s.implicits._
+      val lex = rrfLexCandidates(s, d)
+        .select(col("qid"), lit("lex").as("leg"),
+          col("n_shared").cast("double").as("score"), col("did"))
+      val v = vecs(s, d)
+      val q = v.filter(col("id") < NumQueries)
+        .select(col("id").as("qid"), col("emb").as("q_emb"),
+          norm2(col("emb")).as("q_n2"))
+      val vec = v.select(col("id").as("did"), col("emb").as("c_emb"),
+          norm2(col("emb")).as("c_n2"))
+        .crossJoin(broadcast(q))
+        .filter(col("did") =!= col("qid"))
+        .select(col("qid"), lit("vec").as("leg"),
+          cosine(dot(col("q_emb"), col("c_emb")),
+            col("q_n2"), col("c_n2")).as("score"),
+          col("did"))
+      val agg = new graft.functions.RrfFusionAggregator(K, 60)
+      lex.unionByName(vec).as[(Long, String, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues { case (_, leg, score, id) => (leg, score, id) }
+        .agg(agg.toColumn.name("fused"))
+        .flatMap { case (qid, fused) =>
+          fused.iterator.map { case (rank, id, rrf, lr, vr) =>
+            (qid, rank, id, rrf, lr, vr)
+          }
+        }
+        .toDF("query_id", "rank", "doc_id", "rrf_ppm",
+          "lex_rank", "vec_rank")
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1064,6 +1109,57 @@ object SimilarityQueries {
        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vid) AS rank
        |  FROM adcg) WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  /** n16's two-leg mirror — also pins n16b (the one-pass aggregator must
+    * produce the identical fused ranking). */
+  private lazy val dkRrfFusion: String =
+    s"""WITH toks0 AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+       |  FROM documents),
+       |dft AS (
+       |  SELECT tok FROM (
+       |    SELECT tok, count(*) AS df FROM toks0 GROUP BY tok)
+       |  WHERE df <= $RrfDfCap),
+       |rare AS (SELECT t.doc_id, t.tok FROM toks0 t JOIN dft USING (tok)),
+       |lex AS (
+       |  SELECT q.doc_id AS qid, c.doc_id AS did, count(*) AS n_shared
+       |  FROM rare q JOIN rare c ON c.tok = q.tok AND c.doc_id <> q.doc_id
+       |  WHERE q.doc_id < $NumQueries
+       |  GROUP BY q.doc_id, c.doc_id),
+       |lext AS (SELECT qid, did, lex_rank FROM (
+       |  SELECT qid, did,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |                       ORDER BY n_shared DESC, did) AS lex_rank
+       |  FROM lex) WHERE lex_rank <= $K),
+       |v AS (
+       |  SELECT vec_id AS id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |vscored AS (
+       |  SELECT a.id AS qid, b.id AS did,
+       |         $dkDot / sqrt(${dkNorm2("a")} * ${dkNorm2("b")}) AS cos
+       |  FROM v a, v b
+       |  WHERE a.id < $NumQueries AND b.id <> a.id),
+       |vect AS (
+       |  SELECT qid, did, vec_rank FROM (
+       |    SELECT qid, did,
+       |      ROW_NUMBER() OVER (PARTITION BY qid
+       |                         ORDER BY cos DESC, did) AS vec_rank
+       |    FROM vscored) WHERE vec_rank <= $K),
+       |f AS (
+       |  SELECT coalesce(l.qid, vt.qid) AS qid,
+       |         coalesce(l.did, vt.did) AS did,
+       |         l.lex_rank, vt.vec_rank,
+       |         coalesce(1000000 // (60 + l.lex_rank), 0)
+       |           + coalesce(1000000 // (60 + vt.vec_rank), 0) AS rrf_ppm
+       |  FROM lext l FULL OUTER JOIN vect vt
+       |    ON vt.qid = l.qid AND vt.did = l.did)
+       |SELECT query_id, rank, doc_id, rrf_ppm, lex_rank, vec_rank FROM (
+       |  SELECT qid AS query_id, did AS doc_id, rrf_ppm, lex_rank, vec_rank,
+       |         ROW_NUMBER() OVER (PARTITION BY qid
+       |                            ORDER BY rrf_ppm DESC, did) AS rank
+       |  FROM f) WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "n11b_pq_trained" -> dkPqTrained,
     "n14_ivfpq" -> dkIvfPq,
@@ -1188,54 +1284,9 @@ object SimilarityQueries {
          |                            ORDER BY cos DESC, id) AS rank
          |  FROM rer) WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
     },
-    "n16_rrf_fusion" ->
-      s"""WITH toks0 AS (
-         |  SELECT doc_id,
-         |    unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
-         |  FROM documents),
-         |dft AS (
-         |  SELECT tok FROM (
-         |    SELECT tok, count(*) AS df FROM toks0 GROUP BY tok)
-         |  WHERE df <= $RrfDfCap),
-         |rare AS (SELECT t.doc_id, t.tok FROM toks0 t JOIN dft USING (tok)),
-         |lex AS (
-         |  SELECT q.doc_id AS qid, c.doc_id AS did, count(*) AS n_shared
-         |  FROM rare q JOIN rare c ON c.tok = q.tok AND c.doc_id <> q.doc_id
-         |  WHERE q.doc_id < $NumQueries
-         |  GROUP BY q.doc_id, c.doc_id),
-         |lext AS (SELECT qid, did, lex_rank FROM (
-         |  SELECT qid, did,
-         |    ROW_NUMBER() OVER (PARTITION BY qid
-         |                       ORDER BY n_shared DESC, did) AS lex_rank
-         |  FROM lex) WHERE lex_rank <= $K),
-         |v AS (
-         |  SELECT vec_id AS id,
-         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-         |  FROM embeddings),
-         |vscored AS (
-         |  SELECT a.id AS qid, b.id AS did,
-         |         $dkDot / sqrt(${dkNorm2("a")} * ${dkNorm2("b")}) AS cos
-         |  FROM v a, v b
-         |  WHERE a.id < $NumQueries AND b.id <> a.id),
-         |vect AS (
-         |  SELECT qid, did, vec_rank FROM (
-         |    SELECT qid, did,
-         |      ROW_NUMBER() OVER (PARTITION BY qid
-         |                         ORDER BY cos DESC, did) AS vec_rank
-         |    FROM vscored) WHERE vec_rank <= $K),
-         |f AS (
-         |  SELECT coalesce(l.qid, vt.qid) AS qid,
-         |         coalesce(l.did, vt.did) AS did,
-         |         l.lex_rank, vt.vec_rank,
-         |         coalesce(1000000 // (60 + l.lex_rank), 0)
-         |           + coalesce(1000000 // (60 + vt.vec_rank), 0) AS rrf_ppm
-         |  FROM lext l FULL OUTER JOIN vect vt
-         |    ON vt.qid = l.qid AND vt.did = l.did)
-         |SELECT query_id, rank, doc_id, rrf_ppm, lex_rank, vec_rank FROM (
-         |  SELECT qid AS query_id, did AS doc_id, rrf_ppm, lex_rank, vec_rank,
-         |         ROW_NUMBER() OVER (PARTITION BY qid
-         |                            ORDER BY rrf_ppm DESC, did) AS rank
-         |  FROM f) WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    "n16_rrf_fusion" -> dkRrfFusion,
+    // the one-pass aggregator must reproduce the two-leg plan EXACTLY
+    "n16b_rrf_onepass" -> dkRrfFusion,
     "n8_quantize" ->
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
