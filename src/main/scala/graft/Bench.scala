@@ -64,6 +64,7 @@ object Bench {
     "q71_hash_split", "q72_mixture_plan", "q73_stratified_sample",
     "q74_approx_quantile_eval", "q75_attribution", "q76_decay_score",
     "q77_ivm_agg", "q78_interpolate", "q79_sax_motifs", "q79b_ts_similarity",
+    "q79c_ts_dtw",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_regex_tokens", "t6_string_funcs", "t7_array_funcs", "t8_explode",
     "t9_regex_extract", "t10_normalize", "t11_hash_split",

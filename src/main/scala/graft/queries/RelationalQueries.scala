@@ -38,6 +38,95 @@ object RelationalQueries {
   val SaxWordCap = 64    // q79b hot-word guard: pair only words ≤ cap windows
   val SaxDistTau2 = 2.0  // q79b verify threshold (z-normalized squared L2)
 
+  /** q79b/q79c's shared candidate pairs: capped-word SAX window pairs
+    * across users, carrying both windows' arrays and stats. */
+  private def saxCandidatePairs(s: SparkSession, d: String): DataFrame = {
+    val wins = saxWindows(s, d).localCheckpoint()
+    val hot = wins.groupBy(col("word_id")).agg(count(lit(1)).as("nw"))
+      .filter(col("nw") <= SaxWordCap).select(col("word_id"))
+    val cand = wins.join(hot, "word_id")
+    // pair-expanding byte-light join: pin both exchanges on the word key
+    // or AQE's byte-based coalesce runs the whole verify on ONE task
+    // (measured: 2×6.5 s single-task stages in q79c at sf0.1 — the
+    // d5/d9b/d9r lesson yet again)
+    val p = s.sparkContext.defaultParallelism
+    val a = cand.select(col("word_id"), col("user_id").as("user_a"),
+      col("widx").as("widx_a"), col("arr").as("arr_a"),
+      col("mean").as("mean_a"), col("std").as("std_a"))
+      .repartition(p, col("word_id"))
+    val b = cand.select(col("word_id").as("word_b"),
+      col("user_id").as("user_b"), col("widx").as("widx_b"),
+      col("arr").as("arr_b"), col("mean").as("mean_b"),
+      col("std").as("std_b"))
+      .repartition(p, col("word_b"))
+    a.join(b, col("word_id") === col("word_b") &&
+      col("user_a") < col("user_b"))
+  }
+
+  /** Sakoe-Chiba band-1 DTW over 8-point z-normed windows as a LINEAR
+    * FOLD: the band admits only cells (i, i−1), (i, i), (i, i+1), so the
+    * whole DP carries 3 doubles of state per step —
+    *   lo' = d(i,i−1) + min(mid, lo)
+    *   mid' = d(i,i)  + min(hi, lo', mid)
+    *   hi'  = d(i,i+1) + min(mid', hi)        (∞ past the last column)
+    * seeded at i=1 with (∞, d(1,1), d(1,2)+d(1,1)); answer = final mid.
+    * Both engines evaluate it as a higher-order aggregate/list_reduce
+    * with a struct accumulator — state references stay SYMBOLIC, so the
+    * expression is constant-size (the naive 22-cell unrolling inlines
+    * shared subexpressions exponentially: measured as a DuckDB OOM and a
+    * minute-long Catalyst analysis before this formulation). lo'/mid'
+    * inline once into mid'/hi' — a bounded, shared-free duplication. */
+  private def dtwStepExprs(d: (String, String) => String, accLo: String,
+      accMid: String, accHi: String, i: String, inf: String)
+      : (String, String, String) = {
+    val lo = s"(${d(i, s"$i - 1")} + least($accMid, $accLo))"
+    val mid = s"(${d(i, i)} + least($accHi, $lo, $accMid))"
+    val hi = s"(CASE WHEN $i < 8 THEN ${d(i, s"$i + 1")} " +
+      s"+ least($mid, $accHi) ELSE $inf END)"
+    (lo, mid, hi)
+  }
+
+  /** Spark expression string for the banded-DTW fold over columns
+    * `za`/`zb` (ARRAY<DOUBLE>, 8 elements). */
+  private def sparkDtwExpr: String = {
+    def d(i: String, j: String) =
+      s"((element_at(za, $i) - element_at(zb, $j)) * " +
+        s"(element_at(za, $i) - element_at(zb, $j)))"
+    val inf = "CAST('Infinity' AS DOUBLE)"
+    val (lo, mid, hi) =
+      dtwStepExprs(d, "acc.lo", "acc.mid", "acc.hi", "i", inf)
+    s"""aggregate(sequence(2, 8),
+       |  named_struct('lo', $inf, 'mid', ${d("1", "1")},
+       |    'hi', ${d("1", "2")} + ${d("1", "1")}),
+       |  (acc, i) -> named_struct('lo', $lo, 'mid', $mid, 'hi', $hi),
+       |  acc -> acc.mid)""".stripMargin
+  }
+
+  /** The DuckDB mirror: same fold with a DOUBLE[] accumulator
+    * [i, lo, mid, hi] — NOT a struct one: DuckDB 1.0's list_reduce
+    * evaluates struct-literal lambda fields against inconsistent
+    * accumulator snapshots when fields share subexpressions (verified
+    * with a minimal probe: a field repeating another field's expression
+    * reads the NEW value — silently wrong DP cells, caught by this very
+    * oracle row failing). List literals evaluate all elements against
+    * the same snapshot. Seed rides in as the prepended head; the i=1
+    * state is (∞, d(1,1), d(1,2)+d(1,1)); answer = [3] (mid). */
+  private def duckDtwExpr: String = {
+    def idx(e: String) = s"CAST($e AS BIGINT)"
+    def d(i: String, j: String) =
+      s"((za[${idx(i)}] - zb[${idx(j)}]) * (za[${idx(i)}] - zb[${idx(j)}]))"
+    val inf = "'infinity'::DOUBLE"
+    val (lo, mid, hi) =
+      dtwStepExprs(d, "acc[2]", "acc[3]", "acc[4]", "x[1]", inf)
+    s"""(list_reduce(
+       |  list_prepend(
+       |    [1.0, $inf, ${d("1", "1")},
+       |     ${d("1", "2")} + ${d("1", "1")}]::DOUBLE[],
+       |    list_transform(generate_series(2, 8),
+       |      n -> [CAST(n AS DOUBLE), 0.0, 0.0, 0.0])),
+       |  (acc, x) -> [x[1], $lo, $mid, $hi]))[3]""".stripMargin
+  }
+
   /** DuckDB SAX symbol for PAA segment `i` (1-based subscripts). */
   private def dkSaxSym(i: Int): String = {
     val paa = s"((arr[${i * 2 + 1}] + arr[${i * 2 + 2}]) / 2.0)"
@@ -1329,19 +1418,7 @@ object RelationalQueries {
     // is bounded. Symbolize → bucket-join → verify: the d2/d5 dedup
     // discipline transplanted to time series.
     "q79b_ts_similarity" -> ((s, d) => {
-      val wins = saxWindows(s, d).localCheckpoint()
-      val hot = wins.groupBy(col("word_id")).agg(count(lit(1)).as("nw"))
-        .filter(col("nw") <= SaxWordCap).select(col("word_id"))
-      val cand = wins.join(hot, "word_id")
-      val a = cand.select(col("word_id"), col("user_id").as("user_a"),
-        col("widx").as("widx_a"), col("arr").as("arr_a"),
-        col("mean").as("mean_a"), col("std").as("std_a"))
-      val b = cand.select(col("word_id").as("word_b"),
-        col("user_id").as("user_b"), col("widx").as("widx_b"),
-        col("arr").as("arr_b"), col("mean").as("mean_b"),
-        col("std").as("std_b"))
-      a.join(b, col("word_id") === col("word_b") &&
-          col("user_a") < col("user_b"))
+      saxCandidatePairs(s, d)
         .withColumn("dist2", expr(
           "aggregate(zip_with(arr_a, arr_b, (x, y) -> " +
             "(CASE WHEN std_a = 0.0D THEN 0.0D " +
@@ -1352,6 +1429,30 @@ object RelationalQueries {
         .filter(col("dist2") <= SaxDistTau2)
         .select(col("user_a"), col("widx_a"), col("user_b"), col("widx_b"),
           round(col("dist2"), 6).as("dist2"))
+        .orderBy(col("user_a"), col("widx_a"), col("user_b"), col("widx_b"))
+    }),
+
+    // q79b with INEXACT ALIGNMENT: the verify becomes banded DTW (Sakoe-
+    // Chiba radius 1) — a point may match its neighbor's position, so a
+    // one-step phase shift between two otherwise-identical shapes no
+    // longer pays the full L2 penalty (DTW ≤ the diagonal L2 by
+    // construction: q79c admits every q79b pair plus the near-misses).
+    // The DP runs as a constant-size 3-state FOLD ([[dtwStepExprs]] —
+    // one Scala builder emits both engines' higher-order aggregate, the
+    // lshWeightValues discipline applied to a recurrence), so the oracle
+    // computes the identical arithmetic — no UDF, O(band·w) per
+    // candidate. Hot words stay capped; cost over q79b is a constant
+    // ~3× per candidate.
+    "q79c_ts_dtw" -> ((s, d) => {
+      def zn(src: String) = expr(
+        s"transform(arr_$src, x -> CASE WHEN std_$src = 0.0D THEN 0.0D " +
+          s"ELSE (x - mean_$src) / std_$src END)")
+      saxCandidatePairs(s, d)
+        .withColumn("za", zn("a")).withColumn("zb", zn("b"))
+        .withColumn("dtw2", expr(sparkDtwExpr))
+        .filter(col("dtw2") <= SaxDistTau2)
+        .select(col("user_a"), col("widx_a"), col("user_b"), col("widx_b"),
+          round(col("dtw2"), 6).as("dtw2"))
         .orderBy(col("user_a"), col("widx_a"), col("user_b"), col("widx_b"))
     }),
 
@@ -2733,6 +2834,60 @@ object RelationalQueries {
          |       user_b, CAST(widx_b AS BIGINT) AS widx_b,
          |       round(dist2, 6) AS dist2
          |FROM p WHERE dist2 <= $SaxDistTau2
+         |ORDER BY user_a, widx_a, user_b, widx_b""".stripMargin
+    },
+    // q79b's candidate CTEs + the SAME 3-state banded-DTW fold
+    // ([[duckDtwExpr]] — generated by the builder that emits Spark's)
+    "q79c_ts_dtw" -> {
+      def zl(t: String) =
+        s"list_transform($t.arr, x -> CASE WHEN $t.std = 0.0 THEN 0.0 " +
+          s"ELSE (x - $t.mean) / $t.std END)"
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+         |         CAST(value AS DOUBLE) AS v
+         |  FROM events
+         |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+         |w AS (
+         |  SELECT user_id,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |                       ORDER BY ts_us, event_id) AS widx,
+         |    list(v) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS arr
+         |  FROM ev),
+         |f AS (SELECT user_id, widx, arr FROM w WHERE len(arr) = 8),
+         |m AS (
+         |  SELECT user_id, widx, arr,
+         |    list_reduce(list_prepend(0.0::DOUBLE, arr), (a, x) -> a + x)
+         |      / 8.0 AS mean
+         |  FROM f),
+         |s AS (
+         |  SELECT user_id, widx, arr, mean,
+         |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(arr, x -> (x - mean) * (x - mean))),
+         |      (a, x) -> a + x) / 8.0) AS std
+         |  FROM m),
+         |ws AS (
+         |  SELECT user_id, widx, arr, mean, std,
+         |    CAST(${dkSaxSym(0)} + 4 * ${dkSaxSym(1)} + 16 * ${dkSaxSym(2)}
+         |         + 64 * ${dkSaxSym(3)} AS BIGINT) AS word_id
+         |  FROM s),
+         |hot AS (SELECT word_id FROM ws GROUP BY word_id
+         |        HAVING count(*) <= $SaxWordCap),
+         |c AS (SELECT ws.* FROM ws JOIN hot USING (word_id)),
+         |p AS (
+         |  SELECT a.user_id AS user_a, a.widx AS widx_a,
+         |         b.user_id AS user_b, b.widx AS widx_b,
+         |         ${zl("a")} AS za, ${zl("b")} AS zb
+         |  FROM c a JOIN c b
+         |    ON a.word_id = b.word_id AND a.user_id < b.user_id),
+         |dp AS (
+         |  SELECT user_a, widx_a, user_b, widx_b,
+         |    $duckDtwExpr AS dtw2
+         |  FROM p)
+         |SELECT user_a, CAST(widx_a AS BIGINT) AS widx_a,
+         |       user_b, CAST(widx_b AS BIGINT) AS widx_b,
+         |       round(dtw2, 6) AS dtw2
+         |FROM dp WHERE dtw2 <= $SaxDistTau2
          |ORDER BY user_a, widx_a, user_b, widx_b""".stripMargin
     },
     "q64b_profile_sketch" -> {

@@ -77,8 +77,9 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       "d26b_repeated_char_spans", "d9r_graph_stats_residual",
       "d25r_kcore_residual", "d29r_lpa_residual", "d23b_semdedup_planted",
       "q64b_profile_sketch", "n18_binary_ann", "n16_rrf_fusion",
-      // SAX motifs (total-ordered frames + per-row HOF folds)
-      "q79_sax_motifs")
+      // SAX motifs + similarity + banded DTW (total-ordered frames +
+      // per-row HOF folds; the DTW fold is a per-row 3-state recurrence)
+      "q79_sax_motifs", "q79b_ts_similarity", "q79c_ts_dtw")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {
