@@ -64,7 +64,7 @@ object Bench {
     "q71_hash_split", "q72_mixture_plan", "q73_stratified_sample",
     "q74_approx_quantile_eval", "q75_attribution", "q76_decay_score",
     "q77_ivm_agg", "q78_interpolate", "q79_sax_motifs", "q79b_ts_similarity",
-    "q79c_ts_dtw",
+    "q79c_ts_dtw", "q79d_ts_topk", "q80_cusum_drift",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_regex_tokens", "t6_string_funcs", "t7_array_funcs", "t8_explode",
     "t9_regex_extract", "t10_normalize", "t11_hash_split",
@@ -74,7 +74,7 @@ object Bench {
     "t23_readability", "t24_lm_score", "t25_posting_lists",
     "t26_pmi_collocations", "t27_source_gini", "t29_boilerplate",
     "t30_curation_e2e", "t31_repetition_stats", "t32_langid_confusion",
-    "t33_rake_keywords", "t34_vocab_growth", "t35_blocklist",
+    "t33_rake_keywords", "t34_vocab_growth", "t35_blocklist", "t36_bm25",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
     "d8d_triangle_doulion", "d9b_graph_stats_sketch",
     "d11_containment", "d12_incremental_dedup",

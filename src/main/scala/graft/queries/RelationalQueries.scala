@@ -37,6 +37,8 @@ object RelationalQueries {
 
   val SaxWordCap = 64    // q79b hot-word guard: pair only words ≤ cap windows
   val SaxDistTau2 = 2.0  // q79b verify threshold (z-normalized squared L2)
+  val SaxTopK = 5        // q79d result depth per query window
+  val CusumH = 5         // q80 alarm threshold, in mean-absolute-deviations
 
   /** q79b/q79c's shared candidate pairs: capped-word SAX window pairs
     * across users, carrying both windows' arrays and stats. */
@@ -62,6 +64,18 @@ object RelationalQueries {
     a.join(b, col("word_id") === col("word_b") &&
       col("user_a") < col("user_b"))
   }
+
+  /** q79b/q79d's shared exact verify: z-normalized squared L2 between the
+    * paired windows (the arr/mean/std `_a`/`_b` columns from
+    * [[saxCandidatePairs]]), as one zip_with fold — IEEE-identical across
+    * engines. */
+  private val saxDist2Expr: String =
+    "aggregate(zip_with(arr_a, arr_b, (x, y) -> " +
+      "(CASE WHEN std_a = 0.0D THEN 0.0D " +
+      "ELSE (x - mean_a) / std_a END) - " +
+      "(CASE WHEN std_b = 0.0D THEN 0.0D " +
+      "ELSE (y - mean_b) / std_b END)), " +
+      "0.0D, (a, z) -> a + z * z)"
 
   /** Sakoe-Chiba band-1 DTW over 8-point z-normed windows as a LINEAR
     * FOLD: the band admits only cells (i, i−1), (i, i), (i, i+1), so the
@@ -134,6 +148,43 @@ object RelationalQueries {
     s"(CASE WHEN $z < -0.6745 THEN 0 WHEN $z < 0.0 THEN 1 " +
       s"WHEN $z < 0.6745 THEN 2 ELSE 3 END)"
   }
+
+  /** The q79b/q79c/q79d oracles' shared candidate chain (mirror of
+    * [[saxWindows]] + the hot-word cap): CTEs `ev..c`, where `c` is the
+    * capped window set carrying (user_id, widx, arr, mean, std, word_id). */
+  private lazy val dkSaxCandBase: String =
+    s"""ev AS (
+       |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+       |         CAST(value AS DOUBLE) AS v
+       |  FROM events
+       |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+       |w AS (
+       |  SELECT user_id,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |                       ORDER BY ts_us, event_id) AS widx,
+       |    list(v) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS arr
+       |  FROM ev),
+       |f AS (SELECT user_id, widx, arr FROM w WHERE len(arr) = 8),
+       |m AS (
+       |  SELECT user_id, widx, arr,
+       |    list_reduce(list_prepend(0.0::DOUBLE, arr), (a, x) -> a + x)
+       |      / 8.0 AS mean
+       |  FROM f),
+       |s AS (
+       |  SELECT user_id, widx, arr, mean,
+       |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+       |      list_transform(arr, x -> (x - mean) * (x - mean))),
+       |      (a, x) -> a + x) / 8.0) AS std
+       |  FROM m),
+       |ws AS (
+       |  SELECT user_id, widx, arr, mean, std,
+       |    CAST(${dkSaxSym(0)} + 4 * ${dkSaxSym(1)} + 16 * ${dkSaxSym(2)}
+       |         + 64 * ${dkSaxSym(3)} AS BIGINT) AS word_id
+       |  FROM s),
+       |hot AS (SELECT word_id FROM ws GROUP BY word_id
+       |        HAVING count(*) <= $SaxWordCap),
+       |c AS (SELECT ws.* FROM ws JOIN hot USING (word_id))""".stripMargin
 
   /** Shared q79/q79b machinery: every full 8-point sliding window of a
     * user's purchase series with its frame array, window mean/std (L2R
@@ -1407,6 +1458,50 @@ object RelationalQueries {
         .orderBy(col("word_id"))
     }),
 
+    // CUSUM drift detection (Page 1954) per user series, with the
+    // iteration ELIMINATED: the one-sided recurrence
+    // s_i = max(0, s_{i−1} + (x_i − k)) has the closed form
+    // s_i = P_i − min(0, min_{j≤i} P_j) where P is the running sum of
+    // deviations — so the whole detector is two frames over ONE
+    // user-partitioned sort, no driver loop, no fold. All arithmetic is
+    // integer cents (q76's floor discipline): k = per-user mean (floored),
+    // alarm when cusum·n ≥ CusumH·Σ|dev| (mean-absolute-deviation scale,
+    // cross-multiplied to stay in BIGINT — t19's no-division discipline).
+    // One shuffle on user_id; every window and the final rollup reuse
+    // that exchange. Headroom: cusum·n < maxcents·n² — fine to n ~ 10⁶
+    // events/user, beyond which chunk the series.
+    "q80_cusum_drift" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.fanout(Tables.events(s, d))
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      val order = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy(col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      ev
+        .withColumn("widx", row_number().over(order).cast("long"))
+        .withColumn("tot", sum(col("cents")).over(whole))
+        .withColumn("n", count(lit(1)).over(whole))
+        .withColumn("k_cents", expr("tot div n"))
+        .withColumn("dev", col("cents") - col("k_cents"))
+        .withColumn("p", sum(col("dev")).over(run))
+        .withColumn("cusum", col("p") - least(lit(0L), min(col("p")).over(run)))
+        .withColumn("sad", sum(abs(col("dev"))).over(whole))
+        .withColumn("alarm",
+          col("sad") > 0 && col("cusum") * col("n") >= lit(CusumH) * col("sad"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(col("k_cents")).as("k_cents"),
+          max(col("cusum")).as("max_cusum"),
+          sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarms"),
+          min(when(col("alarm"), col("widx"))).as("first_alarm"))
+        .orderBy(col("user_id"))
+    }),
+
     // Cross-user time-series similarity JOIN (the REPOSE/EDBT'19 top-k
     // subsequence-similarity problem, batch form): q79's SAX words act
     // as the LSH-style candidate filter — only window pairs sharing a
@@ -1419,13 +1514,7 @@ object RelationalQueries {
     // discipline transplanted to time series.
     "q79b_ts_similarity" -> ((s, d) => {
       saxCandidatePairs(s, d)
-        .withColumn("dist2", expr(
-          "aggregate(zip_with(arr_a, arr_b, (x, y) -> " +
-            "(CASE WHEN std_a = 0.0D THEN 0.0D " +
-            "ELSE (x - mean_a) / std_a END) - " +
-            "(CASE WHEN std_b = 0.0D THEN 0.0D " +
-            "ELSE (y - mean_b) / std_b END)), " +
-            "0.0D, (a, z) -> a + z * z)"))
+        .withColumn("dist2", expr(saxDist2Expr))
         .filter(col("dist2") <= SaxDistTau2)
         .select(col("user_a"), col("widx_a"), col("user_b"), col("widx_b"),
           round(col("dist2"), 6).as("dist2"))
@@ -1454,6 +1543,42 @@ object RelationalQueries {
         .select(col("user_a"), col("widx_a"), col("user_b"), col("widx_b"),
           round(col("dtw2"), 6).as("dtw2"))
         .orderBy(col("user_a"), col("widx_a"), col("user_b"), col("widx_b"))
+    }),
+
+    // REPOSE's ACTUAL ask — top-k per query window, not a threshold scan:
+    // for every window, the k nearest other-user windows among its SAX-
+    // word candidates. The pair frame symmetrizes (each verified pair
+    // feeds both endpoints' lists) and ranking runs through the bounded
+    // TopKAggregator — k rows per partition per window shuffle, no
+    // per-window sort (q59/n15's discipline; a row_number window would
+    // re-sort every candidate). Neighbor identity packs into one long
+    // (user·10⁶ + widx, widx < 10⁶ asserted by construction at any sane
+    // series length) so the aggregator's (score desc, id asc) tie-break
+    // is exactly (dist2 asc, user asc, widx asc) — the oracle's window
+    // ORDER BY reproduces it and the ranks must agree row-for-row.
+    "q79d_ts_topk" -> ((s, d) => {
+      import s.implicits._
+      val pairs = saxCandidatePairs(s, d)
+        .withColumn("dist2", expr(saxDist2Expr))
+      def leg(q: String, m: String) = pairs.select(
+        col(s"user_$q").as("uq"), col(s"widx_$q").as("wq"),
+        (col(s"user_$m") * 1000000L + col(s"widx_$m")).as("mid"),
+        col("dist2"))
+      val agg = new graft.functions.TopKAggregator(SaxTopK)
+      leg("a", "b").unionByName(leg("b", "a"))
+        .select(col("uq"), col("wq"), negate(col("dist2")).as("score"), col("mid"))
+        .as[(Long, Long, Double, Long)]
+        .groupByKey(t => (t._1, t._2))
+        .mapValues(t => (t._3, t._4))
+        .agg(agg.toColumn.name("topk"))
+        .flatMap { case ((uq, wq), topk) =>
+          topk.iterator.zipWithIndex.map { case ((score, mid), i) =>
+            (uq, wq, (i + 1).toLong, mid / 1000000L, mid % 1000000L, -score)
+          }
+        }
+        .toDF("user_q", "widx_q", "rank", "user_m", "widx_m", "dist2")
+        .withColumn("dist2", round(col("dist2"), 6))
+        .orderBy(col("user_q"), col("widx_q"), col("rank"))
     }),
 
     // q64 WITH THE 100 TB DISTINCT KNOB ENGAGED: the profiler's
@@ -2789,38 +2914,7 @@ object RelationalQueries {
       def z(t: String, i: String) =
         s"(CASE WHEN $t.std = 0.0 THEN 0.0 " +
           s"ELSE ($t.arr[$i] - $t.mean) / $t.std END)"
-      s"""WITH ev AS (
-         |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
-         |         CAST(value AS DOUBLE) AS v
-         |  FROM events
-         |  WHERE event_type = 'purchase' AND value IS NOT NULL),
-         |w AS (
-         |  SELECT user_id,
-         |    ROW_NUMBER() OVER (PARTITION BY user_id
-         |                       ORDER BY ts_us, event_id) AS widx,
-         |    list(v) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-         |                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS arr
-         |  FROM ev),
-         |f AS (SELECT user_id, widx, arr FROM w WHERE len(arr) = 8),
-         |m AS (
-         |  SELECT user_id, widx, arr,
-         |    list_reduce(list_prepend(0.0::DOUBLE, arr), (a, x) -> a + x)
-         |      / 8.0 AS mean
-         |  FROM f),
-         |s AS (
-         |  SELECT user_id, widx, arr, mean,
-         |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-         |      list_transform(arr, x -> (x - mean) * (x - mean))),
-         |      (a, x) -> a + x) / 8.0) AS std
-         |  FROM m),
-         |ws AS (
-         |  SELECT user_id, widx, arr, mean, std,
-         |    CAST(${dkSaxSym(0)} + 4 * ${dkSaxSym(1)} + 16 * ${dkSaxSym(2)}
-         |         + 64 * ${dkSaxSym(3)} AS BIGINT) AS word_id
-         |  FROM s),
-         |hot AS (SELECT word_id FROM ws GROUP BY word_id
-         |        HAVING count(*) <= $SaxWordCap),
-         |c AS (SELECT ws.* FROM ws JOIN hot USING (word_id)),
+      s"""WITH $dkSaxCandBase,
          |p AS (
          |  SELECT a.user_id AS user_a, a.widx AS widx_a,
          |         b.user_id AS user_b, b.widx AS widx_b,
@@ -2842,38 +2936,7 @@ object RelationalQueries {
       def zl(t: String) =
         s"list_transform($t.arr, x -> CASE WHEN $t.std = 0.0 THEN 0.0 " +
           s"ELSE (x - $t.mean) / $t.std END)"
-      s"""WITH ev AS (
-         |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
-         |         CAST(value AS DOUBLE) AS v
-         |  FROM events
-         |  WHERE event_type = 'purchase' AND value IS NOT NULL),
-         |w AS (
-         |  SELECT user_id,
-         |    ROW_NUMBER() OVER (PARTITION BY user_id
-         |                       ORDER BY ts_us, event_id) AS widx,
-         |    list(v) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-         |                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS arr
-         |  FROM ev),
-         |f AS (SELECT user_id, widx, arr FROM w WHERE len(arr) = 8),
-         |m AS (
-         |  SELECT user_id, widx, arr,
-         |    list_reduce(list_prepend(0.0::DOUBLE, arr), (a, x) -> a + x)
-         |      / 8.0 AS mean
-         |  FROM f),
-         |s AS (
-         |  SELECT user_id, widx, arr, mean,
-         |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
-         |      list_transform(arr, x -> (x - mean) * (x - mean))),
-         |      (a, x) -> a + x) / 8.0) AS std
-         |  FROM m),
-         |ws AS (
-         |  SELECT user_id, widx, arr, mean, std,
-         |    CAST(${dkSaxSym(0)} + 4 * ${dkSaxSym(1)} + 16 * ${dkSaxSym(2)}
-         |         + 64 * ${dkSaxSym(3)} AS BIGINT) AS word_id
-         |  FROM s),
-         |hot AS (SELECT word_id FROM ws GROUP BY word_id
-         |        HAVING count(*) <= $SaxWordCap),
-         |c AS (SELECT ws.* FROM ws JOIN hot USING (word_id)),
+      s"""WITH $dkSaxCandBase,
          |p AS (
          |  SELECT a.user_id AS user_a, a.widx AS widx_a,
          |         b.user_id AS user_b, b.widx AS widx_b,
@@ -2889,6 +2952,78 @@ object RelationalQueries {
          |       round(dtw2, 6) AS dtw2
          |FROM dp WHERE dtw2 <= $SaxDistTau2
          |ORDER BY user_a, widx_a, user_b, widx_b""".stripMargin
+    },
+    // the same two-frame closed form over the same total order; // and
+    // div both truncate toward zero, exercised here on NEGATIVE totals
+    "q80_cusum_drift" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+         |    CAST(floor(value * 100) AS BIGINT) AS cents
+         |  FROM events
+         |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+         |w AS (
+         |  SELECT user_id,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |                       ORDER BY ts_us, event_id) AS widx,
+         |    sum(cents) OVER (PARTITION BY user_id) AS tot,
+         |    count(*) OVER (PARTITION BY user_id) AS n,
+         |    cents
+         |  FROM ev),
+         |k AS (SELECT *, CAST(tot // n AS BIGINT) AS k_cents,
+         |             CAST(cents - tot // n AS BIGINT) AS dev FROM w),
+         |r AS (
+         |  SELECT *,
+         |    sum(dev) OVER (PARTITION BY user_id ORDER BY widx
+         |                   ROWS UNBOUNDED PRECEDING) AS p,
+         |    CAST(sum(abs(dev)) OVER (PARTITION BY user_id) AS BIGINT) AS sad
+         |  FROM k),
+         |cu AS (
+         |  SELECT *,
+         |    CAST(p - least(0, min(p) OVER (PARTITION BY user_id
+         |      ORDER BY widx ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS cusum
+         |  FROM r),
+         |a AS (
+         |  SELECT *, (sad > 0 AND cusum * n >= $CusumH * sad) AS alarm
+         |  FROM cu)
+         |SELECT user_id, count(*) AS n_events,
+         |  max(k_cents) AS k_cents,
+         |  max(cusum) AS max_cusum,
+         |  CAST(sum(CASE WHEN alarm THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+         |  min(CASE WHEN alarm THEN widx END) AS first_alarm
+         |FROM a GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q79b's candidate + verify CTEs, symmetrized, then the window-rank
+    // formulation of top-k — agreement proves the bounded aggregator's
+    // (−dist2 desc, packed-id asc) buffer ≡ (dist2 asc, user, widx) rank
+    "q79d_ts_topk" -> {
+      def z(t: String, i: String) =
+        s"(CASE WHEN $t.std = 0.0 THEN 0.0 " +
+          s"ELSE ($t.arr[$i] - $t.mean) / $t.std END)"
+      s"""WITH $dkSaxCandBase,
+         |p AS (
+         |  SELECT a.user_id AS user_a, a.widx AS widx_a,
+         |         b.user_id AS user_b, b.widx AS widx_b,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(generate_series(1, 8),
+         |        i -> ${z("a", "i")} - ${z("b", "i")})),
+         |      (a, z) -> a + z * z) AS dist2
+         |  FROM c a JOIN c b
+         |    ON a.word_id = b.word_id AND a.user_id < b.user_id),
+         |p2 AS (
+         |  SELECT user_a AS uq, widx_a AS wq, user_b AS um, widx_b AS wm,
+         |         dist2 FROM p
+         |  UNION ALL
+         |  SELECT user_b, widx_b, user_a, widx_a, dist2 FROM p),
+         |r AS (
+         |  SELECT uq, wq, um, wm, dist2,
+         |    ROW_NUMBER() OVER (PARTITION BY uq, wq
+         |                       ORDER BY dist2, um, wm) AS rank
+         |  FROM p2)
+         |SELECT uq AS user_q, CAST(wq AS BIGINT) AS widx_q, rank,
+         |       um AS user_m, CAST(wm AS BIGINT) AS widx_m,
+         |       round(dist2, 6) AS dist2
+         |FROM r WHERE rank <= $SaxTopK
+         |ORDER BY user_q, widx_q, rank""".stripMargin
     },
     "q64b_profile_sketch" -> {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",

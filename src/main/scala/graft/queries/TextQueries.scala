@@ -18,6 +18,17 @@ object TextQueries {
   val blockedPhrases: Seq[String] = Seq(
     "window join", "data slow", "order fast", "table scan merge")
 
+  /** t36 BM25 knobs: query-doc count / result depth / relative stop-term
+    * guard (terms in > Bm25DfPct% of docs carry idf < 0.23 nats — the
+    * classic stopword regime — and their posting lists are the corpus;
+    * dropping them bounds per-term candidate fan-out without an absolute
+    * cap that a small-vocab corpus would zero out), and the 2²⁰
+    * fixed-point base for the integer ln approximation. */
+  val Bm25Queries = 8
+  val Bm25TopK = 10
+  val Bm25DfPct = 80
+  private val Fp: Long = 1L << 20
+
   // Shared DuckDB fragments (mirror of TextOps)
   private val dkToks = "string_split_regex(trim(text), '\\s+')"
   private def dkHash60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
@@ -583,6 +594,64 @@ object TextQueries {
         .select(col("decile"), col("cutoff"), col("prefix_tokens"),
           col("prefix_vocab"))
         .orderBy(col("decile"))
+    }),
+
+    // Okapi BM25 retrieval (Robertson & Zaragoza 2009), transcendental-free:
+    // the idf's ln() — the one part of BM25 that normally forces doubles —
+    // is replaced by the classic exponent+mantissa approximation
+    // ln(x) ≈ (floor_log2(x) + frac) · ln 2, evaluated entirely in 2²⁰
+    // fixed point with floor_log2 = length(bin(x))−1 (bin() prints the
+    // minimal binary string in BOTH engines, so the same integer sequence
+    // runs on each side; max abs error 0.06 nats, and the approximation is
+    // MONOTONE in x, so df ordering — hence idf ordering — is preserved
+    // exactly). The tf-saturation and length-normalization terms are
+    // rational (k1=6/5, b=3/4) and stay in BIGINT throughout. Query terms
+    // pass a RELATIVE stop-term guard (df ≤ Bm25DfPct% of N — n16's
+    // posting-list discipline in relative form), so per-term candidate
+    // fan-out is bounded on a Zipf vocabulary. Shuffles: tf/df aggs
+    // (map-side combinable), dl join on did; query terms + corpus stats
+    // broadcast. Overflow headroom: dl·N·2²⁰ needs dl·N < 2⁴³ — at larger
+    // N pre-divide n_toks/n_docs into a fixed-point avgdl instead.
+    "t36_bm25" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val tf = docs.select(col("doc_id").as("did"), explode(col("toks")).as("tok"))
+        .groupBy(col("did"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dl = docs.select(col("doc_id").as("did"),
+        size(col("toks")).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_toks"))
+      val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(stats.select(col("n_docs"))))
+        .filter(col("df") * 100 <= col("n_docs") * Bm25DfPct)
+        .select(col("tok"), col("df"))
+      val qterms = docs.filter(col("doc_id") < Bm25Queries)
+        .select(col("doc_id").as("qid"), explode(array_distinct(col("toks"))).as("tok"))
+        .join(dfT, "tok")
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score_ppm").desc, col("did"))
+      tf.join(broadcast(qterms), "tok")
+        .filter(col("did") =!= col("qid"))
+        .join(dl, "did")
+        .crossJoin(broadcast(stats))
+        .withColumn("arg_fp",
+          expr(s"${Fp}L + ((2*n_docs - 2*df + 1) * ${Fp}L) div (2*df + 1)"))
+        .withColumn("lp", expr("length(bin(arg_fp)) - 1"))
+        .withColumn("pw", expr("shiftleft(1L, cast(lp AS INT))"))
+        .withColumn("idf_ppm", expr(
+          s"(((lp - 20) * ${Fp}L + ((arg_fp - pw) * ${Fp}L) div pw) * 693147) div ${Fp}L"))
+        .withColumn("norm_fp",
+          expr(s"${Fp / 4}L + (3 * dl * n_docs * ${Fp}L) div (4 * n_toks)"))
+        .withColumn("sat_ppm", expr(
+          s"(tf * 2200000 * ${Fp}L) div (tf * ${Fp}L + (6 * norm_fp) div 5)"))
+        .groupBy(col("qid"), col("did"))
+        .agg(sum(expr("(idf_ppm * sat_ppm) div 1000000")).as("score_ppm"),
+          count(lit(1)).as("n_terms"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= Bm25TopK)
+        .select(col("qid").as("query_id"), col("rank"),
+          col("did").as("doc_id"), col("score_ppm"), col("n_terms"))
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     // Sub-document exact dedup at chunk granularity (registered d24): the
@@ -1270,6 +1339,56 @@ object TextQueries {
         |  CAST(1000000 - (CAST(sum(cnt * cnt) AS BIGINT) * 1000000)
         |    // (CAST(sum(cnt) AS BIGINT) * CAST(sum(cnt) AS BIGINT))
         |    AS BIGINT) AS gini_ppm
-        |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // t36: the same integer sequence — bin()/length floor-log2, 2²⁰
+    // fixed-point mantissa, k1=6/5 b=3/4 rationals — so agreement is
+    // bit-exact. `//` truncates toward zero like Spark's `div`; all
+    // operands here are non-negative so the distinction never fires.
+    "t36_bm25" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, $dkToks AS toks FROM documents),
+         |tf AS (
+         |  SELECT did, tok, count(*) AS tf FROM (
+         |    SELECT doc_id AS did, unnest(toks) AS tok FROM docs)
+         |  GROUP BY did, tok),
+         |dl AS (SELECT doc_id AS did, CAST(len(toks) AS BIGINT) AS dl FROM docs),
+         |stats AS (
+         |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_toks FROM dl),
+         |dft AS (
+         |  SELECT tok, df FROM (
+         |    SELECT tok, count(*) AS df FROM tf GROUP BY tok), stats s
+         |  WHERE df * 100 <= s.n_docs * $Bm25DfPct),
+         |qt AS (
+         |  SELECT q.doc_id AS qid, q.tok, t.df FROM (
+         |    SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM docs
+         |    WHERE doc_id < $Bm25Queries) q
+         |  JOIN dft t USING (tok)),
+         |c0 AS (
+         |  SELECT q.qid, f.did, f.tf, q.df, l.dl, s.n_docs, s.n_toks,
+         |    $Fp + ((2*s.n_docs - 2*q.df + 1) * $Fp) // (2*q.df + 1) AS arg_fp
+         |  FROM tf f JOIN qt q ON q.tok = f.tok AND f.did <> q.qid
+         |  JOIN dl l ON l.did = f.did, stats s),
+         |c1 AS (SELECT *, length(bin(arg_fp)) - 1 AS lp FROM c0),
+         |c2 AS (SELECT *, (1::BIGINT << lp) AS pw FROM c1),
+         |c3 AS (SELECT *,
+         |  (((lp - 20) * $Fp + ((arg_fp - pw) * $Fp) // pw) * 693147) // $Fp
+         |    AS idf_ppm,
+         |  ${Fp / 4} + (3 * dl * n_docs * $Fp) // (4 * n_toks) AS norm_fp
+         |  FROM c2),
+         |c4 AS (SELECT *,
+         |  (tf * 2200000 * $Fp) // (tf * $Fp + (6 * norm_fp) // 5) AS sat_ppm
+         |  FROM c3),
+         |scored AS (
+         |  SELECT qid, did,
+         |    CAST(sum((idf_ppm * sat_ppm) // 1000000) AS BIGINT) AS score_ppm,
+         |    count(*) AS n_terms
+         |  FROM c4 GROUP BY qid, did)
+         |SELECT query_id, rank, doc_id, score_ppm, n_terms FROM (
+         |  SELECT qid AS query_id, did AS doc_id, score_ppm, n_terms,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |                       ORDER BY score_ppm DESC, did) AS rank
+         |  FROM scored) WHERE rank <= $Bm25TopK
+         |ORDER BY query_id, rank""".stripMargin
   )
 }

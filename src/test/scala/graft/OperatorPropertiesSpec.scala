@@ -79,7 +79,13 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       "q64b_profile_sketch", "n18_binary_ann", "n16_rrf_fusion",
       // SAX motifs + similarity + banded DTW (total-ordered frames +
       // per-row HOF folds; the DTW fold is a per-row 3-state recurrence)
-      "q79_sax_motifs", "q79b_ts_similarity", "q79c_ts_dtw")
+      "q79_sax_motifs", "q79b_ts_similarity", "q79c_ts_dtw",
+      // BM25 (integer ln approximation + rational saturation — every
+      // term is an exact BIGINT fold over combinable aggs)
+      "t36_bm25",
+      // top-k time-series neighbors (bounded-buffer merge over IEEE-
+      // identical dist2) and CUSUM (integer windows over a total order)
+      "q79d_ts_topk", "q80_cusum_drift")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {
@@ -88,6 +94,32 @@ class OperatorPropertiesSpec extends SparkSpecBase {
         }
       }
       assert(rows(3) == rows(17), s"$name diverged across partitionings")
+    }
+  }
+
+  test("t36 integer ln approximation: bounded error and monotone") {
+    // Model check of the bin()/shiftleft fixed-point ln used by BM25's
+    // idf: over a dense sweep of 2²⁰-fixed-point inputs spanning
+    // [1, 4096), the approximation must stay within 0.07 nats of
+    // math.log (theory: max error (1 − ln 2·(1+log2 e·ln ln 2)) ≈ 0.0861
+    // log2 units ≈ 0.0597 nats, plus fixed-point floors) and be
+    // MONOTONE — monotonicity is what transfers df ordering to idf
+    // ordering exactly, which the oracle's rank compare relies on.
+    val fp = 1L << 20
+    val xs = spark.range(1, 400000)
+      .select((col("id") * 11 + fp).as("arg_fp"))  // 2^20 .. ~4.4M·11
+      .withColumn("lp", expr("length(bin(arg_fp)) - 1"))
+      .withColumn("pw", expr("shiftleft(1L, cast(lp AS INT))"))
+      .withColumn("ln_ppm", expr(
+        s"(((lp - 20) * ${fp}L + ((arg_fp - pw) * ${fp}L) div pw) * 693147) div ${fp}L"))
+      .select("arg_fp", "ln_ppm").as[(Long, Long)].collect().sortBy(_._1)
+    var prev = Long.MinValue
+    xs.foreach { case (argFp, lnPpm) =>
+      val truth = math.log(argFp.toDouble / fp)
+      assert(math.abs(lnPpm / 1e6 - truth) < 0.07,
+        s"ln approx off at $argFp: ${lnPpm / 1e6} vs $truth")
+      assert(lnPpm >= prev, s"ln approx not monotone at $argFp")
+      prev = lnPpm
     }
   }
 
