@@ -33,6 +33,8 @@ object SimilarityQueries {
   val PlantMod = 3    // every vec_id % 3 == 0 gains a near-identical twin
   val RrfDfCap = 100  // n16 lexical side: drop terms with df > cap
   val MrlDims = 16    // n17: matryoshka prefix length (64 → 16 dims)
+  val MmrShortlist = 20  // n20: rerank candidate depth C
+  val MmrK = 5           // n20: diversified results per query
   val LshTables = 8   // LSH hash tables
   val Planes = 8   // hyperplanes (bits) per table
   val Dims = 64
@@ -538,6 +540,120 @@ object SimilarityQueries {
         .select(col("qid").as("query_id"), col("rank"),
           col("id").as("vec_id"), round(col("cos"), 6).as("cos_sim"),
           col("hamming"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // METADATA-FILTERED vector search (the Qdrant/Vespa/pgvector serving
+    // feature every production vector store grew: "nearest neighbors
+    // WHERE lang = query's lang"): a PRE-FILTER plan — the metadata
+    // predicate becomes part of the JOIN KEY, so only same-lang pairs
+    // are ever scored, vs post-filtering an unfiltered top-k (which
+    // under-fills whenever the filter is selective — the classic
+    // filtered-ANN failure mode this plan avoids by construction). The
+    // lang dim broadcasts into the corpus scan; ranking runs through the
+    // bounded TopKAggregator (no per-query sort). At selective filters
+    // the scored frame shrinks WITH the filter — the pre-filter plan's
+    // cost is |matching corpus|, never |corpus|.
+    "n19_filtered_ann" -> ((s, d) => {
+      import s.implicits._
+      val meta = Tables.documents(s, d).select(col("doc_id").as("id"), col("lang"))
+      val v = vecs(s, d).join(broadcast(meta), "id")
+      val q = v.filter(col("id") < NumQueries)
+        .select(col("lang"), col("id").as("query_id"),
+          col("emb").as("q_emb"), norm2(col("emb")).as("q_n2"))
+      val c = v.select(col("lang"), col("id").as("neighbor_id"),
+        col("emb").as("c_emb"), norm2(col("emb")).as("c_n2"))
+      val agg = new graft.functions.TopKAggregator(K)
+      c.join(broadcast(q), Seq("lang"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("lang"),
+          cosine(dot(col("q_emb"), col("c_emb")),
+            col("q_n2"), col("c_n2")).as("cos"),
+          col("neighbor_id"))
+        .as[(Long, String, Double, Long)]
+        .groupByKey(t => (t._1, t._2))
+        .mapValues(t => (t._3, t._4))
+        .agg(agg.toColumn.name("topk"))
+        .flatMap { case ((qid, lang), topk) =>
+          topk.iterator.zipWithIndex.map { case ((cos, id), i) =>
+            (qid, (i + 1).toLong, id, BigDecimal(cos)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, lang)
+          }
+        }
+        .toDF("query_id", "rank", "neighbor_id", "cos_sim", "lang")
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // MMR DIVERSIFIED RERANK (Carbonell & Goldstein 1998): serving-side
+    // result diversification — greedily pick k of the C-candidate
+    // shortlist maximizing λ·relevance − (1−λ)·max-similarity-to-already-
+    // selected. The greedy is inherently sequential but k and C are
+    // serving constants, so the distributed shape is: shortlist + C²
+    // pairwise sims per query (bounded frames), then the selection runs
+    // inside ONE flatMapGroups over ≤C·(C−1)-row groups — per-query
+    // bounded memory, no driver loop, corpus never re-scanned. The
+    // oracle UNROLLS the same greedy as 5 argmax CTE stages (the KmIters
+    // discipline applied to a selection loop), so agreement proves the
+    // in-group greedy step for step. Same IEEE ops both sides
+    // (0.7·rel − 0.3·max), ties broken by candidate id.
+    "n20_mmr_rerank" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val v = vecs(s, d)
+      val q = v.filter(col("id") < NumQueries)
+        .select(col("id").as("qid"), col("emb").as("q_emb"),
+          norm2(col("emb")).as("q_n2"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("rel").desc, col("id"))
+      val sh = v.crossJoin(broadcast(q))
+        .filter(col("id") =!= col("qid"))
+        .withColumn("rel", cosine(dot(col("q_emb"), col("emb")),
+          col("q_n2"), norm2(col("emb"))))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= MmrShortlist)
+        .select(col("qid"), col("id").as("cid"), col("rel"), col("emb"),
+          norm2(col("emb")).as("n2"))
+        .localCheckpoint()
+      val a = sh.select(col("qid"), col("cid").as("i"), col("rel").as("rel_i"),
+        col("emb").as("emb_i"), col("n2").as("n2_i"))
+      val b = sh.select(col("qid").as("qid_b"), col("cid").as("j"),
+        col("emb").as("emb_j"), col("n2").as("n2_j"))
+      val pw = a.join(b, col("qid") === col("qid_b") && col("i") =!= col("j"))
+        .select(col("qid"), col("i"), col("rel_i"), col("j"),
+          cosine(dot(col("emb_i"), col("emb_j")),
+            col("n2_i"), col("n2_j")).as("s"))
+        .as[(Long, Long, Double, Long, Double)]
+      pw.groupByKey(_._1)
+        .flatMapGroups { (qid, it) =>
+          val rows = it.toSeq
+          val rel = rows.map(r => r._2 -> r._3).toMap
+          val sim = rows.map(r => (r._2, r._4) -> r._5).toMap
+          var selected = Vector.empty[Long]
+          val out = Seq.newBuilder[(Long, Long, Long, Double, Double)]
+          var step = 1
+          while (step <= MmrK && selected.size < rel.size) {
+            var bestId = -1L
+            var bestSc = Double.NegativeInfinity
+            rel.keys.toSeq.sorted.foreach { c =>
+              if (!selected.contains(c)) {
+                val sc =
+                  if (selected.isEmpty) 0.7 * rel(c)
+                  else 0.7 * rel(c) - 0.3 * selected.map(s0 => sim((c, s0))).max
+                if (sc > bestSc) { bestSc = sc; bestId = c }
+              }
+            }
+            out += ((qid, step.toLong, bestId, bestSc, rel(bestId)))
+            selected :+= bestId
+            step += 1
+          }
+          out.result().iterator
+        }
+        .map { case (qid, rank, cid, sc, rel0) =>
+          (qid, rank, cid,
+            BigDecimal(sc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            BigDecimal(rel0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .toDF("query_id", "rank", "vec_id", "mmr", "rel")
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1161,6 +1277,89 @@ object SimilarityQueries {
        |  FROM f) WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // pre-filter ≡ "exact top-k over the lang-restricted corpus" — the
+    // oracle states the SEMANTIC contract (restricted scan + rank), so
+    // agreement proves the join-key pre-filter loses no candidates
+    "n19_filtered_ann" ->
+      s"""WITH v AS (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |vm AS (
+         |  SELECT v.id, d.lang, v.emb
+         |  FROM v JOIN documents d ON d.doc_id = v.id),
+         |sc AS (
+         |  SELECT a.id AS qid, a.lang, b.id AS nid,
+         |         $dkDot / sqrt(${dkNorm2("a")} * ${dkNorm2("b")}) AS cos
+         |  FROM vm a JOIN vm b ON b.lang = a.lang AND b.id <> a.id
+         |  WHERE a.id < $NumQueries)
+         |SELECT query_id, rank, neighbor_id, cos_sim, lang FROM (
+         |  SELECT qid AS query_id, lang, nid AS neighbor_id,
+         |         round(cos, 6) AS cos_sim,
+         |         ROW_NUMBER() OVER (PARTITION BY qid
+         |                            ORDER BY cos DESC, nid) AS rank
+         |  FROM sc) WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    // the SAME greedy, unrolled: step t = one argmax CTE over the
+    // not-yet-selected shortlist with max-sim-to-sel{t−1} as the penalty
+    "n20_mmr_rerank" -> {
+      val prefix =
+        s"""v AS (
+           |  SELECT vec_id AS id,
+           |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           |  FROM embeddings),
+           |sc0 AS (
+           |  SELECT a.id AS qid, b.id AS cid,
+           |         $dkDot / sqrt(${dkNorm2("a")} * ${dkNorm2("b")}) AS rel
+           |  FROM v a JOIN v b ON b.id <> a.id
+           |  WHERE a.id < $NumQueries),
+           |sh AS (
+           |  SELECT qid, cid, rel FROM (
+           |    SELECT qid, cid, rel,
+           |      ROW_NUMBER() OVER (PARTITION BY qid
+           |                         ORDER BY rel DESC, cid) AS rnk
+           |    FROM sc0) WHERE rnk <= $MmrShortlist),
+           |pw AS (
+           |  SELECT x.qid, x.cid AS i, y.cid AS j,
+           |         $dkDot / sqrt(${dkNorm2("a")} * ${dkNorm2("b")}) AS s
+           |  FROM sh x JOIN sh y ON y.qid = x.qid AND y.cid <> x.cid
+           |  JOIN v a ON a.id = x.cid JOIN v b ON b.id = y.cid),
+           |s1 AS (SELECT qid, cid, 0.7 * rel AS sc, rel FROM sh),
+           |p1 AS (
+           |  SELECT qid, cid, sc, rel FROM (
+           |    SELECT qid, cid, sc, rel,
+           |      ROW_NUMBER() OVER (PARTITION BY qid
+           |                         ORDER BY sc DESC, cid) AS r
+           |    FROM s1) WHERE r = 1),
+           |sel1 AS (SELECT qid, cid FROM p1)""".stripMargin
+      val steps = (2 to MmrK).map { t =>
+        s"""s$t AS (
+           |  SELECT h.qid, h.cid, 0.7 * h.rel - 0.3 * max(w.s) AS sc, h.rel
+           |  FROM sh h
+           |  JOIN pw w ON w.qid = h.qid AND w.i = h.cid
+           |  JOIN sel${t - 1} z ON z.qid = w.qid AND z.cid = w.j
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} e
+           |                    WHERE e.qid = h.qid AND e.cid = h.cid)
+           |  GROUP BY h.qid, h.cid, h.rel),
+           |p$t AS (
+           |  SELECT qid, cid, sc, rel FROM (
+           |    SELECT qid, cid, sc, rel,
+           |      ROW_NUMBER() OVER (PARTITION BY qid
+           |                         ORDER BY sc DESC, cid) AS r
+           |    FROM s$t) WHERE r = 1),
+           |sel$t AS (SELECT qid, cid FROM sel${t - 1}
+           |          UNION ALL SELECT qid, cid FROM p$t)""".stripMargin
+      }
+      val unions = (1 to MmrK)
+        .map(t => s"  SELECT qid, $t AS rank, cid, sc, rel FROM p$t")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH $prefix,
+         |${steps.mkString(",\n")}
+         |SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank,
+         |       cid AS vec_id, round(sc, 6) AS mmr, round(rel, 6) AS rel
+         |FROM (
+         |$unions)
+         |ORDER BY query_id, rank""".stripMargin
+    },
     "n11b_pq_trained" -> dkPqTrained,
     "n14_ivfpq" -> dkIvfPq,
     "n14b_ivfpq_residual" -> dkIvfPqResidual,

@@ -85,7 +85,10 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       "t36_bm25",
       // top-k time-series neighbors (bounded-buffer merge over IEEE-
       // identical dist2) and CUSUM (integer windows over a total order)
-      "q79d_ts_topk", "q80_cusum_drift")
+      "q79d_ts_topk", "q80_cusum_drift",
+      // filtered ANN (bounded top-k buffers under a join-key filter) and
+      // MMR (greedy over content-keyed maps — group iterator order free)
+      "n19_filtered_ann", "n20_mmr_rerank")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {
