@@ -65,6 +65,7 @@ object Bench {
     "q74_approx_quantile_eval", "q75_attribution", "q76_decay_score",
     "q77_ivm_agg", "q78_interpolate", "q79_sax_motifs", "q79b_ts_similarity",
     "q79c_ts_dtw", "q79d_ts_topk", "q80_cusum_drift",
+    "q82_pareto_skyline", "q83_rolling_mad", "q84_kmv_jaccard",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_regex_tokens", "t6_string_funcs", "t7_array_funcs", "t8_explode",
     "t9_regex_extract", "t10_normalize", "t11_hash_split",
@@ -78,7 +79,8 @@ object Bench {
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
     "d8d_triangle_doulion", "d9b_graph_stats_sketch",
     "d11_containment", "d12_incremental_dedup",
-    "d14_decontaminate", "d16_editdist_join", "d18_ngram_novelty",
+    "d14_decontaminate", "d30_bloom_decontaminate",
+    "d16_editdist_join", "d18_ngram_novelty",
     "d20_ppjoin", "d22_quote_runs", "d23_semdedup", "d23b_semdedup_planted",
     "d24_chunk_dedup",
     "d26_repeated_spans", "d26b_repeated_char_spans", "d28_weighted_jaccard",

@@ -841,6 +841,56 @@ object DedupQueries {
           (col("comp_size") * col("n_components")).as("docs_at_size"),
           expr("max_size * 1000000L div n_docs").as("giant_share_ppm"))
         .orderBy(col("comp_size"))
+    }),
+
+    // Bloom-filter decontamination — d14's scan with BOUNDED benchmark
+    // state (Bloom 1970). The benchmark split's distinct shingles
+    // compress into a 2^16-bit filter held as 2048 32-bit words (bit
+    // masks stay below bit 63 — BIGINT shift overflow differs between
+    // engines above it), k=3 bit positions from the salted md5 family.
+    // At 100 TB the exact d14 join shuffles every training shingle
+    // against the benchmark table; here the ~16 KB word table BROADCASTS
+    // into the training scan and the probe is three bit tests per
+    // shingle — the benchmark side never shuffles at all. Error is
+    // one-sided by construction (a contaminated shingle always finds its
+    // own bits set → no false negatives; membership of every exact hit
+    // in the bloom-positive set is what the n_fp ≥ 0 column shows), and
+    // the false-positive cost is MEASURED per doc against the exact d14
+    // truth riding along (d19/n12/q74 self-evaluation discipline).
+    // Missing-word probes resolve through the LEFT join to unset bits —
+    // an INNER join would silently shrink the per-shingle test count and
+    // pass 2-of-2 instead of failing 2-of-3.
+    "d30_bloom_decontaminate" -> ((s, d) => {
+      val sh = explodedShingles(docs(s, d))
+      val benchPred = col("doc_id") % 50 === 0
+      val train = sh.filter(!benchPred)
+      val benchSh = sh.filter(benchPred).select(col("sh")).distinct()
+      val ks = Seq(1, 2, 3)
+      def bitsOf(df: DataFrame, keep: Seq[org.apache.spark.sql.Column]) =
+        df.select(keep :+ explode(array(ks.map(k =>
+            pmod(saltedHash60(col("sh"), k), lit(65536L))): _*)).as("b"): _*)
+          .select(keep :+ expr("b div 32").as("word") :+
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(b % 32 AS INT))")
+              .as("mask"): _*)
+      val bloom = bitsOf(benchSh, Seq(col("sh"))).drop("sh")
+        .groupBy(col("word")).agg(bit_or(col("mask")).as("bits"))
+      val pos = bitsOf(train, Seq(col("doc_id"), col("sh")))
+        .join(broadcast(bloom), Seq("word"), "left")
+        .groupBy(col("doc_id"), col("sh"))
+        .agg(min(when(expr("(coalesce(bits, CAST(0 AS BIGINT)) & mask) <> 0"),
+          1L).otherwise(0L)).as("all_set"))
+        .filter(col("all_set") === 1)
+      val bloomHits = pos.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bloom"))
+      val exact = train.join(benchSh, "sh").groupBy(col("doc_id"))
+        .agg(countDistinct(col("sh")).as("n_exact"))
+      bloomHits.join(exact, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_bloom"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          (col("n_bloom") - coalesce(col("n_exact"), lit(0L))).as("n_fp"),
+          (col("n_bloom") >= 3).as("flag_bloom"),
+          (coalesce(col("n_exact"), lit(0L)) >= 3).as("flag_exact"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1459,7 +1509,48 @@ object DedupQueries {
        |WHERE s.n_shared >= 3
        |ORDER BY doc_id""".stripMargin
 
+  private val dkBloomDecontaminate: String = {
+    val salts = Seq(1, 2, 3)
+    def bitsSel(src: String, cols: String) = salts.map { k =>
+      s"""SELECT $cols,
+         |  ('0x' || substr(md5('$k|' || sh), 1, 15))::BIGINT % 65536 AS b
+         |FROM $src""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $dkShingled,
+       |tr AS (SELECT doc_id, sh FROM shingled WHERE doc_id % 50 <> 0),
+       |be AS (SELECT DISTINCT sh FROM shingled WHERE doc_id % 50 = 0),
+       |bb AS (
+       |${bitsSel("be", "sh")}),
+       |bloom AS (
+       |  SELECT b // 32 AS word,
+       |    bit_or(1::BIGINT << CAST(b % 32 AS INT)) AS bits
+       |  FROM bb GROUP BY b // 32),
+       |pr AS (
+       |${bitsSel("tr", "doc_id, sh")}),
+       |pos AS (
+       |  SELECT p.doc_id, p.sh,
+       |    min(CASE WHEN (coalesce(w.bits, 0::BIGINT)
+       |          & (1::BIGINT << CAST(p.b % 32 AS INT))) <> 0
+       |        THEN 1 ELSE 0 END) AS all_set
+       |  FROM pr p LEFT JOIN bloom w ON w.word = p.b // 32
+       |  GROUP BY p.doc_id, p.sh),
+       |bh AS (
+       |  SELECT doc_id, count(*) AS n_bloom
+       |  FROM pos WHERE all_set = 1 GROUP BY doc_id),
+       |exj AS (
+       |  SELECT t.doc_id, count(DISTINCT t.sh) AS n_exact
+       |  FROM tr t JOIN be b ON b.sh = t.sh GROUP BY t.doc_id)
+       |SELECT h.doc_id, h.n_bloom,
+       |  coalesce(x.n_exact, 0) AS n_exact,
+       |  h.n_bloom - coalesce(x.n_exact, 0) AS n_fp,
+       |  h.n_bloom >= 3 AS flag_bloom,
+       |  coalesce(x.n_exact, 0) >= 3 AS flag_exact
+       |FROM bh h LEFT JOIN exj x USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "d30_bloom_decontaminate" -> dkBloomDecontaminate,
     "d14_decontaminate" -> dkDecontaminate,
     "d13_bfs_levels" -> dkBfsLevels,
     "d25_kcore" -> dkKcore,

@@ -2067,8 +2067,156 @@ object RelationalQueries {
                  ELSE prev_vc + ((next_vc - prev_vc) * (ts_us - prev_ts))
                         div (next_ts - prev_ts) END""").as("interp_c"))
         .orderBy(col("event_id"))
+    }),
+
+    // Pareto skyline (Börzsönyi et al. ICDE 2001): the line items no other
+    // item beats on BOTH dimensions — lower price AND higher quantity —
+    // where dominance needs ≤/≥ on both and strict on at least one, so
+    // exact (price, qty) ties survive together. Distributed shape: a
+    // LOCAL skyline per md5-decided bucket first (any same-bucket
+    // dominator proves global dominance, so local pruning never drops a
+    // true skyline point — the classic two-phase distributed skyline),
+    // then the identical formulation runs globally over the few
+    // survivors. Each phase is a per-distinct-price groupBy + a window
+    // over DISTINCT prices (rows-frame prefix max of qty ≡ "best
+    // strictly-cheaper offer"), never a sort of the raw rows — at 100 TB
+    // the cost is one bucket-keyed shuffle and a trivial merge. Bucket
+    // keys are data-derived, so the result is partition-layout-invariant
+    // (asserted in OperatorPropertiesSpec; the naive O(n²) dominance
+    // model check lives in the spec too).
+    "q82_pareto_skyline" -> ((s, d) => {
+      paretoSkyline(Tables.fanout(Tables.lineitem(s, d))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").as("price"), col("l_quantity").as("qty")))
+        .orderBy(col("price"), col("qty"), col("l_orderkey"),
+          col("l_linenumber"))
+    }),
+
+    // Rolling robust anomaly scores (Hampel filter / rolling MAD): each
+    // purchase scores against the MEDIAN and MAD of its own trailing
+    // 15-sample window — the self-adapting telemetry outlier gate that
+    // q67's global MAD can't give (a user whose spend level shifts is
+    // judged against the new level, not the all-time one). The frame is
+    // BOUNDED (15 rows), so the per-row state is a 15-element array and
+    // the whole operator is one user-keyed shuffle + per-row array math.
+    // Determinism: medians of k ints surface as the DOUBLED order-stat
+    // sum med2 = a[(n+1) div 2] + a[(n+2) div 2] (odd n: 2·median; even:
+    // the two mid values — integer-exact, no /2), MAD likewise at 4×
+    // scale, and the score is ppm via `div` (truncating in BOTH engines,
+    // exercised here on genuinely negative deviations).
+    "q83_rolling_mad" -> ((s, d) => {
+      val ev = Tables.fanout(Tables.events(s, d))
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      val order = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val frame = order.rowsBetween(-14, Window.currentRow)
+      ev.withColumn("widx", row_number().over(order).cast("long"))
+        .withColumn("arr", sort_array(collect_list(col("cents")).over(frame)))
+        .withColumn("n", size(col("arr")).cast("long"))
+        .withColumn("med2", expr(
+          "element_at(arr, CAST((n + 1) div 2 AS INT)) + " +
+            "element_at(arr, CAST((n + 2) div 2 AS INT))"))
+        .withColumn("devs",
+          expr("array_sort(transform(arr, v -> abs(2*v - med2)))"))
+        .withColumn("mad4", expr(
+          "element_at(devs, CAST((n + 1) div 2 AS INT)) + " +
+            "element_at(devs, CAST((n + 2) div 2 AS INT))"))
+        .withColumn("score_ppm", expr(
+          "CASE WHEN mad4 = 0 THEN NULL " +
+            "ELSE ((2*cents - med2) * 2000000) div mad4 END"))
+        .withColumn("outlier",
+          expr("mad4 > 0 AND abs(score_ppm) >= 3500000"))
+        .select(col("user_id"), col("widx"), col("cents"), col("n"),
+          col("med2"), col("mad4"), col("score_ppm"), col("outlier"))
+        .orderBy(col("user_id"), col("widx"))
+    }),
+
+    // Cross-set similarity from KMV sketches (Beyer et al. SIGMOD 2007):
+    // pairwise Jaccard of the per-event-type ACTIVE (user, day) sets,
+    // each set summarized by its k=256 smallest element hashes — the
+    // sketch algebra HLL can't do (HLL unions but never intersects).
+    // Estimator: among the k smallest hashes of A∪B (a uniform sample of
+    // the union, because md5 order is data-independent), the fraction
+    // present in both sketches estimates |A∩B|/|A∪B|. The element is
+    // (user, day) rather than bare user because on this corpus every
+    // user touches every event type — activity-day sets actually differ
+    // (J ≈ 0.22), so the estimator is exercised away from the J=1
+    // fixpoint. Everything is hash-decided → bit-exact oracle; the exact
+    // Jaccard per pair rides along so the sketch error is MEASURED, not
+    // assumed (d19/n12/q74 discipline). Scale: sketches are k rows per
+    // set (mergeable bottom-k — at 100 TB each partition keeps its own
+    // bottom-256 before the global rank), so the pair stage touches
+    // 10·2·256 rows regardless of corpus size; only the exact-truth
+    // readout scans the full distinct-element frame.
+    "q84_kmv_jaccard" -> ((s, d) => {
+      val users = Tables.fanout(Tables.events(s, d))
+        .select(col("event_type").as("et"),
+          (col("user_id") * 100000 +
+            datediff(col("ts").cast("date"), to_date(lit("1970-01-01"))))
+            .as("user_id"))
+        .distinct()
+        .withColumn("h", graft.ops.TextOps.hash60(col("user_id")))
+      val rk = Window.partitionBy(col("et")).orderBy(col("h"), col("user_id"))
+      val sk = users.withColumn("rn", row_number().over(rk))
+        .filter(col("rn") <= 256).select(col("et"), col("h"))
+      val tp = sk.select(col("et")).distinct()
+      val tpp = tp.select(col("et").as("et_a"))
+        .crossJoin(broadcast(tp.select(col("et").as("et_b"))))
+        .filter(col("et_a") < col("et_b"))
+      // sketch rows fanned into every pair that involves their set
+      val fan = sk.join(broadcast(tpp),
+          col("et") === col("et_a") || col("et") === col("et_b"))
+        .groupBy(col("et_a"), col("et_b"), col("h"))
+        .agg(max(when(col("et") === col("et_a"), 1L).otherwise(0L)).as("in_a"),
+          max(when(col("et") === col("et_b"), 1L).otherwise(0L)).as("in_b"))
+      val rkU = Window.partitionBy(col("et_a"), col("et_b")).orderBy(col("h"))
+      val est = fan.withColumn("rn", row_number().over(rkU))
+        .filter(col("rn") <= 256)
+        .groupBy(col("et_a"), col("et_b"))
+        .agg(count(lit(1)).as("k_eff"),
+          sum(col("in_a") * col("in_b")).as("n_both"))
+        .withColumn("est_ppm", expr("(n_both * 1000000) div k_eff"))
+      val exact = users.select(col("et"), col("user_id"))
+        .join(broadcast(tpp),
+          col("et") === col("et_a") || col("et") === col("et_b"))
+        .groupBy(col("et_a"), col("et_b"), col("user_id"))
+        .agg(max(when(col("et") === col("et_a"), 1L).otherwise(0L)).as("in_a"),
+          max(when(col("et") === col("et_b"), 1L).otherwise(0L)).as("in_b"))
+        .groupBy(col("et_a"), col("et_b"))
+        .agg(count(lit(1)).as("n_union"),
+          sum(col("in_a") * col("in_b")).as("n_inter"))
+        .withColumn("exact_ppm", expr("(n_inter * 1000000) div n_union"))
+      est.join(exact, Seq("et_a", "et_b"))
+        .select(col("et_a"), col("et_b"), col("k_eff"), col("n_both"),
+          col("est_ppm"), col("n_union"), col("n_inter"), col("exact_ppm"),
+          (col("est_ppm") - col("exact_ppm")).as("err_ppm"))
+        .orderBy(col("et_a"), col("et_b"))
     })
   )
+
+  /** q82's two-phase distributed skyline: local per-bucket prune, then the
+    * identical per-distinct-price formulation globally over survivors.
+    * Expects columns (l_orderkey, l_linenumber, price, qty); minimizes
+    * price, maximizes qty. */
+  private[graft] def paretoSkyline(pts: DataFrame): DataFrame = {
+    def stage(df: DataFrame, g: org.apache.spark.sql.Column): DataFrame = {
+      val perx = df.withColumn("grp", g)
+        .groupBy(col("grp"), col("price")).agg(max(col("qty")).as("bestq"))
+      val w = Window.partitionBy(col("grp")).orderBy(col("price"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val mins = perx.withColumn("best_prev", max(col("bestq")).over(w))
+      df.withColumn("grp", g).join(mins, Seq("grp", "price"))
+        .filter(!(coalesce(col("best_prev") >= col("qty"), lit(false)) ||
+          col("bestq") > col("qty")))
+        .drop("grp", "bestq", "best_prev")
+    }
+    val local = stage(pts,
+      pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(64L)))
+    stage(local, lit(0L))
+  }
 
   private val dkAttribution: String =
     """WITH p AS (
@@ -3226,6 +3374,107 @@ object RelationalQueries {
         |  MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN l_quantity END)
         |    AS p99_exact,
         |  TRUE AS ok50, TRUE AS ok90, TRUE AS ok99
-        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // single-pass GLOBAL form of the per-distinct-price skyline — the
+    // Spark side runs the bucketed two-phase decomposition; agreement
+    // proves local pruning exact
+    "q82_pareto_skyline" ->
+      """WITH pts AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         l_extendedprice AS price, l_quantity AS qty
+        |  FROM lineitem),
+        |perx AS (SELECT price, max(qty) AS bestq FROM pts GROUP BY price),
+        |m AS (
+        |  SELECT price, bestq,
+        |    max(bestq) OVER (ORDER BY price
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev
+        |  FROM perx)
+        |SELECT p.l_orderkey, p.l_linenumber, p.price, p.qty
+        |FROM pts p JOIN m USING (price)
+        |WHERE NOT (coalesce(m.best_prev >= p.qty, false) OR m.bestq > p.qty)
+        |ORDER BY p.price, p.qty, p.l_orderkey, p.l_linenumber""".stripMargin,
+    "q83_rolling_mad" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |w AS (
+        |  SELECT user_id, cents,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS widx,
+        |    list_sort(list(cents) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)) AS arr
+        |  FROM ev),
+        |s1 AS (
+        |  SELECT user_id, widx, cents, len(arr) AS n, arr,
+        |    arr[CAST((len(arr)+1) // 2 AS INT)]
+        |      + arr[CAST((len(arr)+2) // 2 AS INT)] AS med2
+        |  FROM w),
+        |s2 AS (
+        |  SELECT user_id, widx, cents, n, med2,
+        |    list_sort(list_transform(arr, v -> abs(2*v - med2))) AS devs
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT user_id, widx, cents, n, med2,
+        |    devs[CAST((n+1) // 2 AS INT)] + devs[CAST((n+2) // 2 AS INT)] AS mad4
+        |  FROM s2),
+        |s4 AS (
+        |  SELECT user_id, widx, cents, n, med2, mad4,
+        |    CASE WHEN mad4 = 0 THEN NULL
+        |         ELSE ((2*cents - med2) * 2000000) // mad4 END AS score_ppm
+        |  FROM s3)
+        |SELECT user_id, widx, cents, n, med2, mad4, score_ppm,
+        |  coalesce(abs(score_ppm) >= 3500000, false) AS outlier
+        |FROM s4 ORDER BY user_id, widx""".stripMargin,
+    "q84_kmv_jaccard" ->
+      """WITH u AS (
+        |  SELECT DISTINCT event_type AS et,
+        |    user_id * 100000
+        |      + date_diff('day', DATE '1970-01-01', ts::DATE) AS user_id
+        |  FROM events),
+        |uh AS (
+        |  SELECT et, user_id,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM u),
+        |sk AS (
+        |  SELECT et, h FROM (
+        |    SELECT et, h,
+        |      ROW_NUMBER() OVER (PARTITION BY et ORDER BY h, user_id) AS rn
+        |    FROM uh) WHERE rn <= 256),
+        |tp AS (SELECT DISTINCT et FROM sk),
+        |tpp AS (SELECT a.et AS et_a, b.et AS et_b
+        |        FROM tp a JOIN tp b ON a.et < b.et),
+        |fan AS (
+        |  SELECT t.et_a, t.et_b, s.h,
+        |    max(CASE WHEN s.et = t.et_a THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN s.et = t.et_b THEN 1 ELSE 0 END) AS in_b
+        |  FROM sk s JOIN tpp t ON s.et = t.et_a OR s.et = t.et_b
+        |  GROUP BY t.et_a, t.et_b, s.h),
+        |est AS (
+        |  SELECT et_a, et_b, count(*) AS k_eff,
+        |    CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY et_a, et_b
+        |          ORDER BY h) AS rn FROM fan)
+        |  WHERE rn <= 256 GROUP BY et_a, et_b),
+        |ex AS (
+        |  SELECT t.et_a, t.et_b, u2.user_id,
+        |    max(CASE WHEN u2.et = t.et_a THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN u2.et = t.et_b THEN 1 ELSE 0 END) AS in_b
+        |  FROM u u2 JOIN tpp t ON u2.et = t.et_a OR u2.et = t.et_b
+        |  GROUP BY t.et_a, t.et_b, u2.user_id),
+        |ex2 AS (
+        |  SELECT et_a, et_b, count(*) AS n_union,
+        |    CAST(sum(in_a * in_b) AS BIGINT) AS n_inter
+        |  FROM ex GROUP BY et_a, et_b)
+        |SELECT e.et_a, e.et_b, e.k_eff, e.n_both,
+        |  (e.n_both * 1000000) // e.k_eff AS est_ppm,
+        |  x.n_union, x.n_inter,
+        |  (x.n_inter * 1000000) // x.n_union AS exact_ppm,
+        |  (e.n_both * 1000000) // e.k_eff
+        |    - (x.n_inter * 1000000) // x.n_union AS err_ppm
+        |FROM est e JOIN ex2 x USING (et_a, et_b)
+        |ORDER BY et_a, et_b""".stripMargin
   )
 }

@@ -88,7 +88,13 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       "q79d_ts_topk", "q80_cusum_drift",
       // filtered ANN (bounded top-k buffers under a join-key filter) and
       // MMR (greedy over content-keyed maps — group iterator order free)
-      "n19_filtered_ann", "n20_mmr_rerank")
+      "n19_filtered_ann", "n20_mmr_rerank",
+      // round-8 continuation: skyline (md5-decided buckets + max-merge
+      // prune), rolling MAD (bounded sorted frames, integer order
+      // stats), KMV Jaccard (hash-decided bottom-k), bloom decontam
+      // (OR-folded word table + per-shingle bit tests)
+      "q82_pareto_skyline", "q83_rolling_mad", "q84_kmv_jaccard",
+      "d30_bloom_decontaminate")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {
@@ -294,6 +300,54 @@ class OperatorPropertiesSpec extends SparkSpecBase {
         .as[(Long, Option[Long])].collect().toMap
       assert(gotG == model(ls, rs, "backward", None),
         s"trial=$trial generic-date path diverged")
+    }
+  }
+
+  test("q82 skyline agrees with the naive O(n²) dominance model") {
+    // Randomized model check of the two-phase window skyline: generate
+    // clustered integer-ish points (duplicates + shared coordinates on
+    // purpose — the tie semantics are the bug surface), compute the
+    // skyline by literal pairwise dominance on the driver, and compare
+    // with the corpus query rewired onto the synthetic frame.
+    val rnd = new scala.util.Random(4242)
+    (1 to 3).foreach { trial =>
+      val pts = (1 to 400).map { i =>
+        (i.toLong, 1L, (rnd.nextInt(40) * 25).toDouble,
+          rnd.nextInt(30).toDouble)
+      }
+      val naive = pts.filter { p =>
+        !pts.exists(q => q._3 <= p._3 && q._4 >= p._4 &&
+          (q._3 < p._3 || q._4 > p._4))
+      }.map(p => (p._1, p._3, p._4)).toSet
+      val df = pts.toDF("l_orderkey", "l_linenumber", "price", "qty")
+      val got = graft.queries.RelationalQueries.paretoSkyline(df)
+        .select(col("l_orderkey"), col("price"), col("qty"))
+        .as[(Long, Double, Double)].collect().toSet
+      assert(got == naive, s"trial=$trial skyline mismatch: " +
+        s"extra=${got -- naive} missing=${naive -- got}")
+    }
+  }
+
+  test("d30 bloom decontamination has no false negatives") {
+    // One-sided-error contract: every doc the exact d14 scan flags (≥3
+    // shared distinct shingles) must appear in d30's bloom-flagged set,
+    // and per doc n_bloom ≥ n_exact (bloom can only over-count).
+    val d30 = graft.SparkEntry.queries("d30_bloom_decontaminate")(spark, sfDir)
+      .select(col("doc_id"), col("n_bloom"), col("n_exact"),
+        col("flag_bloom"), col("flag_exact"))
+      .as[(Long, Long, Long, Boolean, Boolean)].collect()
+    val byDoc = d30.map(r => r._1 -> r).toMap
+    val exact = graft.SparkEntry.queries("d14_decontaminate")(spark, sfDir)
+      .select(col("doc_id"), col("n_shared")).as[(Long, Long)].collect()
+    exact.foreach { case (id, nShared) =>
+      val r = byDoc.get(id)
+      assert(r.isDefined, s"doc $id exact-flagged but absent from d30")
+      assert(r.get._2 >= nShared,
+        s"doc $id: n_bloom ${r.get._2} < exact $nShared (false negative)")
+      if (nShared >= 3) assert(r.get._4, s"doc $id lost its bloom flag")
+    }
+    d30.foreach { r =>
+      assert(r._2 >= r._3, s"doc ${r._1}: n_bloom < n_exact")
     }
   }
 }
