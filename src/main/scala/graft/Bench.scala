@@ -66,6 +66,8 @@ object Bench {
     "q77_ivm_agg", "q78_interpolate", "q79_sax_motifs", "q79b_ts_similarity",
     "q79c_ts_dtw", "q79d_ts_topk", "q80_cusum_drift",
     "q82_pareto_skyline", "q83_rolling_mad", "q84_kmv_jaccard",
+    "q85_join_size_estimate", "q86_hll_rollup", "q87_skew_report",
+    "q88_log2_quantiles",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_regex_tokens", "t6_string_funcs", "t7_array_funcs", "t8_explode",
     "t9_regex_extract", "t10_normalize", "t11_hash_split",
@@ -84,7 +86,7 @@ object Bench {
     "d20_ppjoin", "d22_quote_runs", "d23_semdedup", "d23b_semdedup_planted",
     "d24_chunk_dedup",
     "d26_repeated_spans", "d26b_repeated_char_spans", "d28_weighted_jaccard",
-    "d29_label_propagation",
+    "d29_label_propagation", "d31_entity_resolution",
     "d9r_graph_stats_residual", "d25r_kcore_residual", "d29r_lpa_residual",
     "n1_ann_bruteforce", "n2_ann_lsh", "n3_embedding_neardup",
     "n4_label_centroids", "n5_ivf_ann", "n6_kmeans", "n7_ivf_kmeans",

@@ -38,6 +38,25 @@ object SketchOps {
       .groupBy(col("rw"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** AMS/CMS inner-product estimate of an equi-join's output cardinality
+    * (Alon-Matias-Szegedy via Count-Min, Cormode & Muthukrishnan 2005):
+    * |A ⋈ B on k| = Σ_k a_k·b_k, and for each hash row i,
+    * Σ_bucket cntA[i][b]·cntB[i][b] ≥ Σ_k a_k·b_k (colliding keys only ADD
+    * cross terms) — so every row's estimate is an OVER-estimate and the
+    * min over rows is the tightest. This is the planner primitive that
+    * decides join strategy at 100 TB WITHOUT running the join: both
+    * sketches are ≤Depth×Width cells built by map-side-combined scans, the
+    * estimate joins 2048-row tables — no fact-table shuffle anywhere.
+    * At petabyte counts the cell product can exceed Long; widen `cnt` to
+    * DECIMAL(38,0) before multiplying there (exactness preserved).
+    * Output: one row per hash row (rw, est_rows). */
+  def cmsInnerProduct(sa: DataFrame, sb: DataFrame): DataFrame =
+    sa.select(col("rw"), col("bucket"), col("cnt").as("cnt_a"))
+      .join(sb.select(col("rw"), col("bucket"), col("cnt").as("cnt_b")),
+        Seq("rw", "bucket"))
+      .groupBy(col("rw"))
+      .agg(sum(col("cnt_a") * col("cnt_b")).as("est_rows"))
+
   /** Point-frequency estimates for the keys in `keys` (every column of
     * `keys` is carried through): min over the Depth rows of the addressed
     * cells. The sketch side is ≤2048 rows → broadcast; the keys side never

@@ -891,6 +891,73 @@ object DedupQueries {
           (col("n_bloom") >= 3).as("flag_bloom"),
           (coalesce(col("n_exact"), lit(0L)) >= 3).as("flag_exact"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Entity resolution with golden-record survivorship — the classic
+    // record-linkage pipeline (Fellegi-Sunter shape: block → compare →
+    // classify → cluster → survive) over a planted dirty-duplicate
+    // fixture. The corpus's raw customer names are distance-1 apart from
+    // EACH OTHER ("Customer#…001" vs "…002"), so ER runs on a synthesized
+    // composite identity (segment + an 8-hex md5 section + name); every
+    // 10th entity gets a deletion-edit duplicate (rec_id + 1e6), every
+    // 20th additionally a substitution-edit duplicate (rec_id + 2e6).
+    // Blocking derives TWO keys from the dirty name itself (nation +
+    // hash-prefix, nation + hash-suffix — each edit breaks at most one
+    // key, the standard multi-key insurance); candidate pairs are
+    // per-block self-joins (never all-pairs — at 100 TB the block key is
+    // the shuffle key and block sizes bound the quadratic work), verified
+    // by levenshtein ≤ 2, clustered by DedupOps.connectedComponents, and
+    // survived: canonical name from the min-id member, max acctbal across
+    // members. Output = multi-member clusters only.
+    "d31_entity_resolution" -> ((s, d) => {
+      val c0 = Tables.customer(s, d).select(
+        col("c_custkey").as("ck"), col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("seg"), col("c_name").as("nm"),
+        substring(md5(col("c_custkey").cast("string")), 1, 8).as("h8"),
+        col("c_acctbal").as("acctbal"))
+      def mk(h: org.apache.spark.sql.Column) =
+        concat(col("seg"), lit(" "), h, lit(" "), col("nm"))
+      val base = c0.select(col("ck").as("rec_id"), col("nation"),
+        mk(col("h8")).as("name"), col("acctbal"))
+      val va = c0.filter(col("ck") % 10 === 0).select(
+        (col("ck") + 1000000L).as("rec_id"), col("nation"),
+        mk(concat(substring(col("h8"), 1, 3), substring(col("h8"), 5, 4)))
+          .as("name"),
+        (col("acctbal") + lit(50.0)).as("acctbal"))
+      val vb = c0.filter(col("ck") % 20 === 0).select(
+        (col("ck") + 2000000L).as("rec_id"), col("nation"),
+        mk(concat(substring(col("h8"), 1, 1), lit("z"),
+          substring(col("h8"), 3, 6))).as("name"),
+        col("acctbal").as("acctbal"))
+      val recs = base.unionByName(va).unionByName(vb)
+      val keyed = recs.withColumn("h8c", element_at(split(col("name"), " "), 2))
+      val k1 = keyed.select(concat(col("nation").cast("string"), lit(":"),
+        substring(col("h8c"), 1, 3)).as("bk"), col("rec_id"))
+      val k2 = keyed.select(concat(col("nation").cast("string"), lit(":"),
+        expr("right(h8c, 4)")).as("bk"), col("rec_id"))
+      val cand = k1.unionByName(k2)
+      val pairs0 = cand.as("a").join(cand.as("b"), "bk")
+        .filter(col("a.rec_id") < col("b.rec_id"))
+        .select(col("a.rec_id").as("doc_a"), col("b.rec_id").as("doc_b"))
+        .distinct()
+      val named = recs.select(col("rec_id"), col("name"))
+      val verified = pairs0
+        .join(named.select(col("rec_id").as("doc_a"), col("name").as("name_a")),
+          "doc_a")
+        .join(named.select(col("rec_id").as("doc_b"), col("name").as("name_b")),
+          "doc_b")
+        .filter(levenshtein(col("name_a"), col("name_b")) <= 2)
+        .select(col("doc_a"), col("doc_b"))
+      val labels = connectedComponents(verified,
+        recs.select(col("rec_id").as("doc_id")))
+      recs.join(labels, recs("rec_id") === labels("doc_id"))
+        .groupBy(col("canon_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("rec_id") === col("canon_id"), col("name")))
+            .as("canon_name"),
+          max(col("acctbal")).as("max_acctbal"))
+        .filter(col("n_members") > 1)
+        .orderBy(col("canon_id"))
     })
   )
 
@@ -1550,6 +1617,73 @@ object DedupQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // CC mirrored as 4 unrolled min-label rounds — the planted duplicate
+    // geometry is triangles around the min-id base record (diameter ≤ 2),
+    // so 4 rounds strictly dominates convergence
+    "d31_entity_resolution" ->
+      """WITH c0 AS (
+        |  SELECT c_custkey AS ck, CAST(c_nationkey AS BIGINT) AS nation,
+        |         c_mktsegment AS seg, c_name AS nm,
+        |         substr(md5(c_custkey::VARCHAR), 1, 8) AS h8,
+        |         c_acctbal AS acctbal
+        |  FROM customer),
+        |recs AS (
+        |  SELECT ck AS rec_id, nation,
+        |         seg || ' ' || h8 || ' ' || nm AS name, acctbal
+        |  FROM c0
+        |  UNION ALL
+        |  SELECT ck + 1000000, nation,
+        |         seg || ' ' || (substr(h8, 1, 3) || substr(h8, 5, 4))
+        |             || ' ' || nm,
+        |         acctbal + 50.0
+        |  FROM c0 WHERE ck % 10 = 0
+        |  UNION ALL
+        |  SELECT ck + 2000000, nation,
+        |         seg || ' ' || (substr(h8, 1, 1) || 'z' || substr(h8, 3, 6))
+        |             || ' ' || nm,
+        |         acctbal
+        |  FROM c0 WHERE ck % 20 = 0),
+        |keyed AS (SELECT rec_id, nation, name,
+        |                 split_part(name, ' ', 2) AS h8c FROM recs),
+        |cand AS (
+        |  SELECT CAST(nation AS VARCHAR) || ':' || substr(h8c, 1, 3) AS bk,
+        |         rec_id FROM keyed
+        |  UNION ALL
+        |  SELECT CAST(nation AS VARCHAR) || ':' || right(h8c, 4) AS bk,
+        |         rec_id FROM keyed),
+        |pairs0 AS (
+        |  SELECT DISTINCT a.rec_id AS doc_a, b.rec_id AS doc_b
+        |  FROM cand a JOIN cand b ON a.bk = b.bk AND a.rec_id < b.rec_id),
+        |ver AS (
+        |  SELECT p.doc_a, p.doc_b
+        |  FROM pairs0 p JOIN recs ra ON ra.rec_id = p.doc_a
+        |       JOIN recs rb ON rb.rec_id = p.doc_b
+        |  WHERE levenshtein(ra.name, rb.name) <= 2),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM ver
+        |      UNION ALL SELECT doc_b, doc_a FROM ver),
+        |l0 AS (SELECT rec_id, rec_id AS lbl FROM recs),
+        |l1 AS (SELECT r.rec_id, least(r.lbl, coalesce(min(n.lbl), r.lbl)) AS lbl
+        |       FROM l0 r LEFT JOIN e ON e.dst = r.rec_id
+        |            LEFT JOIN l0 n ON n.rec_id = e.src
+        |       GROUP BY r.rec_id, r.lbl),
+        |l2 AS (SELECT r.rec_id, least(r.lbl, coalesce(min(n.lbl), r.lbl)) AS lbl
+        |       FROM l1 r LEFT JOIN e ON e.dst = r.rec_id
+        |            LEFT JOIN l1 n ON n.rec_id = e.src
+        |       GROUP BY r.rec_id, r.lbl),
+        |l3 AS (SELECT r.rec_id, least(r.lbl, coalesce(min(n.lbl), r.lbl)) AS lbl
+        |       FROM l2 r LEFT JOIN e ON e.dst = r.rec_id
+        |            LEFT JOIN l2 n ON n.rec_id = e.src
+        |       GROUP BY r.rec_id, r.lbl),
+        |l4 AS (SELECT r.rec_id, least(r.lbl, coalesce(min(n.lbl), r.lbl)) AS lbl
+        |       FROM l3 r LEFT JOIN e ON e.dst = r.rec_id
+        |            LEFT JOIN l3 n ON n.rec_id = e.src
+        |       GROUP BY r.rec_id, r.lbl)
+        |SELECT l.lbl AS canon_id, count(*) AS n_members,
+        |       max(CASE WHEN r.rec_id = l.lbl THEN r.name END) AS canon_name,
+        |       max(r.acctbal) AS max_acctbal
+        |FROM recs r JOIN l4 l ON l.rec_id = r.rec_id
+        |GROUP BY l.lbl HAVING count(*) > 1
+        |ORDER BY canon_id""".stripMargin,
     "d30_bloom_decontaminate" -> dkBloomDecontaminate,
     "d14_decontaminate" -> dkDecontaminate,
     "d13_bfs_levels" -> dkBfsLevels,

@@ -2194,6 +2194,111 @@ object RelationalQueries {
           col("est_ppm"), col("n_union"), col("n_inter"), col("exact_ppm"),
           (col("est_ppm") - col("exact_ppm")).as("err_ppm"))
         .orderBy(col("et_a"), col("et_b"))
+    }),
+
+    // Join-cardinality estimation WITHOUT running the join (the planner
+    // primitive behind broadcast-vs-shuffle decisions at 100 TB): CMS
+    // inner product — |orders ⋈ lineitem| = Σ_k a_k·b_k, estimated per
+    // hash row from two ≤4×512-cell sketches built by map-side-combined
+    // scans; min over rows is the estimate, and every row OVER-estimates
+    // (SketchOps.cmsInnerProduct scaladoc). The true join count rides
+    // along as the self-evaluation readout (ratio_bp ≥ 10000 always —
+    // the one-sided bound, checked exactly by the oracle).
+    "q85_join_size_estimate" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("k"))
+      val li = Tables.fanout(Tables.lineitem(s, d))
+        .select(col("l_orderkey").as("k"))
+      val est = graft.ops.SketchOps.cmsInnerProduct(
+        graft.ops.SketchOps.cmsSketch(o, "k"),
+        graft.ops.SketchOps.cmsSketch(li, "k"))
+      val truth = o.join(li, "k").agg(count(lit(1)).as("true_rows"))
+      est.crossJoin(broadcast(truth))
+        .select(col("rw"), col("est_rows"), col("true_rows"),
+          expr("(est_rows * 10000) div true_rows").as("ratio_bp"))
+        .orderBy(col("rw"))
+    }),
+
+    // HLL rollup — the multi-granularity distinct count at 100 TB: ONE
+    // fact scan builds registers at the finest grouping level; every
+    // coarser level (here the global 'ALL') is derived by MERGING the
+    // fine registers (per-bucket max), never by rescanning. The Spark
+    // side computes 'ALL' from the per-flag register table; the oracle
+    // computes BOTH levels directly from rows — agreement is the
+    // cross-engine proof that merge ≡ recompute (the HLL mergeability
+    // law q51's scaladoc promises). Only ≤1024×levels register rows ever
+    // shuffle.
+    "q86_hll_rollup" -> ((s, d) => {
+      val regs = Tables.fanout(Tables.lineitem(s, d))
+        .select(col("l_returnflag").as("grp"),
+          graft.ops.TextOps.hash60(col("l_orderkey")).as("h"))
+        .selectExpr("grp", "h % 1024 AS bucket", "h DIV 1024 AS w")
+        .selectExpr("grp", "bucket",
+          "CAST(CASE WHEN w = 0 THEN 51 ELSE 51 - length(bin(w)) END AS BIGINT) AS rho")
+        .groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("max_rho"))
+      val global = regs.groupBy(col("bucket"))
+        .agg(max(col("max_rho")).as("max_rho"))
+        .select(lit("ALL").as("grp"), col("bucket"), col("max_rho"))
+      regs.unionByName(global).orderBy(col("grp"), col("bucket"))
+    }),
+
+    // Join-key skew advisor — the diagnostic that feeds SkewOps.saltedJoin
+    // its salt factor: per-key counts of the fact-side join key (one
+    // map-side-combined agg), then the 5 hottest keys with their share of
+    // the table (bp), their multiple of the average key load (bp, computed
+    // as cnt·k·10⁴ div n to stay in integers), and the recommended salt
+    // shard count ⌈cnt·k/n⌉ that levels that key back to average. The
+    // per-key count table is the only shuffle; the totals row broadcasts.
+    "q87_skew_report" -> ((s, d) => {
+      val counts = Tables.fanout(Tables.lineitem(s, d))
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      val totals = counts.agg(sum(col("cnt")).as("n"),
+        count(lit(1)).as("k"))
+      counts.orderBy(col("cnt").desc, col("l_partkey")).limit(5)
+        .crossJoin(broadcast(totals))
+        .select(col("l_partkey"), col("cnt"), col("n"), col("k"),
+          expr("(cnt * 10000) div n").as("share_bp"),
+          expr("(cnt * k * 10000) div n").as("x_avg_bp"),
+          expr("(cnt * k + n - 1) div n").as("rec_salt"))
+        .orderBy(col("cnt").desc, col("l_partkey"))
+    }),
+
+    // Mergeable log-bucket quantile sketch (DDSketch form, Masson et al.
+    // 2019, with base-2 buckets so the bucket index is the exact integer
+    // bit-length — no floating log): the sketch is a ≤64-cell histogram
+    // (bucket = length(bin(v))), merge = cell-wise sum, and the q-th
+    // quantile reads off the first bucket whose cumulative count reaches
+    // ⌈qN/100⌉. Guarantees the true order statistic lies in [2^(b-1),
+    // 2^b−1] — a ≤2× relative-error quantile from constant state, the
+    // 100 TB alternative to exact percentiles (q23), which need a full
+    // sort. The exact order statistic rides along as the self-evaluation
+    // (est_lo ≤ exact_val ≤ est_hi by construction); at scale you'd skip
+    // that global-sort readout and keep only the histogram path.
+    "q88_log2_quantiles" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.fanout(Tables.documents(s, d))
+        .select(greatest(col("n_chars"), lit(1L)).as("v"))
+      val hb = docs.selectExpr("CAST(length(bin(v)) AS BIGINT) AS b")
+        .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      val tot = hb.agg(sum(col("cnt")).as("n"))
+      val wc = Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hb.withColumn("cum", sum(col("cnt")).over(wc))
+      val ranks = Seq(50, 90, 99).toDF("q").crossJoin(broadcast(tot))
+        .select(col("q"), expr("(n * q + 99) div 100").as("rank"))
+      val pick = ranks.join(broadcast(cum), col("cum") >= col("rank"))
+        .groupBy(col("q"), col("rank")).agg(min(col("b")).as("bucket"))
+      val ordered = docs.withColumn("rn",
+        row_number().over(Window.orderBy(col("v"))))
+      val exact = ranks.join(ordered, col("rn") === col("rank"))
+        .select(col("q"), col("v").as("exact_val"))
+      pick.join(exact, "q")
+        .select(col("q"), col("bucket"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT) - 1)")
+            .as("est_lo"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT)) - 1")
+            .as("est_hi"),
+          col("exact_val"))
+        .orderBy(col("q"))
     })
   )
 
@@ -3475,6 +3580,88 @@ object RelationalQueries {
         |  (e.n_both * 1000000) // e.k_eff
         |    - (x.n_inter * 1000000) // x.n_union AS err_ppm
         |FROM est e JOIN ex2 x USING (et_a, et_b)
-        |ORDER BY et_a, et_b""".stripMargin
+        |ORDER BY et_a, et_b""".stripMargin,
+    // same md5 cell addressing as q55; sum(BIGINT) widens to HUGEINT in
+    // DuckDB, so the inner product is CAST back to BIGINT
+    "q85_join_size_estimate" ->
+      """WITH rws AS (SELECT i FROM (VALUES (0),(1),(2),(3)) AS r(i)),
+        |sa AS (
+        |  SELECT r.i AS rw,
+        |         ('0x' || substr(md5(CAST(r.i AS VARCHAR) || '|' ||
+        |            CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 512
+        |           AS bucket,
+        |         count(*) AS cnt
+        |  FROM orders, rws r GROUP BY 1, 2),
+        |sb AS (
+        |  SELECT r.i AS rw,
+        |         ('0x' || substr(md5(CAST(r.i AS VARCHAR) || '|' ||
+        |            CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT % 512
+        |           AS bucket,
+        |         count(*) AS cnt
+        |  FROM lineitem, rws r GROUP BY 1, 2),
+        |est AS (
+        |  SELECT a.rw, CAST(sum(a.cnt * b.cnt) AS BIGINT) AS est_rows
+        |  FROM sa a JOIN sb b ON a.rw = b.rw AND a.bucket = b.bucket
+        |  GROUP BY a.rw),
+        |tr AS (SELECT count(*) AS true_rows
+        |       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+        |SELECT e.rw, e.est_rows, t.true_rows,
+        |       (e.est_rows * 10000) // t.true_rows AS ratio_bp
+        |FROM est e CROSS JOIN tr t
+        |ORDER BY rw""".stripMargin,
+    // BOTH levels computed directly from rows (no merge step) — agreement
+    // with the Spark side's merge-from-fine-registers path is the
+    // mergeability proof
+    "q86_hll_rollup" ->
+      """WITH h AS (
+        |  SELECT l_returnflag AS grp,
+        |    ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT grp, h % 1024 AS bucket,
+        |    max(CAST(CASE WHEN h // 1024 = 0 THEN 51
+        |             ELSE 51 - length(bin(h // 1024)) END AS BIGINT))
+        |      AS max_rho
+        |  FROM h GROUP BY grp, bucket),
+        |g AS (
+        |  SELECT 'ALL' AS grp, h % 1024 AS bucket,
+        |    max(CAST(CASE WHEN h // 1024 = 0 THEN 51
+        |             ELSE 51 - length(bin(h // 1024)) END AS BIGINT))
+        |      AS max_rho
+        |  FROM h GROUP BY 1, 2)
+        |SELECT grp, bucket, max_rho FROM r
+        |UNION ALL SELECT grp, bucket, max_rho FROM g
+        |ORDER BY grp, bucket""".stripMargin,
+    "q87_skew_report" ->
+      """WITH c AS (
+        |  SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, count(*) AS k FROM c),
+        |top AS (SELECT l_partkey, cnt FROM c
+        |        ORDER BY cnt DESC, l_partkey LIMIT 5)
+        |SELECT top.l_partkey, top.cnt, t.n, t.k,
+        |       (top.cnt * 10000) // t.n AS share_bp,
+        |       (top.cnt * t.k * 10000) // t.n AS x_avg_bp,
+        |       (top.cnt * t.k + t.n - 1) // t.n AS rec_salt
+        |FROM top CROSS JOIN t
+        |ORDER BY cnt DESC, l_partkey""".stripMargin,
+    "q88_log2_quantiles" ->
+      """WITH v AS (SELECT greatest(n_chars, 1) AS v FROM documents),
+        |hb AS (SELECT CAST(length(bin(v)) AS BIGINT) AS b, count(*) AS cnt
+        |       FROM v GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hb),
+        |cumt AS (SELECT b, sum(cnt) OVER (ORDER BY b) AS cum FROM hb),
+        |qs AS (SELECT q FROM (VALUES (50),(90),(99)) AS x(q)),
+        |rk AS (SELECT q, (t.n * q + 99) // 100 AS rank FROM qs CROSS JOIN t),
+        |pick AS (SELECT rk.q, rk.rank, min(c.b) AS bucket
+        |         FROM rk JOIN cumt c ON c.cum >= rk.rank GROUP BY 1, 2),
+        |ordr AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+        |ex AS (SELECT rk.q, o.v AS exact_val
+        |       FROM rk JOIN ordr o ON o.rn = rk.rank)
+        |SELECT p.q, p.bucket,
+        |       (1::BIGINT << (CAST(p.bucket AS INT) - 1)) AS est_lo,
+        |       (1::BIGINT << CAST(p.bucket AS INT)) - 1 AS est_hi,
+        |       e.exact_val
+        |FROM pick p JOIN ex e USING (q)
+        |ORDER BY q""".stripMargin
   )
 }

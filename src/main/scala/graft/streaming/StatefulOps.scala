@@ -534,4 +534,58 @@ object StatefulOps {
       .transformWithState(new DecayScoreProcessor,
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** One observation of a user's monitored metric (integer cents). */
+  case class CusumObs(userId: Long, eventId: Long, tsUs: Long, cents: Long)
+  /** One-sided CUSUM state AFTER folding this observation. */
+  case class CusumPoint(userId: Long, eventId: Long, idx: Long, cusum: Long,
+    alarm: Boolean)
+
+  /** Streaming twin of q80's drift detector, in the form Page's CUSUM
+    * (1954) is actually deployed online: the reference level k and alarm
+    * threshold h are FIXED (calibrated on a reference window) rather than
+    * derived from the whole series — batch q80 is inherently two-pass
+    * (its k is the series mean), which no online monitor can be. State
+    * per user is two longs (running one-sided sum + observation index);
+    * the fold s_i = max(0, s_{i−1} + (x_i − k)) is EXACTLY the closed
+    * form P_i − min(0, min_{j≤i} P_j) that q80 reads off window frames —
+    * the spec asserts bit-equality of the fold against that closed form
+    * on replay. Events must arrive time-ordered per key across batches
+    * (the q63/q76 contract; within a batch the processor sorts). */
+  final class CusumProcessor(kCents: Long, hCents: Long)
+      extends StatefulProcessor[Long, CusumObs, CusumPoint] {
+    @transient private var cusum: ValueState[Long] = _
+    @transient private var idx: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      cusum = getHandle.getValueState[Long]("cusum",
+        Encoders.scalaLong, TTLConfig.NONE)
+      idx = getHandle.getValueState[Long]("idx",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[CusumObs],
+        timerValues: TimerValues): Iterator[CusumPoint] = {
+      var s = if (cusum.exists()) cusum.get() else 0L
+      var i = if (idx.exists()) idx.get() else 0L
+      val out = scala.collection.mutable.ArrayBuffer.empty[CusumPoint]
+      rows.toSeq.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
+        s = math.max(0L, s + (e.cents - kCents))
+        i += 1
+        out += CusumPoint(userId, e.eventId, i, s, s >= hCents)
+      }
+      cusum.update(s)
+      idx.update(i)
+      out.iterator
+    }
+  }
+
+  /** Per-user streaming CUSUM over [[CusumProcessor]]. */
+  def cusumTws(spark: SparkSession, obs: Dataset[CusumObs],
+      kCents: Long, hCents: Long): Dataset[CusumPoint] = {
+    import spark.implicits._
+    obs.groupByKey(_.userId)
+      .transformWithState(new CusumProcessor(kCents, hCents),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

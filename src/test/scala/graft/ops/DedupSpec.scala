@@ -498,4 +498,27 @@ class DedupSpec extends SparkSpecBase {
       .collect().head.getAs[Long]("est_triangles")
     assert(perNode == 3 * global, s"$perNode vs 3×$global")
   }
+
+  test("d31 entity resolution recovers exactly the planted duplicate clusters") {
+    val out = graft.queries.DedupQueries
+      .queries("d31_entity_resolution")(spark, sfDir)
+      .select(col("canon_id"), col("n_members"), col("max_acctbal"))
+      .as[(Long, Long, Double)].collect()
+    val nCust = graft.Tables.customer(spark, sfDir).count()
+    // completeness: one cluster per planted dirty entity (every 10th key),
+    // purity: every canon is a base record (variants carry ids ≥ 1e6)
+    assert(out.length == (0L until nCust).count(_ % 10 == 0))
+    assert(out.forall(_._1 < 1000000L), "cluster canon must be the base record")
+    assert(out.map(_._1).distinct.length == out.length)
+    // membership: base + deletion variant, plus the substitution variant
+    // on every 20th key — and nothing else (no cross-entity merges)
+    assert(out.forall { case (ck, n, _) =>
+      n == (if (ck % 20 == 0) 3L else 2L) }, "unexpected cluster sizes")
+    // survivorship: the deletion variant carries acctbal+50, so the
+    // golden record's max_acctbal is exactly base acctbal + 50
+    val bal = graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .as[(Long, Double)].collect().toMap
+    assert(out.forall { case (ck, _, mx) => mx == bal(ck) + 50.0 })
+  }
 }

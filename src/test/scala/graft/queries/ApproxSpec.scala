@@ -148,6 +148,55 @@ class ApproxSpec extends SparkSpecBase {
     assert(merged == cells(li), "cell-wise sum merge must equal full sketch")
   }
 
+  test("CMS inner product over-estimates join cardinality and merges by cell sum") {
+    import graft.ops.SketchOps
+    val o = Tables.orders(spark, sfDir).select(col("o_orderkey").as("k"))
+    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey").as("k"))
+    val truth = o.join(li, "k").count()
+    val ests = SketchOps.cmsInnerProduct(
+        SketchOps.cmsSketch(o, "k"), SketchOps.cmsSketch(li, "k"))
+      .as[(Int, Long)].collect().toMap
+    assert(ests.size == SketchOps.CmsDepth)
+    // every hash row over-estimates (collisions only ADD cross terms)
+    assert(ests.values.forall(_ >= truth), s"under-estimate: $ests vs $truth")
+    // min over rows is within the loose CMS additive bound 5·|A|·|B|/width
+    val bound = truth + 5.0 * o.count() * li.count() / SketchOps.CmsWidth
+    assert(ests.values.min <= bound, s"min=${ests.values.min} bound=$bound")
+    // merge law: estimating from shard-summed sketches == whole-input sketch
+    def cells(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      SketchOps.cmsSketch(df, "k").as[(Int, Long, Long)].collect()
+        .map { case (r, b, c) => ((r.toLong, b), c) }.toMap
+    val a = cells(li.filter(col("k") % 2 === 0))
+    val b = cells(li.filter(col("k") % 2 =!= 0))
+    val merged = (a.keySet ++ b.keySet)
+      .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == cells(li))
+  }
+
+  test("log2 quantile sketch brackets the exact order statistic at every decile") {
+    // the q88 readout at finer granularity: for each q, the exact q-th
+    // order statistic must land inside the chosen bucket's [2^(b-1), 2^b-1]
+    val docs = Tables.documents(spark, sfDir)
+      .select(greatest(col("n_chars"), lit(1L)).as("v"))
+    val n = docs.count()
+    val hist = docs.selectExpr("CAST(length(bin(v)) AS BIGINT) AS b")
+      .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val sorted = docs.as[Long].collect().sorted
+    for (q <- 10 to 99 by 10) {
+      val rank = (n * q + 99) / 100
+      var cum = 0L
+      val bucket = hist.collectFirst {
+        case (b, c) if { cum += c; cum >= rank } => b
+      }.get
+      val exact = sorted((rank - 1).toInt)
+      val lo = 1L << (bucket - 1).toInt
+      val hi = (1L << bucket.toInt) - 1
+      assert(exact >= lo && exact <= hi,
+        s"q=$q exact=$exact outside bucket $bucket [$lo,$hi]")
+    }
+  }
+
   test("streaming CMS cells equal the batch sketch after each batch") {
     // like the streaming-HLL test but sum-merged: groupBy(rw,bucket).count
     // in complete mode maintains the frequency sketch as streaming state

@@ -425,4 +425,49 @@ class StatefulOpsSpec extends SparkSpecBase {
       }
     } finally q.stop()
   }
+
+  test("streaming CUSUM: fold equals Page's closed form across batch splits") {
+    // The online recurrence s_i = max(0, s_{i-1} + (x_i − k)) must equal
+    // the window closed form q80 computes, P_i − min(0, min_{j≤i} P_j),
+    // observation by observation — replayed in two batches so state
+    // carry-over is exercised. k and h are FIXED (the deployable form).
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, expr}
+    val kCents = 500L
+    val hCents = 2000L
+    val obs = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("ts_us"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (u, e, t, c) => StatefulOps.CusumObs(u, e, t, c) }
+      .sortBy(o => (o.tsUs, o.eventId))
+    assert(obs.nonEmpty)
+    val in = MemoryStream[StatefulOps.CusumObs]
+    val q = StatefulOps.cusumTws(spark, in.toDS(), kCents, hCents)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("cusum_points").start()
+    try {
+      val (b1, b2) = obs.splitAt(obs.length / 2)
+      in.addData(b1.toSeq); q.processAllAvailable()
+      in.addData(b2.toSeq); q.processAllAvailable()
+      val got = spark.table("cusum_points").as[StatefulOps.CusumPoint]
+        .collect().map(p => (p.userId, p.eventId) -> p).toMap
+      assert(got.size == obs.length)
+      obs.groupBy(_.userId).foreach { case (u, es) =>
+        var p = 0L; var minP = 0L; var i = 0L
+        es.sortBy(e => (e.tsUs, e.eventId)).foreach { e =>
+          p += e.cents - kCents
+          minP = math.min(minP, p)
+          i += 1
+          val closed = p - math.min(0L, minP)
+          val pt = got((u, e.eventId))
+          assert(pt.cusum == closed && pt.idx == i,
+            s"user $u ev ${e.eventId}: stream ${pt.cusum} != closed $closed")
+          assert(pt.alarm == (closed >= hCents))
+        }
+      }
+    } finally q.stop()
+  }
 }
