@@ -67,7 +67,7 @@ object Bench {
     "q79c_ts_dtw", "q79d_ts_topk", "q80_cusum_drift",
     "q82_pareto_skyline", "q83_rolling_mad", "q84_kmv_jaccard",
     "q85_join_size_estimate", "q86_hll_rollup", "q87_skew_report",
-    "q88_log2_quantiles",
+    "q88_log2_quantiles", "q89_priority_sample", "q90_ivm_join",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_regex_tokens", "t6_string_funcs", "t7_array_funcs", "t8_explode",
     "t9_regex_extract", "t10_normalize", "t11_hash_split",
@@ -78,6 +78,7 @@ object Bench {
     "t26_pmi_collocations", "t27_source_gini", "t29_boilerplate",
     "t30_curation_e2e", "t31_repetition_stats", "t32_langid_confusion",
     "t33_rake_keywords", "t34_vocab_growth", "t35_blocklist", "t36_bm25",
+    "t37_stupid_backoff",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
     "d8d_triangle_doulion", "d9b_graph_stats_sketch",
     "d11_containment", "d12_incremental_dedup",

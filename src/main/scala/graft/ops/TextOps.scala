@@ -59,6 +59,15 @@ object TextOps {
     (a, b)
   }
 
+  /** Driver/processor-side twin of [[hash60]]: first 15 hex chars of md5
+    * as a Long — bit-identical to the Column form (and the DuckDB
+    * mirror), so streaming processors can re-derive plan-side hashes. */
+  def hash60Scala(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** Count of tokens that appear in `words`. */
   def wordSetCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*))).cast("long")

@@ -958,6 +958,45 @@ object DedupQueries {
           max(col("acctbal")).as("max_acctbal"))
         .filter(col("n_members") > 1)
         .orderBy(col("canon_id"))
+    }),
+
+    // Leakage-free train/test split — the near-dup-aware eval-split a
+    // training pipeline owes its benchmarks (Dodge et al. 2021 measured
+    // exactly this C4→benchmark leakage; random doc-level splits put one
+    // copy of a near-duplicate in train and its twin in test, inflating
+    // eval). Strategy A (naive) hashes doc_id to a 20% test split;
+    // strategy B hashes the d7 COMPONENT id, assigning whole near-dup
+    // families to one side. The readout counts SimHash near-dup pairs
+    // crossing the boundary under each: cluster_cross_pairs is ZERO BY
+    // CONSTRUCTION (both endpoints share canon_id), and naive_cross is
+    // the leakage a random split silently ships — the operator is its
+    // own ablation. Bench-excluded (d7's driver loop, like d27).
+    "d32_leakage_split" -> ((s, d) => {
+      val df = docs(s, d).withColumn("hs", tokenHashes(tokens(col("text"))))
+      val pairs = simhashPairs(simhashBands(df, simhash32(col("hs"))), MaxHamming)
+        .select(col("doc_a"), col("doc_b"))
+      val comp = connectedComponents(pairs, docs(s, d).select(col("doc_id")),
+        uncheckedRounds = 2)
+      val tags = comp
+        .withColumn("naive_test", pmod(hash60(col("doc_id")), lit(5L)) === 0)
+        .withColumn("cluster_test", pmod(hash60(col("canon_id")), lit(5L)) === 0)
+      val counts = tags.agg(count(lit(1)).as("n_docs"),
+        sum(when(col("naive_test"), 1L).otherwise(0L)).as("naive_test_docs"),
+        sum(when(col("cluster_test"), 1L).otherwise(0L)).as("cluster_test_docs"))
+      val cross = pairs
+        .join(tags.select(col("doc_id").as("doc_a"),
+          col("naive_test").as("na"), col("cluster_test").as("ca")), "doc_a")
+        .join(tags.select(col("doc_id").as("doc_b"),
+          col("naive_test").as("nb"), col("cluster_test").as("cb")), "doc_b")
+        .agg(
+          coalesce(sum(when(col("na") =!= col("nb"), 1L).otherwise(0L)), lit(0L))
+            .as("naive_cross_pairs"),
+          coalesce(sum(when(col("ca") =!= col("cb"), 1L).otherwise(0L)), lit(0L))
+            .as("cluster_cross_pairs"))
+      counts.crossJoin(cross)
+        .select(col("n_docs"), col("naive_test_docs"), col("cluster_test_docs"),
+          col("naive_cross_pairs"), col("cluster_cross_pairs"))
+        .orderBy(col("n_docs"))
     })
   )
 
@@ -1617,6 +1656,35 @@ object DedupQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // d7's recursive-closure canon + the split tags — cross-pair sums
+    // coalesce to 0 in BOTH engines so an empty pair set can't diverge
+    "d32_leakage_split" ->
+      s"""$dkSimhashClosureCtes,
+         |tags AS (
+         |  SELECT c.doc_id, c.canon_id,
+         |    (${dkHash60("c.doc_id::VARCHAR")} % 5 = 0) AS naive_test,
+         |    (${dkHash60("c.canon_id::VARCHAR")} % 5 = 0) AS cluster_test
+         |  FROM canon c),
+         |ct AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN naive_test THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS naive_test_docs,
+         |    CAST(sum(CASE WHEN cluster_test THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS cluster_test_docs
+         |  FROM tags),
+         |cr AS (
+         |  SELECT
+         |    coalesce(CAST(sum(CASE WHEN a.naive_test <> b.naive_test
+         |      THEN 1 ELSE 0 END) AS BIGINT), 0) AS naive_cross_pairs,
+         |    coalesce(CAST(sum(CASE WHEN a.cluster_test <> b.cluster_test
+         |      THEN 1 ELSE 0 END) AS BIGINT), 0) AS cluster_cross_pairs
+         |  FROM jpairs p
+         |  JOIN tags a ON a.doc_id = p.doc_a
+         |  JOIN tags b ON b.doc_id = p.doc_b)
+         |SELECT ct.n_docs, ct.naive_test_docs, ct.cluster_test_docs,
+         |       cr.naive_cross_pairs, cr.cluster_cross_pairs
+         |FROM ct CROSS JOIN cr
+         |ORDER BY n_docs""".stripMargin,
     // CC mirrored as 4 unrolled min-label rounds — the planted duplicate
     // geometry is triangles around the min-id base record (diameter ≤ 2),
     // so 4 rounds strictly dominates convergence

@@ -2299,6 +2299,63 @@ object RelationalQueries {
             .as("est_hi"),
           col("exact_val"))
         .orderBy(col("q"))
+    }),
+
+    // Weighted priority sampling per stratum (the Duffield-Lund-Thorup
+    // priority-sample shape with a DETERMINISTIC md5 priority — q73's
+    // hash-decided discipline extended to WEIGHTS): each doc draws
+    // priority hash60(doc_id) div w, and the bottom-8 per source are the
+    // sample, so inclusion odds scale ≈ with w (longer/higher-quality
+    // docs win ties against the uniform hash) while staying replayable
+    // bit-for-bit. The fixed-size-per-stratum form is what a curation
+    // run wants (q73's Bernoulli rate gives random sizes). One shuffle
+    // (source-keyed rank); per-source totals ride the same exchange, so
+    // each sampled row reports its weight share of the stratum in bp.
+    "q89_priority_sample" -> ((s, d) => {
+      val docs = Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"),
+          greatest(col("n_chars"), lit(1L)).as("w"))
+        .withColumn("h", graft.ops.TextOps.hash60(col("doc_id")))
+        .withColumn("prio", expr("h div w"))
+      val wTot = Window.partitionBy(col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val rk = Window.partitionBy(col("source"))
+        .orderBy(col("prio"), col("doc_id"))
+      docs.withColumn("tot_w", sum(col("w")).over(wTot))
+        .withColumn("rn", row_number().over(rk).cast("long"))
+        .filter(col("rn") <= 8)
+        .select(col("source"), col("rn"), col("doc_id"), col("w"),
+          col("prio"), expr("(w * 10000) div tot_w").as("w_share_bp"))
+        .orderBy(col("source"), col("rn"))
+    }),
+
+    // Incremental view maintenance for a JOIN view — the delta rule
+    // ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB (Blakeley et al. SIGMOD 1986; q77 is
+    // the aggregate sibling). The "stored" view joins the old orders
+    // (90%) with old customers (96%); arriving deltas touch only the
+    // three delta joins, each bounded by |Δ|·selectivity — the fact
+    // table is never rescanned. The oracle computes the full join on
+    // the full tables directly, so agreement proves the decomposition
+    // exhaustive AND disjoint (double-counted pairs would surface as
+    // duplicate rows under the hash gate). Customer sides broadcast.
+    "q90_ivm_join" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+        col("c_mktsegment"))
+      val oOld = o.filter(col("o_orderkey") % 10 =!= 0)
+      val oDelta = o.filter(col("o_orderkey") % 10 === 0)
+      val cOld = c.filter(col("c_custkey") % 25 =!= 0)
+      val cDelta = c.filter(col("c_custkey") % 25 === 0)
+      def j(of: DataFrame, cf: DataFrame) =
+        of.join(broadcast(cf), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+            col("c_mktsegment"), col("o_totalprice"))
+      j(oOld, cOld)                // the stored view
+        .unionByName(j(oDelta, cOld))   // ΔA ⋈ B
+        .unionByName(j(oOld, cDelta))   // A ⋈ ΔB
+        .unionByName(j(oDelta, cDelta)) // ΔA ⋈ ΔB
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -3662,6 +3719,28 @@ object RelationalQueries {
         |       (1::BIGINT << CAST(p.bucket AS INT)) - 1 AS est_hi,
         |       e.exact_val
         |FROM pick p JOIN ex e USING (q)
-        |ORDER BY q""".stripMargin
+        |ORDER BY q""".stripMargin,
+    "q89_priority_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, greatest(n_chars, 1) AS w,
+        |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, source, w, h // w AS prio,
+        |         CAST(sum(w) OVER (PARTITION BY source) AS BIGINT) AS tot_w,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |           ORDER BY h // w, doc_id) AS BIGINT) AS rn
+        |  FROM d)
+        |SELECT source, rn, doc_id, w, prio,
+        |       (w * 10000) // tot_w AS w_share_bp
+        |FROM p WHERE rn <= 8
+        |ORDER BY source, rn""".stripMargin,
+    // the full join on the full tables — agreement with the Spark side's
+    // old ∪ three-delta-join union proves the IVM delta rule
+    "q90_ivm_join" ->
+      """SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment,
+        |       o.o_totalprice
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY o.o_orderkey""".stripMargin
   )
 }

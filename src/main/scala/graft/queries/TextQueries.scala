@@ -654,6 +654,56 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Stupid-backoff bigram LM scoring (Brants et al. EMNLP 2007 — the
+    // web-scale LM smoothing that needs NO discount estimation, designed
+    // for exactly this kind of distributed count infrastructure): docs
+    // are scored against a model trained on the OTHER 3/4 of the corpus
+    // (doc_id%4 split), so unseen bigrams genuinely occur and the
+    // backoff path is exercised. Per bigram: seen → pair_cnt/pref_cnt;
+    // unseen → α·uni_cnt(w2)/N with α=0.4 kept exact as 2/5 — all
+    // integer ppm (t24's transcendental-free discipline; Brants' S is a
+    // score, not a probability, so no normalization is owed). Scale
+    // shape: the three model count tables are vocab-bounded; scoring
+    // bigrams join them on natural keys and collapse back to one row
+    // per doc — the same two-shuffle profile as t24 plus one unigram
+    // lookup.
+    "t37_stupid_backoff" -> ((s, d) => {
+      val toks = Tables.fanout(Tables.documents(s, d))
+        .withColumn("toks", tokens(col("text")))
+      def bigrams(df: DataFrame) = df.filter(size(col("toks")) > 1)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val model = toks.filter(col("doc_id") % 4 =!= 0)
+      val mBi = bigrams(model)
+      val pairCnt = mBi.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("pair_cnt"))
+      val prefCnt = mBi.groupBy(col("w1")).agg(count(lit(1)).as("pref_cnt"))
+      val uniCnt = model.select(explode(col("toks")).as("w2"))
+        .groupBy(col("w2")).agg(count(lit(1)).as("uni_cnt"))
+      val totals = model.select(explode(col("toks")).as("w"))
+        .agg(count(lit(1)).as("n_tok"))
+      bigrams(toks.filter(col("doc_id") % 4 === 0))
+        .join(pairCnt, Seq("w1", "w2"), "left")
+        .join(prefCnt, Seq("w1"), "left")
+        .join(uniCnt, Seq("w2"), "left")
+        .crossJoin(broadcast(totals))
+        .withColumn("score_ppm", expr(
+          """CASE WHEN pair_cnt IS NOT NULL
+            |     THEN (pair_cnt * 1000000) div pref_cnt
+            |     ELSE (coalesce(uni_cnt, 0) * 2000000) div (5 * n_tok)
+            |END""".stripMargin))
+        .withColumn("backoff", when(col("pair_cnt").isNull, 1L).otherwise(0L))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("backoff")).as("n_backoff"),
+          sum(col("score_ppm")).as("sum_ppm"))
+        .withColumn("avg_ppm", expr("sum_ppm div n_bigrams"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sub-document exact dedup at chunk granularity (registered d24): the
     // paragraph-level pass of a CCNet-shaped curation pipeline (Wenzek et
     // al. 2020 dedups on paragraph hashes; here the unit is t17's
@@ -1345,6 +1395,46 @@ object TextQueries {
     // fixed-point mantissa, k1=6/5 b=3/4 rationals — so agreement is
     // bit-exact. `//` truncates toward zero like Spark's `div`; all
     // operands here are non-negative so the distinction never fires.
+    "t37_stupid_backoff" ->
+      s"""WITH t AS (SELECT doc_id, $dkToks AS toks FROM documents),
+         |mb AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+         |           i -> toks[i])) AS w1,
+         |         unnest(list_transform(generate_series(1, len(toks) - 1),
+         |           i -> toks[i + 1])) AS w2
+         |  FROM t WHERE doc_id % 4 <> 0 AND len(toks) > 1),
+         |pc AS (SELECT w1, w2, count(*) AS pair_cnt FROM mb GROUP BY w1, w2),
+         |fc AS (SELECT w1, count(*) AS pref_cnt FROM mb GROUP BY w1),
+         |uc AS (SELECT w2, count(*) AS uni_cnt FROM (
+         |         SELECT unnest(toks) AS w2 FROM t WHERE doc_id % 4 <> 0)
+         |       GROUP BY w2),
+         |n AS (SELECT count(*) AS n_tok FROM (
+         |        SELECT unnest(toks) AS w FROM t WHERE doc_id % 4 <> 0)),
+         |sb AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(generate_series(1, len(toks) - 1),
+         |           i -> toks[i])) AS w1,
+         |         unnest(list_transform(generate_series(1, len(toks) - 1),
+         |           i -> toks[i + 1])) AS w2
+         |  FROM t WHERE doc_id % 4 = 0 AND len(toks) > 1)
+         |SELECT sb.doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(CASE WHEN pc.pair_cnt IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_backoff,
+         |  CAST(sum(CASE WHEN pc.pair_cnt IS NOT NULL
+         |                THEN (pc.pair_cnt * 1000000) // fc.pref_cnt
+         |                ELSE (coalesce(uc.uni_cnt, 0) * 2000000)
+         |                       // (5 * n.n_tok) END) AS BIGINT) AS sum_ppm,
+         |  CAST(sum(CASE WHEN pc.pair_cnt IS NOT NULL
+         |                THEN (pc.pair_cnt * 1000000) // fc.pref_cnt
+         |                ELSE (coalesce(uc.uni_cnt, 0) * 2000000)
+         |                       // (5 * n.n_tok) END) AS BIGINT)
+         |    // count(*) AS avg_ppm
+         |FROM sb
+         |LEFT JOIN pc ON pc.w1 = sb.w1 AND pc.w2 = sb.w2
+         |LEFT JOIN fc ON fc.w1 = sb.w1
+         |LEFT JOIN uc ON uc.w2 = sb.w2
+         |CROSS JOIN n
+         |GROUP BY sb.doc_id ORDER BY sb.doc_id""".stripMargin,
     "t36_bm25" ->
       s"""WITH docs AS (
          |  SELECT doc_id, $dkToks AS toks FROM documents),

@@ -94,7 +94,17 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       // stats), KMV Jaccard (hash-decided bottom-k), bloom decontam
       // (OR-folded word table + per-shingle bit tests)
       "q82_pareto_skyline", "q83_rolling_mad", "q84_kmv_jaccard",
-      "d30_bloom_decontaminate")
+      "d30_bloom_decontaminate",
+      // round-8 fourth batch: CMS inner product (cell-sum merge), HLL
+      // rollup (max-merge across levels), skew report (count rollup +
+      // broadcast totals), log2 quantiles (cell-sum histogram + total-
+      // order readout), priority sample (hash-decided weighted rank),
+      // IVM join (union of disjoint equi-joins), stupid backoff
+      // (integer ratio joins on vocab-bounded counts), entity
+      // resolution (block-key joins + min-label CC, all order-free)
+      "q85_join_size_estimate", "q86_hll_rollup", "q87_skew_report",
+      "q88_log2_quantiles", "q89_priority_sample", "q90_ivm_join",
+      "t37_stupid_backoff", "d31_entity_resolution")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {
@@ -348,6 +358,40 @@ class OperatorPropertiesSpec extends SparkSpecBase {
     }
     d30.foreach { r =>
       assert(r._2 >= r._3, s"doc ${r._1}: n_bloom < n_exact")
+    }
+  }
+
+  test("priority sample over-represents heavy documents vs the population") {
+    // hash60(doc_id) div w: larger w divides the uniform hash lower, so
+    // the bottom-32 per stratum must skew toward heavy docs — the whole
+    // point of weighting the sample. Compare mean sampled weight against
+    // the population mean, pooled across strata. Needs sf0.01: at
+    // sf0.001 every stratum has fewer docs than the per-stratum k, so
+    // the sample IS the population and the property is vacuous.
+    val dir = "/root/testdata/sf0.01"
+    val sampled = graft.SparkEntry.queries("q89_priority_sample")(spark, dir)
+      .select(col("w")).as[Long].collect()
+    val pop = graft.Tables.documents(spark, dir)
+      .select(greatest(col("n_chars"), lit(1L))).as[Long].collect()
+    assert(sampled.nonEmpty && pop.nonEmpty)
+    val sMean = sampled.sum.toDouble / sampled.length
+    val pMean = pop.sum.toDouble / pop.length
+    assert(sMean > pMean,
+      s"weighted sample mean $sMean must exceed population mean $pMean")
+  }
+
+  test("stupid backoff exercises both paths and scores consistently") {
+    val out = graft.SparkEntry.queries("t37_stupid_backoff")(spark, sfDir)
+      .select(col("doc_id"), col("n_bigrams"), col("n_backoff"),
+        col("sum_ppm"), col("avg_ppm"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // the held-out quarter must contain bigrams the model never saw
+    // (backoff fires) AND bigrams it did (the main path fires)
+    assert(out.map(_._3).sum > 0, "no unseen bigram took the backoff path")
+    assert(out.exists(r => r._3 < r._2), "no bigram took the seen path")
+    out.foreach { case (id, n, nb, sum, avg) =>
+      assert(nb <= n && sum >= 0 && avg == sum / n, s"doc $id inconsistent")
     }
   }
 }

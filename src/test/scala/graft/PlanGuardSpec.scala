@@ -42,6 +42,16 @@ class PlanGuardSpec extends SparkSpecBase {
       s"n1 must broadcast the query block:\n$ann")
   }
 
+  test("q90's IVM delta joins broadcast the customer side, never the orders") {
+    // The IVM contract is that delta work is |Δ|-bounded; a plan that
+    // shuffles an orders side to meet a customer slice has reintroduced
+    // the fact-table exchange the delta rule exists to avoid. All four
+    // joins (stored view + three deltas) must be broadcast-hash.
+    val p = planOf("q90_ivm_join")
+    val n = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(n == 4, s"expected 4 broadcast joins in q90, found $n:\n$p")
+  }
+
   test("n14 broadcasts the probe frame into the code scan, never the reverse") {
     // IVFADC's entire point is that the corpus side is a 4-byte-code scan
     // gated by a tiny broadcast (queries × ADC arrays × probed lists). A

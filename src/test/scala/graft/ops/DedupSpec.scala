@@ -521,4 +521,16 @@ class DedupSpec extends SparkSpecBase {
       .as[(Long, Double)].collect().toMap
     assert(out.forall { case (ck, _, mx) => mx == bal(ck) + 50.0 })
   }
+
+  test("d32 cluster-aware split ships zero near-dup leakage by construction") {
+    val row = graft.queries.DedupQueries
+      .queries("d32_leakage_split")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(row.length == 1)
+    val (nDocs, naiveTest, clusterTest, naiveCross, clusterCross) = row(0)
+    assert(nDocs == graft.Tables.documents(spark, sfDir).count())
+    assert(clusterCross == 0L,
+      "component-hashed split must never separate a near-dup pair")
+    assert(naiveCross >= 0L && naiveTest > 0L && clusterTest > 0L)
+  }
 }

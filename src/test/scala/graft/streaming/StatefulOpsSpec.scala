@@ -433,6 +433,8 @@ class StatefulOpsSpec extends SparkSpecBase {
     // carry-over is exercised. k and h are FIXED (the deployable form).
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, expr}
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val kCents = 500L
     val hCents = 2000L
     val obs = graft.Tables.events(spark, sfDir)
