@@ -403,6 +403,85 @@ object DedupOps {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected
+    * Components in MapReduce and Beyond", SoCC 2014) — the web-scale CC
+    * algorithm. Same output contract as [[connectedComponents]]:
+    * `(doc_id, canon_id)` with canon = min id of the component.
+    *
+    * Why a second CC implementation: [[connectedComponents]] joins an
+    * n-row LABEL table against the edge list every round — right when
+    * components are shallow (near-dup cliques), but on a deep or giant
+    * component the label join pays |V| every round for O(diameter)-ish
+    * rounds. The star rounds rewrite only the EDGE list (per-round work
+    * ∝ current |E|, which shrinks monotonically toward one star edge per
+    * non-root node), touch no label table until the final readout, and
+    * converge in O(log² n) rounds on any topology. Each round is two
+    * hash aggregations (per-center min, map-side combinable) + two
+    * co-keyed joins — no driver data beyond the fixpoint counts.
+    *
+    *  - large-star: every center v links its LARGER neighbors to
+    *    m = min(Γ(v) ∪ v) — strictly-decreasing edge rewrites, no new
+    *    maxima, so the edge multiset cannot cycle;
+    *  - small-star: every center v (edges oriented to their larger
+    *    endpoint) links its smaller-or-equal neighborhood and itself to
+    *    its minimum — collapsing chains into stars.
+    *
+    * Convergence = edge set stable across a full round (set equality via
+    * two anti-joins on the canonical orientation; both run on the
+    * already-shrunk frames). At the fixpoint the edge set IS the star
+    * forest (child → component-min), so the readout is one left join. */
+  def starComponents(pairs: DataFrame, docs: DataFrame,
+      maxIters: Int = 30): DataFrame = {
+    // canonical (small, large) orientation, self-loops dropped
+    var e = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("lo"),
+        greatest(col("doc_a"), col("doc_b")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+      .localCheckpoint(eager = true)
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
+    var converged = e.isEmpty
+    var i = 0
+    while (!converged && i < maxIters) {
+      // large-star over the symmetrized adjacency: per center c,
+      // m = min(neighbors ∪ c); larger neighbors re-link to m. The
+      // per-center min and the re-link join share the center key, so the
+      // aggregation's shuffle partitioning is reused by the join.
+      val sym = e.select(col("lo").as("c"), col("hi").as("n"))
+        .union(e.select(col("hi").as("c"), col("lo").as("n")))
+      val mins = sym.groupBy(col("c")).agg(min(col("n")).as("mn"))
+        .select(col("c"), least(col("mn"), col("c")).as("m"))
+      val ls = sym.join(mins, "c")
+        .filter(col("n") > col("c"))
+        .select(col("m").as("lo"), col("n").as("hi")).distinct()
+      // small-star: edges already oriented small→large; per large
+      // endpoint c, everything ≤ c (its smaller neighbors and c itself)
+      // links to min(neighbors) — which is < c by orientation.
+      val sMin = ls.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val ss = ls.join(sMin, "hi")
+        .filter(col("lo") =!= col("m"))
+        .select(col("m").as("lo"), col("lo").as("hi"))
+        .union(sMin.select(col("m").as("lo"), col("hi")))
+        .distinct()
+        .localCheckpoint(eager = true)
+      // fixpoint: the round's output edge set equals its input edge set
+      converged =
+        ss.join(e, Seq("lo", "hi"), "left_anti").isEmpty &&
+          e.join(ss, Seq("lo", "hi"), "left_anti").isEmpty
+      prevCkpt.foreach(_.unpersist(blocking = false))
+      prevCkpt = org.apache.spark.sql.graftbridge.Bridge.checkpointedRdd(e)
+      e = ss
+      i += 1
+    }
+    require(converged, s"starComponents did not converge in $maxIters rounds")
+    // star forest: every non-root appears exactly once as hi, pointing at
+    // its component min; roots and isolated docs map to themselves
+    docs.join(e.select(col("hi").as("doc_id"), col("lo").as("canon_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canon_id"), col("doc_id")).as("canon_id"))
+  }
+
   /** Canonical keeper by CENTRALITY instead of min-id: each component's
     * keeper is its highest-degree member (tie → smallest doc_id) — in a
     * near-dup cluster the most-connected document is the best

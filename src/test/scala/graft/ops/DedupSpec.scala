@@ -94,6 +94,38 @@ class DedupSpec extends SparkSpecBase {
     assert(canon == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("star components: chain, star, and isolated nodes collapse to min") {
+    // a 4-chain (worst case for star rounds: maximal depth per edge) plus
+    // an already-star pair plus an isolated node
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L))
+      .toDF("doc_a", "doc_b")
+    val ds = Seq(1L, 2L, 3L, 4L, 5L, 7L, 9L).toDF("doc_id")
+    val canon = starComponents(pairs, ds).as[(Long, Long)].collect().toMap
+    assert(canon == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("star components ≡ label-propagation components on random graphs") {
+    // the two CC algorithms share no code past the pair input; set
+    // equality on seeded random multigraphs (duplicate edges, both
+    // orientations, self-loops) checks orientation canonicalization and
+    // fixpoint detection against the propagation implementation
+    import scala.util.Random
+    val rnd = new Random(20260814L)
+    (1 to 3).foreach { trial =>
+      val n = 30
+      val pairs = (0 until 60).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val nodes = (0L until n.toLong).toDF("doc_id")
+      val prop = connectedComponents(
+        pairs.filter(p => p._1 != p._2).toDF("doc_a", "doc_b"), nodes)
+        .as[(Long, Long)].collect().toMap
+      val star = starComponents(pairs.toDF("doc_a", "doc_b"), nodes)
+        .as[(Long, Long)].collect().toMap
+      assert(star == prop, s"trial $trial: star != propagation")
+    }
+  }
+
   test("weighted jaccard: repetition breaks the set-score blindness") {
     // doc 10 = one copy of "a b c", doc 11 = the same three tokens with "a"
     // repeated 4×. SET Jaccard of their token sets is 1.0 (identical
