@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** In-engine trained text classification — the "distill an expensive
+  * filter into a cheap model, then apply it at corpus scale" lifecycle
+  * that production curation pipelines run (CCNet / LLaMA-style quality
+  * filtering trains a linear n-gram classifier on labeled examples and
+  * sweeps it over the whole crawl).
+  *
+  * The model is multinomial Naive Bayes with add-one smoothing over
+  * token counts. Everything is exact integer arithmetic: likelihoods and
+  * priors go through the t36 exponent+mantissa ln approximation
+  * (ln x ≈ (floor_log2 x + frac)·ln 2, 2³⁰ fixed point, ppm readout), so
+  * scores are BIGINTs and the DuckDB oracle replays the identical
+  * integer sequence. The approximation is monotone, and NB only compares
+  * per-class sums of these terms, so ranking distortion is bounded by
+  * the 0.06-nat per-term error — and both engines distort identically.
+  *
+  * Scale shape (the reason NB is THE classifier you can train inside a
+  * data engine at 100 TB): training is ONE map-side-combinable
+  * aggregation over (class, token) — no gradient loop, no driver state;
+  * the finished model is a vocab-bounded count table. Scoring is one
+  * broadcast of that table into the corpus token scan plus one per-doc
+  * aggregation. Nothing quadratic, nothing iterative.
+  */
+object ClassifierOps {
+
+  /** ln fixed-point base: 2³⁰ keeps the smoothed-likelihood numerator
+    * ((cnt+1)·FP2 div (tot+V)) ≥ 1 for any class mass below ~2³⁰ tokens;
+    * shard the training aggregation before that point. */
+  val NbFp: Long = 1L << 30
+
+  /** ppm ≈ ln(`x`/2³⁰) · 10⁶ for a positive BIGINT fixed-point column —
+    * `(floor_log2 x − 30 + frac)·ln 2` with floor_log2 = length(bin(x))−1;
+    * `bin()` prints the minimal binary string in Spark AND DuckDB, so the
+    * oracle replays the same integers. Max abs error 0.06 nats, monotone. */
+  def lnPpmExpr(x: String): String = {
+    val lp = s"(length(bin($x)) - 1)"
+    val pw = s"shiftleft(1L, cast($lp AS INT))"
+    s"((($lp - 30) * ${NbFp}L + (($x - $pw) * ${NbFp}L) div $pw) * 693147) " +
+      s"div ${NbFp}L"
+  }
+
+  /** Train a binary multinomial NB on `trainTf` (doc_id, tok, tf) with
+    * labels `trainLab` (doc_id, cls ∈ {0,1}), score `testTf` docs (same
+    * shape) against both classes, and return one row per `testSpine`
+    * (doc_id) doc: `(doc_id, pred_cls, margin_ppm)` where margin =
+    * score(1) − score(0) in ppm-nats (positive ⇒ class 1; prediction
+    * tie-breaks to class 0 on margin 0, matching `margin > 0`).
+    *
+    * Docs in `testSpine` with no feature rows fall back to the smoothed
+    * prior alone. Classes absent from training survive through add-one
+    * smoothing on both the prior and every likelihood (the empty-class
+    * score is finite and identical in both engines). */
+  def nbPredict(trainTf: DataFrame, trainLab: DataFrame, testTf: DataFrame,
+      testSpine: DataFrame): DataFrame = {
+    val s = trainTf.sparkSession
+    val classes = s.range(2).select(col("id").cast("int").as("cls"))
+    val tr = trainTf.join(trainLab.select(col("doc_id"), col("cls")), "doc_id")
+    // the model: one combinable agg → vocab-bounded count table
+    val cnt = tr.groupBy(col("cls"), col("tok")).agg(sum(col("tf")).as("cnt"))
+    val tot = classes.join(
+        tr.groupBy(col("cls")).agg(sum(col("tf")).as("t")), Seq("cls"), "left")
+      .select(col("cls"), coalesce(col("t"), lit(0L)).as("tot"))
+    val vocab = tr.agg(countDistinct(col("tok")).as("v"))
+    val ntr = trainLab.agg(count(lit(1)).as("n"))
+    val prior = classes.join(
+        trainLab.groupBy(col("cls")).agg(count(lit(1)).as("c")), Seq("cls"), "left")
+      .select(col("cls"), coalesce(col("c"), lit(0L)).as("nc"))
+      .crossJoin(ntr)
+      .withColumn("x", expr(s"((nc + 1) * ${NbFp}L) div (n + 2)"))
+      .select(col("cls"), expr(lnPpmExpr("x")).as("pr_ppm"))
+    // scoring: broadcast the model INTO the test-token scan — the corpus
+    // side never shuffles until the per-doc sum
+    val ll = testTf
+      .crossJoin(broadcast(classes))
+      .join(broadcast(cnt), Seq("cls", "tok"), "left")
+      .join(broadcast(tot), "cls")
+      .crossJoin(broadcast(vocab))
+      .withColumn("x",
+        expr(s"((coalesce(cnt, 0L) + 1) * ${NbFp}L) div (tot + v)"))
+      .withColumn("ln_ppm", expr(lnPpmExpr("x")))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("tf") * col("ln_ppm")).as("ll"))
+    val scored = testSpine.select(col("doc_id"))
+      .crossJoin(broadcast(classes))
+      .join(ll, Seq("doc_id", "cls"), "left")
+      .join(broadcast(prior), "cls")
+      .select(col("doc_id"), col("cls"),
+        (coalesce(col("ll"), lit(0L)) + col("pr_ppm")).as("score"))
+    scored.groupBy(col("doc_id"))
+      .agg((max(when(col("cls") === 1, col("score")))
+        - max(when(col("cls") === 0, col("score")))).as("margin_ppm"))
+      .select(col("doc_id"),
+        when(col("margin_ppm") > 0, 1).otherwise(0).as("pred_cls"),
+        col("margin_ppm"))
+  }
+}
