@@ -43,19 +43,13 @@ object ClassifierOps {
       s"div ${NbFp}L"
   }
 
-  /** Train a binary multinomial NB on `trainTf` (doc_id, tok, tf) with
-    * labels `trainLab` (doc_id, cls ∈ {0,1}), score `testTf` docs (same
-    * shape) against both classes, and return one row per `testSpine`
-    * (doc_id) doc: `(doc_id, pred_cls, margin_ppm)` where margin =
-    * score(1) − score(0) in ppm-nats (positive ⇒ class 1; prediction
-    * tie-breaks to class 0 on margin 0, matching `margin > 0`).
-    *
-    * Docs in `testSpine` with no feature rows fall back to the smoothed
-    * prior alone. Classes absent from training survive through add-one
-    * smoothing on both the prior and every likelihood (the empty-class
-    * score is finite and identical in both engines). */
-  def nbPredict(trainTf: DataFrame, trainLab: DataFrame, testTf: DataFrame,
-      testSpine: DataFrame): DataFrame = {
+  /** The trained model as two frames: per-(cls, tok) smoothed
+    * log-likelihoods for TRAIN-VOCAB tokens (`cls, tok, ln_ppm`) and the
+    * per-class constants (`cls, unseen_ppm, pr_ppm`) — the smoothed
+    * likelihood every out-of-vocabulary token shares, and the smoothed
+    * log-prior. Both vocab-/class-bounded (broadcastable). */
+  def nbModel(trainTf: DataFrame,
+      trainLab: DataFrame): (DataFrame, DataFrame) = {
     val s = trainTf.sparkSession
     val classes = s.range(2).select(col("id").cast("int").as("cls"))
     val tr = trainTf.join(trainLab.select(col("doc_id"), col("cls")), "doc_id")
@@ -72,22 +66,45 @@ object ClassifierOps {
       .crossJoin(ntr)
       .withColumn("x", expr(s"((nc + 1) * ${NbFp}L) div (n + 2)"))
       .select(col("cls"), expr(lnPpmExpr("x")).as("pr_ppm"))
+    val seen = cnt.join(tot, "cls").crossJoin(vocab)
+      .withColumn("x", expr(s"((cnt + 1) * ${NbFp}L) div (tot + v)"))
+      .select(col("cls"), col("tok"), expr(lnPpmExpr("x")).as("ln_ppm"))
+    val consts = tot.crossJoin(vocab)
+      .withColumn("x", expr(s"${NbFp}L div (tot + v)"))
+      .select(col("cls"), expr(lnPpmExpr("x")).as("unseen_ppm"))
+      .join(prior, "cls")
+    (seen, consts)
+  }
+
+  /** Train a binary multinomial NB on `trainTf` (doc_id, tok, tf) with
+    * labels `trainLab` (doc_id, cls ∈ {0,1}), score `testTf` docs (same
+    * shape) against both classes, and return one row per `testSpine`
+    * (doc_id) doc: `(doc_id, pred_cls, margin_ppm)` where margin =
+    * score(1) − score(0) in ppm-nats (positive ⇒ class 1; prediction
+    * tie-breaks to class 0 on margin 0, matching `margin > 0`).
+    *
+    * Docs in `testSpine` with no feature rows fall back to the smoothed
+    * prior alone. Classes absent from training survive through add-one
+    * smoothing on both the prior and every likelihood (the empty-class
+    * score is finite and identical in both engines). */
+  def nbPredict(trainTf: DataFrame, trainLab: DataFrame, testTf: DataFrame,
+      testSpine: DataFrame): DataFrame = {
+    val s = trainTf.sparkSession
+    val classes = s.range(2).select(col("id").cast("int").as("cls"))
+    val (seen, consts) = nbModel(trainTf, trainLab)
     // scoring: broadcast the model INTO the test-token scan — the corpus
     // side never shuffles until the per-doc sum
     val ll = testTf
       .crossJoin(broadcast(classes))
-      .join(broadcast(cnt), Seq("cls", "tok"), "left")
-      .join(broadcast(tot), "cls")
-      .crossJoin(broadcast(vocab))
-      .withColumn("x",
-        expr(s"((coalesce(cnt, 0L) + 1) * ${NbFp}L) div (tot + v)"))
-      .withColumn("ln_ppm", expr(lnPpmExpr("x")))
+      .join(broadcast(seen), Seq("cls", "tok"), "left")
+      .join(broadcast(consts.select(col("cls"), col("unseen_ppm"))), "cls")
+      .withColumn("ln", coalesce(col("ln_ppm"), col("unseen_ppm")))
       .groupBy(col("doc_id"), col("cls"))
-      .agg(sum(col("tf") * col("ln_ppm")).as("ll"))
+      .agg(sum(col("tf") * col("ln")).as("ll"))
     val scored = testSpine.select(col("doc_id"))
       .crossJoin(broadcast(classes))
       .join(ll, Seq("doc_id", "cls"), "left")
-      .join(broadcast(prior), "cls")
+      .join(broadcast(consts.select(col("cls"), col("pr_ppm"))), "cls")
       .select(col("doc_id"), col("cls"),
         (coalesce(col("ll"), lit(0L)) + col("pr_ppm")).as("score"))
     scored.groupBy(col("doc_id"))
@@ -96,5 +113,31 @@ object ClassifierOps {
       .select(col("doc_id"),
         when(col("margin_ppm") > 0, 1).otherwise(0).as("pred_cls"),
         col("margin_ppm"))
+  }
+
+  /** Serving form: a binary NB is a LINEAR scorer — per-token weight
+    * w(tok) = ln₁(tok) − ln₀(tok) (out-of-vocab tokens share one
+    * constant), plus the prior gap. Returns (weights, unseenW, priorGap),
+    * all in the same ppm integers as [[nbPredict]], so
+    * `priorGap + Σ_token-instances w(tok)` is BIT-EQUAL to nbPredict's
+    * margin_ppm (integer subtraction is exact). The driver-side Map is
+    * the train vocabulary — bounded by construction; this is the form a
+    * streaming admission gate embeds as a literal
+    * ([[graft.streaming.StreamingNbGate]]). */
+  def nbLinearModel(trainTf: DataFrame,
+      trainLab: DataFrame): (Map[String, Long], Long, Long) = {
+    val (seen, consts) = nbModel(trainTf, trainLab)
+    val cm = consts.select(col("cls"), col("unseen_ppm"), col("pr_ppm"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (u0, p0) = cm(0)
+    val (u1, p1) = cm(1)
+    val w = seen
+      .groupBy(col("tok"))
+      .agg(max(when(col("cls") === 1, col("ln_ppm"))).as("l1"),
+        max(when(col("cls") === 0, col("ln_ppm"))).as("l0"))
+      .select(col("tok"),
+        (coalesce(col("l1"), lit(u1)) - coalesce(col("l0"), lit(u0))).as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (w, u1 - u0, p1 - p0)
   }
 }
