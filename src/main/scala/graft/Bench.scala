@@ -78,7 +78,7 @@ object Bench {
     "t26_pmi_collocations", "t27_source_gini", "t29_boilerplate",
     "t30_curation_e2e", "t31_repetition_stats", "t32_langid_confusion",
     "t33_rake_keywords", "t34_vocab_growth", "t35_blocklist", "t36_bm25",
-    "t37_stupid_backoff",
+    "t37_stupid_backoff", "t38_quality_distill",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
     "d8d_triangle_doulion", "d9b_graph_stats_sketch",
     "d11_containment", "d12_incremental_dedup",
@@ -89,6 +89,7 @@ object Bench {
     "d26_repeated_spans", "d26b_repeated_char_spans", "d28_weighted_jaccard",
     "d29_label_propagation", "d31_entity_resolution",
     "d9r_graph_stats_residual", "d25r_kcore_residual", "d29r_lpa_residual",
+    "d33r_star_residual",
     "n1_ann_bruteforce", "n2_ann_lsh", "n3_embedding_neardup",
     "n4_label_centroids", "n5_ivf_ann", "n6_kmeans", "n7_ivf_kmeans",
     "n8_quantize", "n9_knn_graph", "n10_quantized_rerank", "n11_pq_adc",

@@ -428,11 +428,15 @@ object DedupOps {
     *    its minimum — collapsing chains into stars.
     *
     * Convergence = edge set stable across a full round (set equality via
-    * two anti-joins on the canonical orientation; both run on the
-    * already-shrunk frames). At the fixpoint the edge set IS the star
-    * forest (child → component-min), so the readout is one left join. */
+    * ONE full-outer join on the canonical orientation — both sides are
+    * already-distinct, already-shrunk frames, so any null side is a
+    * difference). At the fixpoint the edge set IS the star forest
+    * (child → component-min), so the readout is one left join.
+    * `uncheckedRounds` skips the stability job for that many initial
+    * rounds (chains shorter than 3 are the only graphs that converge in
+    * ≤2 rounds — the connectedComponents uncheckedRounds discipline). */
   def starComponents(pairs: DataFrame, docs: DataFrame,
-      maxIters: Int = 30): DataFrame = {
+      maxIters: Int = 30, uncheckedRounds: Int = 0): DataFrame = {
     // canonical (small, large) orientation, self-loops dropped
     var e = pairs
       .select(least(col("doc_a"), col("doc_b")).as("lo"),
@@ -465,9 +469,11 @@ object DedupOps {
         .distinct()
         .localCheckpoint(eager = true)
       // fixpoint: the round's output edge set equals its input edge set
-      converged =
-        ss.join(e, Seq("lo", "hi"), "left_anti").isEmpty &&
-          e.join(ss, Seq("lo", "hi"), "left_anti").isEmpty
+      converged = i >= uncheckedRounds &&
+        ss.select(col("lo"), col("hi"), lit(1).as("a"))
+          .join(e.select(col("lo"), col("hi"), lit(1).as("b")),
+            Seq("lo", "hi"), "full_outer")
+          .filter(col("a").isNull || col("b").isNull).isEmpty
       prevCkpt.foreach(_.unpersist(blocking = false))
       prevCkpt = org.apache.spark.sql.graftbridge.Bridge.checkpointedRdd(e)
       e = ss

@@ -824,13 +824,26 @@ object DedupQueries {
     // scale profile: per-round work follows the SHRINKING edge list and
     // never joins the |V|-row label table, which wins on deep/giant
     // components where min-propagation pays |V| per round for
-    // O(diameter) rounds. Bench-included: the star loop on the sf0.1
-    // near-dup graph converges in ~4 rounds.
+    // O(diameter) rounds. Bench-excluded like d7: on the pathological
+    // 41%-dense sf0.1 synthetic graph every CC loop pays the 2.15M-edge
+    // candidate join per round (measured 18 s); d33r below is the
+    // collapse-first headline form.
     "d33_star_components" -> ((s, d) => {
       val df = docs(s, d).withColumn("hs", tokenHashes(tokens(col("text"))))
       val pairs = simhashPairs(simhashBands(df, simhash32(col("hs"))), MaxHamming)
         .select(col("doc_a"), col("doc_b"))
       starComponents(pairs, docs(s, d).select(col("doc_id")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // d33 on the collapsed class graph (the d9r/d25r/d29r collapse-first
+    // contract): star-CC over distinct-sketch representatives — the
+    // production composition, since duplicate cliques are exactly what
+    // the class collapse removes before any graph loop runs.
+    "d33r_star_residual" -> ((s, d) => {
+      val (classes, edges) = residualClassGraph(s, d)
+      starComponents(edges, classes.select(col("doc_id")),
+          uncheckedRounds = 2)
         .orderBy(col("doc_id"))
     }),
 
@@ -1861,6 +1874,21 @@ object DedupQueries {
     "d7_simhash_groups" -> dkSimhashGroups,
     // two independent CC algorithms, one truth: d33's oracle is d7's SQL
     "d33_star_components" -> dkSimhashGroups,
+    "d33r_star_residual" ->
+      s"""WITH RECURSIVE $dkClassCtes,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM ce
+         |  UNION ALL SELECT doc_b, doc_a FROM ce),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |canon AS (
+         |  SELECT c.doc_id,
+         |    least(c.doc_id, coalesce(min(r.dst), c.doc_id)) AS canon_id
+         |  FROM cls c LEFT JOIN reach r ON r.src = c.doc_id
+         |  GROUP BY c.doc_id)
+         |SELECT doc_id, canon_id FROM canon ORDER BY doc_id""".stripMargin,
     "d27_component_sizes" ->
       s"""$dkSimhashClosureCtes,
          |sizes AS (
