@@ -2356,6 +2356,51 @@ object RelationalQueries {
         .unionByName(j(oOld, cDelta))   // A ⋈ ΔB
         .unionByName(j(oDelta, cDelta)) // ΔA ⋈ ΔB
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Sample-based range-partition planning (the RangePartitioner
+    // primitive behind every 100 TB global sort / repartitionByRange /
+    // sorted-parquet write): a 1-in-20 deterministic md5 row sample is
+    // globally sorted (the ONLY sort in the plan — it is sample-sized),
+    // P−1 = 31 order-statistic boundaries are read at positions
+    // (i·ns) div P, and the FULL table is assigned to ranges with a
+    // 31-value literal probe (the binary-search equivalent — per-row
+    // HOF count inside codegen, no row expansion, no full-table sort).
+    // The readout is the planner's own balance audit: per-range counts,
+    // value extents, and load-vs-average in bp — the number that decides
+    // whether the planned sort would straggle. Boundary ties on
+    // duplicate values leave ranges empty (visible as pid gaps).
+    // Driver data: 31 doubles (the n6-centroid discipline). At scale:
+    // sample 1-in-10⁶; the per-range agg map-side combines to ≤P rows
+    // per task before its 32-key exchange.
+    "q91_range_plan" -> ((s, d) => {
+      val P = 32
+      val li = Tables.fanout(Tables.lineitem(s, d))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").as("v"))
+      val sample = li.filter(
+        graft.ops.TextOps.hash60(concat(col("l_orderkey").cast("string"),
+          lit("_"), col("l_linenumber").cast("string"))) % 20 === 0)
+      val ranked = sample.withColumn("rn", row_number().over(
+        Window.orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))))
+      val ns = ranked.agg(max(col("rn")).as("ns"))
+      val bArr = s.range(1, P).toDF("i").crossJoin(broadcast(ns))
+        .select(col("i"), expr(s"(i * ns) div $P").as("pos"))
+        .filter(col("pos") >= 1)
+        .join(ranked, col("pos") === col("rn"))
+        .orderBy(col("i"))
+        .select(col("v")).collect().map(_.getDouble(0)).toSeq
+      val pid = size(filter(typedLit(bArr), b => b < col("v"))).cast("long")
+      val tot = li.agg(count(lit(1)).as("n"))
+      li.withColumn("pid", pid)
+        .groupBy(col("pid"))
+        .agg(count(lit(1)).as("cnt"), min(col("v")).as("pmin"),
+          max(col("v")).as("pmax"))
+        .crossJoin(broadcast(tot))
+        .select(col("pid"), col("cnt"),
+          round(col("pmin"), 2).as("vmin"), round(col("pmax"), 2).as("vmax"),
+          expr(s"cnt * $P * 10000 div n").as("x_avg_bp"))
+        .orderBy(col("pid"))
     })
   )
 
@@ -3741,6 +3786,33 @@ object RelationalQueries {
       """SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment,
         |       o.o_totalprice
         |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
-        |ORDER BY o.o_orderkey""".stripMargin
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "q91_range_plan" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice AS v
+        |  FROM lineitem),
+        |smp AS (
+        |  SELECT * FROM li
+        |  WHERE ('0x' || substr(md5(l_orderkey || '_' || l_linenumber),
+        |          1, 15))::BIGINT % 20 = 0),
+        |rk AS (
+        |  SELECT v, ROW_NUMBER() OVER (
+        |    ORDER BY v, l_orderkey, l_linenumber) AS rn FROM smp),
+        |ns AS (SELECT CAST(max(rn) AS BIGINT) AS ns FROM rk),
+        |pos AS (
+        |  SELECT g.i, (g.i * ns.ns) // 32 AS pos
+        |  FROM (SELECT unnest(generate_series(1, 31)) AS i) g, ns),
+        |bounds AS (
+        |  SELECT p.i, rk.v AS bval FROM pos p
+        |  JOIN rk ON rk.rn = p.pos WHERE p.pos >= 1),
+        |asg AS (
+        |  SELECT li.v,
+        |    (SELECT count(*) FROM bounds b WHERE b.bval < li.v) AS pid
+        |  FROM li),
+        |tot AS (SELECT count(*) AS n FROM li)
+        |SELECT pid, CAST(count(*) AS BIGINT) AS cnt,
+        |  round(min(v), 2) AS vmin, round(max(v), 2) AS vmax,
+        |  (CAST(count(*) AS BIGINT) * 32 * 10000) // t.n AS x_avg_bp
+        |FROM asg, tot t GROUP BY pid, t.n ORDER BY pid""".stripMargin
   )
 }

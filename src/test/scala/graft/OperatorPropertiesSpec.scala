@@ -104,7 +104,12 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       // resolution (block-key joins + min-label CC, all order-free)
       "q85_join_size_estimate", "q86_hll_rollup", "q87_skew_report",
       "q88_log2_quantiles", "q89_priority_sample", "q90_ivm_join",
-      "t37_stupid_backoff", "d31_entity_resolution")
+      "t37_stupid_backoff", "d31_entity_resolution",
+      // round-8 fifth batch: star CC (order-free edge rewrites to a
+      // canonical fixpoint), NB distillation (combinable count model +
+      // integer-ln scoring), range planning (md5-decided sample +
+      // order-statistic boundaries + literal-probe assignment)
+      "d33r_star_residual", "t38_quality_distill", "q91_range_plan")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {
