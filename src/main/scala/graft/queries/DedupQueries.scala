@@ -847,6 +847,47 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Modularity scoring of the LPA communities (Newman & Girvan 2004,
+    // Q = Σ_c [e_c/m − (d_c/2m)²]) — the "measure your own clustering"
+    // discipline (d19/n12/q74) applied to d29r: did label propagation
+    // find real structure, or did it shatter/merge? Pure integer form:
+    // per-community numerator 4m·e_c − d_c², global Q_ppm =
+    // Σnum·10⁶ div 4m² — exact BIGINTs while 4m² < 2⁶³ (m < 1.5e9
+    // edges; past that, widen the two Q readout products to DECIMAL —
+    // the per-community aggs themselves never overflow). Cost on top of
+    // d29r: one edge join against the label map (intra count) + one
+    // degree agg — both map-side combinable, both ∝ |E|.
+    "d34_modularity" -> ((s, d) => {
+      val (classes, ce0) = residualClassGraph(s, d)
+      val ce = ce0.localCheckpoint() // feeds LPA, m, intra, and degrees
+      val lab = labelPropagation(ce, classes.select(col("doc_id")), LpaRounds)
+      val m = ce.agg(count(lit(1)).as("m"))
+      val intra = ce
+        .join(lab.select(col("doc_id").as("doc_a"), col("lbl")), "doc_a")
+        .join(lab.select(col("doc_id").as("doc_b"), col("lbl").as("lbl_b")),
+          "doc_b")
+        .filter(col("lbl") === col("lbl_b"))
+        .groupBy(col("lbl")).agg(count(lit(1)).as("e_intra"))
+      val deg = ce.select(col("doc_a").as("doc_id"))
+        .union(ce.select(col("doc_b").as("doc_id")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+      val comm = lab.join(deg, Seq("doc_id"), "left")
+        .groupBy(col("lbl"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(coalesce(col("deg"), lit(0L))).as("d_sum"))
+      val per = comm.join(intra, Seq("lbl"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("lbl").as("community"), col("n_nodes"),
+          coalesce(col("e_intra"), lit(0L)).as("e_intra"), col("d_sum"),
+          (lit(4L) * col("m") * coalesce(col("e_intra"), lit(0L))
+            - col("d_sum") * col("d_sum")).as("num"), col("m"))
+      val q = per.agg(sum(col("num")).as("qnum"))
+      per.crossJoin(broadcast(q))
+        .select(col("community"), col("n_nodes"), col("e_intra"),
+          col("d_sum"), expr("qnum * 1000000L div (4 * m * m)").as("q_ppm"))
+        .orderBy(col("community"))
+    }),
+
     // Component-size distribution over d7's collapse: how many duplicate
     // families exist at each size, and what share of the corpus the
     // LARGEST family holds (giant_share_ppm repeated per row — a
@@ -1218,8 +1259,11 @@ object DedupQueries {
   /** The synchronous LPA rounds + community readout, over a directed edge
     * CTE named `edges` (src, dst) and an initial label CTE `l0` — shared
     * by d29 (doc graph) and d29r (collapsed class graph). */
-  private val dkLpaTail: String = {
-    val rounds = (1 to LpaRounds).map { r =>
+  /** The unrolled synchronous-LPA round CTEs (`n1…l{LpaRounds}`) alone —
+    * shared by the d29/d29r final-label readout and d34's modularity
+    * scoring of those labels. */
+  private val dkLpaRounds: String =
+    (1 to LpaRounds).map { r =>
       s"""n$r AS (
          |  SELECT e.src AS doc_id, l.lbl, count(*) AS c
          |  FROM edges e JOIN l${r - 1} l ON l.doc_id = e.dst
@@ -1234,10 +1278,11 @@ object DedupQueries {
          |  SELECT p.doc_id, coalesce(t.lbl, p.lbl) AS lbl
          |  FROM l${r - 1} p LEFT JOIN t$r t USING (doc_id))""".stripMargin
     }.mkString(",\n")
-    s"""$rounds
+
+  private val dkLpaTail: String =
+    s"""$dkLpaRounds
        |SELECT doc_id, lbl AS community FROM l$LpaRounds
        |ORDER BY doc_id""".stripMargin
-  }
 
   private val dkLabelPropagation: String =
     s"""$dkSimhashClosureCtes,
@@ -1889,6 +1934,36 @@ object DedupQueries {
          |  FROM cls c LEFT JOIN reach r ON r.src = c.doc_id
          |  GROUP BY c.doc_id)
          |SELECT doc_id, canon_id FROM canon ORDER BY doc_id""".stripMargin,
+    "d34_modularity" ->
+      s"""WITH $dkClassCtes,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM ce
+         |  UNION ALL SELECT doc_b, doc_a FROM ce),
+         |l0 AS (SELECT doc_id, doc_id AS lbl FROM cls),
+         |$dkLpaRounds,
+         |lab AS (SELECT doc_id, lbl FROM l$LpaRounds),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ce),
+         |intra AS (
+         |  SELECT la.lbl, CAST(count(*) AS BIGINT) AS e_intra
+         |  FROM ce JOIN lab la ON la.doc_id = ce.doc_a
+         |          JOIN lab lb ON lb.doc_id = ce.doc_b AND lb.lbl = la.lbl
+         |  GROUP BY la.lbl),
+         |deg AS (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
+         |        FROM edges GROUP BY src),
+         |comm AS (
+         |  SELECT l.lbl, CAST(count(*) AS BIGINT) AS n_nodes,
+         |         CAST(sum(coalesce(d.deg, 0)) AS BIGINT) AS d_sum
+         |  FROM lab l LEFT JOIN deg d USING (doc_id) GROUP BY l.lbl),
+         |per AS (
+         |  SELECT c.lbl AS community, c.n_nodes,
+         |         coalesce(i.e_intra, 0) AS e_intra, c.d_sum,
+         |         4 * mm.m * coalesce(i.e_intra, 0) - c.d_sum * c.d_sum
+         |           AS num
+         |  FROM comm c LEFT JOIN intra i USING (lbl), mm),
+         |q AS (SELECT CAST(sum(num) AS BIGINT) AS qnum FROM per)
+         |SELECT p.community, p.n_nodes, p.e_intra, p.d_sum,
+         |  (q.qnum * 1000000) // (4 * mm.m * mm.m) AS q_ppm
+         |FROM per p, q, mm ORDER BY p.community""".stripMargin,
     "d27_component_sizes" ->
       s"""$dkSimhashClosureCtes,
          |sizes AS (

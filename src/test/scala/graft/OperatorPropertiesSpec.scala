@@ -109,7 +109,9 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       // canonical fixpoint), NB distillation (combinable count model +
       // integer-ln scoring), range planning (md5-decided sample +
       // order-statistic boundaries + literal-probe assignment)
-      "d33r_star_residual", "t38_quality_distill", "q91_range_plan")
+      "d33r_star_residual", "t38_quality_distill", "q91_range_plan",
+      // modularity (integer numerators over order-free count aggs)
+      "d34_modularity")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {
