@@ -48,10 +48,10 @@ object ClassifierOps {
     * per-class constants (`cls, unseen_ppm, pr_ppm`) — the smoothed
     * likelihood every out-of-vocabulary token shares, and the smoothed
     * log-prior. Both vocab-/class-bounded (broadcastable). */
-  def nbModel(trainTf: DataFrame,
-      trainLab: DataFrame): (DataFrame, DataFrame) = {
+  def nbModel(trainTf: DataFrame, trainLab: DataFrame,
+      k: Int = 2): (DataFrame, DataFrame) = {
     val s = trainTf.sparkSession
-    val classes = s.range(2).select(col("id").cast("int").as("cls"))
+    val classes = s.range(k.toLong).select(col("id").cast("int").as("cls"))
     val tr = trainTf.join(trainLab.select(col("doc_id"), col("cls")), "doc_id")
     // the model: one combinable agg → vocab-bounded count table
     val cnt = tr.groupBy(col("cls"), col("tok")).agg(sum(col("tf")).as("cnt"))
@@ -64,7 +64,7 @@ object ClassifierOps {
         trainLab.groupBy(col("cls")).agg(count(lit(1)).as("c")), Seq("cls"), "left")
       .select(col("cls"), coalesce(col("c"), lit(0L)).as("nc"))
       .crossJoin(ntr)
-      .withColumn("x", expr(s"((nc + 1) * ${NbFp}L) div (n + 2)"))
+      .withColumn("x", expr(s"((nc + 1) * ${NbFp}L) div (n + $k)"))
       .select(col("cls"), expr(lnPpmExpr("x")).as("pr_ppm"))
     val seen = cnt.join(tot, "cls").crossJoin(vocab)
       .withColumn("x", expr(s"((cnt + 1) * ${NbFp}L) div (tot + v)"))
@@ -113,6 +113,37 @@ object ClassifierOps {
       .select(col("doc_id"),
         when(col("margin_ppm") > 0, 1).otherwise(0).as("pred_cls"),
         col("margin_ppm"))
+  }
+
+  /** k-class generalization of [[nbPredict]]: same model
+    * ([[nbModel]] with `k` classes), argmax by (score DESC, cls ASC)
+    * window — deterministic tie-break to the smallest class id. Returns
+    * `(doc_id, pred_cls, score_ppm)` with the winner's score. */
+  def nbPredictK(trainTf: DataFrame, trainLab: DataFrame, testTf: DataFrame,
+      testSpine: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = trainTf.sparkSession
+    val classes = s.range(k.toLong).select(col("id").cast("int").as("cls"))
+    val (seen, consts) = nbModel(trainTf, trainLab, k)
+    val ll = testTf
+      .crossJoin(broadcast(classes))
+      .join(broadcast(seen), Seq("cls", "tok"), "left")
+      .join(broadcast(consts.select(col("cls"), col("unseen_ppm"))), "cls")
+      .withColumn("ln", coalesce(col("ln_ppm"), col("unseen_ppm")))
+      .groupBy(col("doc_id"), col("cls"))
+      .agg(sum(col("tf") * col("ln")).as("ll"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cls"))
+    testSpine.select(col("doc_id"))
+      .crossJoin(broadcast(classes))
+      .join(ll, Seq("doc_id", "cls"), "left")
+      .join(broadcast(consts.select(col("cls"), col("pr_ppm"))), "cls")
+      .select(col("doc_id"), col("cls"),
+        (coalesce(col("ll"), lit(0L)) + col("pr_ppm")).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("cls").as("pred_cls"),
+        col("score").as("score_ppm"))
   }
 
   /** Serving form: a binary NB is a LINEAR scorer — per-token weight

@@ -34,6 +34,10 @@ object TextQueries {
     * the distilled classifier trains on a balanced label. */
   val QualityKeepBp = 600
 
+  /** t39 tercile cuts (bp): ~28/40/30 at both measured scales. */
+  val TercileLoBp = 450
+  val TercileHiBp = 750
+
   // Shared DuckDB fragments (mirror of TextOps)
   private val dkToks = "string_split_regex(trim(text), '\\s+')"
   private def dkHash60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
@@ -756,6 +760,48 @@ object TextQueries {
           expr("greatest(tp + fn, n - tp - fn) * 1000000L div n")
             .as("baseline_ppm"))
         .orderBy(col("keep"), col("pred_keep"))
+    }),
+
+    // Multiclass distillation (t38's lifecycle at k=3): the label is the
+    // stop-ratio TERCILE (cut at 450/750 bp — measured ~28/40/30 split),
+    // so the classifier must order the density spectrum, not just
+    // threshold it — the middle class only wins by BALANCING both
+    // likelihood tails, the regime where multiclass NB genuinely differs
+    // from one-vs-rest. Argmax is a (score DESC, cls ASC) window —
+    // deterministic tie-break, identical in the oracle. Output: full 3×3
+    // confusion + accuracy vs majority baseline. Same scale shape as
+    // t38 (model rows ×k, still vocab-bounded and broadcast).
+    "t39_tercile_distill" -> ((s, d) => {
+      val t = Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val stop = wordSetCount(col("toks"), stopwords) * 10000
+      val lab = t.select(col("doc_id"),
+        when(stop < lit(TercileLoBp) * size(col("toks")), 0)
+          .when(stop < lit(TercileHiBp) * size(col("toks")), 1)
+          .otherwise(2).as("cls"))
+        .localCheckpoint()
+      val tf = t.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val pred = graft.ops.ClassifierOps.nbPredictK(
+        tf.filter(col("doc_id") % 4 =!= 0), lab.filter(col("doc_id") % 4 =!= 0),
+        tf.filter(col("doc_id") % 4 === 0),
+        lab.filter(col("doc_id") % 4 === 0).select(col("doc_id")), k = 3)
+      val conf = pred
+        .join(lab.filter(col("doc_id") % 4 === 0), "doc_id")
+        .groupBy(col("cls"), col("pred_cls"))
+        .agg(count(lit(1)).as("n_docs"))
+      val m = conf.agg(
+        coalesce(sum(when(col("cls") === col("pred_cls"), col("n_docs"))),
+          lit(0L)).as("correct"),
+        sum(col("n_docs")).as("n"))
+      val maj = conf.groupBy(col("cls")).agg(sum(col("n_docs")).as("nt"))
+        .agg(max(col("nt")).as("maj"))
+      conf.crossJoin(broadcast(m)).crossJoin(broadcast(maj))
+        .select(col("cls"), col("pred_cls"), col("n_docs"),
+          expr("correct * 1000000L div n").as("accuracy_ppm"),
+          expr("maj * 1000000L div n").as("baseline_ppm"))
+        .orderBy(col("cls"), col("pred_cls"))
     }),
 
     // Sub-document exact dedup at chunk granularity (registered d24): the
@@ -1489,6 +1535,74 @@ object TextQueries {
          |LEFT JOIN uc ON uc.w2 = sb.w2
          |CROSS JOIN n
          |GROUP BY sb.doc_id ORDER BY sb.doc_id""".stripMargin,
+    "t39_tercile_distill" -> {
+      val fp2 = graft.ops.ClassifierOps.NbFp
+      def lnp(x: String): String = {
+        val lp = s"(length(bin($x)) - 1)"
+        val pw = s"(1::BIGINT << $lp)"
+        s"((($lp - 30) * $fp2 + (($x - $pw) * $fp2) // $pw) * 693147) // $fp2"
+      }
+      s"""WITH t AS (SELECT doc_id, $dkToks AS toks FROM documents),
+         |lab AS (SELECT doc_id,
+         |    CASE WHEN len(list_filter(toks, x -> x IN ${dkWordSet(stopwords)}))
+         |           * 10000 < $TercileLoBp * len(toks) THEN 0
+         |         WHEN len(list_filter(toks, x -> x IN ${dkWordSet(stopwords)}))
+         |           * 10000 < $TercileHiBp * len(toks) THEN 1
+         |         ELSE 2 END AS cls
+         |  FROM t),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+         |classes AS (SELECT 0 AS cls UNION ALL SELECT 1 UNION ALL SELECT 2),
+         |trtf AS (SELECT f.doc_id, l.cls, f.tok, f.tf FROM tf f
+         |         JOIN lab l USING (doc_id) WHERE f.doc_id % 4 <> 0),
+         |cnt AS (SELECT cls, tok, CAST(sum(tf) AS BIGINT) AS cnt FROM trtf
+         |        GROUP BY 1, 2),
+         |tot AS (SELECT c.cls, coalesce(t2.tot, 0) AS tot FROM classes c
+         |        LEFT JOIN (SELECT cls, CAST(sum(tf) AS BIGINT) AS tot
+         |                   FROM trtf GROUP BY cls) t2 USING (cls)),
+         |vocab AS (SELECT count(DISTINCT tok) AS v FROM trtf),
+         |ntr AS (SELECT count(*) AS n FROM lab WHERE doc_id % 4 <> 0),
+         |prior AS (SELECT c.cls, coalesce(p.nc, 0) AS nc FROM classes c
+         |          LEFT JOIN (SELECT cls, count(*) AS nc FROM lab
+         |                     WHERE doc_id % 4 <> 0 GROUP BY 1) p USING (cls)),
+         |prln0 AS (SELECT p.cls, ((p.nc + 1) * $fp2::BIGINT) // (n.n + 3) AS x
+         |          FROM prior p, ntr n),
+         |prln AS (SELECT cls, ${lnp("x")} AS pr_ppm FROM prln0),
+         |tetf AS (SELECT doc_id, tok, tf FROM tf WHERE doc_id % 4 = 0),
+         |sc0 AS (SELECT s.doc_id, c.cls, s.tf,
+         |          ((coalesce(m.cnt, 0) + 1) * $fp2::BIGINT) // (t2.tot + v.v)
+         |            AS x
+         |        FROM tetf s CROSS JOIN classes c
+         |        LEFT JOIN cnt m ON m.cls = c.cls AND m.tok = s.tok
+         |        JOIN tot t2 ON t2.cls = c.cls, vocab v),
+         |sc1 AS (SELECT doc_id, cls,
+         |          CAST(sum(tf * (${lnp("x")})) AS BIGINT) AS ll
+         |        FROM sc0 GROUP BY 1, 2),
+         |scored AS (SELECT d.doc_id, c.cls,
+         |             coalesce(s.ll, 0) + p.pr_ppm AS score
+         |           FROM (SELECT doc_id FROM lab WHERE doc_id % 4 = 0) d
+         |           CROSS JOIN classes c
+         |           LEFT JOIN sc1 s ON s.doc_id = d.doc_id AND s.cls = c.cls
+         |           JOIN prln p ON p.cls = c.cls),
+         |pred AS (SELECT doc_id, cls AS pred_cls FROM (
+         |           SELECT doc_id, cls,
+         |             ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                                ORDER BY score DESC, cls) AS rn
+         |           FROM scored) WHERE rn = 1),
+         |conf AS (SELECT l.cls, p.pred_cls, count(*) AS n_docs
+         |         FROM pred p JOIN lab l USING (doc_id) GROUP BY 1, 2),
+         |m AS (SELECT
+         |        CAST(coalesce(sum(CASE WHEN cls = pred_cls
+         |          THEN n_docs END), 0) AS BIGINT) AS correct,
+         |        CAST(sum(n_docs) AS BIGINT) AS n FROM conf),
+         |maj AS (SELECT CAST(max(nt) AS BIGINT) AS maj FROM (
+         |          SELECT cls, CAST(sum(n_docs) AS BIGINT) AS nt
+         |          FROM conf GROUP BY cls))
+         |SELECT c.cls, c.pred_cls, c.n_docs,
+         |  (m.correct * 1000000) // m.n AS accuracy_ppm,
+         |  (j.maj * 1000000) // m.n AS baseline_ppm
+         |FROM conf c, m, maj j ORDER BY c.cls, c.pred_cls""".stripMargin
+    },
     "t38_quality_distill" -> {
       val fp2 = graft.ops.ClassifierOps.NbFp
       def lnp(x: String): String = {

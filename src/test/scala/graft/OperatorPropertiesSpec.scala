@@ -110,8 +110,9 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       // integer-ln scoring), range planning (md5-decided sample +
       // order-statistic boundaries + literal-probe assignment)
       "d33r_star_residual", "t38_quality_distill", "q91_range_plan",
-      // modularity (integer numerators over order-free count aggs)
-      "d34_modularity")
+      // modularity (integer numerators over order-free count aggs) and
+      // multiclass NB (window argmax under a total (score, cls) order)
+      "d34_modularity", "t39_tercile_distill")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {

@@ -41,6 +41,19 @@ class ClassifierSpec extends SparkSpecBase {
       s"prior-only margin must be ~ln2 in ppm: ${out.head._3}")
   }
 
+  test("k-class argmax routes each dialect to its class; ties break low") {
+    // three disjoint dialects; test doc 14 mixes classes 0 and 2 equally
+    // (same tf, same per-class counts by symmetry) → scores tie → the
+    // (score DESC, cls ASC) window must pick class 0
+    val train = Seq((1L, "x x"), (2L, "y y"), (3L, "z z"))
+    val lab = Seq((1L, 0), (2L, 1), (3L, 2)).toDF("doc_id", "cls")
+    val out = ClassifierOps.nbPredictK(tfOf(train), lab,
+      tfOf(Seq((10L, "x"), (12L, "y"), (13L, "z"), (14L, "x z"))),
+      Seq(10L, 12L, 13L, 14L).toDF("doc_id"), k = 3)
+      .select("doc_id", "pred_cls").as[(Long, Int)].collect().toMap
+    assert(out == Map(10L -> 0, 12L -> 1, 13L -> 2, 14L -> 0))
+  }
+
   test("a class absent from training stays finite and loses") {
     // all training docs are class 0; smoothing keeps class 1 scoreable
     // (no nulls, no division blowup) but it must not win on a vocab doc
