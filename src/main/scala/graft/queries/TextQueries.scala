@@ -38,6 +38,32 @@ object TextQueries {
   val TercileLoBp = 450
   val TercileHiBp = 750
 
+  /** t38b operating points: ±1.5 nats around the argmax threshold. */
+  val SweepThresholdsPpm: Seq[Long] =
+    Seq(-1500000L, -1000000L, -500000L, 0L, 500000L, 1000000L, 1500000L)
+
+  /** t38-family shared pipeline: binary keep label (stop_ratio ≥
+    * [[QualityKeepBp]]), per-doc token tf, and holdout NB predictions
+    * `(doc_id, pred_cls, margin_ppm)`. Label and tf frames are
+    * localCheckpoint'd — each feeds training AND an eval join. */
+  private def nbQualityPredictions(s: SparkSession,
+      d: String): (DataFrame, DataFrame, DataFrame) = {
+    val t = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val lab = t.select(col("doc_id"),
+      when(wordSetCount(col("toks"), stopwords) * 10000
+        >= lit(QualityKeepBp) * size(col("toks")), 1).otherwise(0).as("cls"))
+      .localCheckpoint()
+    val tf = t.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val pred = graft.ops.ClassifierOps.nbPredict(
+      tf.filter(col("doc_id") % 4 =!= 0), lab.filter(col("doc_id") % 4 =!= 0),
+      tf.filter(col("doc_id") % 4 === 0),
+      lab.filter(col("doc_id") % 4 === 0).select(col("doc_id")))
+    (lab, tf, pred)
+  }
+
   // Shared DuckDB fragments (mirror of TextOps)
   private val dkToks = "string_split_regex(trim(text), '\\s+')"
   private def dkHash60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
@@ -727,19 +753,7 @@ object TextQueries {
     // scan ([[graft.ops.ClassifierOps.nbPredict]]) — no gradient loop,
     // no driver state, nothing per-pair.
     "t38_quality_distill" -> ((s, d) => {
-      val t = Tables.fanout(Tables.documents(s, d))
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-      val lab = t.select(col("doc_id"),
-        when(wordSetCount(col("toks"), stopwords) * 10000
-          >= lit(QualityKeepBp) * size(col("toks")), 1).otherwise(0).as("cls"))
-        .localCheckpoint()
-      val tf = t.select(col("doc_id"), explode(col("toks")).as("tok"))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint()
-      val pred = graft.ops.ClassifierOps.nbPredict(
-        tf.filter(col("doc_id") % 4 =!= 0), lab.filter(col("doc_id") % 4 =!= 0),
-        tf.filter(col("doc_id") % 4 === 0),
-        lab.filter(col("doc_id") % 4 === 0).select(col("doc_id")))
+      val (lab, _, pred) = nbQualityPredictions(s, d)
       val conf = pred
         .join(lab.filter(col("doc_id") % 4 === 0), "doc_id")
         .groupBy(col("cls").as("keep"), col("pred_cls").as("pred_keep"))
@@ -760,6 +774,69 @@ object TextQueries {
           expr("greatest(tp + fn, n - tp - fn) * 1000000L div n")
             .as("baseline_ppm"))
         .orderBy(col("keep"), col("pred_keep"))
+    }),
+
+    // Operating-point sweep for the distilled filter (the calibration
+    // step a production gate ships with: argmax is ONE point on the
+    // precision/recall trade-off; shifting the margin threshold buys
+    // precision with recall — this emits the whole curve so the pipeline
+    // owner picks the point matching their contamination budget). Seven
+    // thresholds at ±1.5 nats around 0; per point: kept volume, tp/fp/fn,
+    // precision/recall/F1 in ppm (F1 = 2tp·10⁶ div (2tp+fp+fn), exact
+    // integers). Cost over t38: ONE extra 7-row broadcast — the sweep
+    // reuses the scored margins, it never re-scores the corpus.
+    "t38b_threshold_sweep" -> ((s, d) => {
+      val (lab, _, pred) = nbQualityPredictions(s, d)
+      val thr = s.range(1)
+        .select(explode(typedLit(SweepThresholdsPpm)).as("thr_ppm"))
+      pred.join(lab.filter(col("doc_id") % 4 === 0), "doc_id")
+        .crossJoin(broadcast(thr))
+        .groupBy(col("thr_ppm"))
+        .agg(
+          sum(when(col("margin_ppm") > col("thr_ppm") && col("cls") === 1,
+            1L).otherwise(0L)).as("tp"),
+          sum(when(col("margin_ppm") > col("thr_ppm") && col("cls") === 0,
+            1L).otherwise(0L)).as("fp"),
+          sum(when(col("margin_ppm") <= col("thr_ppm") && col("cls") === 1,
+            1L).otherwise(0L)).as("fn"))
+        .select(col("thr_ppm"), col("tp"), col("fp"), col("fn"),
+          (col("tp") + col("fp")).as("n_keep"),
+          expr("tp * 1000000L div nullif(tp + fp, 0)").as("precision_ppm"),
+          expr("tp * 1000000L div nullif(tp + fn, 0)").as("recall_ppm"),
+          expr("2 * tp * 1000000L div nullif(2 * tp + fp + fn, 0)")
+            .as("f1_ppm"))
+        .orderBy(col("thr_ppm"))
+    }),
+
+    // Disaggregated (sliced) evaluation of the distilled filter — the
+    // fairness/robustness discipline: an aggregate accuracy can hide a
+    // slice the filter systematically fails (a language whose stopword
+    // conventions differ would be silently over-pruned at 100 TB). Per
+    // corpus lang: holdout count, correct count, true keep mass, slice
+    // accuracy, overall accuracy, and the slice-minus-overall delta that
+    // flags the outlier slices. Cost over t38: one broadcast-sized lang
+    // join on the holdout.
+    "t38c_sliced_eval" -> ((s, d) => {
+      val (lab, _, pred) = nbQualityPredictions(s, d)
+      val langs = Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"))
+      val per = pred.join(lab.filter(col("doc_id") % 4 === 0), "doc_id")
+        .join(langs, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cls") === col("pred_cls"), 1L).otherwise(0L))
+            .as("correct"),
+          sum(col("cls").cast("long")).as("n_keep_true"))
+      val ov = per.agg(sum(col("correct")).as("ov_c"),
+        sum(col("n_docs")).as("ov_n"))
+      per.crossJoin(broadcast(ov))
+        .select(col("lang"), col("n_docs"), col("correct"),
+          col("n_keep_true"),
+          expr("correct * 1000000L div n_docs").as("slice_acc_ppm"),
+          expr("ov_c * 1000000L div ov_n").as("overall_acc_ppm"),
+          expr("correct * 1000000L div n_docs - ov_c * 1000000L div ov_n")
+            .as("delta_ppm"))
+        .orderBy(col("lang"))
     }),
 
     // Multiclass distillation (t38's lifecycle at k=3): the label is the
@@ -1010,6 +1087,67 @@ object TextQueries {
        |FROM s, LATERAL (SELECT unnest(sents) AS s,
        |                        generate_subscripts(sents, 1) AS i) u
        |ORDER BY doc_id, sent_idx""".stripMargin
+
+  /** The t36 integer-ln fragment at 2³⁰ base (mirror of
+    * [[graft.ops.ClassifierOps.lnPpmExpr]]). */
+  private def dkLnPpm30(x: String): String = {
+    val fp2 = graft.ops.ClassifierOps.NbFp
+    val lp = s"(length(bin($x)) - 1)"
+    val pw = s"(1::BIGINT << $lp)"
+    s"((($lp - 30) * $fp2 + (($x - $pw) * $fp2) // $pw) * 693147) // $fp2"
+  }
+
+  /** The t38 binary-NB chain through per-holdout-doc margins (CTE `marg`:
+    * doc_id, margin) plus `lab` — shared by t38 (argmax), t38b (threshold
+    * sweep) and t38c (sliced eval). */
+  private val dkNbBinaryCtes: String = {
+    val fp2 = graft.ops.ClassifierOps.NbFp
+    s"""t AS (SELECT doc_id, $dkToks AS toks FROM documents),
+       |lab AS (SELECT doc_id,
+       |    CASE WHEN len(list_filter(toks, x -> x IN ${dkWordSet(stopwords)}))
+       |           * 10000 >= $QualityKeepBp * len(toks)
+       |         THEN 1 ELSE 0 END AS cls
+       |  FROM t),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+       |classes AS (SELECT 0 AS cls UNION ALL SELECT 1),
+       |trtf AS (SELECT f.doc_id, l.cls, f.tok, f.tf FROM tf f
+       |         JOIN lab l USING (doc_id) WHERE f.doc_id % 4 <> 0),
+       |cnt AS (SELECT cls, tok, CAST(sum(tf) AS BIGINT) AS cnt FROM trtf
+       |        GROUP BY 1, 2),
+       |tot AS (SELECT c.cls, coalesce(t2.tot, 0) AS tot FROM classes c
+       |        LEFT JOIN (SELECT cls, CAST(sum(tf) AS BIGINT) AS tot
+       |                   FROM trtf GROUP BY cls) t2 USING (cls)),
+       |vocab AS (SELECT count(DISTINCT tok) AS v FROM trtf),
+       |ntr AS (SELECT count(*) AS n FROM lab WHERE doc_id % 4 <> 0),
+       |prior AS (SELECT c.cls, coalesce(p.nc, 0) AS nc FROM classes c
+       |          LEFT JOIN (SELECT cls, count(*) AS nc FROM lab
+       |                     WHERE doc_id % 4 <> 0 GROUP BY 1) p USING (cls)),
+       |prln0 AS (SELECT p.cls, ((p.nc + 1) * $fp2::BIGINT) // (n.n + 2) AS x
+       |          FROM prior p, ntr n),
+       |prln AS (SELECT cls, ${dkLnPpm30("x")} AS pr_ppm FROM prln0),
+       |tetf AS (SELECT doc_id, tok, tf FROM tf WHERE doc_id % 4 = 0),
+       |sc0 AS (SELECT s.doc_id, c.cls, s.tf,
+       |          ((coalesce(m.cnt, 0) + 1) * $fp2::BIGINT) // (t2.tot + v.v)
+       |            AS x
+       |        FROM tetf s CROSS JOIN classes c
+       |        LEFT JOIN cnt m ON m.cls = c.cls AND m.tok = s.tok
+       |        JOIN tot t2 ON t2.cls = c.cls, vocab v),
+       |sc1 AS (SELECT doc_id, cls,
+       |          CAST(sum(tf * (${dkLnPpm30("x")})) AS BIGINT) AS ll
+       |        FROM sc0 GROUP BY 1, 2),
+       |scored AS (SELECT d.doc_id, c.cls,
+       |             coalesce(s.ll, 0) + p.pr_ppm AS score
+       |           FROM (SELECT doc_id FROM lab WHERE doc_id % 4 = 0) d
+       |           CROSS JOIN classes c
+       |           LEFT JOIN sc1 s ON s.doc_id = d.doc_id AND s.cls = c.cls
+       |           JOIN prln p ON p.cls = c.cls),
+       |marg AS (SELECT doc_id,
+       |           CAST(max(CASE WHEN cls = 1 THEN score END)
+       |             - max(CASE WHEN cls = 0 THEN score END) AS BIGINT)
+       |             AS margin
+       |         FROM scored GROUP BY doc_id)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "t1_token_stats" ->
@@ -1603,58 +1741,11 @@ object TextQueries {
          |  (j.maj * 1000000) // m.n AS baseline_ppm
          |FROM conf c, m, maj j ORDER BY c.cls, c.pred_cls""".stripMargin
     },
-    "t38_quality_distill" -> {
-      val fp2 = graft.ops.ClassifierOps.NbFp
-      def lnp(x: String): String = {
-        val lp = s"(length(bin($x)) - 1)"
-        val pw = s"(1::BIGINT << $lp)"
-        s"((($lp - 30) * $fp2 + (($x - $pw) * $fp2) // $pw) * 693147) // $fp2"
-      }
-      s"""WITH t AS (SELECT doc_id, $dkToks AS toks FROM documents),
-         |lab AS (SELECT doc_id,
-         |    CASE WHEN len(list_filter(toks, x -> x IN ${dkWordSet(stopwords)}))
-         |           * 10000 >= $QualityKeepBp * len(toks)
-         |         THEN 1 ELSE 0 END AS cls
-         |  FROM t),
-         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM (
-         |    SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
-         |classes AS (SELECT 0 AS cls UNION ALL SELECT 1),
-         |trtf AS (SELECT f.doc_id, l.cls, f.tok, f.tf FROM tf f
-         |         JOIN lab l USING (doc_id) WHERE f.doc_id % 4 <> 0),
-         |cnt AS (SELECT cls, tok, CAST(sum(tf) AS BIGINT) AS cnt FROM trtf
-         |        GROUP BY 1, 2),
-         |tot AS (SELECT c.cls, coalesce(t2.tot, 0) AS tot FROM classes c
-         |        LEFT JOIN (SELECT cls, CAST(sum(tf) AS BIGINT) AS tot
-         |                   FROM trtf GROUP BY cls) t2 USING (cls)),
-         |vocab AS (SELECT count(DISTINCT tok) AS v FROM trtf),
-         |ntr AS (SELECT count(*) AS n FROM lab WHERE doc_id % 4 <> 0),
-         |prior AS (SELECT c.cls, coalesce(p.nc, 0) AS nc FROM classes c
-         |          LEFT JOIN (SELECT cls, count(*) AS nc FROM lab
-         |                     WHERE doc_id % 4 <> 0 GROUP BY 1) p USING (cls)),
-         |prln0 AS (SELECT p.cls, ((p.nc + 1) * $fp2::BIGINT) // (n.n + 2) AS x
-         |          FROM prior p, ntr n),
-         |prln AS (SELECT cls, ${lnp("x")} AS pr_ppm FROM prln0),
-         |tetf AS (SELECT doc_id, tok, tf FROM tf WHERE doc_id % 4 = 0),
-         |sc0 AS (SELECT s.doc_id, c.cls, s.tf,
-         |          ((coalesce(m.cnt, 0) + 1) * $fp2::BIGINT) // (t2.tot + v.v)
-         |            AS x
-         |        FROM tetf s CROSS JOIN classes c
-         |        LEFT JOIN cnt m ON m.cls = c.cls AND m.tok = s.tok
-         |        JOIN tot t2 ON t2.cls = c.cls, vocab v),
-         |sc1 AS (SELECT doc_id, cls,
-         |          CAST(sum(tf * (${lnp("x")})) AS BIGINT) AS ll
-         |        FROM sc0 GROUP BY 1, 2),
-         |scored AS (SELECT d.doc_id, c.cls,
-         |             coalesce(s.ll, 0) + p.pr_ppm AS score
-         |           FROM (SELECT doc_id FROM lab WHERE doc_id % 4 = 0) d
-         |           CROSS JOIN classes c
-         |           LEFT JOIN sc1 s ON s.doc_id = d.doc_id AND s.cls = c.cls
-         |           JOIN prln p ON p.cls = c.cls),
+    "t38_quality_distill" ->
+      s"""WITH $dkNbBinaryCtes,
          |pred AS (SELECT doc_id,
-         |           CASE WHEN max(CASE WHEN cls = 1 THEN score END)
-         |                   > max(CASE WHEN cls = 0 THEN score END)
-         |                THEN 1 ELSE 0 END AS pred_keep
-         |         FROM scored GROUP BY doc_id),
+         |           CASE WHEN margin > 0 THEN 1 ELSE 0 END AS pred_keep
+         |         FROM marg),
          |conf AS (SELECT l.cls AS keep, p.pred_keep, count(*) AS n_docs
          |         FROM pred p JOIN lab l USING (doc_id) GROUP BY 1, 2),
          |m AS (SELECT
@@ -1671,8 +1762,46 @@ object TextQueries {
          |  ((m.n - m.fp - m.fn) * 1000000) // m.n AS accuracy_ppm,
          |  (greatest(m.tp + m.fn, m.n - m.tp - m.fn) * 1000000) // m.n
          |    AS baseline_ppm
-         |FROM conf c, m ORDER BY c.keep, c.pred_keep""".stripMargin
-    },
+         |FROM conf c, m ORDER BY c.keep, c.pred_keep""".stripMargin,
+    "t38b_threshold_sweep" ->
+      s"""WITH $dkNbBinaryCtes,
+         |thr AS (SELECT unnest([${SweepThresholdsPpm.mkString(", ")}])
+         |          AS thr_ppm),
+         |sw AS (SELECT t.thr_ppm,
+         |    CAST(sum(CASE WHEN m.margin > t.thr_ppm AND l.cls = 1
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN m.margin > t.thr_ppm AND l.cls = 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN m.margin <= t.thr_ppm AND l.cls = 1
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM marg m JOIN lab l USING (doc_id) CROSS JOIN thr t
+         |  GROUP BY t.thr_ppm)
+         |SELECT thr_ppm, tp, fp, fn, tp + fp AS n_keep,
+         |  (tp * 1000000) // NULLIF(tp + fp, 0) AS precision_ppm,
+         |  (tp * 1000000) // NULLIF(tp + fn, 0) AS recall_ppm,
+         |  (2 * tp * 1000000) // NULLIF(2 * tp + fp + fn, 0) AS f1_ppm
+         |FROM sw ORDER BY thr_ppm""".stripMargin,
+    "t38c_sliced_eval" ->
+      s"""WITH $dkNbBinaryCtes,
+         |pred AS (SELECT doc_id,
+         |           CASE WHEN margin > 0 THEN 1 ELSE 0 END AS pred_keep
+         |         FROM marg),
+         |sl AS (SELECT d.lang, l.cls, p.pred_keep
+         |       FROM pred p JOIN lab l USING (doc_id)
+         |       JOIN documents d USING (doc_id)),
+         |per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |          CAST(sum(CASE WHEN cls = pred_keep THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS correct,
+         |          CAST(sum(cls) AS BIGINT) AS n_keep_true
+         |        FROM sl GROUP BY lang),
+         |ov AS (SELECT CAST(sum(correct) AS BIGINT) AS c,
+         |              CAST(sum(n_docs) AS BIGINT) AS n FROM per)
+         |SELECT p.lang, p.n_docs, p.correct, p.n_keep_true,
+         |  (p.correct * 1000000) // p.n_docs AS slice_acc_ppm,
+         |  (ov.c * 1000000) // ov.n AS overall_acc_ppm,
+         |  (p.correct * 1000000) // p.n_docs
+         |    - (ov.c * 1000000) // ov.n AS delta_ppm
+         |FROM per p, ov ORDER BY p.lang""".stripMargin,
     "t36_bm25" ->
       s"""WITH docs AS (
          |  SELECT doc_id, $dkToks AS toks FROM documents),

@@ -112,7 +112,9 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       "d33r_star_residual", "t38_quality_distill", "q91_range_plan",
       // modularity (integer numerators over order-free count aggs) and
       // multiclass NB (window argmax under a total (score, cls) order)
-      "d34_modularity", "t39_tercile_distill")
+      "d34_modularity", "t39_tercile_distill",
+      // threshold sweep + sliced eval (count aggs over scored margins)
+      "t38b_threshold_sweep", "t38c_sliced_eval")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {
