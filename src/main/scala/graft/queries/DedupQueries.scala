@@ -847,6 +847,37 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental connected-components maintenance (IVM for graphs, the
+    // q77/q90 delta discipline applied to d7's component map): 80% of
+    // the pair graph plays "yesterday's corpus" — its components are
+    // collapsed ONCE to a star forest — and the remaining 20% arrives as
+    // the delta. The refresh runs star-CC over (star forest ∪ Δ): a star
+    // forest preserves its graph's connectivity exactly and roots are
+    // component minima, so the merged fixpoint equals the full
+    // recomputation — proven by the oracle, which is d7's closure over
+    // ALL pairs (the third independent path to the same bytes, after d7
+    // and d33). The 100 TB point: refresh cost is ∝ (#non-singleton
+    // docs + |Δ|) edges, never |E_old| — yesterday's 2.15M-edge join is
+    // NOT re-run; in production the star forest is the parquet you
+    // persist between corpus drops.
+    "d35_cc_incremental" -> ((s, d) => {
+      val df = docs(s, d).withColumn("hs", tokenHashes(tokens(col("text"))))
+      val pairs = simhashPairs(simhashBands(df, simhash32(col("hs"))), MaxHamming)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val splitH = graft.ops.TextOps.hash60(
+        concat(col("doc_a").cast("string"), lit("_"),
+          col("doc_b").cast("string"))) % 5
+      val base = starComponents(pairs.filter(splitH =!= 0),
+        docs(s, d).select(col("doc_id")), uncheckedRounds = 2)
+      val starEdges = base.filter(col("canon_id") =!= col("doc_id"))
+        .select(col("doc_id").as("doc_a"), col("canon_id").as("doc_b"))
+      starComponents(
+          starEdges.union(pairs.filter(splitH === 0)
+            .select(col("doc_a"), col("doc_b"))),
+          docs(s, d).select(col("doc_id")), uncheckedRounds = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // Modularity scoring of the LPA communities (Newman & Girvan 2004,
     // Q = Σ_c [e_c/m − (d_c/2m)²]) — the "measure your own clustering"
     // discipline (d19/n12/q74) applied to d29r: did label propagation
@@ -1917,8 +1948,10 @@ object DedupQueries {
     "d29_label_propagation" -> dkLabelPropagation,
     "d6_dedup_groups" -> dkDedupGroups,
     "d7_simhash_groups" -> dkSimhashGroups,
-    // two independent CC algorithms, one truth: d33's oracle is d7's SQL
+    // two independent CC algorithms, one truth: d33's oracle is d7's SQL;
+    // d35's incremental refresh must land on the same bytes too
     "d33_star_components" -> dkSimhashGroups,
+    "d35_cc_incremental" -> dkSimhashGroups,
     "d33r_star_residual" ->
       s"""WITH RECURSIVE $dkClassCtes,
          |edges AS (

@@ -2401,6 +2401,42 @@ object RelationalQueries {
           round(col("pmin"), 2).as("vmin"), round(col("pmax"), 2).as("vmax"),
           expr(s"cnt * $P * 10000 div n").as("x_avg_bp"))
         .orderBy(col("pid"))
+    }),
+
+    // Two-stage cluster-sampling audit (survey-sampling at the petabyte:
+    // estimate a 100 TB table's total WITHOUT scanning it — sample 1-in-4
+    // storage blocks, then 1-in-2 rows inside each sampled block, and
+    // scale by the Horvitz-Thompson inverse inclusion probability ×8.
+    // Block = l_orderkey div 32 stands in for the file/row-group unit a
+    // real audit prunes on (only sampled blocks are ever read — the
+    // outer predicate is a pure function of the block id, so it pushes
+    // into partition/file pruning). Money moves as EXACT integer
+    // deci-cents (price → DECIMAL(18,4) → ×10⁴ → BIGINT), so estimate
+    // and truth are bit-stable in any summation order. The full-scan
+    // true total rides along as the self-eval (err_bp) — the readout
+    // you drop at scale, where the whole point is not reading 75% of
+    // the blocks.
+    "q92_block_audit" -> ((s, d) => {
+      val li = Tables.fanout(Tables.lineitem(s, d))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)")
+            .as("dc"),
+          expr("l_orderkey div 32").as("blk"))
+      val sampled = li
+        .filter(graft.ops.TextOps.hash60(
+          concat(lit("blk|"), col("blk").cast("string"))) % 4 === 0)
+        .filter(graft.ops.TextOps.hash60(
+          concat(lit("row|"), col("l_orderkey").cast("string"), lit("_"),
+            col("l_linenumber").cast("string"))) % 2 === 0)
+      val est = sampled.agg(count(lit(1)).as("n_rows_sampled"),
+        (sum(col("dc")) * 8).as("est_dc"))
+      val truth = li.agg(count(lit(1)).as("n_rows"),
+        sum(col("dc")).as("true_dc"),
+        countDistinct(col("blk")).as("n_blocks"))
+      est.crossJoin(broadcast(truth))
+        .select(col("n_blocks"), col("n_rows"), col("n_rows_sampled"),
+          col("est_dc"), col("true_dc"),
+          expr("abs(est_dc - true_dc) * 10000 div true_dc").as("err_bp"))
     })
   )
 
@@ -3813,6 +3849,29 @@ object RelationalQueries {
         |SELECT pid, CAST(count(*) AS BIGINT) AS cnt,
         |  round(min(v), 2) AS vmin, round(max(v), 2) AS vmax,
         |  (CAST(count(*) AS BIGINT) * 32 * 10000) // t.n AS x_avg_bp
-        |FROM asg, tot t GROUP BY pid, t.n ORDER BY pid""".stripMargin
+        |FROM asg, tot t GROUP BY pid, t.n ORDER BY pid""".stripMargin,
+    "q92_block_audit" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+        |      AS dc,
+        |    l_orderkey // 32 AS blk
+        |  FROM lineitem),
+        |smp AS (
+        |  SELECT * FROM li
+        |  WHERE ('0x' || substr(md5('blk|' || blk), 1, 15))::BIGINT % 4 = 0
+        |    AND ('0x' || substr(md5('row|' || l_orderkey || '_'
+        |          || l_linenumber), 1, 15))::BIGINT % 2 = 0),
+        |est AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows_sampled,
+        |         CAST(sum(dc) * 8 AS BIGINT) AS est_dc FROM smp),
+        |tr AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |         CAST(sum(dc) AS BIGINT) AS true_dc,
+        |         CAST(count(DISTINCT blk) AS BIGINT) AS n_blocks FROM li)
+        |SELECT tr.n_blocks, tr.n_rows, est.n_rows_sampled,
+        |  est.est_dc, tr.true_dc,
+        |  abs(est.est_dc - tr.true_dc) * 10000 // tr.true_dc AS err_bp
+        |FROM est, tr""".stripMargin
   )
 }

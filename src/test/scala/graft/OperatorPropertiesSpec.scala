@@ -114,7 +114,9 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       // multiclass NB (window argmax under a total (score, cls) order)
       "d34_modularity", "t39_tercile_distill",
       // threshold sweep + sliced eval (count aggs over scored margins)
-      "t38b_threshold_sweep", "t38c_sliced_eval")
+      "t38b_threshold_sweep", "t38c_sliced_eval",
+      // block audit (md5-decided two-stage sample, integer deci-cents)
+      "q92_block_audit")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {

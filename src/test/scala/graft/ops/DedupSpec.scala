@@ -126,6 +126,31 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("incremental CC: star forest of old edges ∪ delta ≡ full recompute") {
+    // the d35 identity on seeded random graphs: collapsing any subset of
+    // the edges to its star forest before adding the rest must not
+    // change the final component map
+    import scala.util.Random
+    val rnd = new Random(20260815L)
+    (1 to 3).foreach { trial =>
+      val n = 25
+      val all = (0 until 50).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      val nodes = (0L until n.toLong).toDF("doc_id")
+      val (old, delta) = all.splitAt(all.length * 4 / 5)
+      val full = starComponents(all.toDF("doc_a", "doc_b"), nodes)
+        .as[(Long, Long)].collect().toMap
+      val base = starComponents(old.toDF("doc_a", "doc_b"), nodes)
+        .as[(Long, Long)].collect()
+      val starEdges = base.filter(p => p._1 != p._2)
+      val inc = starComponents(
+        (starEdges.toSeq ++ delta).toDF("doc_a", "doc_b"), nodes)
+        .as[(Long, Long)].collect().toMap
+      assert(inc == full, s"trial $trial: incremental != full recompute")
+    }
+  }
+
   test("weighted jaccard: repetition breaks the set-score blindness") {
     // doc 10 = one copy of "a b c", doc 11 = the same three tokens with "a"
     // repeated 4×. SET Jaccard of their token sets is 1.0 (identical
