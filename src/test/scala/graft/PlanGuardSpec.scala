@@ -132,6 +132,31 @@ class PlanGuardSpec extends SparkSpecBase {
       s"q56 funnel steps must broadcast the per-user step tables:\n$funnel")
   }
 
+  test("t38 broadcasts the NB model into the token scan") {
+    // The distillation serving contract: the vocab-bounded model tables
+    // (per-(cls,tok) likelihoods + per-class constants) broadcast — a
+    // sort-merge join on tok would shuffle the whole corpus token list
+    // to meet a dictionary.
+    val p = planOf("t38_quality_distill")
+    assert(p.contains("BroadcastHashJoin"),
+      s"t38 must broadcast the model:\n$p")
+    assert("SortMergeJoin \\[[^\\]]*tok".r.findFirstIn(p).isEmpty,
+      s"t38's token-scoring join fell back to sort-merge:\n$p")
+  }
+
+  test("q91 never sorts or windows the full table") {
+    // The range planner's contract: the ONLY sort is the sample's
+    // (executed while building the boundary literals, outside this
+    // plan); the full-table pass is scan → literal-probe pid → combinable
+    // agg. A Window or sort-merge join here means the planner degraded
+    // into the global sort it exists to avoid.
+    val p = planOf("q91_range_plan")
+    assert(!p.contains("Window"),
+      s"q91's full-table pass must not window:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"q91's full-table pass must not join-sort:\n$p")
+  }
+
   test("parquet scans prune to the referenced columns") {
     // s4 projects 2 of part's 9 columns; the scan must read only those.
     val p = planOf("s4_array_index")
