@@ -839,6 +839,40 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // Rank fidelity of the distillation (how well does the STUDENT's
+    // continuous margin preserve the TEACHER's ordering, not just its
+    // binary cut): Spearman-style rank agreement between the NB margin
+    // and the stop-ratio signal over the holdout, on a TOTAL order
+    // (ties broken by doc_id on both sides — textbook Spearman's
+    // tied-rank averaging would need non-integer ranks; the tie-broken
+    // form is deterministic and equal to it in the untied limit).
+    // ρ_ppm = 10⁶ − 6·Σd²·10⁶ div n(n²−1), exact BIGINTs (Σd² < n³/3 —
+    // overflow at n ≈ 2M holdout docs; past that, rank on a q91-style
+    // range partition and widen to DECIMAL). The two rank windows sort
+    // only the HOLDOUT (per-fold sample, not the corpus).
+    "t38d_rank_fidelity" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val ratio = t.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"),
+          wordSetCount(col("toks"), stopwords).as("ns"),
+          size(col("toks")).cast("long").as("nt"))
+        .select(col("doc_id"), expr("ns * 10000 div nt").as("teacher_bp"))
+      val (_, _, pred) = nbQualityPredictions(s, d)
+      val ranked = pred.join(ratio, "doc_id")
+        .withColumn("rank_student", row_number().over(
+          Window.orderBy(col("margin_ppm"), col("doc_id"))))
+        .withColumn("rank_teacher", row_number().over(
+          Window.orderBy(col("teacher_bp"), col("doc_id"))))
+        .withColumn("d", col("rank_student") - col("rank_teacher"))
+      ranked.agg(count(lit(1)).as("n"),
+          sum(col("d") * col("d")).as("sum_d2"))
+        .select(col("n"), col("sum_d2"),
+          expr("1000000L - 6 * sum_d2 * 1000000L div (n * (n * n - 1))")
+            .as("rho_ppm"))
+    }),
+
     // Multiclass distillation (t38's lifecycle at k=3): the label is the
     // stop-ratio TERCILE (cut at 450/750 bp — measured ~28/40/30 split),
     // so the classifier must order the density spectrum, not just
@@ -1763,6 +1797,28 @@ object TextQueries {
          |  (greatest(m.tp + m.fn, m.n - m.tp - m.fn) * 1000000) // m.n
          |    AS baseline_ppm
          |FROM conf c, m ORDER BY c.keep, c.pred_keep""".stripMargin,
+    "t38d_rank_fidelity" ->
+      s"""WITH $dkNbBinaryCtes,
+         |ratio AS (
+         |  SELECT doc_id,
+         |    (len(list_filter(toks, x -> x IN ${dkWordSet(stopwords)}))
+         |       * 10000) // len(toks) AS teacher_bp
+         |  FROM t WHERE doc_id % 4 = 0),
+         |rk AS (
+         |  SELECT m.doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY m.margin, m.doc_id)
+         |      AS rank_student,
+         |    ROW_NUMBER() OVER (ORDER BY r.teacher_bp, r.doc_id)
+         |      AS rank_teacher
+         |  FROM marg m JOIN ratio r USING (doc_id)),
+         |agg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum((rank_student - rank_teacher)
+         |      * (rank_student - rank_teacher)) AS BIGINT) AS sum_d2
+         |  FROM rk)
+         |SELECT n, sum_d2,
+         |  1000000 - (6 * sum_d2 * 1000000) // (n * (n * n - 1)) AS rho_ppm
+         |FROM agg""".stripMargin,
     "t38b_threshold_sweep" ->
       s"""WITH $dkNbBinaryCtes,
          |thr AS (SELECT unnest([${SweepThresholdsPpm.mkString(", ")}])

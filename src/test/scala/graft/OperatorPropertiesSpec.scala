@@ -116,7 +116,8 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       // threshold sweep + sliced eval (count aggs over scored margins)
       "t38b_threshold_sweep", "t38c_sliced_eval",
       // block audit (md5-decided two-stage sample, integer deci-cents)
-      "q92_block_audit")
+      // and rank fidelity (total-order ranks over scored margins)
+      "q92_block_audit", "t38d_rank_fidelity")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {
