@@ -99,7 +99,7 @@ object Bench {
     "n14_ivfpq", "n14b_ivfpq_residual", "n15_ivfpq_serve", "n15b_index_stats",
     "n16_rrf_fusion", "n16b_rrf_onepass",
     "n17_matryoshka_recall", "n18_binary_ann", "n18b_binary_rerank",
-    "n19_filtered_ann", "n20_mmr_rerank",
+    "n19_filtered_ann", "n20_mmr_rerank", "n21_nprobe_sweep",
     "m1_binary_meta", "m2_frame_windows", "m3_decode_features",
     "m4_patch_dedup", "m5_shared_patches", "m6_crossmodal_retrieval",
     "m7_modality_mix")

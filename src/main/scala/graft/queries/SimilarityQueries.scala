@@ -18,6 +18,8 @@ object SimilarityQueries {
 
   val K = 10
   val NumQueries = 8       // query set = vec_id < 8
+  /** n21 sweep points: probe depths of the 8-list label index. */
+  val NprobeSweep: Seq[Long] = Seq(1L, 2L, 4L)
   val NearDupTau = 0.9
   val KmK = 8              // k-means clusters
   val KmIters = 2          // fixed Lloyd iterations (unrolled in the oracle)
@@ -137,6 +139,68 @@ object SimilarityQueries {
         .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
         .withColumn("recall_bp", expr(s"(n_hit * 10000) div $K"))
         .orderBy(col("query_id"))
+    }),
+
+    // IVF tuning curve (the recall-vs-cost sweep FAISS users plot before
+    // fixing nprobe — t38b's operating-point discipline applied to the
+    // index): candidates are scored ONCE against the maximum probe depth
+    // with their list's probe rank attached, then each sweep point
+    // np ∈ {1,2,4} re-ranks the pr ≤ np subset — one corpus pass, three
+    // operating points. Per point: candidate volume, exact-truth hits,
+    // recall@K bp, and the corpus share scanned per query (the cost
+    // axis). Scale: the probe frame (≤ queries × maxNp rows) broadcasts
+    // into the list-pruned candidate scan exactly like n5/n14; the sweep
+    // multiplies only the RANKING of already-scored rows, never the
+    // scan.
+    "n21_nprobe_sweep" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = vecs(s, d).join(
+        Tables.embeddings(s, d).select(col("vec_id").as("id"), col("label")),
+        "id").withColumnRenamed("label", "list_id")
+      val cents = exactCentroids(v)
+      val q = v.filter(col("id") < NumQueries)
+        .select(col("id").as("query_id"), col("emb").as("q_emb"),
+          norm2(col("emb")).as("q_n2"))
+      val probeW = Window.partitionBy(col("query_id"))
+        .orderBy(col("c_cos").desc, col("list_id"))
+      val probes = q.crossJoin(broadcast(cents))
+        .withColumn("c_cos", graft.functions.VectorExpressions.cosine_sim(
+          col("q_emb"), col("centroid")))
+        .withColumn("pr", row_number().over(probeW))
+        .filter(col("pr") <= NprobeSweep.max)
+        .select(col("query_id"), col("q_emb"), col("q_n2"),
+          col("list_id"), col("pr"))
+      val c = v.select(col("id").as("neighbor_id"), col("emb").as("c_emb"),
+        norm2(col("emb")).as("c_n2"), col("list_id").as("c_list"))
+      val scored = c.join(broadcast(probes),
+          col("c_list") === col("list_id") &&
+            col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", cosine(dot(col("q_emb"), col("c_emb")),
+          col("q_n2"), col("c_n2")))
+        .select(col("query_id"), col("pr"), col("neighbor_id"), col("cos"))
+        .localCheckpoint() // three readers: ranking, hits, volumes
+      val sweep = s.range(1).select(explode(typedLit(NprobeSweep)).as("np"))
+      val rw = Window.partitionBy(col("query_id"), col("np"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val appr = scored.join(broadcast(sweep), col("pr") <= col("np"))
+        .withColumn("rank", row_number().over(rw))
+        .filter(col("rank") <= K)
+        .select(col("np"), col("query_id"), col("neighbor_id"))
+      val exact = bruteForceTopK(v.filter(col("id") < NumQueries), v, K)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = appr.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy(col("np")).agg(count(lit(1)).as("total_hits"))
+      val cand = scored.join(broadcast(sweep), col("pr") <= col("np"))
+        .groupBy(col("np")).agg(count(lit(1)).as("n_candidates"))
+      val corp = v.agg(count(lit(1)).as("n_corpus"))
+      cand.join(hits, Seq("np"), "left")
+        .withColumn("total_hits", coalesce(col("total_hits"), lit(0L)))
+        .crossJoin(broadcast(corp))
+        .select(col("np"), col("n_candidates"), col("total_hits"),
+          expr(s"total_hits * 10000 div ($K * $NumQueries)").as("recall_bp"),
+          expr(s"n_candidates * 10000 div ($NumQueries * n_corpus)")
+            .as("scan_share_bp"))
+        .orderBy(col("np"))
     }),
 
     // Embedding cosine near-duplicate pairs (exact all-pairs ground truth).
@@ -1665,6 +1729,89 @@ object SimilarityQueries {
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_sim
          |FROM ranked WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    "n21_nprobe_sweep" ->
+      s"""WITH v AS (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+         |         label AS list_id
+         |  FROM embeddings),
+         |e AS (
+         |  SELECT label AS list_id, u.dim - 1 AS dim, CAST(u.x AS DOUBLE) AS x
+         |  FROM embeddings,
+         |    LATERAL (SELECT unnest(embedding) AS x,
+         |                    generate_subscripts(embedding, 1) AS dim) u),
+         |cd AS (
+         |  SELECT list_id, dim,
+         |    CAST(SUM(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS c
+         |  FROM e GROUP BY list_id, dim),
+         |cent AS (
+         |  SELECT list_id, list(c ORDER BY dim) AS centroid FROM cd GROUP BY list_id),
+         |probe_scored AS (
+         |  SELECT q.id AS query_id, q.emb AS q_emb, ct.list_id,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(generate_series(1, len(q.emb)),
+         |        i -> q.emb[i] * ct.centroid[i])), (x, y) -> x + y)
+         |    / sqrt(
+         |      list_reduce(list_prepend(0.0::DOUBLE,
+         |        list_transform(q.emb, z -> z * z)), (p, r) -> p + r)
+         |      * list_reduce(list_prepend(0.0::DOUBLE,
+         |        list_transform(ct.centroid, z -> z * z)), (p, r) -> p + r)) AS c_cos
+         |  FROM v q, cent ct WHERE q.id < $NumQueries),
+         |pr AS (
+         |  SELECT query_id, q_emb, list_id, pr FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY c_cos DESC, list_id) AS pr
+         |    FROM probe_scored) WHERE pr <= ${NprobeSweep.max}),
+         |scored AS (
+         |  SELECT p.query_id, p.pr, c.id AS neighbor_id,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(generate_series(1, len(p.q_emb)),
+         |        i -> p.q_emb[i] * c.emb[i])), (x, y) -> x + y)
+         |    / sqrt(
+         |      list_reduce(list_prepend(0.0::DOUBLE,
+         |        list_transform(p.q_emb, z -> z * z)), (pp, rr) -> pp + rr)
+         |      * list_reduce(list_prepend(0.0::DOUBLE,
+         |        list_transform(c.emb, z -> z * z)), (pp, rr) -> pp + rr)) AS cos
+         |  FROM pr p JOIN v c ON c.list_id = p.list_id AND c.id <> p.query_id),
+         |ex_scored AS (
+         |  SELECT q.id AS query_id, c.id AS neighbor_id,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(generate_series(1, len(q.emb)),
+         |        i -> q.emb[i] * c.emb[i])), (x, y) -> x + y)
+         |    / sqrt(
+         |      list_reduce(list_prepend(0.0::DOUBLE,
+         |        list_transform(q.emb, z -> z * z)), (pp, rr) -> pp + rr)
+         |      * list_reduce(list_prepend(0.0::DOUBLE,
+         |        list_transform(c.emb, z -> z * z)), (pp, rr) -> pp + rr)) AS cos
+         |  FROM v q JOIN v c ON c.id <> q.id WHERE q.id < $NumQueries),
+         |ex AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank FROM ex_scored)
+         |  WHERE rank <= $K),
+         |sweep AS (SELECT unnest([${NprobeSweep.mkString(", ")}]) AS np),
+         |appr AS (
+         |  SELECT np, query_id, neighbor_id FROM (
+         |    SELECT w.np, s.query_id, s.neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY s.query_id, w.np
+         |        ORDER BY s.cos DESC, s.neighbor_id) AS rank
+         |    FROM scored s JOIN sweep w ON s.pr <= w.np)
+         |  WHERE rank <= $K),
+         |hits AS (
+         |  SELECT a.np, CAST(count(*) AS BIGINT) AS total_hits
+         |  FROM appr a JOIN ex USING (query_id, neighbor_id) GROUP BY a.np),
+         |cand AS (
+         |  SELECT w.np, CAST(count(*) AS BIGINT) AS n_candidates
+         |  FROM scored s JOIN sweep w ON s.pr <= w.np GROUP BY w.np),
+         |corp AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM v)
+         |SELECT c.np, c.n_candidates,
+         |  coalesce(h.total_hits, 0) AS total_hits,
+         |  coalesce(h.total_hits, 0) * 10000 // ($K * $NumQueries)
+         |    AS recall_bp,
+         |  c.n_candidates * 10000 // ($NumQueries * corp.n_corpus)
+         |    AS scan_share_bp
+         |FROM cand c LEFT JOIN hits h USING (np), corp
+         |ORDER BY c.np""".stripMargin,
     "n4_label_centroids" ->
       """WITH e AS (
         |  SELECT label, u.dim - 1 AS dim, CAST(u.x AS DOUBLE) AS x

@@ -117,7 +117,10 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       "t38b_threshold_sweep", "t38c_sliced_eval",
       // block audit (md5-decided two-stage sample, integer deci-cents)
       // and rank fidelity (total-order ranks over scored margins)
-      "q92_block_audit", "t38d_rank_fidelity")
+      "q92_block_audit", "t38d_rank_fidelity",
+      // nprobe sweep (one scored pass re-ranked per sweep point under a
+      // total (cos, id) order; IEEE-identical folds)
+      "n21_nprobe_sweep")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {
