@@ -100,6 +100,7 @@ object Bench {
     "n16_rrf_fusion", "n16b_rrf_onepass",
     "n17_matryoshka_recall", "n18_binary_ann", "n18b_binary_rerank",
     "n19_filtered_ann", "n20_mmr_rerank", "n21_nprobe_sweep",
+    "n21b_nprobe_trained",
     "m1_binary_meta", "m2_frame_windows", "m3_decode_features",
     "m4_patch_dedup", "m5_shared_patches", "m6_crossmodal_retrieval",
     "m7_modality_mix")

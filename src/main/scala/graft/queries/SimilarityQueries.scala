@@ -203,6 +203,64 @@ object SimilarityQueries {
         .orderBy(col("np"))
     }),
 
+    // n21 on the TRAINED index (n7's k-means lists instead of n5's label
+    // partitions) — the pair completes the diagnostic: the label index
+    // sweeps at recall ≈ scan share (quantizer uninformative), the
+    // trained quantizer must clear that diagonal or the training wasn't
+    // worth the Lloyd passes. Same one-pass three-point sweep machinery.
+    "n21b_nprobe_trained" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val v0 = vecs(s, d)
+      val (cents, assigned) = kmeansFit(v0, KmK, KmIters)
+      val v = v0.join(assigned.select(col("id"), col("cluster").as("list_id")),
+        "id")
+      val centroids = cents.select(col("cid").as("list_id"),
+        col("cent").as("centroid"))
+      val q = v.filter(col("id") < NumQueries)
+        .select(col("id").as("query_id"), col("emb").as("q_emb"),
+          norm2(col("emb")).as("q_n2"))
+      val probeW = Window.partitionBy(col("query_id"))
+        .orderBy(col("c_cos").desc, col("list_id"))
+      val probes = q.crossJoin(broadcast(centroids))
+        .withColumn("c_cos", graft.functions.VectorExpressions.cosine_sim(
+          col("q_emb"), col("centroid")))
+        .withColumn("pr", row_number().over(probeW))
+        .filter(col("pr") <= NprobeSweep.max)
+        .select(col("query_id"), col("q_emb"), col("q_n2"),
+          col("list_id"), col("pr"))
+      val c = v.select(col("id").as("neighbor_id"), col("emb").as("c_emb"),
+        norm2(col("emb")).as("c_n2"), col("list_id").as("c_list"))
+      val scored = c.join(broadcast(probes),
+          col("c_list") === col("list_id") &&
+            col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", cosine(dot(col("q_emb"), col("c_emb")),
+          col("q_n2"), col("c_n2")))
+        .select(col("query_id"), col("pr"), col("neighbor_id"), col("cos"))
+        .localCheckpoint()
+      val sweep = s.range(1).select(explode(typedLit(NprobeSweep)).as("np"))
+      val rw = Window.partitionBy(col("query_id"), col("np"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val appr = scored.join(broadcast(sweep), col("pr") <= col("np"))
+        .withColumn("rank", row_number().over(rw))
+        .filter(col("rank") <= K)
+        .select(col("np"), col("query_id"), col("neighbor_id"))
+      val exact = bruteForceTopK(v0.filter(col("id") < NumQueries), v0, K)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = appr.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy(col("np")).agg(count(lit(1)).as("total_hits"))
+      val cand = scored.join(broadcast(sweep), col("pr") <= col("np"))
+        .groupBy(col("np")).agg(count(lit(1)).as("n_candidates"))
+      val corp = v0.agg(count(lit(1)).as("n_corpus"))
+      cand.join(hits, Seq("np"), "left")
+        .withColumn("total_hits", coalesce(col("total_hits"), lit(0L)))
+        .crossJoin(broadcast(corp))
+        .select(col("np"), col("n_candidates"), col("total_hits"),
+          expr(s"total_hits * 10000 div ($K * $NumQueries)").as("recall_bp"),
+          expr(s"n_candidates * 10000 div ($NumQueries * n_corpus)")
+            .as("scan_share_bp"))
+        .orderBy(col("np"))
+    }),
+
     // Embedding cosine near-duplicate pairs (exact all-pairs ground truth).
     "n3_embedding_neardup" -> ((s, d) => {
       cosineNearDupPairs(vecs(s, d), NearDupTau)
@@ -1783,6 +1841,58 @@ object SimilarityQueries {
          |        list_transform(q.emb, z -> z * z)), (pp, rr) -> pp + rr)
          |      * list_reduce(list_prepend(0.0::DOUBLE,
          |        list_transform(c.emb, z -> z * z)), (pp, rr) -> pp + rr)) AS cos
+         |  FROM v q JOIN v c ON c.id <> q.id WHERE q.id < $NumQueries),
+         |ex AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank FROM ex_scored)
+         |  WHERE rank <= $K),
+         |sweep AS (SELECT unnest([${NprobeSweep.mkString(", ")}]) AS np),
+         |appr AS (
+         |  SELECT np, query_id, neighbor_id FROM (
+         |    SELECT w.np, s.query_id, s.neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY s.query_id, w.np
+         |        ORDER BY s.cos DESC, s.neighbor_id) AS rank
+         |    FROM scored s JOIN sweep w ON s.pr <= w.np)
+         |  WHERE rank <= $K),
+         |hits AS (
+         |  SELECT a.np, CAST(count(*) AS BIGINT) AS total_hits
+         |  FROM appr a JOIN ex USING (query_id, neighbor_id) GROUP BY a.np),
+         |cand AS (
+         |  SELECT w.np, CAST(count(*) AS BIGINT) AS n_candidates
+         |  FROM scored s JOIN sweep w ON s.pr <= w.np GROUP BY w.np),
+         |corp AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM v)
+         |SELECT c.np, c.n_candidates,
+         |  coalesce(h.total_hits, 0) AS total_hits,
+         |  coalesce(h.total_hits, 0) * 10000 // ($K * $NumQueries)
+         |    AS recall_bp,
+         |  c.n_candidates * 10000 // ($NumQueries * corp.n_corpus)
+         |    AS scan_share_bp
+         |FROM cand c LEFT JOIN hits h USING (np), corp
+         |ORDER BY c.np""".stripMargin,
+    "n21b_nprobe_trained" ->
+      s"""WITH $dkKmeansCtes,
+         |probe_scored AS (
+         |  SELECT q.id AS query_id, q.emb AS q_emb, ct.cid AS list_id,
+         |    ${dot2("q.emb", "ct.cent")}
+         |    / sqrt(${n2of("q.emb")} * ${n2of("ct.cent")}) AS c_cos
+         |  FROM v q, cent$KmIters ct WHERE q.id < $NumQueries),
+         |pr AS (
+         |  SELECT query_id, q_emb, list_id, pr FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY c_cos DESC, list_id) AS pr
+         |    FROM probe_scored) WHERE pr <= ${NprobeSweep.max}),
+         |scored AS (
+         |  SELECT p.query_id, p.pr, c.id AS neighbor_id,
+         |    ${dot2("p.q_emb", "c.emb")}
+         |    / sqrt(${n2of("p.q_emb")} * ${n2of("c.emb")}) AS cos
+         |  FROM pr p
+         |  JOIN afinal af ON af.cluster = p.list_id
+         |  JOIN v c ON c.id = af.id AND c.id <> p.query_id),
+         |ex_scored AS (
+         |  SELECT q.id AS query_id, c.id AS neighbor_id,
+         |    ${dot2("q.emb", "c.emb")}
+         |    / sqrt(${n2of("q.emb")} * ${n2of("c.emb")}) AS cos
          |  FROM v q JOIN v c ON c.id <> q.id WHERE q.id < $NumQueries),
          |ex AS (
          |  SELECT query_id, neighbor_id FROM (

@@ -119,8 +119,8 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       // and rank fidelity (total-order ranks over scored margins)
       "q92_block_audit", "t38d_rank_fidelity",
       // nprobe sweep (one scored pass re-ranked per sweep point under a
-      // total (cos, id) order; IEEE-identical folds)
-      "n21_nprobe_sweep")
+      // total (cos, id) order; IEEE-identical folds) — label + trained
+      "n21_nprobe_sweep", "n21b_nprobe_trained")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {
