@@ -873,6 +873,97 @@ object TextQueries {
             .as("rho_ppm"))
     }),
 
+    // 4-fold cross-validation of the distilled filter WITHOUT retraining
+    // loops: every fold's NB model is derived by COUNT SUBTRACTION from
+    // one global aggregation pass (train-count for fold f = total −
+    // fold-f count; priors and class masses likewise; per-fold vocab
+    // from the tok→fold presence table), and every doc is scored
+    // against its own fold's model in one joined pass — the distributed
+    // formulation of CV, where k models cost one extra groupBy key, not
+    // k training jobs. Fold 0's row reproduces t38's holdout accuracy
+    // exactly (same split, same arithmetic — asserted in spec). Output:
+    // per-fold accuracy plus the mean and max−min spread, the
+    // generalization-variance readout a single holdout hides.
+    "t38e_crossval" -> ((s, d) => {
+      val fp2 = graft.ops.ClassifierOps.NbFp
+      def lnp(x: String) = graft.ops.ClassifierOps.lnPpmExpr(x)
+      val t = Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val lab = t.select(col("doc_id"),
+        when(wordSetCount(col("toks"), stopwords) * 10000
+          >= lit(QualityKeepBp) * size(col("toks")), 1).otherwise(0).as("cls"))
+        .withColumn("fold", col("doc_id") % 4)
+        .localCheckpoint()
+      val tf = t.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val tfl = tf.join(lab, "doc_id")
+      val cAll = tfl.groupBy(col("cls"), col("tok"))
+        .agg(sum(col("tf")).as("c_all"))
+      val cFold = tfl.groupBy(col("fold"), col("cls"), col("tok"))
+        .agg(sum(col("tf")).as("c_f"))
+      val totAll = tfl.groupBy(col("cls")).agg(sum(col("tf")).as("t_all"))
+      val totFold = tfl.groupBy(col("fold"), col("cls"))
+        .agg(sum(col("tf")).as("t_f"))
+      val folds = s.range(4).select(col("id").as("fold"))
+      // per-fold train vocab: tok counts toward fold f iff it appears in
+      // some fold ≠ f
+      val vocabF = tfl.select(col("tok"), col("fold")).distinct()
+        .groupBy(col("tok"))
+        .agg(countDistinct(col("fold")).as("nf"), min(col("fold")).as("onlyf"))
+        .crossJoin(broadcast(folds))
+        .filter(col("nf") > 1 || col("onlyf") =!= col("fold"))
+        .groupBy(col("fold")).agg(count(lit(1)).as("v"))
+      val classes = s.range(2).select(col("id").cast("int").as("cls"))
+      val nAll = lab.groupBy(col("cls")).agg(count(lit(1)).as("n_all"))
+      val nFold = lab.groupBy(col("fold"), col("cls"))
+        .agg(count(lit(1)).as("n_f"))
+      val nTot = lab.agg(count(lit(1)).as("nt"))
+      val nFoldTot = lab.groupBy(col("fold")).agg(count(lit(1)).as("nt_f"))
+      val prior = folds.crossJoin(classes)
+        .join(broadcast(nAll), "cls")
+        .join(broadcast(nFold), Seq("fold", "cls"), "left")
+        .join(broadcast(nFoldTot), "fold").crossJoin(broadcast(nTot))
+        .withColumn("x", expr(s"((n_all - coalesce(n_f, 0L) + 1) * ${fp2}L)" +
+          " div (nt - nt_f + 2)"))
+        .select(col("fold"), col("cls"), expr(lnp("x")).as("pr_ppm"))
+      val ll = tf.withColumn("fold", col("doc_id") % 4)
+        .crossJoin(broadcast(classes))
+        .join(broadcast(cAll), Seq("cls", "tok"), "left")
+        .join(broadcast(cFold), Seq("fold", "cls", "tok"), "left")
+        .join(broadcast(totAll), "cls")
+        .join(broadcast(totFold), Seq("fold", "cls"), "left")
+        .join(broadcast(vocabF), "fold")
+        .withColumn("x", expr(
+          s"((coalesce(c_all, 0L) - coalesce(c_f, 0L) + 1) * ${fp2}L)" +
+            " div (t_all - coalesce(t_f, 0L) + v)"))
+        .withColumn("ln", expr(lnp("x")))
+        .groupBy(col("doc_id"), col("fold"), col("cls"))
+        .agg(sum(col("tf") * col("ln")).as("ll"))
+      val scored = lab.select(col("doc_id"), col("fold"), col("cls").as("y"))
+        .crossJoin(broadcast(classes))
+        .join(ll, Seq("doc_id", "fold", "cls"), "left")
+        .join(broadcast(prior), Seq("fold", "cls"))
+        .select(col("doc_id"), col("fold"), col("y"), col("cls"),
+          (coalesce(col("ll"), lit(0L)) + col("pr_ppm")).as("score"))
+      val pred = scored.groupBy(col("doc_id"), col("fold"), col("y"))
+        .agg((max(when(col("cls") === 1, col("score")))
+          > max(when(col("cls") === 0, col("score")))).as("p1"))
+        .select(col("doc_id"), col("fold"), col("y"),
+          when(col("p1"), 1).otherwise(0).as("pred"))
+      val per = pred.groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("y") === col("pred"), 1L).otherwise(0L)).as("correct"))
+        .withColumn("acc_ppm", expr("correct * 1000000L div n_docs"))
+      val agg = per.agg(
+        expr("sum(correct) * 1000000L div sum(n_docs)").as("mean_acc_ppm"),
+        (max(col("acc_ppm")) - min(col("acc_ppm"))).as("spread_ppm"))
+      per.crossJoin(broadcast(agg))
+        .select(col("fold"), col("n_docs"), col("correct"), col("acc_ppm"),
+          col("mean_acc_ppm"), col("spread_ppm"))
+        .orderBy(col("fold"))
+    }),
+
     // Multiclass distillation (t38's lifecycle at k=3): the label is the
     // stop-ratio TERCILE (cut at 450/750 bp — measured ~28/40/30 split),
     // so the classifier must order the density spectrum, not just
@@ -1797,6 +1888,94 @@ object TextQueries {
          |  (greatest(m.tp + m.fn, m.n - m.tp - m.fn) * 1000000) // m.n
          |    AS baseline_ppm
          |FROM conf c, m ORDER BY c.keep, c.pred_keep""".stripMargin,
+    "t38e_crossval" -> {
+      val fp2 = graft.ops.ClassifierOps.NbFp
+      s"""WITH t AS (SELECT doc_id, $dkToks AS toks FROM documents),
+         |lab AS (SELECT doc_id, doc_id % 4 AS fold,
+         |    CASE WHEN len(list_filter(toks, x -> x IN ${dkWordSet(stopwords)}))
+         |           * 10000 >= $QualityKeepBp * len(toks)
+         |         THEN 1 ELSE 0 END AS cls
+         |  FROM t),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+         |tfl AS (SELECT f.doc_id, l.cls, l.fold, f.tok, f.tf
+         |        FROM tf f JOIN lab l USING (doc_id)),
+         |ca AS (SELECT cls, tok, CAST(sum(tf) AS BIGINT) AS c_all
+         |       FROM tfl GROUP BY 1, 2),
+         |cf AS (SELECT fold, cls, tok, CAST(sum(tf) AS BIGINT) AS c_f
+         |       FROM tfl GROUP BY 1, 2, 3),
+         |ta AS (SELECT cls, CAST(sum(tf) AS BIGINT) AS t_all
+         |       FROM tfl GROUP BY 1),
+         |tfo AS (SELECT fold, cls, CAST(sum(tf) AS BIGINT) AS t_f
+         |        FROM tfl GROUP BY 1, 2),
+         |folds AS (SELECT unnest(generate_series(0, 3)) AS fold),
+         |tk AS (SELECT tok, count(DISTINCT fold) AS nf, min(fold) AS onlyf
+         |       FROM (SELECT DISTINCT tok, fold FROM tfl) GROUP BY tok),
+         |vf AS (SELECT f.fold, CAST(count(*) AS BIGINT) AS v
+         |       FROM tk CROSS JOIN folds f
+         |       WHERE tk.nf > 1 OR tk.onlyf <> f.fold GROUP BY f.fold),
+         |classes AS (SELECT 0 AS cls UNION ALL SELECT 1),
+         |na AS (SELECT cls, CAST(count(*) AS BIGINT) AS n_all
+         |       FROM lab GROUP BY 1),
+         |nfo AS (SELECT fold, cls, CAST(count(*) AS BIGINT) AS n_f
+         |        FROM lab GROUP BY 1, 2),
+         |ntt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM lab),
+         |nft AS (SELECT fold, CAST(count(*) AS BIGINT) AS nt_f
+         |        FROM lab GROUP BY 1),
+         |pr0 AS (
+         |  SELECT f.fold, c.cls,
+         |    ((na.n_all - coalesce(nf2.n_f, 0) + 1) * $fp2::BIGINT)
+         |      // (ntt.nt - nft.nt_f + 2) AS x
+         |  FROM folds f CROSS JOIN classes c
+         |  JOIN na ON na.cls = c.cls
+         |  LEFT JOIN nfo nf2 ON nf2.fold = f.fold AND nf2.cls = c.cls
+         |  JOIN nft ON nft.fold = f.fold, ntt),
+         |prior AS (SELECT fold, cls, ${dkLnPpm30("x")} AS pr_ppm FROM pr0),
+         |sc0 AS (
+         |  SELECT s.doc_id, s.fold, c.cls, s.tf,
+         |    ((coalesce(ca.c_all, 0) - coalesce(cf.c_f, 0) + 1)
+         |      * $fp2::BIGINT)
+         |      // (ta.t_all - coalesce(tfo.t_f, 0) + vf.v) AS x
+         |  FROM (SELECT doc_id, doc_id % 4 AS fold, tok, tf FROM tf) s
+         |  CROSS JOIN classes c
+         |  LEFT JOIN ca ON ca.cls = c.cls AND ca.tok = s.tok
+         |  LEFT JOIN cf ON cf.fold = s.fold AND cf.cls = c.cls
+         |    AND cf.tok = s.tok
+         |  JOIN ta ON ta.cls = c.cls
+         |  LEFT JOIN tfo ON tfo.fold = s.fold AND tfo.cls = c.cls
+         |  JOIN vf ON vf.fold = s.fold),
+         |sc1 AS (SELECT doc_id, fold, cls,
+         |          CAST(sum(tf * (${dkLnPpm30("x")})) AS BIGINT) AS ll
+         |        FROM sc0 GROUP BY 1, 2, 3),
+         |scored AS (
+         |  SELECT l.doc_id, l.fold, l.cls AS y, c.cls,
+         |    coalesce(s.ll, 0) + p.pr_ppm AS score
+         |  FROM lab l CROSS JOIN classes c
+         |  LEFT JOIN sc1 s ON s.doc_id = l.doc_id AND s.fold = l.fold
+         |    AND s.cls = c.cls
+         |  JOIN prior p ON p.fold = l.fold AND p.cls = c.cls),
+         |pred AS (
+         |  SELECT doc_id, fold, y,
+         |    CASE WHEN max(CASE WHEN cls = 1 THEN score END)
+         |            > max(CASE WHEN cls = 0 THEN score END)
+         |         THEN 1 ELSE 0 END AS pred
+         |  FROM scored GROUP BY 1, 2, 3),
+         |per AS (
+         |  SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN y = pred THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS correct
+         |  FROM pred GROUP BY 1),
+         |per2 AS (SELECT *, (correct * 1000000) // n_docs AS acc_ppm
+         |         FROM per),
+         |agg AS (SELECT
+         |    (CAST(sum(correct) AS BIGINT) * 1000000)
+         |      // CAST(sum(n_docs) AS BIGINT) AS mean_acc_ppm,
+         |    CAST(max(acc_ppm) - min(acc_ppm) AS BIGINT) AS spread_ppm
+         |  FROM per2)
+         |SELECT p.fold, p.n_docs, p.correct, p.acc_ppm,
+         |  a.mean_acc_ppm, a.spread_ppm
+         |FROM per2 p, agg a ORDER BY p.fold""".stripMargin
+    },
     "t38d_rank_fidelity" ->
       s"""WITH $dkNbBinaryCtes,
          |ratio AS (

@@ -120,7 +120,9 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       "q92_block_audit", "t38d_rank_fidelity",
       // nprobe sweep (one scored pass re-ranked per sweep point under a
       // total (cos, id) order; IEEE-identical folds) — label + trained
-      "n21_nprobe_sweep", "n21b_nprobe_trained")
+      "n21_nprobe_sweep", "n21b_nprobe_trained",
+      // fold-subtraction CV (combinable aggs + integer-ln scoring)
+      "t38e_crossval")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {
