@@ -92,7 +92,7 @@ object Bench {
     "d26_repeated_spans", "d26b_repeated_char_spans", "d28_weighted_jaccard",
     "d29_label_propagation", "d31_entity_resolution",
     "d9r_graph_stats_residual", "d25r_kcore_residual", "d29r_lpa_residual",
-    "d33r_star_residual", "d34_modularity",
+    "d33r_star_residual", "d34_modularity", "d36_threshold_sweep",
     "n1_ann_bruteforce", "n2_ann_lsh", "n3_embedding_neardup",
     "n4_label_centroids", "n5_ivf_ann", "n6_kmeans", "n7_ivf_kmeans",
     "n8_quantize", "n9_knn_graph", "n10_quantized_rerank", "n11_pq_adc",

@@ -878,6 +878,40 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Dedup-threshold tuning sweep (t38b/n21's operating-curve discipline
+    // for the NEAR-DUP KNOB: how aggressive should hamming τ be before
+    // the 100 TB collapse runs?): the class-graph pairs are generated
+    // ONCE at τ=MaxHamming with their hamming distance attached, then
+    // each τ ∈ 0..3 filters and re-components the shrinking edge set.
+    // Per point: edges, components, docs collapsed (the dedup yield),
+    // and giant-family share (the over-merge alarm — a τ whose giant
+    // share jumps is merging template families, d27's health readout as
+    // a CURVE). Star-CC per point: the edge sets shrink with τ, and the
+    // candidate join — the expensive part — is paid once.
+    "d36_threshold_sweep" -> ((s, d) => {
+      val (classes, _) = residualClassGraph(s, d)
+      val pairs = simhashPairs(simhashBands(classes, col("simhash")),
+        MaxHamming).localCheckpoint()
+      val nodes = classes.select(col("doc_id")).localCheckpoint()
+      (0 to MaxHamming).map { tau =>
+        val comp = starComponents(
+          pairs.filter(col("hamming") <= tau)
+            .select(col("doc_a"), col("doc_b")), nodes,
+          uncheckedRounds = 2)
+        val sizes = comp.groupBy(col("canon_id"))
+          .agg(count(lit(1)).as("sz"))
+        val edges = pairs.filter(col("hamming") <= tau)
+          .agg(count(lit(1)).as("n_edges"))
+        sizes.agg(count(lit(1)).as("n_components"),
+            sum(col("sz")).as("n_nodes"), max(col("sz")).as("giant"))
+          .crossJoin(broadcast(edges))
+          .select(lit(tau.toLong).as("tau"), col("n_edges"),
+            col("n_components"),
+            (col("n_nodes") - col("n_components")).as("n_collapsed"),
+            expr("giant * 1000000L div n_nodes").as("giant_share_ppm"))
+      }.reduce(_ unionByName _).orderBy(col("tau"))
+    }),
+
     // Modularity scoring of the LPA communities (Newman & Girvan 2004,
     // Q = Σ_c [e_c/m − (d_c/2m)²]) — the "measure your own clustering"
     // discipline (d19/n12/q74) applied to d29r: did label propagation
@@ -1967,6 +2001,55 @@ object DedupQueries {
          |  FROM cls c LEFT JOIN reach r ON r.src = c.doc_id
          |  GROUP BY c.doc_id)
          |SELECT doc_id, canon_id FROM canon ORDER BY doc_id""".stripMargin,
+    "d36_threshold_sweep" -> {
+      val perTau = (0 to MaxHamming).map { tau =>
+        s"""e$tau AS (
+           |  SELECT doc_a AS src, doc_b AS dst FROM ceh WHERE hamming <= $tau
+           |  UNION ALL
+           |  SELECT doc_b, doc_a FROM ceh WHERE hamming <= $tau),
+           |r$tau AS (
+           |  SELECT src, dst FROM e$tau
+           |  UNION
+           |  SELECT r.src, e.dst FROM r$tau r JOIN e$tau e ON r.dst = e.src),
+           |cc$tau AS (
+           |  SELECT c.doc_id,
+           |    least(c.doc_id, coalesce(min(r.dst), c.doc_id)) AS canon_id
+           |  FROM cls c LEFT JOIN r$tau r ON r.src = c.doc_id
+           |  GROUP BY c.doc_id),
+           |sz$tau AS (SELECT canon_id, count(*) AS sz FROM cc$tau
+           |           GROUP BY canon_id),
+           |o$tau AS (
+           |  SELECT $tau AS tau,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM ceh
+           |     WHERE hamming <= $tau) AS n_edges,
+           |    CAST(count(*) AS BIGINT) AS n_components,
+           |    CAST(sum(sz) - count(*) AS BIGINT) AS n_collapsed,
+           |    (CAST(max(sz) AS BIGINT) * 1000000)
+           |      // CAST(sum(sz) AS BIGINT) AS giant_share_ppm
+           |  FROM sz$tau)""".stripMargin
+      }.mkString(",\n")
+      val unions = (0 to MaxHamming)
+        .map(tau => s"SELECT * FROM o$tau").mkString("\nUNION ALL\n")
+      s"""WITH RECURSIVE h AS (SELECT doc_id, $dkTokenHashes AS hs
+         |                     FROM documents),
+         |shx AS (SELECT doc_id, $dkSimhashExpr AS simhash FROM h),
+         |cls AS (SELECT simhash, min(doc_id) AS doc_id FROM shx
+         |        GROUP BY simhash),
+         |cbands AS (
+         |  SELECT doc_id, simhash, b.band_idx,
+         |         (simhash >> (b.band_idx * 8)) & 255 AS band_val
+         |  FROM cls, (SELECT unnest([0,1,2,3]) AS band_idx) b),
+         |ceh AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         |         bit_count(xor(l.simhash, r.simhash)) AS hamming
+         |  FROM cbands l JOIN cbands r
+         |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+         |   AND l.doc_id < r.doc_id
+         |  WHERE bit_count(xor(l.simhash, r.simhash)) <= $MaxHamming),
+         |$perTau
+         |$unions
+         |ORDER BY tau""".stripMargin
+    },
     "d34_modularity" ->
       s"""WITH $dkClassCtes,
          |edges AS (

@@ -121,8 +121,9 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       // nprobe sweep (one scored pass re-ranked per sweep point under a
       // total (cos, id) order; IEEE-identical folds) — label + trained
       "n21_nprobe_sweep", "n21b_nprobe_trained",
-      // fold-subtraction CV (combinable aggs + integer-ln scoring)
-      "t38e_crossval")
+      // fold-subtraction CV (combinable aggs + integer-ln scoring) and
+      // the dedup-threshold sweep (star-CC per filtered edge subset)
+      "t38e_crossval", "d36_threshold_sweep")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {
