@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** The streamed range router must assign every replayed row the pid the
+  * batch planner (q91's literal-probe form) assigns — and the routed
+  * volume histogram must therefore match the planner's balance audit. */
+class StreamingRangeRouterSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("streamed routing replays bit-equal to the batch range plan") {
+    implicit val ctx = spark.sqlContext
+    val P = 32
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("v"))
+    // q91's boundary build: 1-in-20 md5 sample, sorted, P−1 order stats
+    val sample = li.filter(graft.ops.TextOps.hash60(
+      concat(col("l_orderkey").cast("string"), lit("_"),
+        col("l_linenumber").cast("string"))) % 20 === 0)
+    val ranked = sample.withColumn("rn", row_number().over(
+      Window.orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))))
+    val ns = ranked.agg(max(col("rn")).as("ns"))
+    val bounds = spark.range(1, P).toDF("i").crossJoin(broadcast(ns))
+      .select(col("i"), expr(s"(i * ns) div $P").as("pos"))
+      .filter(col("pos") >= 1)
+      .join(ranked, col("pos") === col("rn"))
+      .orderBy(col("i")).select(col("v"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(bounds.nonEmpty && bounds == bounds.sorted)
+
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic corpus —
+    // compare routed rows as sorted multisets keyed by the full row
+    val batch = li
+      .select(col("l_orderkey"), col("l_linenumber"), col("v"),
+        StreamingRangeRouter.pidColumn(bounds)(col("v")).as("pid"))
+      .as[(Long, Int, Double, Long)].collect().toVector.sorted
+
+    val rows = li.as[(Long, Int, Double)].collect().sortBy(r => (r._1, r._2))
+    val in = MemoryStream[(Long, Int, Double)]
+    val routed = in.toDF().toDF("l_orderkey", "l_linenumber", "v")
+      .select(col("l_orderkey"), col("l_linenumber"), col("v"),
+        StreamingRangeRouter.pidColumn(bounds)(col("v")).as("pid"))
+    val q = routed.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("range_router").start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toSeq); q.processAllAvailable()
+      in.addData(b2.toSeq); q.processAllAvailable()
+      val got = spark.table("range_router")
+        .as[(Long, Int, Double, Long)].collect().toVector.sorted
+      assert(got.length == rows.length)
+      assert(got == batch, "streamed pids must equal batch assignment")
+      // every pid in range; routing covers multiple partitions
+      assert(got.forall(r => r._4 >= 0 && r._4 < P))
+      assert(got.map(_._4).toSet.size > 1)
+    } finally q.stop()
+  }
+}
