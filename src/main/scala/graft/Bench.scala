@@ -81,7 +81,7 @@ object Bench {
     "t33_rake_keywords", "t34_vocab_growth", "t35_blocklist", "t36_bm25",
     "t37_stupid_backoff", "t38_quality_distill", "t38b_threshold_sweep",
     "t38c_sliced_eval", "t38d_rank_fidelity", "t38e_crossval",
-    "t39_tercile_distill",
+    "t39_tercile_distill", "t40_vocab_coverage",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
     "d8d_triangle_doulion", "d9b_graph_stats_sketch",
     "d11_containment", "d12_incremental_dedup",

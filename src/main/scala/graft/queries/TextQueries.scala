@@ -38,6 +38,11 @@ object TextQueries {
   val TercileLoBp = 450
   val TercileHiBp = 750
 
+  /** t40 tokenizer vocabulary size (top-N train tokens by frequency) —
+    * the corpus carries 31 distinct tokens, so N=24 leaves a genuine
+    * OOV tail for the audit to measure (N ≥ 31 would zero it out). */
+  val VocabN = 24
+
   /** t38b operating points: ±1.5 nats around the argmax threshold. */
   val SweepThresholdsPpm: Seq[Long] =
     Seq(-1500000L, -1000000L, -500000L, 0L, 500000L, 1000000L, 1500000L)
@@ -1006,6 +1011,44 @@ object TextQueries {
         .orderBy(col("cls"), col("pred_cls"))
     }),
 
+    // Tokenizer-vocabulary coverage audit (the fit check run before
+    // committing a tokenizer to a 100 TB corpus: a vocab trained on one
+    // slice under-covers another, and every OOV token inflates sequence
+    // length and degrades the model on that slice): the "tokenizer" is
+    // the top-64 train-split tokens by frequency (tie → lexicographic —
+    // the BPE-vocabulary stand-in this corpus supports); the holdout's
+    // token instances are probed against it per language. Output per
+    // lang: docs, token instances, OOV instances, OOV ppm, and the
+    // overall rate for the t38c-style slice-vs-overall comparison.
+    // Scale: the vocab is top-N of a combinable count agg (broadcast);
+    // the probe is a broadcast left join on the token scan — no
+    // corpus-side shuffle before the per-lang rollup.
+    "t40_vocab_coverage" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val inst = Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), col("lang"),
+          explode(tokens(col("text"))).as("tok"))
+      val vocab = inst.filter(col("doc_id") % 4 =!= 0)
+        .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("tf").desc, col("tok"))))
+        .filter(col("rk") <= VocabN)
+        .select(col("tok"), lit(1).as("in_vocab"))
+      val per = inst.filter(col("doc_id") % 4 === 0)
+        .join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      val ov = per.agg(sum(col("n_oov")).as("ov_o"),
+        sum(col("n_tokens")).as("ov_n"))
+      per.crossJoin(broadcast(ov))
+        .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_oov"),
+          expr("n_oov * 1000000L div n_tokens").as("oov_ppm"),
+          expr("ov_o * 1000000L div ov_n").as("overall_oov_ppm"))
+        .orderBy(col("lang"))
+    }),
+
     // Sub-document exact dedup at chunk granularity (registered d24): the
     // paragraph-level pass of a CCNet-shaped curation pipeline (Wenzek et
     // al. 2020 dedups on paragraph hashes; here the unit is t17's
@@ -1888,6 +1931,31 @@ object TextQueries {
          |  (greatest(m.tp + m.fn, m.n - m.tp - m.fn) * 1000000) // m.n
          |    AS baseline_ppm
          |FROM conf c, m ORDER BY c.keep, c.pred_keep""".stripMargin,
+    "t40_vocab_coverage" ->
+      s"""WITH inst AS (
+         |  SELECT doc_id, lang, unnest($dkToks) AS tok FROM documents),
+         |vocab AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, ROW_NUMBER() OVER (
+         |      ORDER BY count(*) DESC, tok) AS rk
+         |    FROM inst WHERE doc_id % 4 <> 0 GROUP BY tok)
+         |  WHERE rk <= $VocabN),
+         |hold AS (
+         |  SELECT i.lang, i.doc_id,
+         |    CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM inst i LEFT JOIN vocab v ON v.tok = i.tok
+         |  WHERE i.doc_id % 4 = 0),
+         |per AS (
+         |  SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |    CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(oov) AS BIGINT) AS n_oov
+         |  FROM hold GROUP BY lang),
+         |ov AS (SELECT CAST(sum(n_oov) AS BIGINT) AS o,
+         |              CAST(sum(n_tokens) AS BIGINT) AS nt FROM per)
+         |SELECT p.lang, p.n_docs, p.n_tokens, p.n_oov,
+         |  (p.n_oov * 1000000) // p.n_tokens AS oov_ppm,
+         |  (ov.o * 1000000) // ov.nt AS overall_oov_ppm
+         |FROM per p, ov ORDER BY p.lang""".stripMargin,
     "t38e_crossval" -> {
       val fp2 = graft.ops.ClassifierOps.NbFp
       s"""WITH t AS (SELECT doc_id, $dkToks AS toks FROM documents),

@@ -123,7 +123,9 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       "n21_nprobe_sweep", "n21b_nprobe_trained",
       // fold-subtraction CV (combinable aggs + integer-ln scoring) and
       // the dedup-threshold sweep (star-CC per filtered edge subset)
-      "t38e_crossval", "d36_threshold_sweep")
+      "t38e_crossval", "d36_threshold_sweep",
+      // vocab coverage (top-N count agg + broadcast probe)
+      "t40_vocab_coverage")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {
