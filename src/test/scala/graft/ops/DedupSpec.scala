@@ -126,6 +126,20 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("star components converge within budget on a 300-node path") {
+    // adversarial depth: a path graph maximizes rounds-to-fixpoint for
+    // edge-rewrite CC; 300 nodes must land well inside maxIters=30 (the
+    // O(log² n) bound) AND on the right min — guards the iteration
+    // budget against regressions in the star-round formulation
+    val n = 300
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1))
+      .toDF("doc_a", "doc_b")
+    val nodes = (0L until n.toLong).toDF("doc_id")
+    val canon = starComponents(pairs, nodes).as[(Long, Long)].collect()
+    assert(canon.length == n && canon.forall(_._2 == 0L),
+      "every path node must collapse to the min id")
+  }
+
   test("incremental CC: star forest of old edges ∪ delta ≡ full recompute") {
     // the d35 identity on seeded random graphs: collapsing any subset of
     // the edges to its star forest before adding the rest must not
