@@ -446,6 +446,12 @@ object DedupOps {
     var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     var converged = e.isEmpty
     var i = 0
+    // clamp so the last in-budget round is always a CHECKED round: a
+    // fixpoint reached during the unchecked prefix is a no-op for every
+    // later round, so checking round maxIters-1 detects it — without the
+    // clamp, uncheckedRounds >= maxIters exits converged=false and the
+    // require below throws on an actually-converged edge set.
+    val uc = math.min(uncheckedRounds, maxIters - 1)
     while (!converged && i < maxIters) {
       // large-star over the symmetrized adjacency: per center c,
       // m = min(neighbors ∪ c); larger neighbors re-link to m. The
@@ -469,7 +475,7 @@ object DedupOps {
         .distinct()
         .localCheckpoint(eager = true)
       // fixpoint: the round's output edge set equals its input edge set
-      converged = i >= uncheckedRounds &&
+      converged = i >= uc &&
         ss.select(col("lo"), col("hi"), lit(1).as("a"))
           .join(e.select(col("lo"), col("hi"), lit(1).as("b")),
             Seq("lo", "hi"), "full_outer")

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sample-based range-partition planning — the RangePartitioner
+  * primitive behind every 100 TB global sort / repartitionByRange /
+  * sorted-parquet write, with the sample volume BOUNDED by construction
+  * (the round-8 q91 defect: a fixed 1-in-20 rate sample grows with the
+  * table and then funnels through one un-partitioned global-rank task —
+  * ~5 TB through a single partition at 100 TB, in the exact operator
+  * whose job is to plan around stragglers).
+  *
+  * Count-targeted two-stage order statistic instead:
+  *
+  *  1. STRATIFIED BOUNDED RESERVOIR — every row hashes (md5, the engine's
+  *     deterministic sampler) into one of [[SampleBuckets]] strata; each
+  *     stratum keeps its [[PerBucket]] smallest-hash rows. The hash is
+  *     independent of the value, so the kept set is a uniform random
+  *     sample of FIXED size ≤ SampleBuckets·PerBucket (=640) no matter
+  *     how large the table is — the SQL form of RangePartitioner's
+  *     per-partition reservoir, but deterministic and engine-replayable
+  *     (Spark partition ids never appear, so DuckDB derives the same
+  *     sample from the same bytes).
+  *  2. GLOBAL RANK over ≤640 survivors → P−1 order-statistic boundaries.
+  *
+  * The rank-≤-k filter over the bucketed window compiles to
+  * WindowGroupLimit (plan-guarded): each map task keeps only the top
+  * PerBucket rows per stratum BEFORE the exchange, so the shuffle moves
+  * ≤ tasks·buckets·PerBucket rows and the per-stratum final sort sees
+  * ≤ tasks·PerBucket — never a data-sized sort. The un-partitioned
+  * global-rank Window runs on the ≤640-row union only. At 100 TB with
+  * finer targets, scale SampleBuckets (more strata = more parallel
+  * top-k's), never PerBucket×table-rate.
+  */
+object RangePlanOps {
+
+  /** Sample strata (hash buckets) — boundaries come from a sample of
+    * ≤ SampleBuckets·PerBucket rows total. */
+  val SampleBuckets = 32L
+
+  /** Bounded rows kept per stratum (smallest md5 order). */
+  val PerBucket = 20
+
+  /** The bounded, globally-ranked boundary sample over rows
+    * (l_orderkey, l_linenumber, v): ≤ [[SampleBuckets]]·[[PerBucket]]
+    * rows with a total-order rank `rn` by (v, key). */
+  def boundedRankedSample(li: DataFrame): DataFrame = {
+    val h = TextOps.hash60(concat(col("l_orderkey").cast("string"),
+      lit("_"), col("l_linenumber").cast("string")))
+    li.withColumn("h", h)
+      .withColumn("bkt", col("h") % SampleBuckets)
+      .withColumn("brn", row_number().over(
+        Window.partitionBy(col("bkt"))
+          // v as the last tie-break: (l_orderkey, l_linenumber) is NOT
+          // unique in the synthetic corpus, and a non-total order here
+          // lets each engine reservoir a different duplicate's value
+          .orderBy(col("h"), col("l_orderkey"), col("l_linenumber"),
+            col("v"))))
+      .filter(col("brn") <= PerBucket)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))))
+  }
+
+  /** P−1 ascending order-statistic boundaries from the bounded sample —
+    * the driver collect is exactly P−1 doubles (the n6-centroid
+    * discipline). */
+  def planBoundaries(s: SparkSession, li: DataFrame, p: Int): Seq[Double] = {
+    val ranked = boundedRankedSample(li).localCheckpoint()
+    val ns = ranked.agg(max(col("rn")).as("ns"))
+    s.range(1, p).toDF("i").crossJoin(broadcast(ns))
+      .select(col("i"), expr(s"(i * ns) div $p").as("pos"))
+      .filter(col("pos") >= 1)
+      .join(ranked, col("pos") === col("rn"))
+      .orderBy(col("i"))
+      .select(col("v")).collect().map(_.getDouble(0)).toSeq
+  }
+
+  /** Range-partition id under ascending `bounds`: count of boundaries
+    * strictly below v — the literal-probe (binary-search-equivalent)
+    * assignment shared by the batch planner and the streaming router. */
+  def pidColumn(bounds: Seq[Double])(v: Column): Column =
+    size(filter(typedLit(bounds), b => b < v)).cast("long")
+}

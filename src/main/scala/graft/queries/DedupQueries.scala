@@ -917,9 +917,11 @@ object DedupQueries {
     // discipline (d19/n12/q74) applied to d29r: did label propagation
     // find real structure, or did it shatter/merge? Pure integer form:
     // per-community numerator 4m·e_c − d_c², global Q_ppm =
-    // Σnum·10⁶ div 4m² — exact BIGINTs while 4m² < 2⁶³ (m < 1.5e9
-    // edges; past that, widen the two Q readout products to DECIMAL —
-    // the per-community aggs themselves never overflow). Cost on top of
+    // Σnum·10⁶ div 4m² — exact BIGINTs while the READOUT numerator
+    // Σnum·10⁶ (worst case 4m²·10⁶ at Q→1) stays under 2⁶³, i.e.
+    // m ≲ 1.5e6 edges; past that, widen the two Q readout products to
+    // DECIMAL(38,0) — the per-community aggs themselves hold to
+    // m < 1.5e9 (4m² alone < 2⁶³). Cost on top of
     // d29r: one edge join against the label map (intra count) + one
     // degree agg — both map-side combinable, both ∝ |E|.
     "d34_modularity" -> ((s, d) => {

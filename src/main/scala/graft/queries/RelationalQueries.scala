@@ -2360,37 +2360,31 @@ object RelationalQueries {
 
     // Sample-based range-partition planning (the RangePartitioner
     // primitive behind every 100 TB global sort / repartitionByRange /
-    // sorted-parquet write): a 1-in-20 deterministic md5 row sample is
-    // globally sorted (the ONLY sort in the plan — it is sample-sized),
-    // P−1 = 31 order-statistic boundaries are read at positions
-    // (i·ns) div P, and the FULL table is assigned to ranges with a
-    // 31-value literal probe (the binary-search equivalent — per-row
-    // HOF count inside codegen, no row expansion, no full-table sort).
-    // The readout is the planner's own balance audit: per-range counts,
-    // value extents, and load-vs-average in bp — the number that decides
-    // whether the planned sort would straggle. Boundary ties on
-    // duplicate values leave ranges empty (visible as pid gaps).
-    // Driver data: 31 doubles (the n6-centroid discipline). At scale:
-    // sample 1-in-10⁶; the per-range agg map-side combines to ≤P rows
-    // per task before its 32-key exchange.
+    // sorted-parquet write): a COUNT-TARGETED bounded sample — each of
+    // 32 md5 strata keeps its 20 smallest-hash rows, a uniform fixed-size
+    // reservoir of ≤640 rows no matter the table size (the per-stratum
+    // top-k compiles to WindowGroupLimit: map tasks prune to ≤20 rows
+    // per stratum BEFORE the exchange — plan-guarded) — is globally
+    // ranked (the ONLY un-partitioned sort, over ≤640 rows), P−1 = 31
+    // order-statistic boundaries are read at positions (i·ns) div P,
+    // and the FULL table is assigned to ranges with a 31-value literal
+    // probe (the binary-search equivalent — per-row HOF count inside
+    // codegen, no row expansion, no full-table sort). The readout is
+    // the planner's own balance audit: per-range counts, value extents,
+    // and load-vs-average in bp — the number that decides whether the
+    // planned sort would straggle. Boundary ties on duplicate values
+    // leave ranges empty (visible as pid gaps). Driver data: 31 doubles
+    // (the n6-centroid discipline). At scale: grow SampleBuckets (more
+    // parallel top-k strata), never a rate sample — see
+    // [[graft.ops.RangePlanOps]]. The per-range agg map-side combines
+    // to ≤P rows per task before its 32-key exchange.
     "q91_range_plan" -> ((s, d) => {
       val P = 32
       val li = Tables.fanout(Tables.lineitem(s, d))
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice").as("v"))
-      val sample = li.filter(
-        graft.ops.TextOps.hash60(concat(col("l_orderkey").cast("string"),
-          lit("_"), col("l_linenumber").cast("string"))) % 20 === 0)
-      val ranked = sample.withColumn("rn", row_number().over(
-        Window.orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))))
-      val ns = ranked.agg(max(col("rn")).as("ns"))
-      val bArr = s.range(1, P).toDF("i").crossJoin(broadcast(ns))
-        .select(col("i"), expr(s"(i * ns) div $P").as("pos"))
-        .filter(col("pos") >= 1)
-        .join(ranked, col("pos") === col("rn"))
-        .orderBy(col("i"))
-        .select(col("v")).collect().map(_.getDouble(0)).toSeq
-      val pid = size(filter(typedLit(bArr), b => b < col("v"))).cast("long")
+      val bArr = graft.ops.RangePlanOps.planBoundaries(s, li, P)
+      val pid = graft.ops.RangePlanOps.pidColumn(bArr)(col("v"))
       val tot = li.agg(count(lit(1)).as("n"))
       li.withColumn("pid", pid)
         .groupBy(col("pid"))
@@ -3827,10 +3821,15 @@ object RelationalQueries {
       """WITH li AS (
         |  SELECT l_orderkey, l_linenumber, l_extendedprice AS v
         |  FROM lineitem),
+        |hs AS (
+        |  SELECT li.*, ('0x' || substr(md5(l_orderkey || '_'
+        |          || l_linenumber), 1, 15))::BIGINT AS h FROM li),
         |smp AS (
-        |  SELECT * FROM li
-        |  WHERE ('0x' || substr(md5(l_orderkey || '_' || l_linenumber),
-        |          1, 15))::BIGINT % 20 = 0),
+        |  SELECT v, l_orderkey, l_linenumber FROM (
+        |    SELECT v, l_orderkey, l_linenumber,
+        |      ROW_NUMBER() OVER (PARTITION BY h % 32
+        |        ORDER BY h, l_orderkey, l_linenumber, v) AS brn
+        |    FROM hs) WHERE brn <= 20),
         |rk AS (
         |  SELECT v, ROW_NUMBER() OVER (
         |    ORDER BY v, l_orderkey, l_linenumber) AS rn FROM smp),

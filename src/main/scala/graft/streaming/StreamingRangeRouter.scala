@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions._
 
 /** Serving leg of q91's range planning: the planner's P−1 order-statistic
   * boundaries, embedded as one literal array in a STATELESS streaming
@@ -18,7 +17,9 @@ object StreamingRangeRouter {
 
   /** Range-partition id for `v` under the planned `bounds` (ascending
     * order-statistic boundaries): count of boundaries strictly below v —
-    * q91's literal-probe assignment, verbatim. */
+    * q91's literal-probe assignment, verbatim (shared with the batch
+    * planner via [[graft.ops.RangePlanOps.pidColumn]], so the router
+    * inherits the bounded-sample provenance of the boundaries too). */
   def pidColumn(bounds: Seq[Double])(v: Column): Column =
-    size(filter(typedLit(bounds), b => b < v)).cast("long")
+    graft.ops.RangePlanOps.pidColumn(bounds)(v)
 }

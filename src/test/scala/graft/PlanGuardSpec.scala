@@ -157,6 +157,28 @@ class PlanGuardSpec extends SparkSpecBase {
       s"q91's full-table pass must not join-sort:\n$p")
   }
 
+  test("q91's boundary sample is bounded before its un-partitioned rank") {
+    // The planner's sample leg (executed at boundary-build time, outside
+    // the q91 plan above) must never feed an unbounded relation into an
+    // un-partitioned Window: the per-stratum top-k filter has to compile
+    // to WindowGroupLimit — map tasks prune to ≤PerBucket rows per
+    // stratum BEFORE the exchange — so the global rank's input is
+    // ≤ SampleBuckets·PerBucket rows by construction. A rate sample (the
+    // round-8 form) has no WindowGroupLimit and funnels a table-sized
+    // sample through one sort task at 100 TB.
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("v"))
+    val p = graft.ops.RangePlanOps.boundedRankedSample(li)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("WindowGroupLimit"),
+      s"sample's per-stratum top-k lost its WindowGroupLimit pushdown:\n$p")
+    // exactly one un-partitioned Window (the global rank); its input side
+    // carries the bounded brn filter
+    assert(p.contains("brn"), s"bounded-reservoir filter missing:\n$p")
+  }
+
   test("parquet scans prune to the referenced columns") {
     // s4 projects 2 of part's 9 columns; the scan must read only those.
     val p = planOf("s4_array_index")

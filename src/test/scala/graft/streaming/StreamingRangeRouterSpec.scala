@@ -18,19 +18,8 @@ class StreamingRangeRouterSpec extends SparkSpecBase {
     val li = graft.Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice").as("v"))
-    // q91's boundary build: 1-in-20 md5 sample, sorted, P−1 order stats
-    val sample = li.filter(graft.ops.TextOps.hash60(
-      concat(col("l_orderkey").cast("string"), lit("_"),
-        col("l_linenumber").cast("string"))) % 20 === 0)
-    val ranked = sample.withColumn("rn", row_number().over(
-      Window.orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))))
-    val ns = ranked.agg(max(col("rn")).as("ns"))
-    val bounds = spark.range(1, P).toDF("i").crossJoin(broadcast(ns))
-      .select(col("i"), expr(s"(i * ns) div $P").as("pos"))
-      .filter(col("pos") >= 1)
-      .join(ranked, col("pos") === col("rn"))
-      .orderBy(col("i")).select(col("v"))
-      .collect().map(_.getDouble(0)).toSeq
+    // q91's boundary build: bounded stratified reservoir, P−1 order stats
+    val bounds = graft.ops.RangePlanOps.planBoundaries(spark, li, P)
     assert(bounds.nonEmpty && bounds == bounds.sorted)
 
     // (l_orderkey, l_linenumber) is NOT unique in the synthetic corpus —
