@@ -50,18 +50,33 @@ object ClassifierOps {
     * log-prior. Both vocab-/class-bounded (broadcastable). */
   def nbModel(trainTf: DataFrame, trainLab: DataFrame,
       k: Int = 2): (DataFrame, DataFrame) = {
-    val s = trainTf.sparkSession
-    val classes = s.range(k.toLong).select(col("id").cast("int").as("cls"))
     val tr = trainTf.join(trainLab.select(col("doc_id"), col("cls")), "doc_id")
-    // the model: one combinable agg → vocab-bounded count table
+    // the sufficient statistics: one combinable agg → vocab-bounded
+    // count table (+ three scalar/class-bounded count frames)
     val cnt = tr.groupBy(col("cls"), col("tok")).agg(sum(col("tf")).as("cnt"))
-    val tot = classes.join(
-        tr.groupBy(col("cls")).agg(sum(col("tf")).as("t")), Seq("cls"), "left")
-      .select(col("cls"), coalesce(col("t"), lit(0L)).as("tot"))
+    val totRaw = tr.groupBy(col("cls")).agg(sum(col("tf")).as("t"))
     val vocab = tr.agg(countDistinct(col("tok")).as("v"))
+    val ncRaw = trainLab.groupBy(col("cls")).agg(count(lit(1)).as("c"))
     val ntr = trainLab.agg(count(lit(1)).as("n"))
-    val prior = classes.join(
-        trainLab.groupBy(col("cls")).agg(count(lit(1)).as("c")), Seq("cls"), "left")
+    nbModelFromStats(trainTf.sparkSession, cnt, totRaw, vocab, ncRaw, ntr, k)
+  }
+
+  /** Model derivation from pre-aggregated sufficient statistics — the
+    * path shared by in-query training ([[nbModel]]) and the PERSISTED
+    * model ([[ClassifierIndex]]): the statistics are exact BIGINT count
+    * aggregations (order-free, parquet-roundtrip-exact), so a model
+    * derived from persisted stats is bit-identical to one trained
+    * in-query on the same docs. Inputs: `cnt` (cls, tok, cnt), `totRaw`
+    * (cls, t — per-class token mass, absent classes missing), `vocab`
+    * (v — 1 row), `ncRaw` (cls, c — per-class doc counts), `ntr` (n —
+    * 1 row, total train docs). */
+  def nbModelFromStats(s: SparkSession, cnt: DataFrame, totRaw: DataFrame,
+      vocab: DataFrame, ncRaw: DataFrame, ntr: DataFrame,
+      k: Int): (DataFrame, DataFrame) = {
+    val classes = s.range(k.toLong).select(col("id").cast("int").as("cls"))
+    val tot = classes.join(totRaw, Seq("cls"), "left")
+      .select(col("cls"), coalesce(col("t"), lit(0L)).as("tot"))
+    val prior = classes.join(ncRaw, Seq("cls"), "left")
       .select(col("cls"), coalesce(col("c"), lit(0L)).as("nc"))
       .crossJoin(ntr)
       .withColumn("x", expr(s"((nc + 1) * ${NbFp}L) div (n + $k)"))
@@ -89,9 +104,18 @@ object ClassifierOps {
     * score is finite and identical in both engines). */
   def nbPredict(trainTf: DataFrame, trainLab: DataFrame, testTf: DataFrame,
       testSpine: DataFrame): DataFrame = {
-    val s = trainTf.sparkSession
-    val classes = s.range(2).select(col("id").cast("int").as("cls"))
     val (seen, consts) = nbModel(trainTf, trainLab)
+    nbScore(seen, consts, testTf, testSpine)
+  }
+
+  /** Serve-only binary scoring against an already-derived model
+    * (`seen`/`consts` from [[nbModel]] or a [[ClassifierIndex]] read) —
+    * identical arithmetic to [[nbPredict]]'s scoring leg, factored out
+    * so the persisted-model path is bit-equal by construction. */
+  def nbScore(seen: DataFrame, consts: DataFrame, testTf: DataFrame,
+      testSpine: DataFrame): DataFrame = {
+    val s = seen.sparkSession
+    val classes = s.range(2).select(col("id").cast("int").as("cls"))
     // scoring: broadcast the model INTO the test-token scan — the corpus
     // side never shuffles until the per-doc sum
     val ll = testTf
@@ -121,10 +145,17 @@ object ClassifierOps {
     * `(doc_id, pred_cls, score_ppm)` with the winner's score. */
   def nbPredictK(trainTf: DataFrame, trainLab: DataFrame, testTf: DataFrame,
       testSpine: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val s = trainTf.sparkSession
-    val classes = s.range(k.toLong).select(col("id").cast("int").as("cls"))
     val (seen, consts) = nbModel(trainTf, trainLab, k)
+    nbScoreK(seen, consts, testTf, testSpine, k)
+  }
+
+  /** k-class serve-only scoring against an already-derived model — the
+    * [[nbScore]] factoring applied to [[nbPredictK]]. */
+  def nbScoreK(seen: DataFrame, consts: DataFrame, testTf: DataFrame,
+      testSpine: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = seen.sparkSession
+    val classes = s.range(k.toLong).select(col("id").cast("int").as("cls"))
     val ll = testTf
       .crossJoin(broadcast(classes))
       .join(broadcast(seen), Seq("cls", "tok"), "left")
@@ -158,6 +189,15 @@ object ClassifierOps {
   def nbLinearModel(trainTf: DataFrame,
       trainLab: DataFrame): (Map[String, Long], Long, Long) = {
     val (seen, consts) = nbModel(trainTf, trainLab)
+    nbLinearFrom(seen, consts)
+  }
+
+  /** The linear collapse from an already-derived model — so a streaming
+    * gate's embedded weights are literally the COLLAPSED PERSISTED MODEL
+    * (`[[ClassifierIndex]].trainModel` → this) rather than a parallel
+    * training path. */
+  def nbLinearFrom(seen: DataFrame,
+      consts: DataFrame): (Map[String, Long], Long, Long) = {
     val cm = consts.select(col("cls"), col("unseen_ppm"), col("pr_ppm"))
       .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     val (u0, p0) = cm(0)

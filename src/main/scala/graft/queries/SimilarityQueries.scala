@@ -208,14 +208,19 @@ object SimilarityQueries {
     // sweeps at recall ≈ scan share (quantizer uninformative), the
     // trained quantizer must clear that diagonal or the training wasn't
     // worth the Lloyd passes. Same one-pass three-point sweep machinery.
+    // The quantizer comes from the PERSISTED IvfIndex (train-once —
+    // r8 re-ran the full Lloyd fit inside this sweep query; the
+    // centroids and list assignment are the same bytes the index build
+    // wrote, so the curve is unchanged): centroids read back as the
+    // probe frame, the vid→list_id assignment read from the codes'
+    // partition layout.
     "n21b_nprobe_trained" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val v0 = vecs(s, d)
-      val (cents, assigned) = kmeansFit(v0, KmK, KmIters)
-      val v = v0.join(assigned.select(col("id"), col("cluster").as("list_id")),
-        "id")
-      val centroids = cents.select(col("cid").as("list_id"),
-        col("cent").as("centroid"))
+      val ip = graft.ops.IvfIndex.ensure(s, d)
+      val v = v0.join(s.read.parquet(ip.codes)
+        .select(col("vid").as("id"), col("list_id")), "id")
+      val centroids = s.read.parquet(ip.centroids)
       val q = v.filter(col("id") < NumQueries)
         .select(col("id").as("query_id"), col("emb").as("q_emb"),
           norm2(col("emb")).as("q_n2"))

@@ -47,26 +47,30 @@ object TextQueries {
   val SweepThresholdsPpm: Seq[Long] =
     Seq(-1500000L, -1000000L, -500000L, 0L, 500000L, 1000000L, 1500000L)
 
-  /** t38-family shared pipeline: binary keep label (stop_ratio ≥
-    * [[QualityKeepBp]]), per-doc token tf, and holdout NB predictions
-    * `(doc_id, pred_cls, margin_ppm)`. Label and tf frames are
-    * localCheckpoint'd — each feeds training AND an eval join. */
-  private def nbQualityPredictions(s: SparkSession,
-      d: String): (DataFrame, DataFrame, DataFrame) = {
-    val t = Tables.fanout(Tables.documents(s, d))
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-    val lab = t.select(col("doc_id"),
-      when(wordSetCount(col("toks"), stopwords) * 10000
-        >= lit(QualityKeepBp) * size(col("toks")), 1).otherwise(0).as("cls"))
-      .localCheckpoint()
-    val tf = t.select(col("doc_id"), explode(col("toks")).as("tok"))
+  /** t38-family shared SERVE pipeline: the model comes from the
+    * PERSISTED [[graft.ops.ClassifierIndex]] (train-once/serve-many —
+    * the r8 form retrained the same count tables inside all six
+    * t38-family queries), the holdout teacher labels come from the
+    * persisted teacher frame, and only the holdout quarter of the
+    * corpus is tokenized for scoring (the doc_id filter pushes below
+    * the tokenize). Returns (holdout teacher (doc_id, fold, cls,
+    * teacher_bp), predictions (doc_id, pred_cls, margin_ppm)) —
+    * bit-equal to in-query training ([[graft.ops.ClassifierOps
+    * .nbModelFromStats]]'s stats contract; spec-asserted). */
+  private def nbServePredictions(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    val p = graft.ops.ClassifierIndex.ensure(s, d,
+      graft.ops.ClassifierIndex.Binary)
+    val (seen, consts) = graft.ops.ClassifierIndex.trainModel(s, p, 2)
+    val tf = Tables.fanout(Tables.documents(s, d))
+      .filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
-    val pred = graft.ops.ClassifierOps.nbPredict(
-      tf.filter(col("doc_id") % 4 =!= 0), lab.filter(col("doc_id") % 4 =!= 0),
-      tf.filter(col("doc_id") % 4 === 0),
-      lab.filter(col("doc_id") % 4 === 0).select(col("doc_id")))
-    (lab, tf, pred)
+    val teach = graft.ops.ClassifierIndex.teacher(s, p)
+      .filter(col("fold") === 0)
+    val pred = graft.ops.ClassifierOps.nbScore(seen, consts, tf,
+      teach.select(col("doc_id")))
+    (teach, pred)
   }
 
   // Shared DuckDB fragments (mirror of TextOps)
@@ -758,9 +762,9 @@ object TextQueries {
     // scan ([[graft.ops.ClassifierOps.nbPredict]]) — no gradient loop,
     // no driver state, nothing per-pair.
     "t38_quality_distill" -> ((s, d) => {
-      val (lab, _, pred) = nbQualityPredictions(s, d)
+      val (teach, pred) = nbServePredictions(s, d)
       val conf = pred
-        .join(lab.filter(col("doc_id") % 4 === 0), "doc_id")
+        .join(teach.select(col("doc_id"), col("cls")), "doc_id")
         .groupBy(col("cls").as("keep"), col("pred_cls").as("pred_keep"))
         .agg(count(lit(1)).as("n_docs"))
       val m = conf.agg(
@@ -791,10 +795,10 @@ object TextQueries {
     // integers). Cost over t38: ONE extra 7-row broadcast — the sweep
     // reuses the scored margins, it never re-scores the corpus.
     "t38b_threshold_sweep" -> ((s, d) => {
-      val (lab, _, pred) = nbQualityPredictions(s, d)
+      val (teach, pred) = nbServePredictions(s, d)
       val thr = s.range(1)
         .select(explode(typedLit(SweepThresholdsPpm)).as("thr_ppm"))
-      pred.join(lab.filter(col("doc_id") % 4 === 0), "doc_id")
+      pred.join(teach.select(col("doc_id"), col("cls")), "doc_id")
         .crossJoin(broadcast(thr))
         .groupBy(col("thr_ppm"))
         .agg(
@@ -822,10 +826,10 @@ object TextQueries {
     // flags the outlier slices. Cost over t38: one broadcast-sized lang
     // join on the holdout.
     "t38c_sliced_eval" -> ((s, d) => {
-      val (lab, _, pred) = nbQualityPredictions(s, d)
+      val (teach, pred) = nbServePredictions(s, d)
       val langs = Tables.fanout(Tables.documents(s, d))
         .select(col("doc_id"), col("lang"))
-      val per = pred.join(lab.filter(col("doc_id") % 4 === 0), "doc_id")
+      val per = pred.join(teach.select(col("doc_id"), col("cls")), "doc_id")
         .join(langs, "doc_id")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
@@ -851,20 +855,17 @@ object TextQueries {
     // (ties broken by doc_id on both sides — textbook Spearman's
     // tied-rank averaging would need non-integer ranks; the tie-broken
     // form is deterministic and equal to it in the untied limit).
-    // ρ_ppm = 10⁶ − 6·Σd²·10⁶ div n(n²−1), exact BIGINTs (Σd² < n³/3 —
-    // overflow at n ≈ 2M holdout docs; past that, rank on a q91-style
-    // range partition and widen to DECIMAL). The two rank windows sort
-    // only the HOLDOUT (per-fold sample, not the corpus).
+    // ρ_ppm = 10⁶ − 6·Σd²·10⁶ div n(n²−1), exact BIGINTs while the
+    // NUMERATOR 6·Σd²·10⁶ stays under 2⁶³: worst-case Σd² = n(n²−1)/3,
+    // so 2·10⁶·n³ overflows at n ≈ 16.6k holdout docs — past that,
+    // widen the numerator product to DECIMAL(38,0) (and rank on a
+    // q91-style range partition once the sort itself is the bound).
+    // The two rank windows sort only the HOLDOUT (per-fold sample, not
+    // the corpus).
     "t38d_rank_fidelity" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val t = Tables.fanout(Tables.documents(s, d))
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-      val ratio = t.filter(col("doc_id") % 4 === 0)
-        .select(col("doc_id"),
-          wordSetCount(col("toks"), stopwords).as("ns"),
-          size(col("toks")).cast("long").as("nt"))
-        .select(col("doc_id"), expr("ns * 10000 div nt").as("teacher_bp"))
-      val (_, _, pred) = nbQualityPredictions(s, d)
+      val (teach, pred) = nbServePredictions(s, d)
+      val ratio = teach.select(col("doc_id"), col("teacher_bp"))
       val ranked = pred.join(ratio, "doc_id")
         .withColumn("rank_student", row_number().over(
           Window.orderBy(col("margin_ppm"), col("doc_id"))))
@@ -892,39 +893,41 @@ object TextQueries {
     "t38e_crossval" -> ((s, d) => {
       val fp2 = graft.ops.ClassifierOps.NbFp
       def lnp(x: String) = graft.ops.ClassifierOps.lnPpmExpr(x)
-      val t = Tables.fanout(Tables.documents(s, d))
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-      val lab = t.select(col("doc_id"),
-        when(wordSetCount(col("toks"), stopwords) * 10000
-          >= lit(QualityKeepBp) * size(col("toks")), 1).otherwise(0).as("cls"))
-        .withColumn("fold", col("doc_id") % 4)
-        .localCheckpoint()
-      val tf = t.select(col("doc_id"), explode(col("toks")).as("tok"))
+      // every count table comes from the PERSISTED fold-grained stats
+      // (ClassifierIndex tokcnt/docstats — the finest re-aggregatable
+      // grain, so fold-f's model is total − fold f by exact BIGINT
+      // subtraction); only the SCORING token scan touches the corpus,
+      // which CV inherently must (every doc is scored once).
+      val p = graft.ops.ClassifierIndex.ensure(s, d,
+        graft.ops.ClassifierIndex.Binary)
+      val tc = s.read.parquet(p.tokcnt)
+      val dc = s.read.parquet(p.docstats)
+      val lab = graft.ops.ClassifierIndex.teacher(s, p)
+        .select(col("doc_id"), col("fold"), col("cls"))
+      val tf = Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint()
-      val tfl = tf.join(lab, "doc_id")
-      val cAll = tfl.groupBy(col("cls"), col("tok"))
-        .agg(sum(col("tf")).as("c_all"))
-      val cFold = tfl.groupBy(col("fold"), col("cls"), col("tok"))
-        .agg(sum(col("tf")).as("c_f"))
-      val totAll = tfl.groupBy(col("cls")).agg(sum(col("tf")).as("t_all"))
-      val totFold = tfl.groupBy(col("fold"), col("cls"))
-        .agg(sum(col("tf")).as("t_f"))
+      val cAll = tc.groupBy(col("cls"), col("tok"))
+        .agg(sum(col("cnt")).as("c_all"))
+      val cFold = tc.select(col("fold"), col("cls"), col("tok"),
+        col("cnt").as("c_f"))
+      val totAll = tc.groupBy(col("cls")).agg(sum(col("cnt")).as("t_all"))
+      val totFold = tc.groupBy(col("fold"), col("cls"))
+        .agg(sum(col("cnt")).as("t_f"))
       val folds = s.range(4).select(col("id").as("fold"))
       // per-fold train vocab: tok counts toward fold f iff it appears in
       // some fold ≠ f
-      val vocabF = tfl.select(col("tok"), col("fold")).distinct()
+      val vocabF = tc.select(col("tok"), col("fold")).distinct()
         .groupBy(col("tok"))
         .agg(countDistinct(col("fold")).as("nf"), min(col("fold")).as("onlyf"))
         .crossJoin(broadcast(folds))
         .filter(col("nf") > 1 || col("onlyf") =!= col("fold"))
         .groupBy(col("fold")).agg(count(lit(1)).as("v"))
       val classes = s.range(2).select(col("id").cast("int").as("cls"))
-      val nAll = lab.groupBy(col("cls")).agg(count(lit(1)).as("n_all"))
-      val nFold = lab.groupBy(col("fold"), col("cls"))
-        .agg(count(lit(1)).as("n_f"))
-      val nTot = lab.agg(count(lit(1)).as("nt"))
-      val nFoldTot = lab.groupBy(col("fold")).agg(count(lit(1)).as("nt_f"))
+      val nAll = dc.groupBy(col("cls")).agg(sum(col("ndocs")).as("n_all"))
+      val nFold = dc.select(col("fold"), col("cls"), col("ndocs").as("n_f"))
+      val nTot = dc.agg(sum(col("ndocs")).as("nt"))
+      val nFoldTot = dc.groupBy(col("fold")).agg(sum(col("ndocs")).as("nt_f"))
       val prior = folds.crossJoin(classes)
         .join(broadcast(nAll), "cls")
         .join(broadcast(nFold), Seq("fold", "cls"), "left")
@@ -979,23 +982,19 @@ object TextQueries {
     // confusion + accuracy vs majority baseline. Same scale shape as
     // t38 (model rows ×k, still vocab-bounded and broadcast).
     "t39_tercile_distill" -> ((s, d) => {
-      val t = Tables.fanout(Tables.documents(s, d))
-        .select(col("doc_id"), tokens(col("text")).as("toks"))
-      val stop = wordSetCount(col("toks"), stopwords) * 10000
-      val lab = t.select(col("doc_id"),
-        when(stop < lit(TercileLoBp) * size(col("toks")), 0)
-          .when(stop < lit(TercileHiBp) * size(col("toks")), 1)
-          .otherwise(2).as("cls"))
-        .localCheckpoint()
-      val tf = t.select(col("doc_id"), explode(col("toks")).as("tok"))
+      val p = graft.ops.ClassifierIndex.ensure(s, d,
+        graft.ops.ClassifierIndex.Tercile)
+      val (seen, consts) = graft.ops.ClassifierIndex.trainModel(s, p, 3)
+      val tf = Tables.fanout(Tables.documents(s, d))
+        .filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint()
-      val pred = graft.ops.ClassifierOps.nbPredictK(
-        tf.filter(col("doc_id") % 4 =!= 0), lab.filter(col("doc_id") % 4 =!= 0),
-        tf.filter(col("doc_id") % 4 === 0),
-        lab.filter(col("doc_id") % 4 === 0).select(col("doc_id")), k = 3)
+      val teach = graft.ops.ClassifierIndex.teacher(s, p)
+        .filter(col("fold") === 0)
+      val pred = graft.ops.ClassifierOps.nbScoreK(seen, consts, tf,
+        teach.select(col("doc_id")), k = 3)
       val conf = pred
-        .join(lab.filter(col("doc_id") % 4 === 0), "doc_id")
+        .join(teach.select(col("doc_id"), col("cls")), "doc_id")
         .groupBy(col("cls"), col("pred_cls"))
         .agg(count(lit(1)).as("n_docs"))
       val m = conf.agg(
@@ -1268,7 +1267,14 @@ object TextQueries {
   /** The t38 binary-NB chain through per-holdout-doc margins (CTE `marg`:
     * doc_id, margin) plus `lab` — shared by t38 (argmax), t38b (threshold
     * sweep) and t38c (sliced eval). */
-  private val dkNbBinaryCtes: String = {
+  private val dkNbBinaryCtes: String = dkNbMarginCtes("doc_id % 4 = 0")
+
+  /** The binary-NB margin chain with a parameterized SCORING spine
+    * (training is always the doc_id%4≠0 slice): t38's oracles score the
+    * holdout (`doc_id % 4 = 0`); the composed-pipeline ledger
+    * ([[PipelineQueries]]) scores every doc (`TRUE`) — the ingest-gate
+    * form. */
+  private[queries] def dkNbMarginCtes(spineWhere: String): String = {
     val fp2 = graft.ops.ClassifierOps.NbFp
     s"""t AS (SELECT doc_id, $dkToks AS toks FROM documents),
        |lab AS (SELECT doc_id,
@@ -1294,7 +1300,7 @@ object TextQueries {
        |prln0 AS (SELECT p.cls, ((p.nc + 1) * $fp2::BIGINT) // (n.n + 2) AS x
        |          FROM prior p, ntr n),
        |prln AS (SELECT cls, ${dkLnPpm30("x")} AS pr_ppm FROM prln0),
-       |tetf AS (SELECT doc_id, tok, tf FROM tf WHERE doc_id % 4 = 0),
+       |tetf AS (SELECT doc_id, tok, tf FROM tf WHERE $spineWhere),
        |sc0 AS (SELECT s.doc_id, c.cls, s.tf,
        |          ((coalesce(m.cnt, 0) + 1) * $fp2::BIGINT) // (t2.tot + v.v)
        |            AS x
@@ -1306,7 +1312,7 @@ object TextQueries {
        |        FROM sc0 GROUP BY 1, 2),
        |scored AS (SELECT d.doc_id, c.cls,
        |             coalesce(s.ll, 0) + p.pr_ppm AS score
-       |           FROM (SELECT doc_id FROM lab WHERE doc_id % 4 = 0) d
+       |           FROM (SELECT doc_id FROM lab WHERE $spineWhere) d
        |           CROSS JOIN classes c
        |           LEFT JOIN sc1 s ON s.doc_id = d.doc_id AND s.cls = c.cls
        |           JOIN prln p ON p.cls = c.cls),

@@ -4,9 +4,13 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Quality gating at INGEST with the distilled classifier: t38's trained
-  * Naive Bayes, served in its linear form
-  * ([[graft.ops.ClassifierOps.nbLinearModel]]) as a STATELESS streaming
-  * projection — per-token ppm weights embedded as one literal map column,
+  * Naive Bayes, served in its linear form as a STATELESS streaming
+  * projection. The weights ARE the collapsed PERSISTED model —
+  * `[[graft.ops.ClassifierIndex]].trainModel` →
+  * [[graft.ops.ClassifierOps.nbLinearFrom]] (w = ln₁ − ln₀; spec-proven
+  * equal to in-query training's collapse), so the gate and every batch
+  * t38 query serve the same artifact, not parallel trainings —
+  * per-token ppm weights embedded as one literal map column,
   * out-of-vocab tokens sharing the smoothed-unseen constant, the prior
   * gap as the fold seed (the StreamingIvfAdmission / StreamingBloomGate
   * literal-embedding discipline: no stream-static join re-shipping the
@@ -43,4 +47,22 @@ object StreamingNbGate {
 
   def predColumn(margin: Column): Column =
     when(margin > 0, 1).otherwise(0)
+
+  /** Vocab-drift gauge (t40's OOV audit as a streaming `observe`
+    * metric): token instances ABSENT from the persisted model's
+    * vocabulary score as the smoothing floor silently — a corpus
+    * drifting away from the training slice degrades the gate with no
+    * error anywhere. This column counts a row's OOV token instances;
+    * `df.observe(Observation, sum(oov), sum(n))` turns it into the
+    * per-batch OOV rate a pipeline owner alerts on (re-distill when it
+    * leaves the training-time band). Same literal-map probe as the
+    * margin — stateless, no shuffle. */
+  def oovCountColumn(weights: Map[String, Long],
+      maxVocab: Int = 100000)(toks: Column): Column = {
+    require(weights.size <= maxVocab,
+      s"train vocab ${weights.size} exceeds $maxVocab — serve this model " +
+        "via a broadcast stream-static join, not a plan literal")
+    val wLit = typedLit(weights)
+    size(filter(toks, t => element_at(wLit, t).isNull)).cast("long")
+  }
 }

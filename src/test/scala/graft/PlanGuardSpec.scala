@@ -132,16 +132,20 @@ class PlanGuardSpec extends SparkSpecBase {
       s"q56 funnel steps must broadcast the per-user step tables:\n$funnel")
   }
 
-  test("t38 broadcasts the NB model into the token scan") {
+  test("t38 broadcasts the PERSISTED NB model into the token scan") {
     // The distillation serving contract: the vocab-bounded model tables
     // (per-(cls,tok) likelihoods + per-class constants) broadcast — a
     // sort-merge join on tok would shuffle the whole corpus token list
-    // to meet a dictionary.
+    // to meet a dictionary. And the model must be READ from the
+    // ClassifierIndex artifact, not retrained in-query: the plan shows
+    // the nb-model parquet scan feeding the broadcast.
     val p = planOf("t38_quality_distill")
     assert(p.contains("BroadcastHashJoin"),
       s"t38 must broadcast the model:\n$p")
     assert("SortMergeJoin \\[[^\\]]*tok".r.findFirstIn(p).isEmpty,
       s"t38's token-scoring join fell back to sort-merge:\n$p")
+    assert(p.contains("nb-model"),
+      s"t38 must serve the persisted ClassifierIndex model, not retrain:\n$p")
   }
 
   test("q91 never sorts or windows the full table") {

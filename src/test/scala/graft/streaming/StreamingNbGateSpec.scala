@@ -34,7 +34,15 @@ class StreamingNbGateSpec extends SparkSpecBase {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(batch.nonEmpty)
 
-    val (w, unseen, priorGap) = ClassifierOps.nbLinearModel(trainTf, trainLab)
+    // the gate's weights are the collapsed PERSISTED model — and that
+    // collapse must equal the in-query training's collapse exactly
+    val p = graft.ops.ClassifierIndex.ensure(spark, sfDir,
+      graft.ops.ClassifierIndex.Binary)
+    val (seen, consts) = graft.ops.ClassifierIndex.trainModel(spark, p, 2)
+    val (w, unseen, priorGap) = ClassifierOps.nbLinearFrom(seen, consts)
+    assert((w, unseen, priorGap) ==
+      ClassifierOps.nbLinearModel(trainTf, trainLab),
+      "persisted-model collapse must equal in-query training's collapse")
     assert(w.nonEmpty && w.values.exists(_ != 0L),
       "weights must carry signal (stopword tokens separate the classes)")
 
@@ -46,9 +54,14 @@ class StreamingNbGateSpec extends SparkSpecBase {
     val margin = StreamingNbGate.marginColumn(w, unseen, priorGap)(
       tokens(col("text")))
     val gated = in.toDF().toDF("doc_id", "text")
-      .select(col("doc_id"), margin.as("margin_ppm"))
-      .select(col("doc_id"), col("margin_ppm"),
+      .select(col("doc_id"), margin.as("margin_ppm"),
+        StreamingNbGate.oovCountColumn(w)(tokens(col("text"))).as("oov"),
+        size(tokens(col("text"))).cast("long").as("ntok"))
+      .select(col("doc_id"), col("margin_ppm"), col("oov"), col("ntok"),
         StreamingNbGate.predColumn(col("margin_ppm")).as("pred_cls"))
+      .observe("nb_gate_vocab",
+        sum(col("oov")).as("oov_instances"),
+        sum(col("ntok")).as("tok_instances"))
     val q = gated.writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("nb_gate").start()
     try {
@@ -62,6 +75,21 @@ class StreamingNbGateSpec extends SparkSpecBase {
       assert(got.size == holdout.length)
       assert(got == batch,
         "streamed linear margins must be bit-equal to batch NB scores")
+      // vocab-drift gauge: summed over batches, the observed OOV/token
+      // instance counts must equal the batch-side audit on the same docs
+      // (t40's readout, against the MODEL vocab instead of the top-N cut)
+      val gauges = q.recentProgress.toSeq
+        .flatMap(pr => Option(pr.observedMetrics.get("nb_gate_vocab")))
+      val gotOov = gauges.map(_.getAs[Long]("oov_instances")).sum
+      val gotTok = gauges.map(_.getAs[Long]("tok_instances")).sum
+      val expect = graft.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 4 === 0)
+        .select(StreamingNbGate.oovCountColumn(w)(tokens(col("text")))
+          .as("oov"), size(tokens(col("text"))).cast("long").as("ntok"))
+        .agg(sum(col("oov")), sum(col("ntok")))
+        .as[(Long, Long)].collect()(0)
+      assert(gotTok > 0 && (gotOov, gotTok) == expect,
+        s"streamed OOV gauge ($gotOov/$gotTok) != batch audit $expect")
     } finally q.stop()
   }
 }
