@@ -104,7 +104,8 @@ object Bench {
     "n21b_nprobe_trained",
     "m1_binary_meta", "m2_frame_windows", "m3_decode_features",
     "m4_patch_dedup", "m5_shared_patches", "m6_crossmodal_retrieval",
-    "m7_modality_mix")
+    "m7_modality_mix",
+    "p1_curation_ledger")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -31,12 +31,14 @@ object SparkEntry {
     * training-data-pipeline extension surface). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     StediQueries.queries ++ RelationalQueries.queries ++ TextQueries.queries ++
-      DedupQueries.queries ++ SimilarityQueries.queries ++ MultimodalQueries.queries
+      DedupQueries.queries ++ SimilarityQueries.queries ++
+      MultimodalQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables — every query has one (the LSH oracle embeds
     * its hyperplane weights as SQL literals). */
   def oracleSql: Map[String, String] =
     StediQueries.oracles ++ RelationalQueries.oracles ++ TextQueries.oracles ++
-      DedupQueries.oracles ++ SimilarityQueries.oracles ++ MultimodalQueries.oracles
+      DedupQueries.oracles ++ SimilarityQueries.oracles ++
+      MultimodalQueries.oracles ++ PipelineQueries.oracles
 }

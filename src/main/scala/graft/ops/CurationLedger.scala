@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composed curation DRESS REHEARSAL: the individually-verified
+  * operators chained into the one job a 100 TB pretraining-corpus run
+  * actually executes, with an exact-integer reconciliation ledger at
+  * every stage boundary — the place real pipelines silently lose (or
+  * duplicate) data:
+  *
+  *   ingest → normalize → NB quality gate (the PERSISTED t38 model,
+  *   ingest form: raw-token margins) → exact dedup (d1, md5 keeper) →
+  *   near-dup collapse (d2 MinHash-LSH candidates, Jaccard-verified,
+  *   star-CC components, canonical min-id keeper) → benchmark
+  *   decontamination (d30 Bloom, 3-of-3 salted bits, ≥3-shingle flag) →
+  *   source-mixture downsample (t13's uniform-target weight as a
+  *   content-hash keep rate) → token packing (t15 shards) / overlap
+  *   chunking (t17).
+  *
+  * Composition adds NO new semantics — each stage is the cited
+  * operator's exact logic over the previous stage's survivors — so the
+  * DuckDB oracle replays the whole chain and the ledger's BIGINTs match
+  * bit-for-bit ([[graft.queries.PipelineQueries]]).
+  *
+  * Scale shape: normalize/gate are narrow projections (model broadcast
+  * into the token scan); exact dedup is one hash-key shuffle; near-dup
+  * is the d2 banded plan (never all-pairs) + edge-only star-CC; the
+  * Bloom is 2048 broadcast words; mixture rates are a |sources|-row
+  * broadcast; pack is one lang-partitioned window. The localCheckpoints
+  * pin each survivor frame because SIX ledger aggregations re-read them
+  * — at 100 TB the same counts ride the stages as `observe` metrics
+  * instead (see the streaming front-half spec), and the checkpoint is a
+  * persisted stage table.
+  */
+object CurationLedger {
+
+  /** t15's shard token budget / t17's chunk+stride (the cited knobs). */
+  val ShardTokens = 512
+  val ChunkTok = 128
+  val ChunkStride = 96
+
+  /** d30's decontamination knobs: bench slice, bloom geometry, flag
+    * threshold — verbatim. */
+  val BenchMod = 50
+  val BloomBits = 65536L
+  val BloomSalts = Seq(1, 2, 3)
+  val FlagShingles = 3
+
+  final case class Stages(raw: DataFrame, s1: DataFrame, s2: DataFrame,
+      s3: DataFrame, s4: DataFrame, s5: DataFrame, s6: DataFrame)
+
+  /** t10's normalization, verbatim. */
+  def normTextCol(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** All stage survivor frames. `raw` carries (doc_id, text, lang,
+    * source, ntok_raw); s1..s6 add (norm_text, ntok). */
+  def stages(s: SparkSession, d: String): Stages = {
+    import graft.queries.DedupQueries.{NumHashes, Bands, RowsPerBand,
+      JaccardTau}
+    val raw = graft.Tables.fanout(graft.Tables.documents(s, d))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        TextOps.tokenCount(col("text")).as("ntok_raw"))
+      .localCheckpoint()
+    // 1. normalize; empty-normal-form docs drop here
+    val s1 = raw
+      .withColumn("norm_text", normTextCol(col("text")))
+      .filter(length(col("norm_text")) > 0)
+      .withColumn("ntok", TextOps.tokenCount(col("norm_text")))
+      .localCheckpoint()
+    // 2. quality gate: margins from the PERSISTED model over RAW tokens
+    // (the ingest form — StreamingNbGate serves the identical collapse)
+    val p = ClassifierIndex.ensure(s, d, ClassifierIndex.Binary)
+    val (seen, consts) = ClassifierIndex.trainModel(s, p, 2)
+    val tfAll = raw
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val admitted = ClassifierOps.nbScore(seen, consts, tfAll,
+        raw.select(col("doc_id")))
+      .filter(col("margin_ppm") > 0).select(col("doc_id"))
+    val s2 = s1.join(admitted, "doc_id").localCheckpoint()
+    // 3. exact dedup (d1): md5(norm_text) groups, min-id keeper
+    val keepers = s2
+      .groupBy(md5(col("norm_text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val s3 = s2.join(keepers.select(col("doc_id")), "doc_id")
+      .localCheckpoint()
+    // 4. near-dup collapse (d2 candidates ∘ star-CC): raw-text shingles
+    // of the SURVIVORS only — banded signatures, verified pairs, then
+    // edge-rewrite components; keep each component's min-id canonical
+    val arr = DedupOps.shingleArrays(s3.select(col("doc_id"), col("text")))
+    val pairs = DedupOps.jaccardVerifyArrays(
+        DedupOps.candidatePairs(DedupOps.lshBands(
+          DedupOps.minhashSignatureNarrow(arr, NumHashes),
+          Bands, RowsPerBand)), arr)
+      .filter(col("jaccard") >= JaccardTau)
+      .select(col("doc_a"), col("doc_b"))
+    val canon = DedupOps.starComponents(pairs, s3.select(col("doc_id")))
+    val s4 = s3.join(
+        canon.filter(col("doc_id") === col("canon_id"))
+          .select(col("doc_id")), "doc_id")
+      .localCheckpoint()
+    // 5. decontaminate (d30): bloom over the benchmark slice's raw
+    // shingles; drop survivors matching ≥3 distinct bench shingles
+    val shAll = DedupOps.explodedShingles(
+      raw.select(col("doc_id"), col("text")))
+    val benchSh = shAll.filter(col("doc_id") % BenchMod === 0)
+      .select(col("sh")).distinct()
+    def bitsOf(df: DataFrame, keep: Seq[Column]) =
+      df.select(keep :+ explode(array(BloomSalts.map(k =>
+          pmod(TextOps.saltedHash60(col("sh"), k), lit(BloomBits))): _*))
+          .as("b"): _*)
+        .select(keep :+ expr("b div 32").as("word") :+
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(b % 32 AS INT))")
+            .as("mask"): _*)
+    val bloom = bitsOf(benchSh, Seq(col("sh"))).drop("sh")
+      .groupBy(col("word")).agg(bit_or(col("mask")).as("bits"))
+    val flagged = bitsOf(
+        shAll.join(s4.select(col("doc_id")), "doc_id"),
+        Seq(col("doc_id"), col("sh")))
+      .join(broadcast(bloom), Seq("word"), "left")
+      .groupBy(col("doc_id"), col("sh"))
+      .agg(min(when(expr("(coalesce(bits, CAST(0 AS BIGINT)) & mask) <> 0"),
+        1L).otherwise(0L)).as("all_set"))
+      .filter(col("all_set") === 1)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bloom"))
+      .filter(col("n_bloom") >= FlagShingles)
+      .select(col("doc_id"))
+    val s5 = s4.join(flagged, Seq("doc_id"), "left_anti").localCheckpoint()
+    // 6. mixture (t13's uniform-target weight as a keep rate): per-source
+    // rate_bp = min(10000, tot/(n_sources·n_src)); membership by content
+    // hash — deterministic across runs, engines, partitionings
+    val srcCounts = s5.groupBy(col("source")).agg(count(lit(1)).as("nds"))
+    val tots = s5.agg(count(lit(1)).as("tot_docs"),
+      countDistinct(col("source")).as("n_sources"))
+    val rates = srcCounts.crossJoin(broadcast(tots))
+      .select(col("source"), least(lit(10000L),
+        expr("tot_docs * 10000 div (n_sources * nds)")).as("rate_bp"))
+    val s6 = s5.join(broadcast(rates), "source")
+      .filter(pmod(TextOps.hash60(concat(lit("mix|"), col("text"))),
+        lit(10000L)) < col("rate_bp"))
+      .localCheckpoint()
+    Stages(raw, s1, s2, s3, s4, s5, s6)
+  }
+
+  /** t15's packing over the final mixture: one row per (lang, shard)
+    * with the shard's token mass — docs in, shards out, TOKENS CONSERVED
+    * (the pack row's reconciliation contract). */
+  def packShards(s6: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    s6.withColumn("prefix", coalesce(sum(col("ntok")).over(w), lit(0L)))
+      .withColumn("shard", floor(col("prefix") / ShardTokens).cast("long"))
+      .groupBy(col("lang"), col("shard"))
+      .agg(sum(col("ntok")).as("stoks"))
+  }
+
+  /** t17's overlap chunking over the final mixture: chunk token counts
+    * by pure arithmetic (least(ChunkTok, ntok − start)) — no array
+    * materialization; tokens_out > tokens_in by exactly the overlap. */
+  def chunkRows(s6: DataFrame): DataFrame =
+    s6.select(col("doc_id"), col("ntok"),
+        explode(sequence(lit(0), col("ntok") - 1, lit(ChunkStride)))
+          .as("cs"))
+      .select(col("doc_id"),
+        least(lit(ChunkTok), col("ntok") - col("cs")).cast("long")
+          .as("ctoks"))
+}

@@ -1185,7 +1185,11 @@ object DedupQueries {
        |WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter) >= $JaccardTau
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  private val dkMinhashLsh: String = {
+  /** d2's CTE chain through candidate `pairs` (shingles → minhash sig →
+    * LSH bands → bucket collisions), no final SELECT — shared with the
+    * composed-pipeline ledger ([[PipelineQueries]]), which verifies and
+    * components the same candidates over its surviving docs. */
+  private[queries] val dkMinhashCandCtes: String = {
     import graft.ops.TextOps.{MinhashP, permParams}
     val minAggs = (0 until NumHashes).map { i =>
       val (a, b) = permParams(i)
@@ -1198,7 +1202,7 @@ object DedupQueries {
     val bandSelects = (0 until Bands)
       .map(b => s"SELECT doc_id, $b AS band_idx, band$b AS band_hash FROM sig_bands")
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH $dkShingled,
+    s"""$dkShingled,
        |sig AS (
        |  SELECT doc_id,
        |    $minAggs
@@ -1213,9 +1217,12 @@ object DedupQueries {
        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM bands l JOIN bands r
        |    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
-       |   AND l.doc_id < r.doc_id),
-       |$dkJaccardTail""".stripMargin
+       |   AND l.doc_id < r.doc_id)""".stripMargin
   }
+
+  private val dkMinhashLsh: String =
+    s"""WITH $dkMinhashCandCtes,
+       |$dkJaccardTail""".stripMargin
 
   private val dkSimhashExpr: String = {
     val terms = (0 until 32).map { j =>

@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Mechanical coverage-map drift check (round-8 verdict found two rows —
+q27, t4 — silently lost in a SURVEY edit): every query the engine ships
+(`SparkEntry.oracleSql` keys, dumped by graft.Verify as oracle_sql.json)
+must be cited in SURVEY.md's coverage/scale sections, and every cited
+query id must still exist in the engine.
+
+Citations in the coverage map use short ids (q27, t4b, ...), so the diff
+runs on short ids = the name segment before the first underscore.
+
+Usage: python3 tools/check_survey.py [oracle_sql.json] [SURVEY.md]
+Exit 1 on any drift.
+"""
+import json
+import re
+import sys
+
+oracle_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_sf01/oracle_sql.json"
+survey_path = sys.argv[2] if len(sys.argv) > 2 else "SURVEY.md"
+
+names = set(json.load(open(oracle_path)).keys())
+short = {n.split("_", 1)[0] for n in names}
+
+text = open(survey_path).read()
+# restrict to the coverage map + scale analysis sections
+m = re.search(r"### 2\.9 .*", text, re.S)
+if not m:
+    print("FAIL: SURVEY.md has no '### 2.9' section")
+    sys.exit(1)
+scope = m.group(0)
+
+# citations appear both as full names (s3_base64_roundtrip) and bare
+# short ids (q1,q8 in the Oracle column); collect both forms
+cited_full = re.findall(r"\b([sqtdnmp]\d+[a-z]{0,2})_[a-z0-9_]+", scope)
+cited_bare = re.findall(r"\b([sqtdnmp]\d+[a-z]{0,2})\b", scope)
+cited = set(cited_full) | set(cited_bare)
+# percentile vocabulary (p50 latency etc.) is prose, not a query id
+PROSE = {"p50", "p75", "p90", "p95", "p99"}
+
+missing = sorted(short - cited)
+stale = sorted(c for c in cited - PROSE if c not in short)
+
+for s in missing:
+    full = sorted(n for n in names if n.split("_", 1)[0] == s)
+    print(f"MISSING from SURVEY §2.9+: {', '.join(full)}")
+for s in stale:
+    print(f"STALE citation in SURVEY §2.9+ (no such query): {s}")
+print(f"== {len(short) - len(missing)}/{len(short)} query ids cited, "
+      f"{len(missing)} missing, {len(stale)} stale ==")
+sys.exit(1 if (missing or stale) else 0)
