@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale probe (non-oracle): generates a matched PAIR of
+  * corpora from ONE hash-deterministic recipe — `g1x` (5k docs / 2k
+  * vectors / 600k lineitem) and `g10x` (exactly 10× each) — and times
+  * the graph/ANN/planner families on both, testing the linear-in-input
+  * claims SURVEY §2.10 makes: 10× rows should be ~10× time (modulo
+  * fixed overheads), never ~100×.
+  *
+  * Corpus design is the load-bearing part. A first attempt sampled the
+  * sf0.1 unigram distribution i.i.d. — and OOM'd a 24 GB driver: 54-ish
+  * tokens drawn uniformly from a 31-token vocabulary give every doc
+  * nearly the SAME distinct-token set, SimHash collapses, and the
+  * near-dup graph is Θ(n²) edges (1.25e9 pairs at 50k docs). That is a
+  * corpus pathology, not an operator defect — but it makes 10×-scaling
+  * ratios unreadable. The generator therefore plants TOPIC structure:
+  * each doc draws from an 8-token topic-specific window of the vocab,
+  * with docs-per-topic held CONSTANT across scales (50 topics at 1×,
+  * 500 at 10×) — near-dup candidates concentrate within topics, so
+  * |E| grows ~linearly with docs, the shape of a real crawl where
+  * near-dup cluster sizes don't grow with corpus size. Both corpora
+  * come from the same recipe, so the comparison is pure 10× scaling.
+  *
+  * Everything is md5-deterministic (no RNG): the same run always
+  * produces the same corpora, so probe numbers are comparable across
+  * rounds. Output: one JSON line (queries × {t1x, t10x, ratio}) plus
+  * the corpus cardinalities.
+  *
+  * Usage: sbt "runMain graft.ScaleProbe"     (or tools/run_scale_probe.sh)
+  */
+object ScaleProbe {
+
+  val G1xDir = "target/scaleprobe/g1x"
+  val G10xDir = "target/scaleprobe/g10x"
+  val ProbeQueries = Seq("d9b_graph_stats_sketch", "d33r_star_residual",
+    "d29r_lpa_residual", "d36_threshold_sweep", "n15_ivfpq_serve",
+    "q91_range_plan", "p1_curation_ledger")
+
+  private def h(c: Column): Column = graft.ops.TextOps.hash60(c)
+
+  /** Generate a corpus dir iff absent (keyed by _SUCCESS markers).
+    * `scale` multiplies docs/vectors/lineitem-replicas AND topics —
+    * docs-per-topic stays constant, keeping near-dup density linear. */
+  def ensureCorpus(s: SparkSession, dir: String, scale: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val done = Seq("documents.parquet", "embeddings.parquet",
+      "lineitem.parquet").forall(t => fs.exists(
+      new org.apache.hadoop.fs.Path(s"$dir/$t", "_SUCCESS")))
+    if (done) return
+
+    // --- documents: disjoint-topic token sampling -----------------------
+    // vocab = the corpus's empirical 31 tokens (sorted by frequency).
+    // 70% of a doc's positions carry a TOPIC-SUFFIXED token (vocab word
+    // + "x<topic>") — topic vocabularies are fully disjoint, so near-dup
+    // similarity concentrates within a topic's constant-size doc
+    // population and |E| grows linearly with docs. The other 30% are
+    // PLAIN vocab tokens, so stopword density (the t38 teacher signal
+    // and the p1 gate) still varies per doc; cross-topic overlap from
+    // the plain minority stays far below the Jaccard/Hamming thresholds.
+    val vocab: Seq[String] = Tables.documents(s, "/root/testdata/sf0.1")
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .collect().map(_.getString(0)).toSeq
+    val v = vocab.size
+    val vocabLit = typedLit(vocab)
+    val nDocs = 5000L * scale
+    val nTopics = 50L * scale
+    def pick(i: Column, salt: String): Column = element_at(vocabLit,
+      (pmod(h(concat(col("doc_id"), lit(s"|$salt|"), i)), lit(v.toLong))
+        + 1).cast("int"))
+    val docs = s.range(nDocs).select(col("id").as("doc_id"))
+      .withColumn("topic", pmod(h(concat(lit("top|"), col("doc_id"))),
+        lit(nTopics)))
+      .withColumn("n_toks", lit(10) + pmod(h(concat(lit("len|"),
+        col("doc_id"))), lit(91L)).cast("int"))
+      .withColumn("text", concat_ws(" ", transform(
+        sequence(lit(1), col("n_toks")),
+        i => when(pmod(h(concat(col("doc_id"), lit("|m|"), i)),
+            lit(10L)) < 3, pick(i, "p"))
+          .otherwise(concat(pick(i, "t"), lit("x"), col("topic"))))))
+      .withColumn("lr", pmod(h(concat(lit("lang|"), col("doc_id"))),
+        lit(100L)))
+      .withColumn("lang", when(col("lr") < 60, "en")
+        .when(col("lr") < 80, "de").otherwise("es"))
+      .withColumn("source", concat(lit("src"),
+        pmod(h(concat(lit("src|"), col("doc_id"))), lit(20L))))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+    docs.repartition(4 * scale).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+
+    // --- embeddings: 10 hash-seeded centers + per-vector noise ----------
+    def unit(c: Column): Column =
+      (pmod(h(c), lit(2001L)) - 1000L).cast("double") / 1000.0
+    val emb = s.range(2000L * scale).select(col("id").as("vec_id"))
+      .withColumn("label",
+        pmod(h(concat(lit("lab|"), col("vec_id"))), lit(10L)).cast("int"))
+      .withColumn("embedding", transform(sequence(lit(0), lit(63)), j =>
+        (unit(concat(lit("c|"), col("label"), lit("|"), j))
+          + unit(concat(lit("n|"), col("vec_id"), lit("|"), j)) * 0.3)
+          .cast("float")))
+      .select(col("vec_id"), col("embedding"), col("label"))
+    emb.repartition(2 * scale).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+
+    // --- lineitem: `scale` disjoint-key replicas of sf0.1 ---------------
+    val li = Tables.lineitem(s, "/root/testdata/sf0.1")
+    val rep = (0 until scale).map { k =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(k * 10000000L))
+    }.reduce(_ unionByName _)
+    rep.repartition(8 * scale).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+  }
+
+  private def time(body: => Unit): Double = {
+    val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = ClusterConfigs.local(
+      SparkSession.builder().appName("graft-scale-probe"), 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ensureCorpus(spark, G1xDir, 1)
+    ensureCorpus(spark, G10xDir, 10)
+    val qs = SparkEntry.queries
+    // cardinality context so ratios are attributable
+    def card(d: String): (Long, Long, Long) = (
+      Tables.documents(spark, d).count(),
+      Tables.embeddings(spark, d).count(),
+      Tables.lineitem(spark, d).count())
+    val (d1, e1, l1) = card(G1xDir)
+    val (d10, e10, l10) = card(G10xDir)
+    val rows = ProbeQueries.map { n =>
+      def run(d: String): Double = {
+        val ts = (1 to 2).map(_ => time(qs(n)(spark, d)
+          .write.format("noop").mode("overwrite").save()))
+        ts.min
+      }
+      System.err.println(s"[scale-probe] $n @1x ...")
+      val a = run(G1xDir) // first 1x run doubles as codegen warmup
+      System.err.println(s"[scale-probe] $n @10x ...")
+      val b = run(G10xDir)
+      System.err.println(f"[scale-probe] $n: $a%.2f s → $b%.2f s")
+      (n, a, b, b / a)
+    }
+    val qjson = rows.map { case (n, a, b, r) =>
+      f""""$n":{"t1x":$a%.2f,"t10x":$b%.2f,"ratio":$r%.2f}"""
+    }.mkString(",")
+    println(s"""{"metric":"scale_probe","docs":[$d1,$d10],""" +
+      s""""embeddings":[$e1,$e10],"lineitem":[$l1,$l10],""" +
+      s""""queries":{$qjson}}""")
+    spark.stop()
+  }
+}
