@@ -128,9 +128,19 @@ object ClassifierIndex {
     * on the same docs ([[ClassifierOps.nbModelFromStats]] shares the
     * arithmetic; the stats are exact BIGINT re-aggregations). */
   def trainModel(s: SparkSession, p: Paths,
+      k: Int): (DataFrame, DataFrame) =
+    modelFolds(s, p, Seq(1, 2, 3), k)
+
+  /** Model over an ARBITRARY fold subset — the grain that makes the
+    * persisted stats a mergeable model: adding a data delta (one more
+    * fold) to a served model is a count ADDITION over these frames, not
+    * a retrain (t41's refresh contract; [[graft.queries.TextQueries]]
+    * t38e derives its CV models by the subtraction dual). */
+  def modelFolds(s: SparkSession, p: Paths, folds: Seq[Int],
       k: Int): (DataFrame, DataFrame) = {
-    val train = s.read.parquet(p.tokcnt).filter(col("fold") =!= 0)
-    val dtrain = s.read.parquet(p.docstats).filter(col("fold") =!= 0)
+    val in = folds.map(f => lit(f.toLong))
+    val train = s.read.parquet(p.tokcnt).filter(col("fold").isin(in: _*))
+    val dtrain = s.read.parquet(p.docstats).filter(col("fold").isin(in: _*))
     ClassifierOps.nbModelFromStats(s,
       train.groupBy(col("cls"), col("tok")).agg(sum(col("cnt")).as("cnt")),
       train.groupBy(col("cls")).agg(sum(col("cnt")).as("t")),

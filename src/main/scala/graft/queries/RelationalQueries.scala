@@ -1845,6 +1845,71 @@ object RelationalQueries {
         .orderBy(col("lang"))
     }),
 
+    // Epoch-capped WATER-FILLING mixture planner — q72 reports the
+    // epochs a naive proportional allocation implies; this one respects
+    // a repetition budget (Muennighoff et al. 2023: value decays fast
+    // past ~4 epochs; here cap = 2 epochs to make the constraint bind).
+    // A domain whose proportional share exceeds its cap is frozen AT the
+    // cap and its unused share re-spreads over the still-active domains
+    // proportionally to their weights — which can cascade (at sf0.01:
+    // fr caps in round 1, the re-spread then pushes zh over in round 2).
+    // Four unrolled rounds cover the ≤|domains|−1 possible cascades; a
+    // round with no new cap is a fixpoint (identical recomputation).
+    // Exact-share floor(rem·w/W) uses the q72 split-multiplication (no
+    // 1e19 intermediate). Readout per domain: cap, the round it capped
+    // (0 = never), final allocation, realized epochs and mixture share,
+    // plus the budget shortfall the caps force. Scale shape: the corpus
+    // pays ONE combinable lang-token agg; the planner itself iterates on
+    // a |domains|-row frame — driver-free, broadcast-only.
+    "q93_waterfill_mixture" -> ((s, d) => {
+      val weights = s.createDataFrame(Seq(
+        ("en", 300000L), ("zh", 200000L), ("fr", 200000L),
+        ("de", 150000L), ("es", 150000L))).toDF("lang", "target_ppm")
+      val toks = Tables.fanout(Tables.documents(s, d))
+        .select(col("lang"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("nt"))
+        .groupBy(col("lang")).agg(sum(col("nt")).as("lang_tokens"))
+      val tot = toks.agg(sum(col("lang_tokens")).as("total_tokens"))
+      var st = toks.join(broadcast(weights), "lang").crossJoin(broadcast(tot))
+        .withColumn("budget", expr("(total_tokens * 3) DIV 2"))
+        .withColumn("cap_tokens", col("lang_tokens") * lit(2L))
+        .withColumn("capped_round", lit(0L))
+        .withColumn("alloc_tokens", lit(0L))
+      for (r <- 1 to 4) {
+        val sc = st.agg(
+          coalesce(sum(when(col("capped_round") === 0, col("target_ppm"))),
+            lit(0L)).as("w_act"),
+          coalesce(sum(when(col("capped_round") =!= 0, col("alloc_tokens"))),
+            lit(0L)).as("capped_alloc"))
+        st = st.crossJoin(broadcast(sc))
+          .withColumn("want", expr(
+            """CASE WHEN w_act = 0 THEN 0L
+              |ELSE ((budget - capped_alloc) DIV w_act) * target_ppm
+              |  + (((budget - capped_alloc) % w_act) * target_ppm)
+              |    DIV w_act END""".stripMargin))
+          .withColumn("now_capped",
+            col("capped_round") === 0 && col("want") > col("cap_tokens"))
+          .withColumn("alloc_tokens",
+            when(col("capped_round") =!= 0, col("alloc_tokens"))
+              .when(col("now_capped"), col("cap_tokens"))
+              .otherwise(col("want")))
+          .withColumn("capped_round",
+            when(col("now_capped"), lit(r.toLong))
+              .otherwise(col("capped_round")))
+          .drop("w_act", "capped_alloc", "want", "now_capped")
+          .localCheckpoint() // |domains| rows; keeps the unrolled plan flat
+      }
+      val ta = st.agg(sum(col("alloc_tokens")).as("total_alloc"))
+      st.crossJoin(broadcast(ta))
+        .select(col("lang"), col("lang_tokens"), col("target_ppm"),
+          col("cap_tokens"), col("capped_round"), col("alloc_tokens"),
+          expr("(alloc_tokens * 10000) DIV lang_tokens").as("epochs_bp"),
+          expr("(alloc_tokens * 1000000) DIV total_alloc").as("realized_ppm"),
+          col("budget").as("budget_tokens"),
+          (col("budget") - col("total_alloc")).as("leftover_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // Stratified deterministic k-per-stratum sample: 5 docs per language,
     // chosen by smallest md5(doc_id) — a seedless uniform draw that is
     // reproducible and append-stable (adding docs can only displace, never
@@ -3569,6 +3634,56 @@ object RelationalQueries {
         |SELECT lang, lang_tokens, target_ppm, alloc_tokens,
         |  (alloc_tokens * 10000) // lang_tokens AS epochs_bp
         |FROM alloc ORDER BY lang""".stripMargin,
+    "q93_waterfill_mixture" -> {
+      val rounds = (1 to 4).map { r =>
+        s"""a$r AS (SELECT
+           |    CAST(coalesce(sum(CASE WHEN capped_round = 0
+           |      THEN target_ppm END), 0) AS BIGINT) AS w_act,
+           |    CAST(coalesce(sum(CASE WHEN capped_round <> 0
+           |      THEN alloc_tokens END), 0) AS BIGINT) AS capped_alloc
+           |  FROM s${r - 1}),
+           |s$r AS (SELECT lang, lang_tokens, target_ppm, budget, cap_tokens,
+           |    CASE WHEN capped_round <> 0 THEN capped_round
+           |         WHEN want > cap_tokens THEN CAST($r AS BIGINT)
+           |         ELSE CAST(0 AS BIGINT) END AS capped_round,
+           |    CASE WHEN capped_round <> 0 THEN alloc_tokens
+           |         WHEN want > cap_tokens THEN cap_tokens
+           |         ELSE want END AS alloc_tokens
+           |  FROM (SELECT s.*,
+           |      CASE WHEN a.w_act = 0 THEN CAST(0 AS BIGINT)
+           |        ELSE ((budget - a.capped_alloc) // a.w_act) * target_ppm
+           |          + (((budget - a.capped_alloc) % a.w_act) * target_ppm)
+           |            // a.w_act END AS want
+           |    FROM s${r - 1} s, a$r a))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w(lang, target_ppm) AS (VALUES
+         |    ('en', CAST(300000 AS BIGINT)), ('zh', 200000), ('fr', 200000),
+         |    ('de', 150000), ('es', 150000)),
+         |toks AS (
+         |  SELECT lang,
+         |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         |      AS lang_tokens
+         |  FROM documents GROUP BY lang),
+         |tot AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS total_tokens
+         |        FROM toks),
+         |s0 AS (
+         |  SELECT t.lang, t.lang_tokens, w.target_ppm,
+         |    (total_tokens * 3) // 2 AS budget,
+         |    lang_tokens * 2 AS cap_tokens,
+         |    CAST(0 AS BIGINT) AS capped_round,
+         |    CAST(0 AS BIGINT) AS alloc_tokens
+         |  FROM toks t JOIN w USING (lang) CROSS JOIN tot),
+         |$rounds,
+         |ta AS (SELECT CAST(sum(alloc_tokens) AS BIGINT) AS total_alloc
+         |       FROM s4)
+         |SELECT lang, lang_tokens, target_ppm, cap_tokens, capped_round,
+         |  alloc_tokens,
+         |  (alloc_tokens * 10000) // lang_tokens AS epochs_bp,
+         |  (alloc_tokens * 1000000) // total_alloc AS realized_ppm,
+         |  budget AS budget_tokens,
+         |  budget - total_alloc AS leftover_tokens
+         |FROM s4, ta ORDER BY lang""".stripMargin
+    },
     "q73_stratified_sample" ->
       """WITH r AS (
         |  SELECT lang, doc_id,

@@ -1048,6 +1048,68 @@ object TextQueries {
         .orderBy(col("lang"))
     }),
 
+    // Model REFRESH as incremental view maintenance (the classifier
+    // lifecycle's missing verb: data arrives after the gate shipped —
+    // production retrains nothing, it ADDS the delta's counts to the
+    // persisted sufficient statistics and re-derives the model). The
+    // persisted fold grain ([[graft.ops.ClassifierIndex]]) makes this a
+    // filter choice: pre-delta model = folds {1,2}, post-delta = {1,2,3}
+    // — the latter IS base+delta by BIGINT count addition, bit-identical
+    // to a from-scratch retrain on the union (t38e's subtraction dual).
+    // The readout is what a gate owner reviews before promoting the
+    // refreshed model: holdout decision flips by direction, accuracy
+    // before/after vs the teacher, vocab growth, delta volume. Scale
+    // shape: the corpus-side cost is ONE holdout tokenize scan scored
+    // against two broadcast models; the refresh itself touches only the
+    // vocab-bounded stats tables — nothing re-reads the training corpus.
+    "t41_model_refresh" -> ((s, d) => {
+      val p = graft.ops.ClassifierIndex.ensure(s, d,
+        graft.ops.ClassifierIndex.Binary)
+      val (seenB, constsB) = graft.ops.ClassifierIndex.modelFolds(
+        s, p, Seq(1, 2), 2)
+      val (seenU, constsU) = graft.ops.ClassifierIndex.trainModel(s, p, 2)
+      val tf = Tables.fanout(Tables.documents(s, d))
+        .filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // scored against both models
+      val teach = graft.ops.ClassifierIndex.teacher(s, p)
+        .filter(col("fold") === 0)
+      val spine = teach.select(col("doc_id"))
+      val pb = graft.ops.ClassifierOps.nbScore(seenB, constsB, tf, spine)
+        .select(col("doc_id"), col("pred_cls").as("pred_base"))
+      val pu = graft.ops.ClassifierOps.nbScore(seenU, constsU, tf, spine)
+        .select(col("doc_id"), col("pred_cls").as("pred_upd"))
+      val j = pb.join(pu, "doc_id")
+        .join(teach.select(col("doc_id"), col("cls")), "doc_id")
+      val agg = j.agg(
+        count(lit(1)).as("n_holdout"),
+        sum(when(col("pred_base") =!= col("pred_upd"), 1L).otherwise(0L))
+          .as("n_flips"),
+        sum(when(col("pred_base") === 0 && col("pred_upd") === 1, 1L)
+          .otherwise(0L)).as("n_flip_to_keep"),
+        sum(when(col("pred_base") === 1 && col("pred_upd") === 0, 1L)
+          .otherwise(0L)).as("n_flip_to_drop"),
+        sum(when(col("pred_base") === col("cls"), 1L).otherwise(0L))
+          .as("n_base_correct"),
+        sum(when(col("pred_upd") === col("cls"), 1L).otherwise(0L))
+          .as("n_upd_correct"))
+      val tc = s.read.parquet(p.tokcnt)
+      val vb = tc.filter(col("fold").isin(1L, 2L))
+        .agg(countDistinct(col("tok")).as("vocab_base"))
+      val vu = tc.filter(col("fold") =!= 0L)
+        .agg(countDistinct(col("tok")).as("vocab_upd"))
+      val dd = s.read.parquet(p.docstats).filter(col("fold") === 3L)
+        .agg(coalesce(sum(col("ndocs")), lit(0L)).as("delta_docs"))
+      agg.crossJoin(broadcast(vb)).crossJoin(broadcast(vu))
+        .crossJoin(broadcast(dd))
+        .select(col("n_holdout"), col("n_flips"), col("n_flip_to_keep"),
+          col("n_flip_to_drop"),
+          expr("n_base_correct * 1000000L div n_holdout").as("acc_base_ppm"),
+          expr("n_upd_correct * 1000000L div n_holdout").as("acc_upd_ppm"),
+          col("vocab_base"), col("vocab_upd"), col("delta_docs"))
+    }),
+
     // Sub-document exact dedup at chunk granularity (registered d24): the
     // paragraph-level pass of a CCNet-shaped curation pipeline (Wenzek et
     // al. 2020 dedups on paragraph hashes; here the unit is t17's
@@ -1269,58 +1331,67 @@ object TextQueries {
     * sweep) and t38c (sliced eval). */
   private val dkNbBinaryCtes: String = dkNbMarginCtes("doc_id % 4 = 0")
 
-  /** The binary-NB margin chain with a parameterized SCORING spine
-    * (training is always the doc_id%4≠0 slice): t38's oracles score the
-    * holdout (`doc_id % 4 = 0`); the composed-pipeline ledger
+  /** The binary-NB margin chain with a parameterized SCORING spine and
+    * TRAIN slice: t38's oracles score the holdout (`doc_id % 4 = 0`)
+    * against the doc_id%4≠0 model; the composed-pipeline ledger
     * ([[PipelineQueries]]) scores every doc (`TRUE`) — the ingest-gate
-    * form. */
-  private[queries] def dkNbMarginCtes(spineWhere: String): String = {
+    * form; t41's refresh contract derives TWO models (pre-delta folds
+    * {1,2} and post-delta {1,2,3}) in one statement via the `pfx`
+    * CTE-name prefix. */
+  private[queries] def dkNbMarginCtes(spineWhere: String,
+      trainWhere: String = "doc_id % 4 <> 0", pfx: String = ""): String = {
     val fp2 = graft.ops.ClassifierOps.NbFp
-    s"""t AS (SELECT doc_id, $dkToks AS toks FROM documents),
-       |lab AS (SELECT doc_id,
+    s"""${pfx}t AS (SELECT doc_id, $dkToks AS toks FROM documents),
+       |${pfx}lab AS (SELECT doc_id,
        |    CASE WHEN len(list_filter(toks, x -> x IN ${dkWordSet(stopwords)}))
        |           * 10000 >= $QualityKeepBp * len(toks)
        |         THEN 1 ELSE 0 END AS cls
-       |  FROM t),
-       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM (
-       |    SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
-       |classes AS (SELECT 0 AS cls UNION ALL SELECT 1),
-       |trtf AS (SELECT f.doc_id, l.cls, f.tok, f.tf FROM tf f
-       |         JOIN lab l USING (doc_id) WHERE f.doc_id % 4 <> 0),
-       |cnt AS (SELECT cls, tok, CAST(sum(tf) AS BIGINT) AS cnt FROM trtf
-       |        GROUP BY 1, 2),
-       |tot AS (SELECT c.cls, coalesce(t2.tot, 0) AS tot FROM classes c
+       |  FROM ${pfx}t),
+       |${pfx}tf AS (SELECT doc_id, tok, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(toks) AS tok FROM ${pfx}t) GROUP BY 1, 2),
+       |${pfx}classes AS (SELECT 0 AS cls UNION ALL SELECT 1),
+       |${pfx}trtf AS (SELECT f.doc_id, l.cls, f.tok, f.tf FROM ${pfx}tf f
+       |         JOIN ${pfx}lab l USING (doc_id) WHERE $trainWhere),
+       |${pfx}cnt AS (SELECT cls, tok, CAST(sum(tf) AS BIGINT) AS cnt
+       |        FROM ${pfx}trtf GROUP BY 1, 2),
+       |${pfx}tot AS (SELECT c.cls, coalesce(t2.tot, 0) AS tot
+       |        FROM ${pfx}classes c
        |        LEFT JOIN (SELECT cls, CAST(sum(tf) AS BIGINT) AS tot
-       |                   FROM trtf GROUP BY cls) t2 USING (cls)),
-       |vocab AS (SELECT count(DISTINCT tok) AS v FROM trtf),
-       |ntr AS (SELECT count(*) AS n FROM lab WHERE doc_id % 4 <> 0),
-       |prior AS (SELECT c.cls, coalesce(p.nc, 0) AS nc FROM classes c
-       |          LEFT JOIN (SELECT cls, count(*) AS nc FROM lab
-       |                     WHERE doc_id % 4 <> 0 GROUP BY 1) p USING (cls)),
-       |prln0 AS (SELECT p.cls, ((p.nc + 1) * $fp2::BIGINT) // (n.n + 2) AS x
-       |          FROM prior p, ntr n),
-       |prln AS (SELECT cls, ${dkLnPpm30("x")} AS pr_ppm FROM prln0),
-       |tetf AS (SELECT doc_id, tok, tf FROM tf WHERE $spineWhere),
-       |sc0 AS (SELECT s.doc_id, c.cls, s.tf,
+       |                   FROM ${pfx}trtf GROUP BY cls) t2 USING (cls)),
+       |${pfx}vocab AS (SELECT count(DISTINCT tok) AS v FROM ${pfx}trtf),
+       |${pfx}ntr AS (SELECT count(*) AS n FROM ${pfx}lab WHERE $trainWhere),
+       |${pfx}prior AS (SELECT c.cls, coalesce(p.nc, 0) AS nc
+       |          FROM ${pfx}classes c
+       |          LEFT JOIN (SELECT cls, count(*) AS nc FROM ${pfx}lab
+       |                     WHERE $trainWhere GROUP BY 1) p USING (cls)),
+       |${pfx}prln0 AS (SELECT p.cls,
+       |            ((p.nc + 1) * $fp2::BIGINT) // (n.n + 2) AS x
+       |          FROM ${pfx}prior p, ${pfx}ntr n),
+       |${pfx}prln AS (SELECT cls, ${dkLnPpm30("x")} AS pr_ppm
+       |          FROM ${pfx}prln0),
+       |${pfx}tetf AS (SELECT doc_id, tok, tf FROM ${pfx}tf
+       |          WHERE $spineWhere),
+       |${pfx}sc0 AS (SELECT s.doc_id, c.cls, s.tf,
        |          ((coalesce(m.cnt, 0) + 1) * $fp2::BIGINT) // (t2.tot + v.v)
        |            AS x
-       |        FROM tetf s CROSS JOIN classes c
-       |        LEFT JOIN cnt m ON m.cls = c.cls AND m.tok = s.tok
-       |        JOIN tot t2 ON t2.cls = c.cls, vocab v),
-       |sc1 AS (SELECT doc_id, cls,
+       |        FROM ${pfx}tetf s CROSS JOIN ${pfx}classes c
+       |        LEFT JOIN ${pfx}cnt m ON m.cls = c.cls AND m.tok = s.tok
+       |        JOIN ${pfx}tot t2 ON t2.cls = c.cls, ${pfx}vocab v),
+       |${pfx}sc1 AS (SELECT doc_id, cls,
        |          CAST(sum(tf * (${dkLnPpm30("x")})) AS BIGINT) AS ll
-       |        FROM sc0 GROUP BY 1, 2),
-       |scored AS (SELECT d.doc_id, c.cls,
+       |        FROM ${pfx}sc0 GROUP BY 1, 2),
+       |${pfx}scored AS (SELECT d.doc_id, c.cls,
        |             coalesce(s.ll, 0) + p.pr_ppm AS score
-       |           FROM (SELECT doc_id FROM lab WHERE $spineWhere) d
-       |           CROSS JOIN classes c
-       |           LEFT JOIN sc1 s ON s.doc_id = d.doc_id AND s.cls = c.cls
-       |           JOIN prln p ON p.cls = c.cls),
-       |marg AS (SELECT doc_id,
+       |           FROM (SELECT doc_id FROM ${pfx}lab WHERE $spineWhere) d
+       |           CROSS JOIN ${pfx}classes c
+       |           LEFT JOIN ${pfx}sc1 s ON s.doc_id = d.doc_id
+       |             AND s.cls = c.cls
+       |           JOIN ${pfx}prln p ON p.cls = c.cls),
+       |${pfx}marg AS (SELECT doc_id,
        |           CAST(max(CASE WHEN cls = 1 THEN score END)
        |             - max(CASE WHEN cls = 0 THEN score END) AS BIGINT)
        |             AS margin
-       |         FROM scored GROUP BY doc_id)""".stripMargin
+       |         FROM ${pfx}scored GROUP BY doc_id)""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -1962,6 +2033,44 @@ object TextQueries {
          |  (p.n_oov * 1000000) // p.n_tokens AS oov_ppm,
          |  (ov.o * 1000000) // ov.nt AS overall_oov_ppm
          |FROM per p, ov ORDER BY p.lang""".stripMargin,
+    // Two full NB chains (pre-delta train = folds {1,2}; post-delta =
+    // {1,2,3}) over the same holdout spine — the from-scratch retrains
+    // the engine's count-addition refresh must match bit-for-bit.
+    "t41_model_refresh" ->
+      s"""WITH ${dkNbMarginCtes("doc_id % 4 = 0", "doc_id % 4 IN (1, 2)",
+              "b_")},
+         |${dkNbMarginCtes("doc_id % 4 = 0", "doc_id % 4 <> 0", "u_")},
+         |preds AS (
+         |  SELECT b.doc_id,
+         |    CASE WHEN b.margin > 0 THEN 1 ELSE 0 END AS pred_base,
+         |    CASE WHEN u.margin > 0 THEN 1 ELSE 0 END AS pred_upd,
+         |    l.cls
+         |  FROM b_marg b JOIN u_marg u USING (doc_id)
+         |  JOIN b_lab l USING (doc_id)),
+         |a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_holdout,
+         |    CAST(sum(CASE WHEN pred_base <> pred_upd THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_flips,
+         |    CAST(sum(CASE WHEN pred_base = 0 AND pred_upd = 1
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_flip_to_keep,
+         |    CAST(sum(CASE WHEN pred_base = 1 AND pred_upd = 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_flip_to_drop,
+         |    CAST(sum(CASE WHEN pred_base = cls THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS nbc,
+         |    CAST(sum(CASE WHEN pred_upd = cls THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS nuc
+         |  FROM preds),
+         |vb AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab_base
+         |       FROM b_trtf),
+         |vu AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab_upd
+         |       FROM u_trtf),
+         |dd AS (SELECT CAST(count(*) AS BIGINT) AS delta_docs
+         |       FROM documents WHERE doc_id % 4 = 3)
+         |SELECT a.n_holdout, a.n_flips, a.n_flip_to_keep, a.n_flip_to_drop,
+         |  (a.nbc * 1000000) // a.n_holdout AS acc_base_ppm,
+         |  (a.nuc * 1000000) // a.n_holdout AS acc_upd_ppm,
+         |  vb.vocab_base, vu.vocab_upd, dd.delta_docs
+         |FROM a, vb, vu, dd""".stripMargin,
     "t38e_crossval" -> {
       val fp2 = graft.ops.ClassifierOps.NbFp
       s"""WITH t AS (SELECT doc_id, $dkToks AS toks FROM documents),
