@@ -68,7 +68,7 @@ object Bench {
     "q82_pareto_skyline", "q83_rolling_mad", "q84_kmv_jaccard",
     "q85_join_size_estimate", "q86_hll_rollup", "q87_skew_report",
     "q88_log2_quantiles", "q89_priority_sample", "q90_ivm_join",
-    "q91_range_plan", "q92_block_audit",
+    "q91_range_plan", "q92_block_audit", "q93_waterfill_mixture",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_regex_tokens", "t6_string_funcs", "t7_array_funcs", "t8_explode",
     "t9_regex_extract", "t10_normalize", "t11_hash_split",
@@ -81,7 +81,8 @@ object Bench {
     "t33_rake_keywords", "t34_vocab_growth", "t35_blocklist", "t36_bm25",
     "t37_stupid_backoff", "t38_quality_distill", "t38b_threshold_sweep",
     "t38c_sliced_eval", "t38d_rank_fidelity", "t38e_crossval",
-    "t39_tercile_distill", "t40_vocab_coverage",
+    "t39_tercile_distill", "t40_vocab_coverage", "t41_model_refresh",
+    "t42_curriculum_bins",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
     "d8d_triangle_doulion", "d9b_graph_stats_sketch",
     "d11_containment", "d12_incremental_dedup",
@@ -101,11 +102,12 @@ object Bench {
     "n16_rrf_fusion", "n16b_rrf_onepass",
     "n17_matryoshka_recall", "n18_binary_ann", "n18b_binary_rerank",
     "n19_filtered_ann", "n20_mmr_rerank", "n21_nprobe_sweep",
-    "n21b_nprobe_trained",
+    "n21b_nprobe_trained", "n22_jl_distortion", "n22b_jl_recall",
     "m1_binary_meta", "m2_frame_windows", "m3_decode_features",
     "m4_patch_dedup", "m5_shared_patches", "m6_crossmodal_retrieval",
     "m7_modality_mix",
-    "p1_curation_ledger")
+    "p1_curation_ledger", "p2_rag_serve", "p3_delta_refresh",
+    "p4_disposition")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -48,19 +48,23 @@ object CurationLedger {
   val FlagShingles = 3
 
   final case class Stages(raw: DataFrame, s1: DataFrame, s2: DataFrame,
-      s3: DataFrame, s4: DataFrame, s5: DataFrame, s6: DataFrame)
+      s3: DataFrame, s4: DataFrame, s5: DataFrame, s6: DataFrame,
+      exactKeeper: DataFrame, canon: DataFrame)
 
   /** t10's normalization, verbatim. */
   def normTextCol(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
-  /** All stage survivor frames. `raw` carries (doc_id, text, lang,
-    * source, ntok_raw); s1..s6 add (norm_text, ntok). */
-  def stages(s: SparkSession, d: String): Stages = {
-    import graft.queries.DedupQueries.{NumHashes, Bands, RowsPerBand,
-      JaccardTau}
+  /** Normalize + pinned-model quality gate over the `pred` id-slice —
+    * the shared front half of p1's stages and p3's base/delta chains.
+    * The gate model is ALWAYS the full-corpus persisted artifact: a
+    * delta ingest must reproduce the base run's admissions (pinned
+    * model version), which is what makes the gate append-safe. */
+  def frontStages(s: SparkSession, d: String,
+      pred: Column): (DataFrame, DataFrame, DataFrame) = {
     val raw = graft.Tables.fanout(graft.Tables.documents(s, d))
+      .filter(pred)
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         TextOps.tokenCount(col("text")).as("ntok_raw"))
       .localCheckpoint()
@@ -81,12 +85,27 @@ object CurationLedger {
         raw.select(col("doc_id")))
       .filter(col("margin_ppm") > 0).select(col("doc_id"))
     val s2 = s1.join(admitted, "doc_id").localCheckpoint()
+    (raw, s1, s2)
+  }
+
+  /** All stage survivor frames. `raw` carries (doc_id, text, lang,
+    * source, ntok_raw); s1..s6 add (norm_text, ntok). */
+  def stages(s: SparkSession, d: String): Stages = {
+    import graft.queries.DedupQueries.{NumHashes, Bands, RowsPerBand,
+      JaccardTau}
+    val (raw, s1, s2) = frontStages(s, d, lit(true))
     // 3. exact dedup (d1): md5(norm_text) groups, min-id keeper
     val keepers = s2
       .groupBy(md5(col("norm_text").cast("binary")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
     val s3 = s2.join(keepers.select(col("doc_id")), "doc_id")
       .localCheckpoint()
+    // per-doc keeper evidence (p4's audit trail): every gate survivor's
+    // hash-group canonical
+    val exactKeeper = s2
+      .select(col("doc_id"), md5(col("norm_text").cast("binary")).as("h"))
+      .join(keepers.withColumnRenamed("doc_id", "keeper_id"), "h")
+      .select(col("doc_id"), col("keeper_id"))
     // 4. near-dup collapse (d2 candidates ∘ star-CC): raw-text shingles
     // of the SURVIVORS only — banded signatures, verified pairs, then
     // edge-rewrite components; keep each component's min-id canonical
@@ -142,7 +161,7 @@ object CurationLedger {
       .filter(pmod(TextOps.hash60(concat(lit("mix|"), col("text"))),
         lit(10000L)) < col("rate_bp"))
       .localCheckpoint()
-    Stages(raw, s1, s2, s3, s4, s5, s6)
+    Stages(raw, s1, s2, s3, s4, s5, s6, exactKeeper, canon)
   }
 
   /** t15's packing over the final mixture: one row per (lang, shard)

@@ -96,6 +96,21 @@ object SimilarityOps {
       .toDF("query_id", "rank", "neighbor_id", "cos_sim")
   }
 
+  /** Deterministic ±1 Johnson–Lindenstrauss projection row for output dim
+    * `j` (Achlioptas 2003's database-friendly matrix: entries ∈ {−1, +1}
+    * preserve pairwise distances in expectation with the same JL bound as
+    * Gaussian entries while multiplying by sign flips only): md5-parity of
+    * `jl<j>/<i>`, computed once at plan-build time and embedded as an
+    * array literal — reproducible from the seed string in any engine. */
+  def jlSigns(j: Int, dims: Int): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dims).map { i =>
+      val hex = md.digest(s"jl$j/$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      if (java.lang.Long.parseLong(hex, 16) % 2L == 0L) 1.0 else -1.0
+    }
+  }
+
   /** Deterministic hyperplane weights for plane `p`: md5-derived integers in
     * [-1000, 1000], computed ONCE in Scala at plan-build time and embedded
     * as an array literal — zero per-row hashing cost, and reproducible from

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -18,7 +19,236 @@ import org.apache.spark.sql.functions._
 object PipelineQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** p2: context-window token budget for the packed serve result. */
+  val RagBudgetTok = 160L
+  /** p2: diversified results per query (MMR steps). */
+  val RagMmrK = 5
+
   val queries: Map[String, Q] = Map(
+    // The composed SERVING pipeline — p1's dress-rehearsal discipline
+    // applied to the read path a RAG deployment actually executes:
+    // hybrid retrieve (n16: lexical rare-token leg + dense cosine leg,
+    // reciprocal-rank fused) → MMR diversify (n20's greedy, relevance =
+    // per-query-normalized RRF) → context-pack (prefix of the diversified
+    // ranking whose running token sum fits the window budget). One row
+    // per (query, diversified candidate) with the whole trace: fusion
+    // score, normalized relevance, MMR score, token cost, running total,
+    // and the kept/overflowed packing decision — the DuckDB oracle
+    // replays the ENTIRE chain (n16's fused CTEs, 5 unrolled greedy
+    // steps, window cumsum). Scale: composition adds NO shuffle beyond
+    // its constituents — the fused shortlist is ≤K rows/query, so MMR's
+    // pairwise leg and the pack window are bounded per query; at 100 TB
+    // the dense leg swaps to n15's partition-pruned IVF serve (same
+    // (qid, did, rank) contract the fusion consumes).
+    "p2_rag_serve" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.SimilarityOps.{toDouble, dot, norm2, cosine}
+      val fused = SimilarityQueries.queries("n16_rrf_fusion")(s, d)
+        .select(col("query_id").as("qid"), col("doc_id").as("cid"),
+          col("rrf_ppm"))
+      val wq = Window.partitionBy(col("qid"))
+      val sh = fused.withColumn("rel",
+        col("rrf_ppm").cast("double") /
+          max(col("rrf_ppm")).over(wq).cast("double"))
+      val v = Tables.fanout(Tables.embeddings(s, d))
+        .select(col("vec_id").as("id"), toDouble(col("embedding")).as("emb"))
+      val shv = sh.join(v, sh("cid") === v("id"))
+        .select(col("qid"), col("cid"), col("rel"), col("rrf_ppm"),
+          col("emb"), norm2(col("emb")).as("n2"))
+        .localCheckpoint() // both sides of the pairwise leg
+      val a = shv.select(col("qid"), col("cid").as("i"),
+        col("rel").as("rel_i"), col("rrf_ppm").as("rrf_i"),
+        col("emb").as("emb_i"), col("n2").as("n2_i"))
+      val b = shv.select(col("qid").as("qid_b"), col("cid").as("j"),
+        col("emb").as("emb_j"), col("n2").as("n2_j"))
+      val pw = a.join(b, col("qid") === col("qid_b") && col("i") =!= col("j"))
+        .select(col("qid"), col("i"), col("rel_i"), col("rrf_i"), col("j"),
+          cosine(dot(col("emb_i"), col("emb_j")),
+            col("n2_i"), col("n2_j")).as("sm"))
+        .as[(Long, Long, Double, Long, Long, Double)]
+      val mmr = pw.groupByKey(_._1)
+        .flatMapGroups { (qid, it) =>
+          val rows = it.toSeq
+          val rel = rows.map(r => r._2 -> r._3).toMap
+          val rrf = rows.map(r => r._2 -> r._4).toMap
+          val sim = rows.map(r => (r._2, r._5) -> r._6).toMap
+          var selected = Vector.empty[Long]
+          val out = Seq.newBuilder[(Long, Long, Long, Double, Double, Long)]
+          var step = 1
+          while (step <= RagMmrK && selected.size < rel.size) {
+            var bestId = -1L
+            var bestSc = Double.NegativeInfinity
+            rel.keys.toSeq.sorted.foreach { c =>
+              if (!selected.contains(c)) {
+                val sc =
+                  if (selected.isEmpty) 0.7 * rel(c)
+                  else 0.7 * rel(c) -
+                    0.3 * selected.map(s0 => sim((c, s0))).max
+                if (sc > bestSc) { bestSc = sc; bestId = c }
+              }
+            }
+            out += ((qid, step.toLong, bestId, bestSc, rel(bestId),
+              rrf(bestId)))
+            selected :+= bestId
+            step += 1
+          }
+          out.result().iterator
+        }
+        .toDF("qid", "mmr_rank", "cid", "mmr", "rel", "rrf_ppm")
+      val tok = Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"),
+          size(graft.ops.TextOps.tokens(col("text"))).cast("long")
+            .as("n_tok"))
+      val wc = Window.partitionBy(col("qid")).orderBy(col("mmr_rank"))
+      mmr.join(tok, mmr("cid") === tok("doc_id"))
+        .withColumn("cum_tok", sum(col("n_tok")).over(wc))
+        .select(col("qid").as("query_id"), col("mmr_rank"),
+          col("cid").as("doc_id"), col("rrf_ppm"),
+          round(col("rel"), 6).as("rel"), round(col("mmr"), 6).as("mmr"),
+          col("n_tok"), col("cum_tok"),
+          (col("cum_tok") <= RagBudgetTok).as("kept"))
+        .orderBy(col("query_id"), col("mmr_rank"))
+    }),
+    // Incremental curation REFRESH — p1 answers "what does the full run
+    // produce"; p3 answers the question every periodic corpus drop asks:
+    // "a delta batch arrived — what changes, and what does it COST?"
+    // Base = the lower 4/5 of the id space (yesterday's corpus), delta =
+    // the top fifth (today's drop). The delta flows through the pinned
+    // front half (normalize + persisted-model gate — append-safe by
+    // construction), then exact dedup as an anti-join against the base
+    // hash dictionary (|Δ| work), then near-dup collapse as star-CC over
+    // the base's persisted STAR FOREST ∪ delta-driven candidate edges
+    // (d35's CC-IVM: delta bands probe base bands via
+    // candidatePairsAcross — base×base pairs are never re-verified).
+    // The ledger reports, per stage, the delta's funnel AND the base's
+    // fate — including RETRACTIONS: a delta doc can bridge two base
+    // components, merging them and demoting one base canonical (the
+    // near-dup stage is NOT append-safe, and the ledger says exactly by
+    // how much). The DuckDB oracle recomputes BOTH chains from scratch —
+    // ledger equality proves incremental ≡ full recompute.
+    "p3_delta_refresh" -> ((s, d) => {
+      import graft.ops.{CurationLedger => CL, DedupOps}
+      import graft.queries.DedupQueries.{NumHashes, Bands, RowsPerBand,
+        JaccardTau}
+      val cut = Tables.documents(s, d)
+        .agg(expr("((max(doc_id) + 1) * 4) div 5").as("c")).head.getLong(0)
+      val (rawB, s1B, s2B) = CL.frontStages(s, d, col("doc_id") < cut)
+      val (rawD, s1D, s2D) = CL.frontStages(s, d, col("doc_id") >= cut)
+      // exact dedup: base keepers; delta keepers = min id per hash NOT
+      // in the base dictionary (the persisted artifact at 100 TB)
+      def withHash(df: DataFrame) =
+        df.withColumn("h", md5(col("norm_text").cast("binary")))
+      val hb = withHash(s2B).groupBy(col("h"))
+        .agg(min(col("doc_id")).as("doc_id")).localCheckpoint()
+      val s3B = s2B.join(hb.select(col("doc_id")), "doc_id")
+        .localCheckpoint()
+      val novel = withHash(s2D)
+        .join(hb.select(col("h")), Seq("h"), "left_anti")
+        .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      val s3D = s2D.join(novel.select(col("doc_id")), "doc_id")
+        .localCheckpoint()
+      // near-dup: the base run once (its forest is the persisted state),
+      // then the union via forest ∪ delta-driven candidates only
+      val arrB = DedupOps.shingleArrays(s3B.select(col("doc_id"), col("text")))
+        .localCheckpoint()
+      val arrD = DedupOps.shingleArrays(s3D.select(col("doc_id"), col("text")))
+        .localCheckpoint()
+      val bandsB = DedupOps.lshBands(
+        DedupOps.minhashSignatureNarrow(arrB, NumHashes), Bands, RowsPerBand)
+        .localCheckpoint()
+      val bandsD = DedupOps.lshBands(
+        DedupOps.minhashSignatureNarrow(arrD, NumHashes), Bands, RowsPerBand)
+        .localCheckpoint()
+      val pairsB = DedupOps.jaccardVerifyArrays(
+          DedupOps.candidatePairs(bandsB), arrB)
+        .filter(col("jaccard") >= JaccardTau)
+        .select(col("doc_a"), col("doc_b"))
+      val canonB = DedupOps.starComponents(pairsB, s3B.select(col("doc_id")))
+        .localCheckpoint()
+      val s4B = canonB.filter(col("doc_id") === col("canon_id"))
+        .select(col("doc_id")).localCheckpoint()
+      val candNew = DedupOps.candidatePairs(bandsD)
+        .unionByName(DedupOps.candidatePairsAcross(bandsD, bandsB))
+      val pairsNew = DedupOps.jaccardVerifyArrays(candNew,
+          arrB.unionByName(arrD))
+        .filter(col("jaccard") >= JaccardTau)
+        .select(col("doc_a"), col("doc_b"))
+      val forest = canonB.filter(col("doc_id") =!= col("canon_id"))
+        .select(col("doc_id").as("doc_a"), col("canon_id").as("doc_b"))
+      val s3Uids = s3B.select(col("doc_id"))
+        .unionByName(s3D.select(col("doc_id")))
+      val canonU = DedupOps.starComponents(
+        forest.unionByName(pairsNew), s3Uids)
+      val s4U = canonU.filter(col("doc_id") === col("canon_id"))
+        .select(col("doc_id")).localCheckpoint()
+      // the ledger: exact integer counts, all computed declaratively
+      def ct(df: DataFrame, n: String): DataFrame =
+        df.agg(count(lit(1)).cast("long").as(n))
+      def row(id: Long, name: String, di: DataFrame, dk: DataFrame,
+          bb: DataFrame, ba: DataFrame,
+          retr: Option[DataFrame]): DataFrame = {
+        val base = ct(di, "delta_in")
+          .crossJoin(ct(dk, "delta_kept"))
+          .crossJoin(ct(bb, "base_before"))
+          .crossJoin(ct(ba, "base_after"))
+        val withR = retr match {
+          case Some(rf) => base.crossJoin(ct(rf, "base_retracted"))
+          case None => base.withColumn("base_retracted", lit(0L))
+        }
+        withR.select(lit(id).as("stage_id"), lit(name).as("stage"),
+          col("delta_in"), col("delta_kept"), col("base_before"),
+          col("base_after"), col("base_retracted"))
+      }
+      Seq(
+        row(0L, "normalize", rawD, s1D, s1B, s1B, None),
+        row(1L, "nb_gate", s1D, s2D, s2B, s2B, None),
+        row(2L, "exact_dedup", s2D, s3D, s3B, s3B, None),
+        row(3L, "neardup_collapse", s3D,
+          s4U.filter(col("doc_id") >= cut),
+          s4B, s4U.filter(col("doc_id") < cut),
+          Some(s4B.join(s4U, Seq("doc_id"), "left_anti")))
+      ).reduce(_ unionByName _).orderBy(col("stage_id"))
+    }),
+
+    // Per-doc curation AUDIT TRAIL — p1's ledger says how many docs each
+    // stage dropped; p4 says, for EVERY ingested doc, which stage
+    // decided its fate and on what evidence: the hash-group keeper it
+    // duplicated (exact dedup) or the component canonical it collapsed
+    // into (near-dup). This is the lineage/governance table a 100 TB
+    // curation run must be able to produce on demand ("why is doc X not
+    // in the training set?") — and it costs nothing beyond p1's own
+    // stages plus two evidence joins. Disposition precedence = stage
+    // order; evidence NULL except where the semantics define one.
+    "p4_disposition" -> ((s, d) => {
+      val st = graft.ops.CurationLedger.stages(s, d)
+      def mem(df: DataFrame, n: String) =
+        df.select(col("doc_id"), lit(1).as(n))
+      st.raw.select(col("doc_id"))
+        .join(mem(st.s1, "in1"), Seq("doc_id"), "left")
+        .join(mem(st.s2, "in2"), Seq("doc_id"), "left")
+        .join(mem(st.s3, "in3"), Seq("doc_id"), "left")
+        .join(mem(st.s4, "in4"), Seq("doc_id"), "left")
+        .join(mem(st.s5, "in5"), Seq("doc_id"), "left")
+        .join(mem(st.s6, "in6"), Seq("doc_id"), "left")
+        .join(st.exactKeeper, Seq("doc_id"), "left")
+        .join(st.canon.select(col("doc_id"), col("canon_id")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("in1").isNull, "dropped_empty_norm")
+            .when(col("in2").isNull, "dropped_gate")
+            .when(col("in3").isNull, "dropped_exact_dup")
+            .when(col("in4").isNull, "collapsed_neardup")
+            .when(col("in5").isNull, "dropped_contaminated")
+            .when(col("in6").isNull, "dropped_mixture")
+            .otherwise("kept").as("status"),
+          when(col("in2").isNotNull && col("in3").isNull, col("keeper_id"))
+            .when(col("in3").isNotNull && col("in4").isNull,
+              col("canon_id"))
+            .otherwise(lit(null).cast("long")).as("canonical_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "p1_curation_ledger" -> ((s, d) => {
       val st = graft.ops.CurationLedger.stages(s, d)
       def cnt(df: DataFrame, tok: String): DataFrame =
@@ -48,7 +278,221 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
-    "p1_curation_ledger" -> {
+    // n16's fused CTEs → per-query RRF normalization → 5 unrolled MMR
+    // greedy steps (n20's oracle pattern, relevance = normalized RRF) →
+    // token join + window cumsum + budget flag. The whole serve chain
+    // replayed declaratively.
+    "p2_rag_serve" -> {
+      import SimilarityQueries.{dkRrfFusedCtes, dot2, n2of}
+      val steps = (2 to RagMmrK).map { t =>
+        s"""s$t AS (
+           |  SELECT h.qid, h.did, h.rrf_ppm, h.rel,
+           |         0.7 * h.rel - 0.3 * max(w.sm) AS sc
+           |  FROM relq h
+           |  JOIN pw w ON w.qid = h.qid AND w.i = h.did
+           |  JOIN sel${t - 1} z ON z.qid = w.qid AND z.did = w.j
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} e
+           |                    WHERE e.qid = h.qid AND e.did = h.did)
+           |  GROUP BY h.qid, h.did, h.rrf_ppm, h.rel),
+           |p$t AS (
+           |  SELECT qid, did, rrf_ppm, rel, sc FROM (
+           |    SELECT qid, did, rrf_ppm, rel, sc,
+           |      ROW_NUMBER() OVER (PARTITION BY qid
+           |                         ORDER BY sc DESC, did) AS r
+           |    FROM s$t) WHERE r = 1),
+           |sel$t AS (SELECT qid, did FROM sel${t - 1}
+           |          UNION ALL SELECT qid, did FROM p$t)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to RagMmrK)
+        .map(t => s"  SELECT qid, $t AS mmr_rank, did, rrf_ppm, rel, sc" +
+          s" FROM p$t")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH $dkRrfFusedCtes,
+         |relq AS (
+         |  SELECT qid, did, rrf_ppm,
+         |    CAST(rrf_ppm AS DOUBLE) /
+         |      CAST(max(rrf_ppm) OVER (PARTITION BY qid) AS DOUBLE) AS rel
+         |  FROM fused),
+         |pw AS (
+         |  SELECT x.qid, x.did AS i, y.did AS j,
+         |    ${dot2("a.emb", "b.emb")}
+         |      / sqrt(${n2of("a.emb")} * ${n2of("b.emb")}) AS sm
+         |  FROM relq x JOIN relq y ON y.qid = x.qid AND y.did <> x.did
+         |  JOIN v a ON a.id = x.did JOIN v b ON b.id = y.did),
+         |s1 AS (SELECT qid, did, rrf_ppm, rel, 0.7 * rel AS sc FROM relq),
+         |p1 AS (
+         |  SELECT qid, did, rrf_ppm, rel, sc FROM (
+         |    SELECT qid, did, rrf_ppm, rel, sc,
+         |      ROW_NUMBER() OVER (PARTITION BY qid
+         |                         ORDER BY sc DESC, did) AS r
+         |    FROM s1) WHERE r = 1),
+         |sel1 AS (SELECT qid, did FROM p1),
+         |$steps,
+         |tokn AS (
+         |  SELECT doc_id, len(string_split_regex(trim(text), '\\s+'))
+         |    AS n_tok
+         |  FROM documents),
+         |out0 AS (
+         |  SELECT u.qid, u.mmr_rank, u.did, u.rrf_ppm, u.rel, u.sc,
+         |         CAST(t.n_tok AS BIGINT) AS n_tok
+         |  FROM (
+         |$unions) u
+         |  JOIN tokn t ON t.doc_id = u.did),
+         |outc AS (
+         |  SELECT *, CAST(sum(n_tok) OVER (PARTITION BY qid
+         |    ORDER BY mmr_rank) AS BIGINT) AS cum_tok
+         |  FROM out0)
+         |SELECT qid AS query_id, CAST(mmr_rank AS BIGINT) AS mmr_rank,
+         |  did AS doc_id, rrf_ppm,
+         |  round(rel, 6) AS rel, round(sc, 6) AS mmr,
+         |  n_tok, cum_tok, (cum_tok <= $RagBudgetTok) AS kept
+         |FROM outc ORDER BY query_id, mmr_rank""".stripMargin
+    },
+    // Full recompute of BOTH chains (base slice + union) — the ground
+    // truth the engine's incremental path (hash-dict anti-join + star
+    // forest ∪ delta edges) must match bit-for-bit.
+    "p3_delta_refresh" -> {
+      import graft.queries.DedupQueries.{JaccardTau, dkMinhashCandCtes}
+      val tau = JaccardTau
+      def chain(sfx: String, survivors: String) =
+        s"""ped$sfx AS (SELECT p.doc_a, p.doc_b FROM prs p
+           |  JOIN $survivors a3 ON a3.doc_id = p.doc_a
+           |  JOIN $survivors b3 ON b3.doc_id = p.doc_b),
+           |int$sfx AS (
+           |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter FROM ped$sfx c
+           |  JOIN shg a ON a.doc_id = c.doc_a
+           |  JOIN shg b ON b.doc_id = c.doc_b AND b.sh = a.sh
+           |  GROUP BY c.doc_a, c.doc_b),
+           |jp$sfx AS (
+           |  SELECT i.doc_a, i.doc_b FROM int$sfx i
+           |  JOIN szs sa ON sa.doc_id = i.doc_a
+           |  JOIN szs sb ON sb.doc_id = i.doc_b
+           |  WHERE CAST(i.inter AS DOUBLE)
+           |    / (sa.n_sh + sb.n_sh - i.inter) >= $tau),
+           |edg$sfx AS (SELECT doc_a AS src, doc_b AS dst FROM jp$sfx
+           |        UNION ALL SELECT doc_b, doc_a FROM jp$sfx),
+           |reach$sfx AS (
+           |  SELECT src, dst FROM edg$sfx
+           |  UNION
+           |  SELECT r.src, e.dst FROM reach$sfx r
+           |  JOIN edg$sfx e ON r.dst = e.src),
+           |st4$sfx AS MATERIALIZED (
+           |  SELECT s3.doc_id FROM $survivors s3
+           |  LEFT JOIN (SELECT src, min(dst) AS mn FROM reach$sfx
+           |             GROUP BY src) r
+           |    ON r.src = s3.doc_id
+           |  WHERE least(s3.doc_id, coalesce(r.mn, s3.doc_id))
+           |    = s3.doc_id)""".stripMargin
+      def c(e: String, from: String) =
+        s"(SELECT CAST($e AS BIGINT) FROM $from)"
+      def br(id: Int, name: String, di: String, dk: String, bb: String,
+          ba: String, retr: String) =
+        s"""  SELECT CAST($id AS BIGINT) AS stage_id, '$name' AS stage,
+           |    ${c("count(*)", di)} AS delta_in,
+           |    ${c("count(*)", dk)} AS delta_kept,
+           |    ${c("count(*)", bb)} AS base_before,
+           |    ${c("count(*)", ba)} AS base_after,
+           |    $retr AS base_retracted""".stripMargin
+      val branches = Seq(
+        br(0, "normalize",
+          "documents, cutv WHERE doc_id >= cut",
+          "st1, cutv WHERE doc_id >= cut",
+          "st1, cutv WHERE doc_id < cut",
+          "st1, cutv WHERE doc_id < cut",
+          "CAST(0 AS BIGINT)"),
+        br(1, "nb_gate",
+          "st1, cutv WHERE doc_id >= cut",
+          "st2, cutv WHERE doc_id >= cut",
+          "st2, cutv WHERE doc_id < cut",
+          "st2, cutv WHERE doc_id < cut",
+          "CAST(0 AS BIGINT)"),
+        br(2, "exact_dedup",
+          "st2, cutv WHERE doc_id >= cut",
+          "st3u, cutv WHERE doc_id >= cut",
+          "st3b",
+          "st3u, cutv WHERE doc_id < cut",
+          s"${c("count(*)", "st3b")} - ${c("count(*)",
+            "st3u, cutv WHERE doc_id < cut")}"),
+        br(3, "neardup_collapse",
+          "st3u, cutv WHERE doc_id >= cut",
+          "st4u, cutv WHERE doc_id >= cut",
+          "st4b",
+          "st4u, cutv WHERE doc_id < cut",
+          c("count(*)",
+            "st4b WHERE doc_id NOT IN (SELECT doc_id FROM st4u)"))
+      ).mkString("\n  UNION ALL\n")
+      s"""WITH RECURSIVE ${TextQueries.dkNbMarginCtes("TRUE")},
+         |$dkMinhashCandCtes,
+         |mg AS MATERIALIZED (SELECT * FROM marg),
+         |shg AS MATERIALIZED (SELECT * FROM shingled),
+         |prs AS MATERIALIZED (SELECT * FROM pairs),
+         |szs AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sh FROM shg
+         |        GROUP BY doc_id),
+         |cutv AS (SELECT ((max(doc_id) + 1) * 4) // 5 AS cut
+         |         FROM documents),
+         |nrm AS MATERIALIZED (
+         |  SELECT doc_id, text,
+         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]',
+         |        ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+         |  FROM documents),
+         |st1 AS MATERIALIZED (SELECT doc_id, norm_text FROM nrm
+         |  WHERE length(norm_text) > 0),
+         |st2 AS MATERIALIZED (
+         |  SELECT st1.* FROM st1 JOIN mg USING (doc_id)
+         |  WHERE mg.margin > 0),
+         |k3b AS (SELECT md5(norm_text) AS h, min(doc_id) AS doc_id
+         |        FROM st2, cutv WHERE doc_id < cut GROUP BY 1),
+         |st3b AS MATERIALIZED (SELECT st2.doc_id FROM st2
+         |        JOIN k3b USING (doc_id)),
+         |k3u AS (SELECT md5(norm_text) AS h, min(doc_id) AS doc_id
+         |        FROM st2 GROUP BY 1),
+         |st3u AS MATERIALIZED (SELECT st2.doc_id FROM st2
+         |        JOIN k3u USING (doc_id)),
+         |${chain("b", "st3b")},
+         |${chain("u", "st3u")}
+         |SELECT * FROM (
+         |$branches
+         |) ORDER BY stage_id""".stripMargin
+    },
+    "p1_curation_ledger" ->
+      s"""$p1ChainSql
+         |${ledgerSelect}
+         |ORDER BY stage_id""".stripMargin,
+    // p4: the per-doc form of p1's ledger — same chain, disposition CASE
+    // + evidence joins appended.
+    "p4_disposition" ->
+      s"""$p1ChainSql,
+         |kk AS (SELECT st2.doc_id, k3.doc_id AS keeper FROM st2
+         |       JOIN k3 ON k3.h = md5(st2.norm_text)),
+         |rr AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src)
+         |SELECT n.doc_id,
+         |  CASE WHEN s1.doc_id IS NULL THEN 'dropped_empty_norm'
+         |       WHEN s2.doc_id IS NULL THEN 'dropped_gate'
+         |       WHEN s3.doc_id IS NULL THEN 'dropped_exact_dup'
+         |       WHEN s4.doc_id IS NULL THEN 'collapsed_neardup'
+         |       WHEN s5.doc_id IS NULL THEN 'dropped_contaminated'
+         |       WHEN s6.doc_id IS NULL THEN 'dropped_mixture'
+         |       ELSE 'kept' END AS status,
+         |  CASE WHEN s2.doc_id IS NOT NULL AND s3.doc_id IS NULL
+         |         THEN kk.keeper
+         |       WHEN s3.doc_id IS NOT NULL AND s4.doc_id IS NULL
+         |         THEN least(n.doc_id, coalesce(rr.mn, n.doc_id))
+         |       ELSE NULL END AS canonical_id
+         |FROM nrm n
+         |LEFT JOIN st1 s1 ON s1.doc_id = n.doc_id
+         |LEFT JOIN st2 s2 ON s2.doc_id = n.doc_id
+         |LEFT JOIN st3 s3 ON s3.doc_id = n.doc_id
+         |LEFT JOIN st4 s4 ON s4.doc_id = n.doc_id
+         |LEFT JOIN st5 s5 ON s5.doc_id = n.doc_id
+         |LEFT JOIN st6 s6 ON s6.doc_id = n.doc_id
+         |LEFT JOIN kk ON kk.doc_id = n.doc_id
+         |LEFT JOIN rr ON rr.src = n.doc_id
+         |ORDER BY n.doc_id""".stripMargin
+  )
+
+  /** p1's full stage-chain WITH-prefix (through `ch`) — shared by the
+    * p1 ledger and the p4 per-doc disposition oracle. */
+  private lazy val p1ChainSql: String = {
       import graft.queries.DedupQueries.{JaccardTau, dkMinhashCandCtes}
       val tau = JaccardTau
       val salts = graft.ops.CurationLedger.BloomSalts
@@ -161,11 +605,8 @@ object PipelineQueries {
          |ch AS MATERIALIZED (
          |  SELECT doc_id, ntok,
          |    unnest(generate_series(0, ntok - 1, 96)) AS cs
-         |  FROM st6)
-         |${ledgerSelect}
-         |ORDER BY stage_id""".stripMargin
-    }
-  )
+         |  FROM st6)""".stripMargin
+  }
 
   /** The 9-branch ledger readout: every count/sum CAST to BIGINT in
     * EVERY branch (DuckDB's sum(BIGINT) is HUGEINT, and UNION ALL

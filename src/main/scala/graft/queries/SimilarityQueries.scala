@@ -35,6 +35,8 @@ object SimilarityQueries {
   val PlantMod = 3    // every vec_id % 3 == 0 gains a near-identical twin
   val RrfDfCap = 100  // n16 lexical side: drop terms with df > cap
   val MrlDims = 16    // n17: matryoshka prefix length (64 → 16 dims)
+  val JlDims = 16     // n22: JL projection target dims (64 → 16)
+  val JlPanel = 32    // n22: distortion-audit panel size (496 pairs)
   val MmrShortlist = 20  // n20: rerank candidate depth C
   val MmrK = 5           // n20: diversified results per query
   val LshTables = 8   // LSH hash tables
@@ -44,6 +46,12 @@ object SimilarityQueries {
   private def vecs(s: SparkSession, d: String) =
     Tables.fanout(Tables.embeddings(s, d))
       .select(col("vec_id").as("id"), toDouble(col("embedding")).as("emb"))
+
+  /** n22's ±1 JL projection: 16 codegen'd dot kernels against literal
+    * sign arrays — a narrow per-row map, no shuffle, no training. */
+  private def jlProject(v: DataFrame): DataFrame =
+    v.select(col("id"), array((0 until JlDims).map(j =>
+      dot(col("emb"), typedLit(jlSigns(j, Dims)))): _*).as("emb"))
 
   /** The planted near-duplicate corpus for the production-knob SemDeDup
     * rows: every `id % PlantMod == 0` vector gains a twin at
@@ -595,6 +603,65 @@ object SimilarityQueries {
         .orderBy(col("query_id"))
     }),
 
+    // Johnson–Lindenstrauss ±1 random projection (Achlioptas 2003) with
+    // its distortion AUDIT — the dimensionality-reduction counterpart of
+    // n17's prefix truncation: 64 dims → 16 via a seed-derived sign
+    // matrix (no training, unlike PCA/matryoshka — works on any corpus,
+    // including one the model never saw). The audit computes, over a
+    // fixed 32-vector panel (496 pairs — O(1) regardless of corpus
+    // size), ‖Ru−Rv‖²/(k‖u−v‖²): JL says this concentrates around 1.
+    // Scale shape: projection is a narrow per-row map (16 codegen'd dot
+    // kernels against literal arrays, zero shuffle) — the operator that
+    // makes every downstream distance computation 4× cheaper; the panel
+    // join is a broadcast nested loop over 32 rows.
+    "n22_jl_distortion" -> ((s, d) => {
+      val v = vecs(s, d).filter(col("id") < JlPanel)
+      val a = jlProject(v).withColumnRenamed("emb", "pemb")
+        .join(v, "id")
+        .select(col("id"), col("emb"), col("pemb"),
+          norm2(col("emb")).as("n2"), norm2(col("pemb")).as("pn2"))
+      val l = a.select(col("id").as("id_a"), col("emb").as("emb_a"),
+        col("pemb").as("pemb_a"), col("n2").as("n2_a"),
+        col("pn2").as("pn2_a"))
+      val r = a.select(col("id").as("id_b"), col("emb").as("emb_b"),
+        col("pemb").as("pemb_b"), col("n2").as("n2_b"),
+        col("pn2").as("pn2_b"))
+      l.join(broadcast(r), col("id_a") < col("id_b"))
+        .withColumn("d2_orig", col("n2_a") + col("n2_b")
+          - lit(2.0) * dot(col("emb_a"), col("emb_b")))
+        .withColumn("d2_proj", col("pn2_a") + col("pn2_b")
+          - lit(2.0) * dot(col("pemb_a"), col("pemb_b")))
+        .select(col("id_a"), col("id_b"),
+          round(col("d2_orig"), 6).as("d2_orig"),
+          round(col("d2_proj"), 6).as("d2_proj"),
+          round(when(col("d2_orig") === 0.0, lit(0.0))
+            .otherwise(col("d2_proj") / (lit(JlDims.toDouble)
+              * col("d2_orig"))), 6).as("ratio"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Neighborhood fidelity of the JL projection (n17's readout over the
+    // projected space instead of the prefix space): recall@10 of
+    // cosine-top-K computed on 16-dim projections vs the exact 64-dim
+    // ranking. The pair (n17, n22b) is the reduce-dims decision table:
+    // matryoshka needs a model trained for prefix-validity, JL needs
+    // nothing — this measures what that convenience costs in recall.
+    "n22b_jl_recall" -> ((s, d) => {
+      val v = vecs(s, d)
+      val vp = jlProject(v)
+      val exact = bruteForceTopK(v.filter(col("id") < NumQueries), v, K)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = bruteForceTopK(vp.filter(col("id") < NumQueries), vp, K)
+        .select(col("query_id"), col("neighbor_id"))
+      val hit = exact.join(approx, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      exact.select(col("query_id")).distinct()
+        .join(hit, Seq("query_id"), "left")
+        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .withColumn("recall_bp", expr(s"(n_hit * 10000) div $K"))
+        .orderBy(col("query_id"))
+    }),
+
     // 1-bit sign quantization + Hamming ranking — the extreme end of the
     // n8→n11 compression ladder: 64 dims collapse to 64 SIGN BITS stored
     // as two 32-bit words (8 bytes/vector, 64× smaller than fp64; two
@@ -1052,11 +1119,35 @@ object SimilarityQueries {
       }
     }.mkString(",\n    ")
 
-  private def dot2(a: String, b: String) =
+  /** n22's sign matrix as VALUES rows `(j, ±1.0-list)` — md5-parity
+    * derived, identical to [[graft.ops.SimilarityOps.jlSigns]]. */
+  private def jlSignValues: String =
+    (0 until JlDims).map { j =>
+      val w = graft.ops.SimilarityOps.jlSigns(j, Dims)
+        .map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"($j, $w)"
+    }.mkString(",\n    ")
+
+  /** The JL projection CTE (`vp`): per (id, j), the ascending-i fold of
+    * emb[i]·sign[i] — the same left fold the Scala dot kernel computes —
+    * reassembled into a j-ordered list. */
+  private def dkJlProjCte(src: String): String =
+    s"""jw(j, w) AS (VALUES
+       |    $jlSignValues),
+       |vp AS (
+       |  SELECT id, list(y ORDER BY j) AS emb FROM (
+       |    SELECT s0.id, s.j,
+       |      list_reduce(list_prepend(0.0::DOUBLE,
+       |        list_transform(generate_series(1, $Dims),
+       |          i -> s0.emb[i] * s.w[i])), (x, y) -> x + y) AS y
+       |    FROM $src s0, jw s)
+       |  GROUP BY id)""".stripMargin
+
+  private[queries] def dot2(a: String, b: String) =
     s"""list_reduce(list_prepend(0.0::DOUBLE,
        |      list_transform(generate_series(1, len($a)),
        |        i -> $a[i] * $b[i])), (x, y) -> x + y)""".stripMargin
-  private def n2of(e: String) =
+  private[queries] def n2of(e: String) =
     s"""list_reduce(list_prepend(0.0::DOUBLE,
        |      list_transform($e, z -> z * z)), (p, q) -> p + q)""".stripMargin
 
@@ -1403,6 +1494,23 @@ object SimilarityQueries {
        |                            ORDER BY rrf_ppm DESC, did) AS rank
        |  FROM f) WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  /** n16's chain re-exposed as a CTE block ending in `fused` (qid, did,
+    * rrf_ppm, lex_rank, vec_rank, rank ≤ K) plus `v` — the candidate
+    * front half the composed serving pipeline ([[PipelineQueries]] p2)
+    * builds on. Kept textually in sync with [[dkRrfFusion]] (the n16
+    * oracle is derived from this block). */
+  private[queries] lazy val dkRrfFusedCtes: String = {
+    val body = dkRrfFusion.stripPrefix("WITH ")
+    val cut = body.lastIndexOf("SELECT query_id, rank, doc_id")
+    body.substring(0, cut).trim.stripSuffix(",") + ",\n" +
+      s"""fused AS (
+         |  SELECT qid, did, rrf_ppm, lex_rank, vec_rank, rank FROM (
+         |    SELECT qid, did, rrf_ppm, lex_rank, vec_rank,
+         |           ROW_NUMBER() OVER (PARTITION BY qid
+         |                              ORDER BY rrf_ppm DESC, did) AS rank
+         |    FROM f) WHERE rank <= $K)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // pre-filter ≡ "exact top-k over the lang-restricted corpus" — the
     // oracle states the SEMANTIC contract (restricted scan + rank), so
@@ -1516,6 +1624,66 @@ object SimilarityQueries {
          |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
          |  FROM embeddings),
          |vp AS (SELECT id, emb[1 : $MrlDims] AS emb FROM v),
+         |escored AS (
+         |  SELECT a.id AS query_id, b.id AS neighbor_id,
+         |         $dkDot / sqrt(${dkNorm2("a")} * ${dkNorm2("b")}) AS cos
+         |  FROM v a, v b
+         |  WHERE a.id < $NumQueries AND b.id <> a.id),
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM escored) WHERE rank <= $K),
+         |ascored AS (
+         |  SELECT a.id AS query_id, b.id AS neighbor_id,
+         |         $dkDot / sqrt(${dkNorm2("a")} * ${dkNorm2("b")}) AS cos
+         |  FROM vp a, vp b
+         |  WHERE a.id < $NumQueries AND b.id <> a.id),
+         |approx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |                              ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM ascored) WHERE rank <= $K),
+         |hit AS (
+         |  SELECT e.query_id, count(*) AS n_hit
+         |  FROM exact e JOIN approx ap
+         |    ON ap.query_id = e.query_id AND ap.neighbor_id = e.neighbor_id
+         |  GROUP BY e.query_id)
+         |SELECT q.query_id, coalesce(h.n_hit, 0) AS n_hit,
+         |       (coalesce(h.n_hit, 0) * 10000) // $K AS recall_bp
+         |FROM (SELECT DISTINCT query_id FROM exact) q
+         |LEFT JOIN hit h USING (query_id)
+         |ORDER BY query_id""".stripMargin,
+    "n22_jl_distortion" ->
+      s"""WITH v AS (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings WHERE vec_id < $JlPanel),
+         |${dkJlProjCte("v")},
+         |av AS (
+         |  SELECT v.id, v.emb AS emb, vp.emb AS pemb
+         |  FROM v JOIN vp USING (id)),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |    (${n2of("a.emb")} + ${n2of("b.emb")})
+         |      - 2.0 * ${dot2("a.emb", "b.emb")} AS d2_orig,
+         |    (${n2of("a.pemb")} + ${n2of("b.pemb")})
+         |      - 2.0 * ${dot2("a.pemb", "b.pemb")} AS d2_proj
+         |  FROM av a, av b WHERE a.id < b.id)
+         |SELECT id_a, id_b,
+         |  round(d2_orig, 6) AS d2_orig,
+         |  round(d2_proj, 6) AS d2_proj,
+         |  round(CASE WHEN d2_orig = 0 THEN 0.0
+         |        ELSE d2_proj / ($JlDims.0 * d2_orig) END, 6) AS ratio
+         |FROM pairs ORDER BY id_a, id_b""".stripMargin,
+    "n22b_jl_recall" ->
+      s"""WITH v AS (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |${dkJlProjCte("v")},
          |escored AS (
          |  SELECT a.id AS query_id, b.id AS neighbor_id,
          |         $dkDot / sqrt(${dkNorm2("a")} * ${dkNorm2("b")}) AS cos

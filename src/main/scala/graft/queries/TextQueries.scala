@@ -1110,6 +1110,69 @@ object TextQueries {
           col("vocab_base"), col("vocab_upd"), col("delta_docs"))
     }),
 
+    // Curriculum difficulty binning (Bengio et al. 2009: order training
+    // data easy→hard; the practical 100 TB form bins the corpus by a
+    // cheap difficulty proxy and schedules bins): proxy = the PERSISTED
+    // quality model's margin — a serve-only scan, the third consumer of
+    // ClassifierIndex after the gate and the sweeps. Decile boundaries
+    // come from the q91 range-planner discipline: a ≤640-row stratified
+    // md5 reservoir ranks ONCE and yields 9 order statistics; every row
+    // then assigns by 9 literal probes. NEVER ntile over the corpus —
+    // a global un-partitioned sort is exactly the q91 defect this
+    // engine already fixed. Readout per bin: volume (docs/tokens),
+    // margin range, and the mean teacher score — the cheap margin
+    // ordering must recover the expensive teacher's quality ordering,
+    // or the curriculum is a hash of noise (the d19 "measure your own
+    // approximation" pattern, applied to a schedule).
+    "t42_curriculum_bins" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val p = graft.ops.ClassifierIndex.ensure(s, d,
+        graft.ops.ClassifierIndex.Binary)
+      val (seen, consts) = graft.ops.ClassifierIndex.trainModel(s, p, 2)
+      val docs = Tables.fanout(Tables.documents(s, d))
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val m = graft.ops.ClassifierOps.nbScore(seen, consts, tf,
+          docs.select(col("doc_id")))
+        .select(col("doc_id"), col("margin_ppm"))
+        .localCheckpoint() // sampled AND binned below
+      val smp = m.withColumn("h", hash60(concat(lit("t42|"),
+          col("doc_id").cast("string"))))
+        .withColumn("brn", row_number().over(
+          Window.partitionBy(col("h") % 32)
+            .orderBy(col("h"), col("doc_id"))))
+        .filter(col("brn") <= 20)
+      val rk = smp.withColumn("rn", row_number().over(
+        Window.orderBy(col("margin_ppm"), col("doc_id"))))
+      val ns = rk.count() // ≤640 by construction — q91's bounded sample
+      val bounds = rk
+        .join(broadcast(s.range(1, 10).select(
+          expr(s"(id * ${ns}L) div 10").as("pos"))),
+          col("rn") === col("pos"))
+        .filter(col("pos") >= 1)
+        .select(col("margin_ppm")).as[Long]
+        .collect().sorted.toSeq // ≤9 longs on the driver (q91's budget)
+      val binExpr = bounds.map(b =>
+        when(col("margin_ppm") > lit(b), 1L).otherwise(0L))
+        .reduceOption[org.apache.spark.sql.Column](_ + _)
+        .getOrElse(lit(0L))
+      val teach = graft.ops.ClassifierIndex.teacher(s, p)
+        .select(col("doc_id"), col("teacher_bp"))
+      val ntok = docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ntok"))
+      m.join(teach, "doc_id").join(ntok, "doc_id")
+        .withColumn("bin", binExpr)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("sum_tok"),
+          min(col("margin_ppm")).as("min_margin"),
+          max(col("margin_ppm")).as("max_margin"),
+          expr("sum(teacher_bp) div count(1)").as("mean_teacher_bp"))
+        .orderBy(col("bin"))
+    }),
+
     // Sub-document exact dedup at chunk granularity (registered d24): the
     // paragraph-level pass of a CCNet-shaped curation pipeline (Wenzek et
     // al. 2020 dedups on paragraph hashes; here the unit is t17's
@@ -2071,6 +2134,49 @@ object TextQueries {
          |  (a.nuc * 1000000) // a.n_holdout AS acc_upd_ppm,
          |  vb.vocab_base, vu.vocab_upd, dd.delta_docs
          |FROM a, vb, vu, dd""".stripMargin,
+    // t42: margins from the full NB chain, the q91 bounded-reservoir
+    // decile boundaries, literal-probe bin assignment, per-bin rollup.
+    "t42_curriculum_bins" ->
+      s"""WITH ${dkNbMarginCtes("TRUE")},
+         |mg2 AS MATERIALIZED (SELECT doc_id, margin FROM marg),
+         |hs2 AS (
+         |  SELECT doc_id, margin,
+         |    ('0x' || substr(md5('t42|' || doc_id), 1, 15))::BIGINT AS h
+         |  FROM mg2),
+         |smp2 AS (
+         |  SELECT doc_id, margin FROM (
+         |    SELECT doc_id, margin,
+         |      ROW_NUMBER() OVER (PARTITION BY h % 32
+         |        ORDER BY h, doc_id) AS brn
+         |    FROM hs2) WHERE brn <= 20),
+         |rk2 AS (
+         |  SELECT margin, ROW_NUMBER() OVER (
+         |    ORDER BY margin, doc_id) AS rn FROM smp2),
+         |ns2 AS (SELECT CAST(max(rn) AS BIGINT) AS ns FROM rk2),
+         |pos2 AS (
+         |  SELECT g.i, (g.i * n.ns) // 10 AS pos
+         |  FROM (SELECT unnest(generate_series(1, 9)) AS i) g, ns2 n),
+         |bounds2 AS (
+         |  SELECT rk2.margin AS bval FROM pos2 p
+         |  JOIN rk2 ON rk2.rn = p.pos WHERE p.pos >= 1),
+         |tkn2 AS (
+         |  SELECT doc_id, len($dkToks) AS ntok,
+         |    (len(list_filter($dkToks, x -> x IN ${dkWordSet(stopwords)}))
+         |      * 10000) // len($dkToks) AS teacher_bp
+         |  FROM documents),
+         |asg2 AS (
+         |  SELECT m.doc_id, m.margin,
+         |    (SELECT count(*) FROM bounds2 b WHERE b.bval < m.margin)
+         |      AS bin
+         |  FROM mg2 m)
+         |SELECT a.bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(t2.ntok) AS BIGINT) AS sum_tok,
+         |  CAST(min(a.margin) AS BIGINT) AS min_margin,
+         |  CAST(max(a.margin) AS BIGINT) AS max_margin,
+         |  CAST(sum(t2.teacher_bp) AS BIGINT) // CAST(count(*) AS BIGINT)
+         |    AS mean_teacher_bp
+         |FROM asg2 a JOIN tkn2 t2 USING (doc_id)
+         |GROUP BY a.bin ORDER BY a.bin""".stripMargin,
     "t38e_crossval" -> {
       val fp2 = graft.ops.ClassifierOps.NbFp
       s"""WITH t AS (SELECT doc_id, $dkToks AS toks FROM documents),

@@ -125,7 +125,19 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       // the dedup-threshold sweep (star-CC per filtered edge subset)
       "t38e_crossval", "d36_threshold_sweep",
       // vocab coverage (top-N count agg + broadcast probe)
-      "t40_vocab_coverage")
+      "t40_vocab_coverage",
+      // round-9 batch: model refresh (count-addition models over the
+      // persisted fold grain, scored with order-free aggs) and the
+      // water-filling planner (one combinable lang agg + scalar rounds)
+      "t41_model_refresh", "q93_waterfill_mixture",
+      // JL projection (per-row literal-array dot folds; IEEE-identical)
+      "n22_jl_distortion", "n22b_jl_recall",
+      // curriculum bins (hash-decided reservoir + literal probes) and the
+      // delta-refresh ledger (hash/min-decided keepers + star-CC fixpoint)
+      "t42_curriculum_bins", "p3_delta_refresh",
+      // per-doc disposition (membership + evidence joins on hash/min-
+      // decided stage frames)
+      "p4_disposition")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {

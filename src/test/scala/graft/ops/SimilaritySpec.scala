@@ -69,6 +69,26 @@ class SimilaritySpec extends SparkSpecBase {
     assert(diffs.count() == 0, "native kernels must be bit-identical to HOF math")
   }
 
+  test("JL ±1 projection concentrates pairwise distance ratios around 1") {
+    // The Johnson–Lindenstrauss property n22 exists to audit: over the
+    // 496-pair panel, ‖Ru−Rv‖²/(k‖u−v‖²) has mean ≈ 1 and chi²_k/k
+    // spread (sd ≈ √(2/16) ≈ 0.35). Deterministic (seeded signs, fixed
+    // corpus), so the bounds are stable — but they are the THEORY's
+    // bounds, not tuned to this corpus.
+    val ratios = graft.queries.SimilarityQueries
+      .queries("n22_jl_distortion")(spark, sfDir)
+      .select(col("ratio")).as[Double].collect()
+    assert(ratios.length > 400, s"panel produced only ${ratios.length} pairs")
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.8 && mean < 1.2, s"JL mean ratio $mean drifted from 1")
+    val inBand = ratios.count(r => r >= 0.5 && r <= 1.5)
+    assert(inBand.toDouble / ratios.length >= 0.75,
+      s"only $inBand/${ratios.length} pairs within [0.5, 1.5]")
+    // signs are deterministic, balanced-ish, and ±1 only
+    val s0 = jlSigns(0, 64)
+    assert(s0 == jlSigns(0, 64) && s0.forall(x => x == 1.0 || x == -1.0))
+  }
+
   test("plane weights are deterministic and bounded") {
     val w1 = planeWeights(3, 64)
     val w2 = planeWeights(3, 64)
