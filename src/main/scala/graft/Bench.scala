@@ -82,7 +82,7 @@ object Bench {
     "t37_stupid_backoff", "t38_quality_distill", "t38b_threshold_sweep",
     "t38c_sliced_eval", "t38d_rank_fidelity", "t38e_crossval",
     "t39_tercile_distill", "t40_vocab_coverage", "t41_model_refresh",
-    "t42_curriculum_bins",
+    "t42_curriculum_bins", "t43_boilerplate_strip",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
     "d8d_triangle_doulion", "d9b_graph_stats_sketch",
     "d11_containment", "d12_incremental_dedup",
@@ -94,6 +94,7 @@ object Bench {
     "d29_label_propagation", "d31_entity_resolution",
     "d9r_graph_stats_residual", "d25r_kcore_residual", "d29r_lpa_residual",
     "d33r_star_residual", "d34_modularity", "d36_threshold_sweep",
+    "d37_span_surgery",
     "n1_ann_bruteforce", "n2_ann_lsh", "n3_embedding_neardup",
     "n4_label_centroids", "n5_ivf_ann", "n6_kmeans", "n7_ivf_kmeans",
     "n8_quantize", "n9_knn_graph", "n10_quantized_rerank", "n11_pq_adc",
@@ -103,11 +104,12 @@ object Bench {
     "n17_matryoshka_recall", "n18_binary_ann", "n18b_binary_rerank",
     "n19_filtered_ann", "n20_mmr_rerank", "n21_nprobe_sweep",
     "n21b_nprobe_trained", "n22_jl_distortion", "n22b_jl_recall",
+    "n23_cluster_sample",
     "m1_binary_meta", "m2_frame_windows", "m3_decode_features",
     "m4_patch_dedup", "m5_shared_patches", "m6_crossmodal_retrieval",
     "m7_modality_mix",
     "p1_curation_ledger", "p2_rag_serve", "p3_delta_refresh",
-    "p4_disposition")
+    "p4_disposition", "p5_manifest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

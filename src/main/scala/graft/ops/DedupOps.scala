@@ -979,4 +979,84 @@ object DedupOps {
     }
     labels
   }
+
+  /** Contaminated-span surgery (Brown et al. 2020 appendix C): excise the
+    * ±`margin`-token window around every positional 3-shingle of a train
+    * doc that collides with the `benchPred` slice's shingle set, merging
+    * overlapping/touching windows (gaps-and-islands over each doc's OWN
+    * ordered span list), and reassemble the remainder in token order.
+    * Returns one row per contaminated doc — hit/span/removal accounting,
+    * a surgery-vs-drop disposition (>20 % removed = too shredded), and
+    * md5 of the rebuilt text (NULL when nothing survives). The doc-level
+    * complement of d14/d30: those GATE, this REWRITES.
+    *
+    * Scale shape: the bench shingle set broadcasts (train×bench, bench is
+    * small — d14's argument); island merge windows are bounded by a doc's
+    * own hit count; the excision join explodes islands to (doc_id, pos)
+    * equi-keys (rows = tokens_removed, disjoint by construction); the
+    * reassembly agg's state is one doc's kept tokens. */
+  def spanSurgery(docsDf: DataFrame, benchPred: Column, margin: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ds = docsDf.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val posSh = ds.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        posexplode(expr("transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))
+          .as(Seq("pos", "sh")))
+    val benchSh = posSh.filter(benchPred).select(col("sh")).distinct()
+    val nTok = ds.filter(!benchPred)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+    val spans = posSh.filter(!benchPred)
+      .join(broadcast(benchSh), "sh")
+      .join(nTok, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        greatest(col("pos") - lit(margin), lit(0)).cast("long").as("st"),
+        least(col("pos") + lit(2 + margin), col("n_tokens") - 1)
+          .cast("long").as("en"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("st"), col("en"))
+    val prevMax = max(col("en")).over(
+      wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val isl = spans
+      .withColumn("new_isl",
+        when(prevMax.isNull || col("st") > prevMax + 1, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("new_isl")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        min(col("st")).as("span_st"), max(col("en")).as("span_en"),
+        count(lit(1)).as("n_hits_isl"))
+      .localCheckpoint() // feeds stats, the coverage explode, and excision
+    val stats = isl.groupBy(col("doc_id"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_spans"),
+        sum(col("n_hits_isl")).as("n_hits"),
+        sum(col("span_en") - col("span_st") + 1).as("tokens_removed"))
+    val covered = isl.select(col("doc_id"),
+      explode(sequence(col("span_st"), col("span_en"))).as("pos"))
+      .withColumn("cov", lit(1L))
+    val rebuilt = ds.filter(!benchPred)
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p", "tok")))
+      .select(col("doc_id"), col("p").cast("long").as("pos"), col("tok"))
+      .join(stats.select(col("doc_id")), "doc_id")
+      .join(covered, Seq("doc_id", "pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(when(col("cov").isNull,
+        struct(col("pos"), col("tok"))))).as("kept"))
+      .select(col("doc_id"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        when(size(col("kept")) === 0, lit(null).cast("string"))
+          .otherwise(md5(array_join(transform(col("kept"),
+            x => x.getField("tok")), " ").cast("binary")))
+          .as("cleaned_md5"))
+    stats.join(rebuilt, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_hits"),
+        col("n_spans"), col("tokens_removed"),
+        expr("tokens_removed * 1000000L div n_tokens").as("removed_ppm"),
+        col("kept_tokens"),
+        when(expr("tokens_removed * 1000000L div n_tokens") > 200000L,
+          lit("drop")).otherwise(lit("surgery")).as("disposition"),
+        col("cleaned_md5"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -29,6 +29,7 @@ object DedupQueries {
   val SpanC = 50      // d26b window length in CHARACTERS (Lee et al.'s unit)
   val WJTauBp = 4000  // d28 weighted-Jaccard keep threshold (basis points)
   val LpaRounds = 3   // d29 fixed synchronous label-propagation rounds
+  val SpanMargin = 3  // d37 excision dilation: tokens removed around a hit
 
   private def docs(s: SparkSession, d: String) =
     Tables.fanout(Tables.documents(s, d))
@@ -911,6 +912,18 @@ object DedupQueries {
             expr("giant * 1000000L div n_nodes").as("giant_share_ppm"))
       }.reduce(_ unionByName _).orderBy(col("tau"))
     }),
+
+    // Contaminated-SPAN surgery (the GPT-3 appendix-C discipline, Brown
+    // et al. 2020): excise the ±SpanMargin-token window around each
+    // benchmark 3-shingle collision instead of dropping the whole
+    // document — d14/d30 are the doc-level GATES; this REWRITES, keeping
+    // the ~99% clean tokens a whole-doc drop throws away for one quoted
+    // line. Logic and scale shape in [[graft.ops.DedupOps.spanSurgery]]
+    // (broadcast bench set, per-doc-bounded island merge, equi-join
+    // excision, ordered reassembly); the planted-corpus model check
+    // lives in SurgeryManifestSpec.
+    "d37_span_surgery" -> ((s, d) =>
+      spanSurgery(docs(s, d), col("doc_id") % 50 === 0, SpanMargin)),
 
     // Modularity scoring of the LPA communities (Newman & Girvan 2004,
     // Q = Σ_c [e_c/m − (d_c/2m)²]) — the "measure your own clustering"
@@ -2010,6 +2023,80 @@ object DedupQueries {
          |  FROM cls c LEFT JOIN reach r ON r.src = c.doc_id
          |  GROUP BY c.doc_id)
          |SELECT doc_id, canon_id FROM canon ORDER BY doc_id""".stripMargin,
+    "d37_span_surgery" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $dkToks AS toks FROM documents),
+         |ps AS (
+         |  SELECT t.doc_id, u.i - 1 AS pos,
+         |    toks[u.i] || ' ' || toks[u.i+1] || ' ' || toks[u.i+2] AS sh
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1,
+         |    len(toks) - 2)) AS i) u),
+         |bsh AS (SELECT DISTINCT sh FROM ps WHERE doc_id % 50 = 0),
+         |ntk AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+         |        FROM t WHERE doc_id % 50 <> 0),
+         |sp AS (
+         |  SELECT p.doc_id, n.n_tokens,
+         |    CAST(greatest(p.pos - $SpanMargin, 0) AS BIGINT) AS st,
+         |    CAST(least(p.pos + ${2 + SpanMargin}, n.n_tokens - 1)
+         |      AS BIGINT) AS en
+         |  FROM ps p JOIN bsh USING (sh) JOIN ntk n ON n.doc_id = p.doc_id
+         |  WHERE p.doc_id % 50 <> 0),
+         |mk AS (
+         |  SELECT doc_id, n_tokens, st, en,
+         |    CASE WHEN max(en) OVER (PARTITION BY doc_id ORDER BY st, en
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           IS NULL
+         |         OR st > max(en) OVER (PARTITION BY doc_id
+         |           ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING
+         |           AND 1 PRECEDING) + 1
+         |         THEN 1 ELSE 0 END AS new_isl
+         |  FROM sp),
+         |mi AS (
+         |  SELECT doc_id, n_tokens, st, en,
+         |    sum(new_isl) OVER (PARTITION BY doc_id ORDER BY st, en
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |  FROM mk),
+         |isl AS MATERIALIZED (
+         |  SELECT doc_id, max(n_tokens) AS n_tokens, isl,
+         |    min(st) AS span_st, max(en) AS span_en,
+         |    count(*) AS n_hits_isl
+         |  FROM mi GROUP BY doc_id, isl),
+         |stats AS MATERIALIZED (
+         |  SELECT doc_id, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(n_hits_isl) AS BIGINT) AS n_hits,
+         |    CAST(sum(span_en - span_st + 1) AS BIGINT) AS tokens_removed
+         |  FROM isl GROUP BY doc_id),
+         |cov AS (
+         |  SELECT doc_id, unnest(generate_series(span_st, span_en)) AS pos
+         |  FROM isl),
+         |tk AS (
+         |  SELECT t.doc_id, u.i - 1 AS pos, toks[u.i] AS tok
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)))
+         |    AS i) u
+         |  WHERE t.doc_id % 50 <> 0),
+         |reb AS (
+         |  SELECT k.doc_id,
+         |    CAST(count(CASE WHEN c.pos IS NULL THEN 1 END) AS BIGINT)
+         |      AS kept_tokens,
+         |    CASE WHEN count(CASE WHEN c.pos IS NULL THEN 1 END) > 0
+         |         THEN md5(string_agg(CASE WHEN c.pos IS NULL THEN k.tok
+         |                             END, ' ' ORDER BY k.pos))
+         |         END AS cleaned_md5
+         |  FROM tk k
+         |  JOIN stats s ON s.doc_id = k.doc_id
+         |  LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.pos = k.pos
+         |  GROUP BY k.doc_id)
+         |SELECT s.doc_id, s.n_tokens, s.n_hits, s.n_spans,
+         |  s.tokens_removed,
+         |  CAST(s.tokens_removed * 1000000 // s.n_tokens AS BIGINT)
+         |    AS removed_ppm,
+         |  r.kept_tokens,
+         |  CASE WHEN s.tokens_removed * 1000000 // s.n_tokens > 200000
+         |       THEN 'drop' ELSE 'surgery' END AS disposition,
+         |  r.cleaned_md5
+         |FROM stats s JOIN reb r USING (doc_id)
+         |ORDER BY s.doc_id""".stripMargin,
     "d36_threshold_sweep" -> {
       val perTau = (0 to MaxHamming).map { tau =>
         s"""e$tau AS (

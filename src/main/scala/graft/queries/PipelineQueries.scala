@@ -274,6 +274,41 @@ object PipelineQueries {
         row(7, "pack", st.s6, "ntok", shards, "stoks"),
         row(8, "chunk", st.s6, "ntok", chunks, "ctoks")
       ).reduce(_ unionByName _).orderBy(col("stage_id"))
+    }),
+
+    // Shard MANIFEST with integrity checksums — the artifact a 100 TB run
+    // actually hands to the trainer: one row per packed shard (p1's t15
+    // pack over the final mixture) carrying doc/token counts, the doc-id
+    // range, and shard_md5 = md5 of the members' per-doc content md5s
+    // concatenated in doc_id order. Chain-of-custody: a re-run (or a
+    // restore from cold storage) re-derives the same manifest iff every
+    // byte of every member is intact and the pack assignment is
+    // reproducible — the cheap end-to-end answer to "did the export
+    // change?" that diffing 100 TB cannot give. Scale shape: identical to
+    // p1's pack (one lang-partitioned window over the mixture survivors)
+    // plus a shard-keyed agg whose state is the shard's OWN member hash
+    // list (ShardTokens-bounded); per-doc md5s are computed in the same
+    // scan that packs.
+    "p5_manifest" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val st = graft.ops.CurationLedger.stages(s, d)
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      st.s6
+        .withColumn("prefix", coalesce(sum(col("ntok")).over(w), lit(0L)))
+        .withColumn("shard",
+          floor(col("prefix") / graft.ops.CurationLedger.ShardTokens)
+            .cast("long"))
+        .withColumn("h", md5(col("text").cast("binary")))
+        .groupBy(col("lang"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("shard_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"),
+          md5(array_join(transform(sort_array(collect_list(
+              struct(col("doc_id"), col("h")))), x => x.getField("h")), "")
+            .cast("binary")).as("shard_md5"))
+        .orderBy(col("lang"), col("shard"))
     })
   )
 
@@ -487,7 +522,23 @@ object PipelineQueries {
          |LEFT JOIN st6 s6 ON s6.doc_id = n.doc_id
          |LEFT JOIN kk ON kk.doc_id = n.doc_id
          |LEFT JOIN rr ON rr.src = n.doc_id
-         |ORDER BY n.doc_id""".stripMargin
+         |ORDER BY n.doc_id""".stripMargin,
+    // p5: the manifest tail over p1's pack CTE — same chain, shard-keyed
+    // checksum rollup appended.
+    "p5_manifest" ->
+      s"""$p1ChainSql,
+         |mf AS (
+         |  SELECT pk.lang, pk.prefix // ${graft.ops.CurationLedger.ShardTokens}
+         |      AS shard,
+         |    pk.doc_id, pk.ntok, md5(s6.text) AS h
+         |  FROM pk JOIN st6 s6 USING (doc_id))
+         |SELECT lang, CAST(shard AS BIGINT) AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(ntok) AS BIGINT) AS shard_tokens,
+         |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+         |  CAST(max(doc_id) AS BIGINT) AS last_doc,
+         |  md5(string_agg(h, '' ORDER BY doc_id)) AS shard_md5
+         |FROM mf GROUP BY lang, shard ORDER BY lang, shard""".stripMargin
   )
 
   /** p1's full stage-chain WITH-prefix (through `ch`) — shared by the

@@ -662,6 +662,72 @@ object SimilarityQueries {
         .orderBy(col("query_id"))
     }),
 
+    // Cluster-balanced (temperature) downsampling — the DataComp/No-LM
+    // "flatten the cluster distribution" sampler: per-cluster quotas
+    // proportional to n_c^alpha for alpha in {0, 1/2, 1} (ppm), largest-
+    // remainder apportionment to land EXACTLY on the global budget, and
+    // deterministic membership = the quota smallest salted-md5 members of
+    // each cluster. alpha=1 reproduces proportional allocation (shares
+    // unchanged), alpha=0 uniform-per-cluster (head clusters crushed),
+    // alpha=1/2 the sqrt compromise — one query, three operating points
+    // (t38b/n21/d36's score-once-sweep-cheap discipline: the corpus scan
+    // and hash ranking are paid once, per-alpha work is quota arithmetic
+    // over |clusters| rows). Integer-exact cross-engine: n_c^(1/2) =
+    // floor(sqrt(n_c*1e6)) — both engines run IEEE-754 sqrt (correctly
+    // rounded) on the same BIGINT, so the fixed-point weight is
+    // bit-stable. Scale shape: quota frames are |clusters| rows
+    // (broadcast); the member rank hits WindowGroupLimit via the literal
+    // rn <= Budget conjunct (q91's map-side prune — each cluster ships at
+    // most Budget candidates to the window sort, never its full
+    // membership); label stands in for the IVF list id — the same plan
+    // serves IvfIndex.ensure assignments verbatim.
+    "n23_cluster_sample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 200L
+      val emb = Tables.fanout(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+      val nC = emb.groupBy(col("label")).agg(count(lit(1)).as("n_c"))
+      val weights = Seq(
+        nC.select(lit(0L).as("alpha_ppm"), col("label"), col("n_c"),
+          lit(1000L).as("w")),
+        nC.select(lit(500000L).as("alpha_ppm"), col("label"), col("n_c"),
+          floor(sqrt(col("n_c") * lit(1000000L))).cast("long").as("w")),
+        nC.select(lit(1000000L).as("alpha_ppm"), col("label"), col("n_c"),
+          (col("n_c") * 1000L).as("w"))
+      ).reduce(_ unionByName _)
+      val wA = Window.partitionBy(col("alpha_ppm"))
+      val quotas = weights
+        .withColumn("wtot", sum(col("w")).over(wA))
+        .withColumn("base", expr(s"$budget * w div wtot"))
+        .withColumn("rmd", expr(s"($budget * w) % wtot"))
+        .withColumn("short", lit(budget) - sum(col("base")).over(wA))
+        .withColumn("rk", row_number().over(
+          wA.orderBy(col("rmd").desc, col("label"))))
+        .select(col("alpha_ppm"), col("label"), col("n_c"), col("w"),
+          (col("base") + when(col("rk") <= col("short"), 1L).otherwise(0L))
+            .as("quota"))
+      val sel = emb
+        .select(col("label"), col("vec_id"),
+          md5(concat(lit("n23|"), col("vec_id").cast("string"))
+            .cast("binary")).as("h"))
+        .join(broadcast(quotas.select(col("alpha_ppm"), col("label"),
+          col("quota"))), "label")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("alpha_ppm"), col("label"))
+            .orderBy(col("h"), col("vec_id"))))
+        .filter(col("rn") <= lit(budget) && col("rn") <= col("quota"))
+        .groupBy(col("alpha_ppm"), col("label"))
+        .agg(count(lit(1)).as("kept"),
+          md5(array_join(transform(sort_array(collect_list(col("vec_id"))),
+            x => x.cast("string")), "|").cast("binary")).as("kept_md5"))
+      quotas.join(sel, Seq("alpha_ppm", "label"), "left")
+        .select(col("alpha_ppm"), col("label"), col("n_c"), col("w"),
+          col("quota"), coalesce(col("kept"), lit(0L)).as("kept"),
+          expr(s"quota * 1000000L div $budget").as("quota_share_ppm"),
+          col("kept_md5"))
+        .orderBy(col("alpha_ppm"), col("label"))
+    }),
+
     // 1-bit sign quantization + Hamming ranking — the extreme end of the
     // n8→n11 compression ladder: 64 dims collapse to 64 SIGN BITS stored
     // as two 32-bit words (8 bytes/vector, 64× smaller than fp64; two
@@ -1716,6 +1782,57 @@ object SimilarityQueries {
          |FROM (SELECT DISTINCT query_id FROM exact) q
          |LEFT JOIN hit h USING (query_id)
          |ORDER BY query_id""".stripMargin,
+    "n23_cluster_sample" ->
+      s"""WITH nc AS (
+         |  SELECT CAST(label AS BIGINT) AS label,
+         |         CAST(count(*) AS BIGINT) AS n_c
+         |  FROM embeddings GROUP BY label),
+         |wts AS (
+         |  SELECT CAST(0 AS BIGINT) AS alpha_ppm, label, n_c,
+         |         CAST(1000 AS BIGINT) AS w FROM nc
+         |  UNION ALL
+         |  SELECT CAST(500000 AS BIGINT), label, n_c,
+         |         CAST(floor(sqrt(n_c * 1000000)) AS BIGINT) FROM nc
+         |  UNION ALL
+         |  SELECT CAST(1000000 AS BIGINT), label, n_c,
+         |         CAST(n_c * 1000 AS BIGINT) FROM nc),
+         |q0 AS (
+         |  SELECT alpha_ppm, label, n_c, w,
+         |    sum(w) OVER (PARTITION BY alpha_ppm) AS wtot,
+         |    200 * w // sum(w) OVER (PARTITION BY alpha_ppm) AS base,
+         |    (200 * w) % sum(w) OVER (PARTITION BY alpha_ppm) AS rmd
+         |  FROM wts),
+         |q1 AS (
+         |  SELECT alpha_ppm, label, n_c, w, base, rmd,
+         |    200 - sum(base) OVER (PARTITION BY alpha_ppm) AS short,
+         |    ROW_NUMBER() OVER (PARTITION BY alpha_ppm
+         |                       ORDER BY rmd DESC, label) AS rk
+         |  FROM q0),
+         |q2 AS (
+         |  SELECT alpha_ppm, label, n_c, w,
+         |    CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END
+         |      AS BIGINT) AS quota
+         |  FROM q1),
+         |h AS (
+         |  SELECT CAST(label AS BIGINT) AS label, vec_id,
+         |         md5('n23|' || vec_id::VARCHAR) AS h
+         |  FROM embeddings),
+         |r AS (
+         |  SELECT q.alpha_ppm, h.label, h.vec_id, q.quota,
+         |    ROW_NUMBER() OVER (PARTITION BY q.alpha_ppm, h.label
+         |                       ORDER BY h.h, h.vec_id) AS rn
+         |  FROM h JOIN q2 q USING (label)),
+         |sa AS (
+         |  SELECT alpha_ppm, label, CAST(count(*) AS BIGINT) AS kept,
+         |    md5(string_agg(vec_id::VARCHAR, '|' ORDER BY vec_id))
+         |      AS kept_md5
+         |  FROM r WHERE rn <= quota GROUP BY alpha_ppm, label)
+         |SELECT q.alpha_ppm, q.label, q.n_c, q.w, q.quota,
+         |  coalesce(sa.kept, CAST(0 AS BIGINT)) AS kept,
+         |  CAST(q.quota * 1000000 // 200 AS BIGINT) AS quota_share_ppm,
+         |  sa.kept_md5
+         |FROM q2 q LEFT JOIN sa USING (alpha_ppm, label)
+         |ORDER BY q.alpha_ppm, q.label""".stripMargin,
     "n18_binary_ann" -> {
       def word(off: Int) = (0 until 32).map { j =>
         s"(CASE WHEN emb[${off + j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)"

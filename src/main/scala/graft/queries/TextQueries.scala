@@ -1173,6 +1173,44 @@ object TextQueries {
         .orderBy(col("bin"))
     }),
 
+    // Boilerplate SURGERY (t29 builds the strip list; this applies it):
+    // the CCNet paragraph-hash rewrite (Wenzek et al. 2020) at t22's
+    // sentence grain — sentences appearing VERBATIM in >= 2 documents are
+    // removed from every document and the remainder reassembled in order.
+    // Doc-level dedup (d1-d7) never fires on these (bodies differ); a
+    // rewrite is the only fix, and it is the single highest-volume
+    // transform a web-scale curation run applies. Scale shape: one
+    // sentence-keyed count agg (map-side combinable), the boiler flag
+    // joins back on the SAME sentence key (shuffle partitioning reused),
+    // then one doc-keyed agg; reassembly state is bounded by a doc's own
+    // sentence list. cleaned_md5 is NULL when every sentence was
+    // boilerplate (matches DuckDB's string_agg-over-no-rows convention).
+    "t43_boilerplate_strip" -> ((s, d) => {
+      val sents = queries("t22_sentences")(s, d)
+      val boiler = sents.groupBy(col("sentence"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .select(col("sentence"), lit(1L).as("is_boiler"))
+      sents.join(boiler, Seq("sentence"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sents"),
+          sum(when(col("is_boiler").isNotNull, 1L).otherwise(0L))
+            .as("n_stripped"),
+          coalesce(sum(when(col("is_boiler").isNotNull, col("n_chars"))),
+            lit(0L)).as("chars_stripped"),
+          sort_array(collect_list(when(col("is_boiler").isNull,
+            struct(col("sent_idx"), col("sentence"))))).as("kept"))
+        .select(col("doc_id"), col("n_sents"), col("n_stripped"),
+          col("chars_stripped"),
+          (col("n_sents") - col("n_stripped")).as("n_kept"),
+          when(col("n_sents") === col("n_stripped"),
+              lit(null).cast("string"))
+            .otherwise(md5(array_join(transform(col("kept"),
+              x => x.getField("sentence")), " ").cast("binary")))
+            .as("cleaned_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sub-document exact dedup at chunk granularity (registered d24): the
     // paragraph-level pass of a CCNet-shaped curation pipeline (Wenzek et
     // al. 2020 dedups on paragraph hashes; here the unit is t17's
@@ -1718,6 +1756,30 @@ object TextQueries {
          |FROM base GROUP BY sentence
          |HAVING count(DISTINCT doc_id) >= 2
          |ORDER BY n_docs DESC, n_total DESC, sentence LIMIT 50""".stripMargin,
+    "t43_boilerplate_strip" ->
+      s"""WITH base AS (
+         |$dkSentences
+         |),
+         |bl AS (
+         |  SELECT sentence FROM base GROUP BY sentence
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |m AS (
+         |  SELECT b.doc_id, b.sent_idx, b.sentence, b.n_chars,
+         |         (bl.sentence IS NOT NULL) AS boiler
+         |  FROM base b LEFT JOIN bl ON bl.sentence = b.sentence)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_sents,
+         |  CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_stripped,
+         |  CAST(coalesce(sum(CASE WHEN boiler THEN n_chars END), 0)
+         |    AS BIGINT) AS chars_stripped,
+         |  CAST(count(*) - sum(CASE WHEN boiler THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept,
+         |  CASE WHEN count(*) > sum(CASE WHEN boiler THEN 1 ELSE 0 END)
+         |       THEN md5(string_agg(CASE WHEN NOT boiler THEN sentence END,
+         |                           ' ' ORDER BY sent_idx))
+         |       END AS cleaned_md5
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t23_readability" ->
       s"""WITH f AS (
          |  SELECT doc_id,

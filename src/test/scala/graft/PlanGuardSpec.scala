@@ -191,4 +191,30 @@ class PlanGuardSpec extends SparkSpecBase {
       !read.contains("p_retailprice"),
       s"s4 scan is not column-pruned: $read")
   }
+
+  test("d37 broadcasts the bench shingle set and keeps excision an equi-join") {
+    // Surgery's scale contract: the train×bench probe is a broadcast of
+    // the (small) protected set — a shuffle here moves the whole corpus's
+    // positional shingles; and the island-excision join must stay on
+    // (doc_id, pos) equi-keys, never a range nested loop.
+    val p = planOf("d37_span_surgery")
+    assert(p.contains("BroadcastHashJoin"),
+      s"d37's bench-set probe must broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"),
+      s"d37's excision must stay an equi-join:\n$p")
+  }
+
+  test("n23's member rank is group-limit pruned behind the literal budget") {
+    // The literal rn <= budget conjunct must plan a WindowGroupLimit so
+    // each cluster ships at most `budget` candidates into the rank sort
+    // (q91's bounded-reservoir argument applied to per-cluster top-k);
+    // and the |clusters|-row quota frame must broadcast into the member
+    // scan, never shuffle it.
+    val p = planOf("n23_cluster_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"n23 lost the literal-budget group-limit prune:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"n23's quota frame must broadcast:\n$p")
+  }
 }

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Model checks for the rewrite/sampling/manifest operators (t43 boilerplate
+  * strip, d37 contaminated-span surgery, n23 temperature sampling, p5 shard
+  * manifest): the invariants their oracle rows alone don't state. */
+class SurgeryManifestSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("d37 planted contamination: exact islands, margin, reassembly") {
+    // bench doc 0 plants a 5-token run; train doc 1 embeds it mid-doc,
+    // train doc 3 IS it verbatim, train doc 2 is clean.
+    val docs = Seq(
+      (0L, "b1 b2 b3 b4 b5"),
+      (1L, ("x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 b1 b2 b3 b4 b5 " +
+        "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10")),
+      (2L, "z1 z2 z3 z4 z5"),
+      (3L, "b1 b2 b3 b4 b5")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.DedupOps.spanSurgery(docs, col("doc_id") === 0L, 3)
+      .orderBy(col("doc_id"))
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L), "doc 2 must be clean")
+    val r1 = out(0)
+    // 3 shingle hits at positions 10,11,12 dilate to [7,15],[8,16],[9,17]
+    // and merge into ONE island [7,17]: 11 tokens out, 14 kept.
+    assert(r1.getAs[Long]("n_hits") == 3 && r1.getAs[Long]("n_spans") == 1)
+    assert(r1.getAs[Long]("tokens_removed") == 11
+      && r1.getAs[Long]("kept_tokens") == 14)
+    assert(r1.getAs[String]("disposition") == "drop",
+      "11/25 = 44% removed is past the 20% shred threshold")
+    val expectClean = "x1 x2 x3 x4 x5 x6 x7 y4 y5 y6 y7 y8 y9 y10"
+    val expectMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(expectClean.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r1.getAs[String]("cleaned_md5") == expectMd5,
+      "rebuilt text must be the doc minus the [7,17] window, order kept")
+    val r3 = out(1)
+    assert(r3.getAs[Long]("kept_tokens") == 0
+      && r3.getAs[String]("cleaned_md5") == null
+      && r3.getAs[String]("disposition") == "drop",
+      "a verbatim benchmark copy must be excised to nothing")
+  }
+
+  test("d37 on the corpus conserves tokens and islands stay disjoint") {
+    val out = graft.queries.DedupQueries.queries("d37_span_surgery")(
+      spark, sfDir)
+    val bad = out.filter(
+      col("kept_tokens") + col("tokens_removed") =!= col("n_tokens")
+        || col("tokens_removed") < col("n_spans")
+        || col("removed_ppm") > lit(1000000L)).count()
+    assert(bad == 0, "kept+removed must equal total; spans cover >=1 token")
+  }
+
+  test("t43 strip accounting is consistent and cleaned docs shrink") {
+    val out = graft.queries.TextQueries.queries("t43_boilerplate_strip")(
+      spark, sfDir)
+    val bad = out.filter(
+      col("n_kept") + col("n_stripped") =!= col("n_sents")
+        || (col("n_kept") === 0) =!= col("cleaned_md5").isNull).count()
+    assert(bad == 0)
+  }
+
+  test("n23 quotas land exactly on budget; alpha=1 is proportional, alpha=0 uniform") {
+    val out = graft.queries.SimilarityQueries.queries("n23_cluster_sample")(
+      spark, sfDir).collect()
+    val byAlpha = out.groupBy(_.getAs[Long]("alpha_ppm"))
+    byAlpha.foreach { case (a, rows) =>
+      assert(rows.map(_.getAs[Long]("quota")).sum == 200L,
+        s"alpha=$a largest-remainder apportionment must hit the budget")
+      rows.foreach { r =>
+        assert(r.getAs[Long]("kept")
+          == math.min(r.getAs[Long]("quota"), r.getAs[Long]("n_c")),
+          "membership = quota smallest hashes, capped by cluster size")
+      }
+    }
+    val n = byAlpha(1000000L).map(_.getAs[Long]("n_c")).sum
+    byAlpha(1000000L).foreach { r =>
+      val exact = 200.0 * r.getAs[Long]("n_c") / n
+      assert(math.abs(r.getAs[Long]("quota") - exact) <= 1.0,
+        "alpha=1 must reproduce proportional allocation within rounding")
+    }
+    val k = byAlpha(0L).size
+    byAlpha(0L).foreach { r =>
+      assert(math.abs(r.getAs[Long]("quota") - 200.0 / k) <= 1.0,
+        "alpha=0 must be uniform within rounding")
+    }
+  }
+
+  test("p5 manifest conserves pack tokens and is partitioning-invariant") {
+    def run() = graft.queries.PipelineQueries.queries("p5_manifest")(
+      spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("shard"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("shard_tokens"),
+        r.getAs[String]("shard_md5"))).toSeq.sorted
+    val a = Tables.withFanoutParts(3)(run())
+    val b = Tables.withFanoutParts(11)(run())
+    assert(a == b, "manifest (incl. every shard_md5) must not depend on " +
+      "how the input was partitioned")
+    val st = graft.ops.CurationLedger.stages(spark, sfDir)
+    val mixTokens = st.s6.agg(sum(col("ntok"))).as[Long].collect().head
+    assert(a.map(_._4).sum == mixTokens,
+      "sum of shard_tokens must equal the mixture's token mass (p1 row 7)")
+  }
+}
