@@ -69,6 +69,7 @@ object Bench {
     "q85_join_size_estimate", "q86_hll_rollup", "q87_skew_report",
     "q88_log2_quantiles", "q89_priority_sample", "q90_ivm_join",
     "q91_range_plan", "q92_block_audit", "q93_waterfill_mixture",
+    "q94_boundary_refresh",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_regex_tokens", "t6_string_funcs", "t7_array_funcs", "t8_explode",
     "t9_regex_extract", "t10_normalize", "t11_hash_split",
@@ -82,7 +83,8 @@ object Bench {
     "t37_stupid_backoff", "t38_quality_distill", "t38b_threshold_sweep",
     "t38c_sliced_eval", "t38d_rank_fidelity", "t38e_crossval",
     "t39_tercile_distill", "t40_vocab_coverage", "t41_model_refresh",
-    "t42_curriculum_bins", "t43_boilerplate_strip",
+    "t42_curriculum_bins", "t43_boilerplate_strip", "t44_dsir_select",
+    "t45_distinct_ngrams", "t46_bpe_train", "t47_freq_spectrum",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
     "d8d_triangle_doulion", "d9b_graph_stats_sketch",
     "d11_containment", "d12_incremental_dedup",
@@ -94,7 +96,7 @@ object Bench {
     "d29_label_propagation", "d31_entity_resolution",
     "d9r_graph_stats_residual", "d25r_kcore_residual", "d29r_lpa_residual",
     "d33r_star_residual", "d34_modularity", "d36_threshold_sweep",
-    "d37_span_surgery",
+    "d37_span_surgery", "d38_contamination_curve",
     "n1_ann_bruteforce", "n2_ann_lsh", "n3_embedding_neardup",
     "n4_label_centroids", "n5_ivf_ann", "n6_kmeans", "n7_ivf_kmeans",
     "n8_quantize", "n9_knn_graph", "n10_quantized_rerank", "n11_pq_adc",
@@ -109,7 +111,7 @@ object Bench {
     "m4_patch_dedup", "m5_shared_patches", "m6_crossmodal_retrieval",
     "m7_modality_mix",
     "p1_curation_ledger", "p2_rag_serve", "p3_delta_refresh",
-    "p4_disposition", "p5_manifest")
+    "p4_disposition", "p5_manifest", "p6_shard_repack")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

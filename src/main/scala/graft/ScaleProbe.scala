@@ -37,7 +37,11 @@ object ScaleProbe {
   val G10xDir = "target/scaleprobe/g10x"
   val ProbeQueries = Seq("d9b_graph_stats_sketch", "d33r_star_residual",
     "d29r_lpa_residual", "d36_threshold_sweep", "n15_ivfpq_serve",
-    "q91_range_plan", "p1_curation_ledger")
+    "q91_range_plan", "p1_curation_ledger",
+    // round-9 fourth-session additions: selection, surgery, repack,
+    // trainer — each claims vocab-/bound-limited state in SURVEY §2.10
+    "t44_dsir_select", "d38_contamination_curve", "p6_shard_repack",
+    "t46_bpe_train", "q94_boundary_refresh")
 
   private def h(c: Column): Column = graft.ops.TextOps.hash60(c)
 

@@ -66,8 +66,14 @@ object RangePlanOps {
   /** P−1 ascending order-statistic boundaries from the bounded sample —
     * the driver collect is exactly P−1 doubles (the n6-centroid
     * discipline). */
-  def planBoundaries(s: SparkSession, li: DataFrame, p: Int): Seq[Double] = {
-    val ranked = boundedRankedSample(li).localCheckpoint()
+  def planBoundaries(s: SparkSession, li: DataFrame, p: Int): Seq[Double] =
+    boundariesFromRanked(s, boundedRankedSample(li), p)
+
+  /** Boundary extraction from an already-ranked sample (shared by the
+    * one-shot planner and the q94 delta refresh). */
+  def boundariesFromRanked(s: SparkSession, sample: DataFrame,
+      p: Int): Seq[Double] = {
+    val ranked = sample.localCheckpoint()
     val ns = ranked.agg(max(col("rn")).as("ns"))
     s.range(1, p).toDF("i").crossJoin(broadcast(ns))
       .select(col("i"), expr(s"(i * ns) div $p").as("pos"))
@@ -75,6 +81,25 @@ object RangePlanOps {
       .join(ranked, col("pos") === col("rn"))
       .orderBy(col("i"))
       .select(col("v")).collect().map(_.getDouble(0)).toSeq
+  }
+
+  /** Reservoir MERGE — the boundary-refresh IVM primitive: per-stratum
+    * smallest-k-by-hash is MERGEABLE (top-k of a union = top-k of the
+    * per-side top-k's), so a delta refresh re-derives boundaries from
+    * two persisted ≤640-row samples and never rescans the base table.
+    * Agreement with the from-scratch full-table derivation is q94's
+    * oracle-proven contract. */
+  def mergeRankedSamples(a: DataFrame, b: DataFrame): DataFrame = {
+    val keep = Seq("h", "bkt", "l_orderkey", "l_linenumber", "v")
+      .map(col)
+    a.select(keep: _*).union(b.select(keep: _*))
+      .withColumn("brn", row_number().over(
+        Window.partitionBy(col("bkt"))
+          .orderBy(col("h"), col("l_orderkey"), col("l_linenumber"),
+            col("v"))))
+      .filter(col("brn") <= PerBucket)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))))
   }
 
   /** Range-partition id under ascending `bounds`: count of boundaries

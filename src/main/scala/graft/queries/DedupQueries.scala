@@ -925,6 +925,40 @@ object DedupQueries {
     "d37_span_surgery" -> ((s, d) =>
       spanSurgery(docs(s, d), col("doc_id") % 50 === 0, SpanMargin)),
 
+    // Contamination operating curve (the PaLM/GPT-4 report methodology:
+    // a doc is contaminated when MORE THAN X% of its n-grams appear in
+    // the benchmark — a FRACTION knob, where d14's gate is an absolute
+    // ≥3-shingle count): per train doc, the share of its distinct
+    // 3-shingles hitting the benchmark set, then one sweep over
+    // thresholds {any, 10%, 30%, 70%} reporting flagged volume. The
+    // fraction is computed ONCE; the sweep re-filters the per-doc bp
+    // column (t38b/n21/d36's score-once discipline — 4 operating points
+    // for one semi-join). Scale: the semi-join keys on the shingle (the
+    // bench side is the small one — d14's argument), both aggs are
+    // map-side combinable on doc_id, and the sweep explodes a 4-element
+    // literal array — no second scan anywhere.
+    "d38_contamination_curve" -> ((s, d) => {
+      val sh = explodedShingles(docs(s, d))
+      val benchPred = col("doc_id") % 50 === 0
+      val train = sh.filter(!benchPred)
+      val benchSh = sh.filter(benchPred).select(col("sh")).distinct()
+      val hits = train.join(benchSh, Seq("sh"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      val frac = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          expr("coalesce(n_hit, 0L) * 10000 div n_sh").as("frac_bp"))
+      frac.select(col("frac_bp"),
+          explode(expr("array(1L, 1000L, 3000L, 7000L)")).as("thr_bp"))
+        .groupBy(col("thr_bp"))
+        .agg(sum(when(col("frac_bp") >= col("thr_bp"), 1L).otherwise(0L))
+            .as("n_flagged"),
+          count(lit(1)).as("n_train"))
+        .select(col("thr_bp"), col("n_flagged"), col("n_train"),
+          expr("n_flagged * 10000 div n_train").as("flagged_bp"))
+        .orderBy(col("thr_bp"))
+    }),
+
     // Modularity scoring of the LPA communities (Newman & Girvan 2004,
     // Q = Σ_c [e_c/m − (d_c/2m)²]) — the "measure your own clustering"
     // discipline (d19/n12/q74) applied to d29r: did label propagation
@@ -2023,6 +2057,25 @@ object DedupQueries {
          |  FROM cls c LEFT JOIN reach r ON r.src = c.doc_id
          |  GROUP BY c.doc_id)
          |SELECT doc_id, canon_id FROM canon ORDER BY doc_id""".stripMargin,
+    "d38_contamination_curve" ->
+      s"""WITH $dkShingled,
+         |tr AS (SELECT doc_id, sh FROM shingled WHERE doc_id % 50 <> 0),
+         |be AS (SELECT DISTINCT sh FROM shingled WHERE doc_id % 50 = 0),
+         |hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+         |        FROM tr WHERE sh IN (SELECT sh FROM be) GROUP BY 1),
+         |own AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+         |        FROM tr GROUP BY 1),
+         |fr AS (SELECT o.doc_id,
+         |         coalesce(h.n_hit, 0) * 10000 // o.n_sh AS frac_bp
+         |       FROM own o LEFT JOIN hit h USING (doc_id)),
+         |th AS (SELECT unnest([1, 1000, 3000, 7000]) AS thr_bp)
+         |SELECT CAST(thr_bp AS BIGINT) AS thr_bp,
+         |  CAST(sum(CASE WHEN frac_bp >= thr_bp THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_flagged,
+         |  CAST(count(*) AS BIGINT) AS n_train,
+         |  CAST(sum(CASE WHEN frac_bp >= thr_bp THEN 1 ELSE 0 END) * 10000
+         |    // count(*) AS BIGINT) AS flagged_bp
+         |FROM fr CROSS JOIN th GROUP BY thr_bp ORDER BY thr_bp""".stripMargin,
     "d37_span_surgery" ->
       s"""WITH t AS (
          |  SELECT doc_id, $dkToks AS toks FROM documents),

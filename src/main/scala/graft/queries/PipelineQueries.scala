@@ -309,6 +309,65 @@ object PipelineQueries {
               struct(col("doc_id"), col("h")))), x => x.getField("h")), "")
             .cast("binary")).as("shard_md5"))
         .orderBy(col("lang"), col("shard"))
+    }),
+
+    // Incremental shard REPACK planner: a corpus drop arrived — which of
+    // yesterday's packed shards are byte-identical today, and which must
+    // be rewritten? Old corpus = the pre-drop slice (lower 4/5 of the id
+    // space minus a sparse %97 backfill — appends plus the occasional
+    // mid-order insertion, the realistic drop shape); both sides run the
+    // SAME per-doc front (pinned model — the stages commute with any id
+    // slice, so one front scan serves both; at 100 TB the old side is
+    // yesterday's PERSISTED manifest, read not recomputed) and their own
+    // exact-dedup keeper pass (min-id keepers do NOT commute: a backfill
+    // doc with a smaller id steals keeper-ship — the retraction case).
+    // The manifest diff IS the rewrite plan: 'clean' shards ship
+    // untouched (md5-proven), 'rewritten'/'new'/'dropped' are the I/O
+    // bill. Prefix packing means one mid-order insertion dirties every
+    // later shard in its stratum — the clean set is a per-lang PREFIX
+    // (spec-asserted), which is exactly why real exporters shard by
+    // id-range fences instead of running prefixes; this operator
+    // quantifies that design pressure with exact counts. Scale: one
+    // front scan, two keeper aggs, two lang-partitioned pack windows,
+    // one (lang,shard)-keyed outer join of two manifest aggregates.
+    "p6_shard_repack" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.{CurationLedger => CL}
+      val cut = Tables.documents(s, d)
+        .agg(expr("((max(doc_id) + 1) * 4) div 5").as("c")).head.getLong(0)
+      val (_, _, s2) = CL.frontStages(s, d, lit(true))
+      def survivors(df: DataFrame) = {
+        val keep = df.groupBy(md5(col("norm_text").cast("binary")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        df.join(keep.select(col("doc_id")), "doc_id")
+      }
+      def manifest(df: DataFrame, sfx: String) = {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        df.withColumn("prefix", coalesce(sum(col("ntok")).over(w), lit(0L)))
+          .withColumn("shard",
+            floor(col("prefix") / CL.ShardTokens).cast("long"))
+          .withColumn("hh", md5(col("text").cast("binary")))
+          .groupBy(col("lang"), col("shard"))
+          .agg(count(lit(1)).as(s"n_docs_$sfx"),
+            sum(col("ntok")).as(s"tokens_$sfx"),
+            md5(array_join(transform(sort_array(collect_list(
+                struct(col("doc_id"), col("hh")))), x => x.getField("hh")),
+              "").cast("binary")).as(s"md5_$sfx"))
+      }
+      val oldM = manifest(survivors(s2.filter(col("doc_id") < cut
+        && col("doc_id") % 97 =!= 0)), "old")
+      val newM = manifest(survivors(s2), "new")
+      oldM.join(newM, Seq("lang", "shard"), "full_outer")
+        .select(col("lang"), col("shard"),
+          when(col("md5_old") === col("md5_new"), "clean")
+            .when(col("md5_old").isNull, "new")
+            .when(col("md5_new").isNull, "dropped")
+            .otherwise("rewritten").as("status"),
+          col("n_docs_old"), col("n_docs_new"),
+          col("tokens_old"), col("tokens_new"),
+          col("md5_old"), col("md5_new"))
+        .orderBy(col("lang"), col("shard"))
     })
   )
 
@@ -538,8 +597,72 @@ object PipelineQueries {
          |  CAST(min(doc_id) AS BIGINT) AS first_doc,
          |  CAST(max(doc_id) AS BIGINT) AS last_doc,
          |  md5(string_agg(h, '' ORDER BY doc_id)) AS shard_md5
-         |FROM mf GROUP BY lang, shard ORDER BY lang, shard""".stripMargin
+         |FROM mf GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
+    // the repack diff replayed declaratively: shared front through st2,
+    // then per-population keeper passes, two prefix packs, and the
+    // (lang, shard)-keyed manifest outer join
+    "p6_shard_repack" -> {
+      val sh = graft.ops.CurationLedger.ShardTokens
+      def mfSql(src: String, pk: String, mf: String) =
+        s"""$pk AS (SELECT lang, doc_id, ntok, md5(text) AS hh,
+           |  coalesce(sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |    AS prefix FROM $src),
+           |$mf AS (SELECT lang, prefix // $sh AS shard,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(ntok) AS BIGINT) AS stoks,
+           |  md5(string_agg(hh, '' ORDER BY doc_id)) AS smd5
+           |FROM $pk GROUP BY 1, 2)""".stripMargin
+      s"""WITH $frontChainSql,
+         |k3n AS (SELECT md5(norm_text) AS h, min(doc_id) AS doc_id
+         |        FROM st2 GROUP BY 1),
+         |svn AS MATERIALIZED (SELECT st2.* FROM st2 JOIN k3n USING (doc_id)),
+         |k3o AS (SELECT md5(norm_text) AS h, min(doc_id) AS doc_id
+         |        FROM st2
+         |        WHERE doc_id < (SELECT ((max(doc_id) + 1) * 4) // 5
+         |                        FROM documents)
+         |          AND doc_id % 97 <> 0
+         |        GROUP BY 1),
+         |svo AS MATERIALIZED (SELECT st2.* FROM st2 JOIN k3o USING (doc_id)),
+         |${mfSql("svo", "pko", "mfo")},
+         |${mfSql("svn", "pkn", "mfn")}
+         |SELECT coalesce(o.lang, n.lang) AS lang,
+         |  CAST(coalesce(o.shard, n.shard) AS BIGINT) AS shard,
+         |  CASE WHEN o.smd5 = n.smd5 THEN 'clean'
+         |       WHEN o.smd5 IS NULL THEN 'new'
+         |       WHEN n.smd5 IS NULL THEN 'dropped'
+         |       ELSE 'rewritten' END AS status,
+         |  o.n_docs AS n_docs_old, n.n_docs AS n_docs_new,
+         |  o.stoks AS tokens_old, n.stoks AS tokens_new,
+         |  o.smd5 AS md5_old, n.smd5 AS md5_new
+         |FROM mfo o FULL OUTER JOIN mfn n
+         |  ON o.lang = n.lang AND o.shard = n.shard
+         |ORDER BY lang, shard""".stripMargin
+    }
   )
+
+  /** The chain's FRONT half (normalize + pinned-model gate, through
+    * `st2`) as a WITH-fragment — shared by p1/p4's full chain and p6's
+    * repack, whose old/new packs diverge only AFTER the per-doc front
+    * (the append-safe stages commute with any id slice). */
+  private lazy val frontChainSql: String = {
+    val toksOf = (c: String) => s"len(string_split_regex(trim($c), '\\s+'))"
+    s"""${TextQueries.dkNbMarginCtes("TRUE")},
+       |mg AS MATERIALIZED (SELECT * FROM marg),
+       |nrm AS MATERIALIZED (
+       |  SELECT doc_id, text, lang, source,
+       |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]',
+       |        ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+       |    ${toksOf("text")} AS ntok_raw
+       |  FROM documents),
+       |st1 AS MATERIALIZED (
+       |  SELECT doc_id, text, lang, source, norm_text,
+       |    ${toksOf("norm_text")} AS ntok
+       |  FROM nrm WHERE length(norm_text) > 0),
+       |st2 AS MATERIALIZED (
+       |  SELECT st1.* FROM st1 JOIN mg USING (doc_id)
+       |  WHERE mg.margin > 0)""".stripMargin
+  }
 
   /** p1's full stage-chain WITH-prefix (through `ch`) — shared by the
     * p1 ledger and the p4 per-doc disposition oracle. */
@@ -553,31 +676,16 @@ object PipelineQueries {
            |  ('0x' || substr(md5('$k|' || sh), 1, 15))::BIGINT % $bloomBits AS b
            |FROM $src""".stripMargin
       }.mkString("\n  UNION ALL\n")
-      val toksOf = (c: String) => s"len(string_split_regex(trim($c), '\\s+'))"
       // The mg/shg/prs MATERIALIZED wrappers (and the MATERIALIZED stage
       // CTEs below) are load-bearing: each stage references its
       // predecessor 3+ times (survivor join + ledger counts), and
       // without materialization DuckDB re-inlines the ENTIRE upstream
       // chain per reference — exponentially many documents.parquet
       // scans, which exhausts the fd limit before it exhausts patience.
-      s"""WITH RECURSIVE ${TextQueries.dkNbMarginCtes("TRUE")},
+      s"""WITH RECURSIVE $frontChainSql,
          |$dkMinhashCandCtes,
-         |mg AS MATERIALIZED (SELECT * FROM marg),
          |shg AS MATERIALIZED (SELECT * FROM shingled),
          |prs AS MATERIALIZED (SELECT * FROM pairs),
-         |nrm AS MATERIALIZED (
-         |  SELECT doc_id, text, lang, source,
-         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]',
-         |        ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
-         |    ${toksOf("text")} AS ntok_raw
-         |  FROM documents),
-         |st1 AS MATERIALIZED (
-         |  SELECT doc_id, text, lang, source, norm_text,
-         |    ${toksOf("norm_text")} AS ntok
-         |  FROM nrm WHERE length(norm_text) > 0),
-         |st2 AS MATERIALIZED (
-         |  SELECT st1.* FROM st1 JOIN mg USING (doc_id)
-         |  WHERE mg.margin > 0),
          |k3 AS (SELECT md5(norm_text) AS h, min(doc_id) AS doc_id
          |       FROM st2 GROUP BY 1),
          |st3 AS MATERIALIZED (SELECT st2.* FROM st2 JOIN k3 USING (doc_id)),

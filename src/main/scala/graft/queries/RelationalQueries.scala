@@ -2462,6 +2462,43 @@ object RelationalQueries {
         .orderBy(col("pid"))
     }),
 
+    // Range-boundary REFRESH as IVM (q91's delta story): a data drop
+    // shifts the value distribution — re-deriving boundaries must not
+    // rescan the base table. The per-stratum smallest-k-by-hash
+    // reservoir is MERGEABLE (top-k of a union ≡ top-k of per-side
+    // top-k's), so the refresh merges the base's PERSISTED ≤640-row
+    // sample with the delta's and re-ranks ≤1280 rows — the DuckDB
+    // oracle derives the new boundaries from the FULL table from
+    // scratch, so agreement proves the merge identity exactly. The
+    // readout is the router's migration bill: per new partition, how
+    // many rows sat in a different partition under the old boundaries
+    // (StreamingRangeRouter keeps old-boundary literals until this
+    // count justifies a re-deploy). Scale: two bounded samples + one
+    // assignment scan with 2·(P−1) literal probes per row.
+    "q94_boundary_refresh" -> ((s, d) => {
+      import graft.ops.RangePlanOps._
+      val P = 32
+      val li = Tables.fanout(Tables.lineitem(s, d))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").as("v"))
+      val cut = li.agg(expr("((max(l_orderkey) + 1) * 4) div 5").as("c"))
+        .head.getLong(0)
+      val base = li.filter(col("l_orderkey") < cut)
+      val delta = li.filter(col("l_orderkey") >= cut)
+      val oldB = planBoundaries(s, base, P)
+      val newB = boundariesFromRanked(s, mergeRankedSamples(
+        boundedRankedSample(base), boundedRankedSample(delta)), P)
+      li.withColumn("pid", pidColumn(newB)(col("v")))
+        .withColumn("old_pid", pidColumn(oldB)(col("v")))
+        .groupBy(col("pid"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("pid") =!= col("old_pid"), 1L).otherwise(0L))
+            .as("n_moved"))
+        .select(col("pid"), col("cnt"), col("n_moved"),
+          expr("n_moved * 10000 div cnt").as("moved_bp"))
+        .orderBy(col("pid"))
+    }),
+
     // Two-stage cluster-sampling audit (survey-sampling at the petabyte:
     // estimate a 100 TB table's total WITHOUT scanning it — sample 1-in-4
     // storage blocks, then 1-in-2 rows inside each sampled block, and
@@ -3964,6 +4001,53 @@ object RelationalQueries {
         |  round(min(v), 2) AS vmin, round(max(v), 2) AS vmax,
         |  (CAST(count(*) AS BIGINT) * 32 * 10000) // t.n AS x_avg_bp
         |FROM asg, tot t GROUP BY pid, t.n ORDER BY pid""".stripMargin,
+    // both boundary sets derived from scratch (old: base slice; new:
+    // FULL table) — the Spark side derives `new` by merging persisted
+    // reservoirs, so row-for-row agreement proves the merge identity
+    "q94_boundary_refresh" -> {
+      def chain(p: String, where: String) =
+        s"""${p}li AS (
+           |  SELECT l_orderkey, l_linenumber, l_extendedprice AS v
+           |  FROM lineitem $where),
+           |${p}hs AS (
+           |  SELECT ${p}li.*, ('0x' || substr(md5(l_orderkey || '_'
+           |          || l_linenumber), 1, 15))::BIGINT AS h FROM ${p}li),
+           |${p}smp AS (
+           |  SELECT v, l_orderkey, l_linenumber FROM (
+           |    SELECT v, l_orderkey, l_linenumber,
+           |      ROW_NUMBER() OVER (PARTITION BY h % 32
+           |        ORDER BY h, l_orderkey, l_linenumber, v) AS brn
+           |    FROM ${p}hs) WHERE brn <= 20),
+           |${p}rk AS (
+           |  SELECT v, ROW_NUMBER() OVER (
+           |    ORDER BY v, l_orderkey, l_linenumber) AS rn FROM ${p}smp),
+           |${p}ns AS (SELECT CAST(max(rn) AS BIGINT) AS ns FROM ${p}rk),
+           |${p}pos AS (
+           |  SELECT g.i, (g.i * ns.ns) // 32 AS pos
+           |  FROM (SELECT unnest(generate_series(1, 31)) AS i) g,
+           |    ${p}ns ns),
+           |${p}bounds AS (
+           |  SELECT p2.i, ${p}rk.v AS bval FROM ${p}pos p2
+           |  JOIN ${p}rk ON ${p}rk.rn = p2.pos WHERE p2.pos >= 1)"""
+      // chain() keeps its |-margins: ONLY the outer stripMargin runs —
+      // double-stripping would re-clip lines that begin with `||`
+      s"""WITH cutv AS (
+         |  SELECT ((max(l_orderkey) + 1) * 4) // 5 AS c FROM lineitem),
+         |${chain("o", "WHERE l_orderkey < (SELECT c FROM cutv)")},
+         |${chain("n", "")},
+         |asg AS (
+         |  SELECT li.v,
+         |    (SELECT count(*) FROM nbounds b WHERE b.bval < li.v) AS pid,
+         |    (SELECT count(*) FROM obounds b WHERE b.bval < li.v)
+         |      AS old_pid
+         |  FROM nli li)
+         |SELECT pid, CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(sum(CASE WHEN pid <> old_pid THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_moved,
+         |  CAST(sum(CASE WHEN pid <> old_pid THEN 1 ELSE 0 END) * 10000
+         |    // count(*) AS BIGINT) AS moved_bp
+         |FROM asg GROUP BY pid ORDER BY pid""".stripMargin
+    },
     "q92_block_audit" ->
       """WITH li AS (
         |  SELECT l_orderkey, l_linenumber,

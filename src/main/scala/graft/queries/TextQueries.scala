@@ -43,6 +43,13 @@ object TextQueries {
     * OOV tail for the audit to measure (N ≥ 31 would zero it out). */
   val VocabN = 24
 
+  /** t44 DSIR knobs: hashed-bigram feature buckets (the model is always
+    * `DsirBuckets` rows — broadcastable at any corpus size) and the
+    * selection budget. */
+  val DsirBuckets = 256
+  val DsirBudget = 48
+  val DsirSalt = 7
+
   /** t38b operating points: ±1.5 nats around the argmax threshold. */
   val SweepThresholdsPpm: Seq[Long] =
     Seq(-1500000L, -1000000L, -500000L, 0L, 500000L, 1000000L, 1500000L)
@@ -71,6 +78,60 @@ object TextQueries {
     val pred = graft.ops.ClassifierOps.nbScore(seen, consts, tf,
       teach.select(col("doc_id")))
     (teach, pred)
+  }
+
+  /** t44's hashed-bigram feature stream: (doc_id, b) — one row per
+    * bigram instance, bucket = salted md5 mod `DsirBuckets`. */
+  private def dsirBuckets(s: SparkSession, d: String): DataFrame =
+    Tables.fanout(Tables.documents(s, d))
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(toks, 1, size(toks)-1), " +
+          "slice(toks, 2, size(toks)-1), (a, x) -> concat(a, ' ', x))"))
+        .as("ngr"))
+      .select(col("doc_id"),
+        pmod(saltedHash60(col("ngr"), DsirSalt), lit(DsirBuckets.toLong))
+          .as("b"))
+
+  /** t44's importance model: always `DsirBuckets` rows of
+    * (b, r_ppm = ln p̂_target(b) − ln p̂_raw(b)), add-one smoothed over
+    * ALL buckets so unseen buckets carry a defined ratio. The streaming
+    * gate ([[graft.streaming.StreamingDsirGate]]) embeds these 256
+    * longs as its literal weights. */
+  private[graft] def dsirModel(s: SparkSession, d: String): DataFrame = {
+    val b = DsirBuckets
+    val tgt = col("doc_id") % 50 === 0
+    val cnts = dsirBuckets(s, d).groupBy(col("b")).agg(
+      sum(when(tgt, 1L).otherwise(0L)).as("cp"),
+      sum(when(tgt, 0L).otherwise(1L)).as("cq"))
+    val tots = cnts.agg(sum(col("cp")).as("tp"), sum(col("cq")).as("tq"))
+    val fp = graft.ops.ClassifierOps.NbFp
+    s.range(b).select(col("id").as("b"))
+      .join(cnts, Seq("b"), "left").crossJoin(broadcast(tots))
+      .withColumn("xp", expr(s"((coalesce(cp, 0L) + 1) * ${fp}L) div (tp + $b)"))
+      .withColumn("xq", expr(s"((coalesce(cq, 0L) + 1) * ${fp}L) div (tq + $b)"))
+      .select(col("b"), expr(
+        s"(${graft.ops.ClassifierOps.lnPpmExpr("xp")}) - " +
+          s"(${graft.ops.ClassifierOps.lnPpmExpr("xq")})").as("r_ppm"))
+  }
+
+  /** t44's scored pool: every raw doc with its importance weight,
+    * hash-decided Gumbel perturbation, and sampling key. The Gumbel
+    * draw is a 32-BIT hash (a 60-bit value would overflow the lnPpm
+    * fixed point: (x−2^59)·2^30 > 2^63). */
+  private[graft] def dsirScored(s: SparkSession, d: String): DataFrame = {
+    val lnPpm = graft.ops.ClassifierOps.lnPpmExpr _
+    dsirBuckets(s, d).filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(dsirModel(s, d)), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("r_ppm")).as("w_ppm"), count(lit(1)).as("n_ng"))
+      .withColumn("h", greatest(
+        hash32(concat(lit("g|"), col("doc_id").cast("string"))), lit(1L)))
+      .withColumn("appm",
+        expr(s"greatest(1386294L - (${lnPpm("h")}), 1L)"))
+      .withColumn("g_ppm", expr(s"-(${lnPpm("appm")}) - 6978904L"))
+      .withColumn("key_ppm", col("w_ppm") + col("g_ppm"))
   }
 
   // Shared DuckDB fragments (mirror of TextOps)
@@ -1211,6 +1272,169 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR data selection (Xie et al., NeurIPS 2023): importance
+    // resampling toward a target domain with hashed-n-gram bag models.
+    // Target = the benchmark split (doc_id%50=0, d14's convention); raw
+    // = the selection pool. Features are hashed bigrams (256 buckets —
+    // the paper's dimensionality-bounding trick: the model is ALWAYS
+    // 256 rows no matter the corpus vocabulary); per-doc importance
+    // weight = Σ ln p̂_tgt(b) − ln p̂_raw(b) over the doc's bigrams, in
+    // integer ppm via the NB lnPpm fixed-point (both engines replay the
+    // same integers). Selection is the Gumbel-top-k trick — sampling
+    // ∝ exp(w) ≡ top-k of w + Gumbel noise — with the Gumbel drawn from
+    // a 32-BIT md5 hash (a 60-bit draw would overflow the ln fixed
+    // point: (x−2^59)·2^30 > 2^63), so the "randomness" is hash-decided
+    // and the DuckDB oracle replays it exactly. `in_topw` compares
+    // against plain argmax selection: the overlap gap IS the paper's
+    // point (resampling keeps the tail that argmax discards). Scale:
+    // two ngram-stream aggs (bucket counts; doc-keyed score sum), the
+    // 256-row model broadcasts into the scan, and both global ranks sit
+    // behind literal rn≤K conjuncts → WindowGroupLimit map-side prune
+    // (the q91/n23 reservoir argument — no unbounded global sort).
+    "t44_dsir_select" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = dsirScored(s, d)
+      val tw = scored
+        .withColumn("rw", row_number().over(
+          Window.orderBy(col("w_ppm").desc, col("doc_id"))))
+        .filter(col("rw") <= DsirBudget)
+        .select(col("doc_id"), lit(1L).as("in_tw"))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("key_ppm").desc, col("doc_id"))).cast("long"))
+        .filter(col("rn") <= DsirBudget)
+        .join(tw, Seq("doc_id"), "left")
+        .select(col("rn"), col("doc_id"), col("n_ng"), col("w_ppm"),
+          expr("w_ppm div n_ng").as("w_avg_ppm"), col("g_ppm"),
+          col("key_ppm"),
+          when(col("in_tw").isNotNull, 1L).otherwise(0L).as("in_topw"))
+        .orderBy(col("rn"))
+    }),
+
+    // Distributed BPE training (Sennrich et al. 2016): K=4 merge rounds
+    // learned from the corpus's weighted word vocabulary. Each round:
+    // adjacent symbol-pair weights (vocab-bounded agg) → argmax pair
+    // (ONE driver row, ties broken lexicographically — deterministic) →
+    // greedy-leftmost application: overlapping matches ("aaa" under
+    // (a,a)) resolve by gaps-and-islands — runs of consecutive match
+    // positions keep even offsets only — then rewrite + re-index. t21
+    // counted ONE round's pair stats; this runs the actual training
+    // loop. Scale: everything is keyed on the DISTINCT word (web-scale
+    // vocab ~10⁷ rows, not the corpus), per-word windows are bounded by
+    // word LENGTH, the pair agg is map-side combinable, and the only
+    // driver traffic is 1 argmax row + 1 count per round. The oracle
+    // replays all 4 rounds declaratively — agreement proves the greedy
+    // overlap semantics, not just the counts.
+    "t46_bpe_train" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wc = Tables.fanout(Tables.documents(s, d))
+        .select(explode(tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      var sym = wc
+        .select(col("word"), col("cnt"), posexplode(expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
+        .withColumn("pos", (col("pos") + 1).cast("long"))
+        .select(col("word"), col("pos"), col("col").as("sym"), col("cnt"))
+        .localCheckpoint()
+      val out = (1 to 4).map { r =>
+        val adj = sym.as("a").join(sym.as("b"),
+          col("a.word") === col("b.word")
+            && col("b.pos") === col("a.pos") + 1)
+        val best = adj
+          .groupBy(col("a.sym").as("l"), col("b.sym").as("rr"))
+          .agg(sum(col("a.cnt")).as("w"))
+          .orderBy(col("w").desc, col("l"), col("rr"))
+          .limit(1).collect().head
+        val (bl, br, bw) = (best.getString(0), best.getString(1),
+          best.getLong(2))
+        val mt = adj
+          .filter(col("a.sym") === bl && col("b.sym") === br)
+          .select(col("a.word").as("word"), col("a.pos").as("pos"))
+          .withColumn("grp", col("pos") - row_number().over(
+            Window.partitionBy(col("word")).orderBy(col("pos"))))
+          .withColumn("off", col("pos") - min(col("pos")).over(
+            Window.partitionBy(col("word"), col("grp"))))
+          .filter(col("off") % 2 === 0)
+          .select(col("word"), col("pos"), lit(1).as("hit"))
+          .localCheckpoint()
+        sym = sym
+          .join(mt.select(col("word"), col("pos"), col("hit")),
+            Seq("word", "pos"), "left")
+          .join(mt.select(col("word"), (col("pos") + 1).as("pos"),
+            col("hit").as("drop")), Seq("word", "pos"), "left")
+          .filter(col("drop").isNull)
+          .select(col("word"), col("pos"),
+            when(col("hit").isNotNull, concat(col("sym"), lit(br)))
+              .otherwise(col("sym")).as("sym"), col("cnt"))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy(col("word")).orderBy(col("pos")))
+            .cast("long"))
+          .localCheckpoint()
+        (r.toLong, bl, br, bw, sym.count())
+      }
+      import s.implicits._
+      out.toDF("round", "left_sym", "right_sym", "pair_weight",
+        "symbols_after").orderBy(col("round"))
+    }),
+
+    // Token frequency spectrum (the Good-Turing count-of-counts /
+    // Zipf-curve readout): token frequencies bucketed at log2 grain
+    // (floor_log2 = length(bin(cnt))−1, the lnPpm trick's integer
+    // backbone), per bucket the number of distinct types, total
+    // instances, and corpus share. The singleton bucket (log2 = 0) IS
+    // Good-Turing's N₁ — the mass estimate for unseen vocabulary that
+    // smoothing (t24/t37/t38) implicitly allocates; a corpus whose
+    // spectrum head grows while the tail empties is de-diversifying.
+    // Scale: one token-keyed count agg + one 64-bucket agg — both
+    // map-side combinable, no join.
+    "t47_freq_spectrum" -> ((s, d) => {
+      val tot = Tables.fanout(Tables.documents(s, d))
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      tot.withColumn("bucket",
+          expr("CAST(length(bin(cnt)) - 1 AS BIGINT)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_types"), sum(col("cnt")).as("n_instances"))
+        .withColumn("tot_inst", sum(col("n_instances")).over(
+          org.apache.spark.sql.expressions.Window
+            .rowsBetween(Long.MinValue, Long.MaxValue)))
+        .select(col("bucket"), col("n_types"), col("n_instances"),
+          expr("n_instances * 1000000 div tot_inst").as("share_ppm"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Corpus diversity via distinct-n (Li et al. 2016's distinct-1/2/3,
+    // the generation-diversity metric applied to the corpus itself): per
+    // source and n ∈ {1,2,3}, distinct n-grams over total n-gram
+    // instances in ppm — a collapsing distinct-2 under a stable
+    // distinct-1 is template/boilerplate growth that per-doc dedup
+    // doesn't see. Scale: three narrow gram streams union into ONE
+    // (source, n)-keyed agg — countDistinct's expand is bounded by the
+    // gram vocabulary per source, and there is no join anywhere.
+    "t45_distinct_ngrams" -> ((s, d) => {
+      val base = Tables.fanout(Tables.documents(s, d))
+        .select(col("source"), tokens(col("text")).as("toks"))
+      def grams(n: Int, e: org.apache.spark.sql.Column) =
+        base.filter(size(col("toks")) >= n)
+        .select(col("source"), lit(n.toLong).as("n"), explode(e).as("g"))
+      val uni = grams(1, col("toks"))
+      val bi = grams(2, expr(
+        "zip_with(slice(toks, 1, size(toks)-1), " +
+          "slice(toks, 2, size(toks)-1), (a, x) -> concat(a, ' ', x))"))
+      val tri = grams(3, expr(
+        "transform(sequence(1, size(toks)-2), " +
+          "i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))"))
+      uni.union(bi).union(tri)
+        .groupBy(col("source"), col("n"))
+        .agg(count(lit(1)).as("n_instances"),
+          countDistinct(col("g")).as("n_distinct"))
+        .select(col("source"), col("n"), col("n_instances"),
+          col("n_distinct"),
+          expr("n_distinct * 1000000 div n_instances").as("distinct_ppm"))
+        .orderBy(col("source"), col("n"))
+    }),
+
     // Sub-document exact dedup at chunk granularity (registered d24): the
     // paragraph-level pass of a CCNet-shaped curation pipeline (Wenzek et
     // al. 2020 dedups on paragraph hashes; here the unit is t17's
@@ -1780,6 +2004,151 @@ object TextQueries {
          |                           ' ' ORDER BY sent_idx))
          |       END AS cleaned_md5
          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // replays the full DSIR chain: hashed-bigram bucket models on both
+    // splits, lnPpm importance ratios, the 32-bit-hash Gumbel, and both
+    // group-limited ranks
+    "t44_dsir_select" -> {
+      val fp = graft.ops.ClassifierOps.NbFp
+      val b = DsirBuckets
+      s"""WITH t AS (SELECT doc_id, $dkToks AS toks FROM documents),
+         |ng AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |         i -> toks[i] || ' ' || toks[i+1])) AS ngr FROM t),
+         |bk AS (SELECT doc_id,
+         |         ('0x' || substr(md5('7|' || ngr), 1, 15))::BIGINT % $b AS b
+         |       FROM ng),
+         |buckets AS (SELECT unnest(range(0, $b)) AS b),
+         |cnts AS (SELECT b,
+         |    CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS cp,
+         |    CAST(sum(CASE WHEN doc_id % 50 <> 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS cq
+         |  FROM bk GROUP BY 1),
+         |tots AS (SELECT CAST(sum(cp) AS BIGINT) AS tp,
+         |           CAST(sum(cq) AS BIGINT) AS tq FROM cnts),
+         |model0 AS (SELECT buckets.b,
+         |    ((coalesce(cnts.cp, 0) + 1) * $fp::BIGINT) // (tp + $b) AS xp,
+         |    ((coalesce(cnts.cq, 0) + 1) * $fp::BIGINT) // (tq + $b) AS xq
+         |  FROM buckets LEFT JOIN cnts ON cnts.b = buckets.b, tots),
+         |model AS (SELECT b,
+         |    CAST((${dkLnPpm30("xp")}) - (${dkLnPpm30("xq")}) AS BIGINT)
+         |      AS r_ppm FROM model0),
+         |sc AS (SELECT doc_id, CAST(sum(m.r_ppm) AS BIGINT) AS w_ppm,
+         |         CAST(count(*) AS BIGINT) AS n_ng
+         |       FROM bk JOIN model m USING (b)
+         |       WHERE doc_id % 50 <> 0 GROUP BY 1),
+         |g0 AS (SELECT doc_id, w_ppm, n_ng,
+         |    greatest(('0x' || substr(md5('g|' || doc_id), 1, 8))::BIGINT, 1)
+         |      AS h FROM sc),
+         |g1 AS (SELECT doc_id, w_ppm, n_ng,
+         |    greatest(1386294 - (${dkLnPpm30("h")}), 1) AS appm FROM g0),
+         |g2 AS (SELECT doc_id, w_ppm, n_ng,
+         |    CAST(-(${dkLnPpm30("appm")}) - 6978904 AS BIGINT) AS g_ppm
+         |  FROM g1),
+         |k AS (SELECT doc_id, w_ppm, n_ng, g_ppm, w_ppm + g_ppm AS key_ppm
+         |      FROM g2),
+         |tw AS (SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY w_ppm DESC, doc_id)
+         |      AS rw FROM k) WHERE rw <= $DsirBudget),
+         |sel AS (SELECT CAST(row_number() OVER
+         |          (ORDER BY key_ppm DESC, doc_id) AS BIGINT) AS rn,
+         |          doc_id, n_ng, w_ppm, g_ppm, key_ppm FROM k)
+         |SELECT rn, sel.doc_id, n_ng, w_ppm, w_ppm // n_ng AS w_avg_ppm,
+         |       g_ppm, key_ppm,
+         |       CAST(CASE WHEN tw.doc_id IS NOT NULL THEN 1 ELSE 0 END
+         |         AS BIGINT) AS in_topw
+         |FROM sel LEFT JOIN tw ON tw.doc_id = sel.doc_id
+         |WHERE rn <= $DsirBudget ORDER BY rn""".stripMargin
+    },
+    // 4 unrolled BPE rounds: pair weights, lexicographic argmax,
+    // gaps-and-islands greedy-leftmost application, rewrite + re-index
+    "t46_bpe_train" -> {
+      def roundSql(r: Int) =
+        s"""pr$r AS (
+           |  SELECT a.sym AS l, b.sym AS rr, CAST(sum(a.cnt) AS BIGINT) AS w
+           |  FROM s$r a JOIN s$r b ON b.word = a.word AND b.pos = a.pos + 1
+           |  GROUP BY 1, 2),
+           |bst$r AS (SELECT l, rr, w FROM pr$r
+           |          ORDER BY w DESC, l, rr LIMIT 1),
+           |mt0$r AS (
+           |  SELECT a.word, a.pos
+           |  FROM s$r a JOIN s$r b ON b.word = a.word AND b.pos = a.pos + 1
+           |  JOIN bst$r x ON a.sym = x.l AND b.sym = x.rr),
+           |mt1$r AS (
+           |  SELECT word, pos,
+           |    pos - row_number() OVER (PARTITION BY word ORDER BY pos)
+           |      AS grp
+           |  FROM mt0$r),
+           |mt$r AS (
+           |  SELECT word, pos FROM (
+           |    SELECT word, pos,
+           |      pos - min(pos) OVER (PARTITION BY word, grp) AS off
+           |    FROM mt1$r) WHERE off % 2 = 0),
+           |s${r + 1} AS MATERIALIZED (
+           |  SELECT word, row_number() OVER (PARTITION BY word ORDER BY pos)
+           |    AS pos, sym, cnt
+           |  FROM (
+           |    SELECT s.word, s.pos,
+           |      CASE WHEN m.pos IS NOT NULL THEN s.sym ||
+           |        (SELECT rr FROM bst$r) ELSE s.sym END AS sym,
+           |      s.cnt
+           |    FROM s$r s
+           |    LEFT JOIN mt$r m ON m.word = s.word AND m.pos = s.pos
+           |    LEFT JOIN mt$r m2 ON m2.word = s.word AND m2.pos + 1 = s.pos
+           |    WHERE m2.pos IS NULL))""".stripMargin
+      val rounds = (1 to 4).map(roundSql).mkString(",\n")
+      val readout = (1 to 4).map { r =>
+        s"""SELECT $r AS round, l AS left_sym, rr AS right_sym,
+           |  w AS pair_weight,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM s${r + 1})
+           |    AS symbols_after
+           |FROM bst$r""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH w0 AS (
+         |  SELECT unnest($dkToks) AS word FROM documents),
+         |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM w0 WHERE word <> '' GROUP BY 1),
+         |s1 AS MATERIALIZED (
+         |  SELECT word, CAST(u.i AS BIGINT) AS pos,
+         |    substr(word, u.i, 1) AS sym, cnt
+         |  FROM wc, LATERAL (SELECT unnest(generate_series(1, len(word)))
+         |    AS i) u),
+         |$rounds
+         |SELECT CAST(round AS BIGINT) AS round, left_sym, right_sym,
+         |  pair_weight, symbols_after
+         |FROM ($readout) ORDER BY round""".stripMargin
+    },
+    "t47_freq_spectrum" ->
+      s"""WITH tk AS (SELECT unnest($dkToks) AS tok FROM documents),
+         |tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM tk GROUP BY 1),
+         |bk AS (SELECT CAST(length(bin(cnt)) - 1 AS BIGINT) AS bucket,
+         |         CAST(count(*) AS BIGINT) AS n_types,
+         |         CAST(sum(cnt) AS BIGINT) AS n_instances
+         |       FROM tc GROUP BY 1),
+         |tt AS (SELECT CAST(sum(n_instances) AS BIGINT) AS ti FROM bk)
+         |SELECT bucket, n_types, n_instances,
+         |  n_instances * 1000000 // ti AS share_ppm
+         |FROM bk, tt ORDER BY bucket""".stripMargin,
+    "t45_distinct_ngrams" ->
+      s"""WITH t AS (SELECT source, $dkToks AS toks FROM documents),
+         |g1 AS (SELECT source, 1 AS n, unnest(toks) AS g FROM t
+         |       WHERE len(toks) >= 1),
+         |g2 AS (SELECT source, 2 AS n,
+         |         unnest(list_transform(range(1, len(toks)),
+         |           i -> toks[i] || ' ' || toks[i+1])) AS g
+         |       FROM t WHERE len(toks) >= 2),
+         |g3 AS (SELECT source, 3 AS n,
+         |         unnest(list_transform(generate_series(1, len(toks) - 2),
+         |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         |           AS g
+         |       FROM t WHERE len(toks) >= 3),
+         |u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+         |      UNION ALL SELECT * FROM g3)
+         |SELECT source, CAST(n AS BIGINT) AS n,
+         |  CAST(count(*) AS BIGINT) AS n_instances,
+         |  CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+         |  count(DISTINCT g) * 1000000 // count(*) AS distinct_ppm
+         |FROM u GROUP BY source, n ORDER BY source, n""".stripMargin,
     "t23_readability" ->
       s"""WITH f AS (
          |  SELECT doc_id,

@@ -137,7 +137,15 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       "t42_curriculum_bins", "p3_delta_refresh",
       // per-doc disposition (membership + evidence joins on hash/min-
       // decided stage frames)
-      "p4_disposition")
+      "p4_disposition",
+      // DSIR selection (hash-decided buckets + hash-decided Gumbel;
+      // every tie broken by doc_id)
+      "t44_dsir_select",
+      // BPE training (lexicographic argmax tie-break; per-word windows
+      // totally ordered), frequency spectrum, distinct-n, contamination
+      // curve, boundary refresh (hash-decided reservoirs)
+      "t46_bpe_train", "t47_freq_spectrum", "t45_distinct_ngrams",
+      "d38_contamination_curve", "q94_boundary_refresh")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {

@@ -217,4 +217,22 @@ class PlanGuardSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"),
       s"n23's quota frame must broadcast:\n$p")
   }
+
+  test("t44's DSIR model broadcasts and both ranks are group-limit pruned") {
+    // The 256-row hashed-bigram model must broadcast into the ngram scan
+    // (shuffling the scan to meet a 256-row frame is the classic
+    // dim-join inversion), and both global selection ranks sit behind
+    // literal rn<=budget conjuncts → WindowGroupLimit, so no unbounded
+    // relation feeds an un-partitioned sort (the q91 defect class).
+    val p = planOf("t44_dsir_select")
+    assert(p.contains("BroadcastHashJoin"),
+      s"t44's bucket model must broadcast:\n$p")
+    // the un-partitioned rank behind a literal rn<=budget plans as a
+    // bounded TakeOrderedAndProject (map-side partial top-k, single
+    // 32·budget-row merge) — or at worst a WindowGroupLimit prune;
+    // either bounds what reaches the sort, which is the contract
+    assert(p.contains("TakeOrderedAndProject")
+      || p.contains("WindowGroupLimit"),
+      s"t44's selection ranks lost the bounded-top-k prune:\n$p")
+  }
 }

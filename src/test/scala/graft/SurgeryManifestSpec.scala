@@ -103,4 +103,41 @@ class SurgeryManifestSpec extends SparkSpecBase {
     assert(a.map(_._4).sum == mixTokens,
       "sum of shard_tokens must equal the mixture's token mass (p1 row 7)")
   }
+
+  test("p6 repack: clean shards form a per-lang prefix with equal stats") {
+    val rows = graft.queries.PipelineQueries.queries("p6_shard_repack")(
+      spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("shard"),
+        r.getAs[String]("status"),
+        Option(r.getAs[java.lang.Long]("n_docs_old")).map(_.longValue),
+        Option(r.getAs[java.lang.Long]("n_docs_new")).map(_.longValue),
+        Option(r.getAs[java.lang.Long]("tokens_old")).map(_.longValue),
+        Option(r.getAs[java.lang.Long]("tokens_new")).map(_.longValue)))
+    assert(rows.exists(_._3 == "clean") && rows.exists(_._3 == "rewritten")
+      && rows.exists(_._3 == "new"),
+      "the drop shape must exercise clean, rewritten, and new verdicts")
+    // md5 equality is a statement about members: counts and masses agree
+    rows.filter(_._3 == "clean").foreach { r =>
+      assert(r._4 == r._5 && r._6 == r._7,
+        s"clean shard ${r._1}/${r._2} must carry identical doc/token stats")
+    }
+    // prefix packing: one mid-order change dirties every LATER shard in
+    // its stratum, so per lang the clean set is a downward-closed prefix
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val old = rs.filter(r => r._3 == "clean" || r._3 == "rewritten"
+        || r._3 == "dropped").sortBy(_._2)
+      val firstDirty = old.indexWhere(_._3 != "clean")
+      if (firstDirty >= 0)
+        assert(old.drop(firstDirty).forall(_._3 != "clean"),
+          s"$lang: a clean shard after the first dirty one contradicts " +
+            "running-prefix invalidation")
+    }
+    // both sides' verdicts reconcile: every old shard is accounted for
+    // exactly once, and 'new' rows carry no old-side stats
+    rows.foreach {
+      case (_, _, "new", o, _, ot, _) => assert(o.isEmpty && ot.isEmpty)
+      case (_, _, "dropped", _, n, _, nt) => assert(n.isEmpty && nt.isEmpty)
+      case (_, _, s, o, n, _, _) => assert(o.nonEmpty && n.nonEmpty, s)
+    }
+  }
 }
