@@ -85,6 +85,8 @@ object Bench {
     "t39_tercile_distill", "t40_vocab_coverage", "t41_model_refresh",
     "t42_curriculum_bins", "t43_boilerplate_strip", "t44_dsir_select",
     "t45_distinct_ngrams", "t46_bpe_train", "t47_freq_spectrum",
+    "t48_tokenizer_fertility", "t50_bm25_serve", "t51_ppl_buckets",
+    "t52_gopher_rules",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
     "d8d_triangle_doulion", "d9b_graph_stats_sketch",
     "d11_containment", "d12_incremental_dedup",
@@ -96,7 +98,8 @@ object Bench {
     "d29_label_propagation", "d31_entity_resolution",
     "d9r_graph_stats_residual", "d25r_kcore_residual", "d29r_lpa_residual",
     "d33r_star_residual", "d34_modularity", "d36_threshold_sweep",
-    "d37_span_surgery", "d38_contamination_curve",
+    "d37_span_surgery", "d38_contamination_curve", "d39_lsh_advisor",
+    "d40_effective_size", "d42_chaining_audit", "d43_winnowing",
     "n1_ann_bruteforce", "n2_ann_lsh", "n3_embedding_neardup",
     "n4_label_centroids", "n5_ivf_ann", "n6_kmeans", "n7_ivf_kmeans",
     "n8_quantize", "n9_knn_graph", "n10_quantized_rerank", "n11_pq_adc",
@@ -109,9 +112,10 @@ object Bench {
     "n23_cluster_sample",
     "m1_binary_meta", "m2_frame_windows", "m3_decode_features",
     "m4_patch_dedup", "m5_shared_patches", "m6_crossmodal_retrieval",
-    "m7_modality_mix",
+    "m7_modality_mix", "m8_batch_negatives",
     "p1_curation_ledger", "p2_rag_serve", "p3_delta_refresh",
-    "p4_disposition", "p5_manifest", "p6_shard_repack")
+    "p4_disposition", "p5_manifest", "p6_shard_repack", "p7_run_report",
+    "p8_train_order")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -41,7 +41,11 @@ object ScaleProbe {
     // round-9 fourth-session additions: selection, surgery, repack,
     // trainer — each claims vocab-/bound-limited state in SURVEY §2.10
     "t44_dsir_select", "d38_contamination_curve", "p6_shard_repack",
-    "t46_bpe_train", "q94_boundary_refresh")
+    "t46_bpe_train", "q94_boundary_refresh",
+    // fifth-session additions: winnowing (per-doc windows), read-order
+    // planner (manifest-sized), index-served BM25 (pruned postings)
+    "d43_winnowing", "p8_train_order", "t50_bm25_serve",
+    "t51_ppl_buckets")
 
   private def h(c: Column): Column = graft.ops.TextOps.hash60(c)
 

@@ -772,6 +772,28 @@ object DedupOps {
       .filter(col("dist") <= k)
   }
 
+  /** d43's winnowing fingerprint selection as a PER-ROW higher-order
+    * function (no Window, no explode — the ingest-friendly form: a
+    * document's fingerprints depend only on its own tokens, so a stream
+    * can fingerprint at arrival with zero state). Returns the distinct
+    * combined keys `hash32(4gram)·2²¹ + (2²⁰ − pos)` of each window's
+    * (min-hash, rightmost-pos) selection — bijective with d43's
+    * (fp_hash, fp_pos) pairs; `key >> 21` recovers the position-free
+    * fingerprint hash. Equality with the batch window form is asserted
+    * in `StreamingWinnowGateSpec`. */
+  def winnowKeys(toks: Column, text: Column, w: Int): Column = {
+    val kgarr = when(size(toks) >= 4,
+      transform(sequence(lit(1), size(toks) - 3), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2), element_at(toks, i + 3))))
+      .otherwise(array(trim(text)))
+    val keys = transform(kgarr, (g, i) =>
+      hash32(g) * lit(2097152L) + (lit(1048576L) - i - 1))
+    val n = size(keys)
+    array_distinct(transform(sequence(least(lit(w), n), n), e =>
+      array_min(slice(keys, greatest(e - w + 1, lit(1)), least(lit(w), e)))))
+  }
+
   /** Distinct-token 60-bit hash array (materialize once — md5 per token is
     * the expensive part; SimHash reuses it). Compiled kernel, bit-identical
     * to `transform(array_distinct(toks), hash60)`. Order-insensitive

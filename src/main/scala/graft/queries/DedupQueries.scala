@@ -19,6 +19,25 @@ object DedupQueries {
   val Bands = 4
   val RowsPerBand = 4
   val JaccardTau = 0.5
+
+  /** d39's (bands, rowsPerBand) sweep — every split of the 16-hash
+    * signature. */
+  val LshConfigs: Seq[(Int, Int)] = Seq((8, 2), (4, 4), (2, 8))
+
+  /** S-curve catch probability 1−(1−τ^r)^b at s = [[JaccardTau]], exact
+    * integer ppm (floor at each multiply) — computed at plan-build time
+    * and embedded as the SAME literal in both engines. */
+  def sCurvePpm(b: Int, r: Int): Long = {
+    def powPpm(x: Long, n: Int): Long =
+      (1 to n).foldLeft(1000000L)((acc, _) => acc * x / 1000000L)
+    1000000L - powPpm(1000000L - powPpm((JaccardTau * 1000000L).toLong, r), b)
+  }
+  /** d43 winnowing knobs: 4-token k-grams, window sweep, and the MOSS
+    * boilerplate cap (fingerprints in more docs than this are dropped
+    * before pairing — bounds every hash bucket's pair fan-out). */
+  val WinWs: Seq[Int] = Seq(4, 8, 16)
+  val WinMaxDocs = 10
+
   val ContainTau = 0.6
   val MaxHamming = 3  // ≤3 with 4 byte-bands ⇒ banding is EXACT (pigeonhole: some band survives)
   val PageRankIters = 3
@@ -924,6 +943,191 @@ object DedupQueries {
     // lives in SurgeryManifestSpec.
     "d37_span_surgery" -> ((s, d) =>
       spanSurgery(docs(s, d), col("doc_id") % 50 === 0, SpanMargin)),
+
+    // Transitive-chaining audit (the known failure mode of CC-based
+    // dedup: A~B and B~C merge A with C even when A≁C, so clusters
+    // inflate beyond the pairwise-τ relation — Spacerini/ExactSubstr
+    // writeups call this chaining; nobody MEASURES it in-pipeline).
+    // On the collapsed class graph (the production analytics surface):
+    // per component-size log2 bucket, member pairs C(n,2) in CLOSED
+    // FORM (never enumerated), direct hamming≤3 edges, and the chained
+    // share — pairs co-clustered without direct evidence. A high
+    // chained_ppm at a size bucket says those merges rest on paths,
+    // not pairwise similarity: tighten τ or switch to star-shaped
+    // canonical assignment. Scale: rides the class graph (|E| edges),
+    // one component-size agg, one edge→canon join; pair counts are
+    // arithmetic on |components| rows.
+    "d42_chaining_audit" -> ((s, d) => {
+      val (classes, edges) = residualClassGraph(s, d)
+      val canon = starComponents(edges, classes.select(col("doc_id")),
+        uncheckedRounds = 2)
+      val cs = canon.groupBy(col("canon_id")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+      val de = edges
+        .join(canon.select(col("doc_id").as("doc_a"), col("canon_id")),
+          "doc_a")
+        .groupBy(col("canon_id")).agg(count(lit(1)).as("n_edges"))
+      cs.join(de, Seq("canon_id"), "left")
+        .select(col("n"), expr("n * (n - 1) div 2").as("n_pairs"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+          expr("CAST(length(bin(n)) - 1 AS BIGINT)").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_components"), sum(col("n")).as("n_docs"),
+          sum(col("n_pairs")).as("member_pairs"),
+          sum(col("n_edges")).as("direct_edges"))
+        .select(col("bucket"), col("n_components"), col("n_docs"),
+          col("member_pairs"), col("direct_edges"),
+          expr("(member_pairs - direct_edges) * 1000000 div member_pairs")
+            .as("chained_ppm"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Effective dataset size under near-dup weighting (the "count each
+    // cluster once" correction behind dedup-aware scaling laws —
+    // training on N docs of which half are near-copies is not an N-doc
+    // dataset): per source, raw docs, distinct d7-components touched,
+    // the dedup rate, and the EFFECTIVE doc mass Σ 1/|component| in ppm
+    // (each doc contributes one component-th — the loss-weighting a
+    // trainer would apply instead of dropping; integer 10⁶ div csize,
+    // floor-identical in both engines). Scale: rides d7's closure (the
+    // persisted artifact), then one component-size agg + one
+    // source-keyed agg — nothing new above |V|.
+    "d40_effective_size" -> ((s, d) => {
+      val df = docs(s, d).withColumn("hs", tokenHashes(tokens(col("text"))))
+      val pairs = simhashPairs(simhashBands(df, simhash32(col("hs"))),
+        MaxHamming).select(col("doc_a"), col("doc_b"))
+      val canon = connectedComponents(pairs,
+        docs(s, d).select(col("doc_id")), uncheckedRounds = 2)
+      val csize = canon.groupBy(col("canon_id"))
+        .agg(count(lit(1)).as("csize"))
+      canon.join(csize, "canon_id")
+        .join(docs(s, d).select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("canon_id")).as("n_components"),
+          sum(expr("1000000 div csize")).as("eff_docs_ppm"))
+        .select(col("source"), col("n_docs"), col("n_components"),
+          col("eff_docs_ppm"),
+          expr("n_components * 10000 div n_docs").as("distinct_bp"))
+        .orderBy(col("source"))
+    }),
+
+    // LSH parameter advisor (the banding S-curve made empirical): for
+    // each (bands, rows) split of the SAME 16-hash signature table,
+    // the predicted catch probability at s=τ — 1−(1−τ^r)^b, computed
+    // in exact integer ppm at plan-build time and embedded as a
+    // literal in BOTH engines — next to the MEASURED candidate count,
+    // true-pair count, precision, and caught share. The knob every
+    // MinHash deployment turns blind; this prints the curve on the
+    // actual corpus. Score-once discipline twice over: ONE signature
+    // table feeds all three bandings, and the union of candidates is
+    // Jaccard-verified ONCE (distinct pairs), then joined back per
+    // config. Scale: three band-bucket self-joins (each d2's shape)
+    // + one bounded verify — no config re-pays the signature scan.
+    "d39_lsh_advisor" -> ((s, d) => {
+      val arr = shingleArrays(docs(s, d).select(col("doc_id"), col("text")))
+        .localCheckpoint()
+      val sig = minhashSignatureNarrow(arr, NumHashes).localCheckpoint()
+      val allc = LshConfigs.map { case (b, r) =>
+        candidatePairs(lshBands(sig, b, r))
+          .select(lit(b.toLong).as("bands"),
+            lit(r.toLong).as("rows_per_band"), col("doc_a"), col("doc_b"))
+      }.reduce(_ union _).localCheckpoint()
+      val ver = jaccardVerifyArrays(
+          allc.select(col("doc_a"), col("doc_b")).distinct(), arr)
+        .select(col("doc_a"), col("doc_b"),
+          when(col("jaccard") >= JaccardTau, 1L).otherwise(0L)
+            .as("is_true"))
+        .localCheckpoint()
+      val tot = ver.agg(sum(col("is_true")).as("tt"))
+      import s.implicits._
+      val pred = LshConfigs
+        .map { case (b, r) => (b.toLong, sCurvePpm(b, r)) }
+        .toDF("bands", "pred_catch_ppm")
+      allc.join(ver, Seq("doc_a", "doc_b"))
+        .groupBy(col("bands"), col("rows_per_band"))
+        .agg(count(lit(1)).as("n_cand"), sum(col("is_true")).as("n_true"))
+        .crossJoin(broadcast(tot))
+        .join(broadcast(pred), Seq("bands"))
+        .select(col("bands"), col("rows_per_band"), col("pred_catch_ppm"),
+          col("n_cand"), col("n_true"),
+          expr("n_true * 1000000 div n_cand").as("precision_ppm"),
+          expr("n_true * 1000000 div greatest(tt, 1L)").as("caught_ppm"))
+        .orderBy(col("bands").desc)
+    }),
+
+    // Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken SIGMOD
+    // 2003 — the MOSS local fingerprinting algorithm: in every window of
+    // w consecutive k-gram hashes keep the minimum, rightmost on ties;
+    // guarantees any shared run of w+k-1 tokens is caught while storing
+    // an expected 2/(w+1) of all hashes — a POSITION-AWARE sketch where
+    // MinHash is set-level). One k-gram hash table feeds a w ∈ {4,8,16}
+    // sweep (score-once); per w: fingerprints kept, measured density vs
+    // the paper's 2/(w+1) prediction as embedded ppm literals, and
+    // match pairs through the fingerprint index — with hashes in more
+    // than WinMaxDocs docs dropped first (MOSS's boilerplate cull; it
+    // also BOUNDS each hash bucket's fan-out at C(cap,2) pairs, the d2
+    // band-bucket argument). Ties inside a window need one combined
+    // key: hash·2²¹ + (2²⁰ − pos) makes one BIGINT min pick (min hash,
+    // rightmost pos) simultaneously — hash < 2³², pos < 2²⁰, so the key
+    // stays under 2⁵³. Scale: the selection is a per-doc ROWS window
+    // (doc-partitioned — embarrassingly parallel), the sweep re-windows
+    // the checkpointed hash table without re-hashing, and the pair join
+    // is capped per bucket; nothing exceeds |tokens| rows.
+    "d43_winnowing" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toksd = docs(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("toks"),
+          trim(col("text")).as("t"))
+      val kgarr = when(size(col("toks")) >= 4,
+        transform(sequence(lit(1), size(col("toks")) - 3), i =>
+          concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1), element_at(col("toks"), i + 2),
+            element_at(col("toks"), i + 3))))
+        .otherwise(array(col("t")))
+      val kg = toksd.select(col("doc_id"), kgarr.as("kgarr"))
+        .select(col("doc_id"), size(col("kgarr")).cast("long").as("n_kg"),
+          posexplode(col("kgarr")).as(Seq("pos0", "g")))
+        .select(col("doc_id"), col("n_kg"), (col("pos0") + 1).as("pos"),
+          (hash32(col("g")) * 2097152L + (lit(1048576L) - col("pos0") - 1))
+            .as("key"))
+        .localCheckpoint()
+      val nKg = kg.agg(count(lit(1)).as("n_kgrams"))
+      val rows = WinWs.map { w =>
+        val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(-(w - 1), 0)
+        val fp = kg.withColumn("mk", min(col("key")).over(win))
+          .filter(col("pos") >= least(lit(w.toLong), col("n_kg")))
+          .select(col("doc_id"), expr("mk div 2097152").as("fp_hash"),
+            expr("1048576 - (mk % 2097152)").as("fp_pos"))
+          .distinct()
+          .localCheckpoint()
+        val byHash = fp.groupBy(col("fp_hash"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+        val keep = byHash.filter(col("nd") <= WinMaxDocs)
+          .select(col("fp_hash"))
+        val pairs = fp.join(keep, Seq("fp_hash"), "left_semi")
+          .as("a")
+          .join(fp.as("b"), col("b.fp_hash") === col("a.fp_hash")
+            && col("b.doc_id") > col("a.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(countDistinct(col("a.fp_hash")).as("shared"))
+          .agg(count(lit(1)).as("n_pairs"),
+            coalesce(sum(when(col("shared") >= 3, 1L).otherwise(0L)), lit(0L))
+              .as("n_pairs_strong"))
+        fp.agg(count(lit(1)).as("n_fp"))
+          .crossJoin(broadcast(nKg))
+          .crossJoin(broadcast(
+            byHash.agg(coalesce(sum(when(col("nd") > WinMaxDocs, 1L)
+              .otherwise(0L)), lit(0L)).as("n_common_dropped"))))
+          .crossJoin(broadcast(pairs))
+          .select(lit(w.toLong).as("w"), col("n_kgrams"), col("n_fp"),
+            expr("n_fp * 1000000 div n_kgrams").as("density_ppm"),
+            lit(2000000L / (w + 1)).as("pred_density_ppm"),
+            col("n_common_dropped"), col("n_pairs"), col("n_pairs_strong"))
+      }
+      rows.reduce(_ union _).orderBy(col("w"))
+    }),
 
     // Contamination operating curve (the PaLM/GPT-4 report methodology:
     // a doc is contaminated when MORE THAN X% of its n-grams appear in
@@ -2057,6 +2261,187 @@ object DedupQueries {
          |  FROM cls c LEFT JOIN reach r ON r.src = c.doc_id
          |  GROUP BY c.doc_id)
          |SELECT doc_id, canon_id FROM canon ORDER BY doc_id""".stripMargin,
+    // class-graph closure + closed-form pair counts + direct-edge join
+    "d42_chaining_audit" ->
+      s"""WITH RECURSIVE $dkClassCtes,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM ce
+         |  UNION ALL SELECT doc_b, doc_a FROM ce),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |canon AS (
+         |  SELECT c.doc_id,
+         |    least(c.doc_id, coalesce(min(r.dst), c.doc_id)) AS canon_id
+         |  FROM cls c LEFT JOIN reach r ON r.src = c.doc_id
+         |  GROUP BY c.doc_id),
+         |cs AS (SELECT canon_id, CAST(count(*) AS BIGINT) AS n
+         |       FROM canon GROUP BY 1 HAVING count(*) >= 2),
+         |de AS (SELECT c.canon_id, CAST(count(*) AS BIGINT) AS n_edges
+         |       FROM ce p JOIN canon c ON c.doc_id = p.doc_a GROUP BY 1),
+         |comp AS (
+         |  SELECT cs.n, cs.n * (cs.n - 1) // 2 AS n_pairs,
+         |    coalesce(de.n_edges, 0) AS n_edges,
+         |    CAST(length(bin(cs.n)) - 1 AS BIGINT) AS bucket
+         |  FROM cs LEFT JOIN de USING (canon_id))
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_components,
+         |  CAST(sum(n) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_pairs) AS BIGINT) AS member_pairs,
+         |  CAST(sum(n_edges) AS BIGINT) AS direct_edges,
+         |  CAST((sum(n_pairs) - sum(n_edges)) * 1000000 // sum(n_pairs)
+         |    AS BIGINT) AS chained_ppm
+         |FROM comp GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // d7's closure + component sizes + per-source weighting
+    "d40_effective_size" ->
+      s"""$dkSimhashClosureCtes,
+         |cs AS (SELECT canon_id, CAST(count(*) AS BIGINT) AS csize
+         |       FROM canon GROUP BY 1),
+         |j AS (SELECT c.doc_id, c.canon_id, cs.csize, d.source
+         |      FROM canon c JOIN cs USING (canon_id)
+         |      JOIN documents d ON d.doc_id = c.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT canon_id) AS BIGINT) AS n_components,
+         |  CAST(sum(1000000 // csize) AS BIGINT) AS eff_docs_ppm,
+         |  count(DISTINCT canon_id) * 10000 // count(*) AS distinct_bp
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    // replays the full advisor: 16-hash signature, three band splits,
+    // union-verified exact Jaccard, and the SAME plan-build-time
+    // S-curve literals
+    "d39_lsh_advisor" -> {
+      import graft.ops.TextOps.{MinhashP, permParams}
+      val minAggs = (0 until NumHashes).map { i =>
+        val (a, b) = permParams(i)
+        s"min(($a * (('0x' || substr(md5(sh), 1, 8))::BIGINT) + $b) " +
+          s"% $MinhashP) AS h$i"
+      }.mkString(",\n    ")
+      def cfg(b: Int, r: Int): String = {
+        val bandCols = (0 until b).map { bb =>
+          val hs = (0 until r).map(rr => s"h${bb * r + rr}::VARCHAR")
+          s"md5(concat_ws(',', ${hs.mkString(", ")})) AS band$bb"
+        }.mkString(",\n    ")
+        val bandSel = (0 until b)
+          .map(bb => s"SELECT doc_id, $bb AS band_idx, band$bb AS band_hash " +
+            s"FROM sigb$b")
+          .mkString("\n  UNION ALL\n  ")
+        s"""sigb$b AS (
+           |  SELECT doc_id,
+           |    $bandCols
+           |  FROM sig),
+           |bands$b AS (
+           |  $bandSel),
+           |cand$b AS (
+           |  SELECT DISTINCT l.doc_id AS doc_a, r2.doc_id AS doc_b
+           |  FROM bands$b l JOIN bands$b r2
+           |    ON l.band_idx = r2.band_idx AND l.band_hash = r2.band_hash
+           |   AND l.doc_id < r2.doc_id)"""
+      }
+      val predCase = LshConfigs.map { case (b, r) =>
+        s"WHEN ${b} THEN ${sCurvePpm(b, r)}"
+      }.mkString(" ")
+      val allSel = LshConfigs.map { case (b, r) =>
+        s"SELECT $b AS bands, $r AS rpb, doc_a, doc_b FROM cand$b"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $dkShingled,
+         |sig AS (
+         |  SELECT doc_id,
+         |    $minAggs
+         |  FROM shingled GROUP BY doc_id),
+         |${cfg(8, 2)},
+         |${cfg(4, 4)},
+         |${cfg(2, 8)},
+         |allc AS (
+         |  $allSel),
+         |szs AS (SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY 1),
+         |dp AS (SELECT DISTINCT doc_a, doc_b FROM allc),
+         |ver AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CASE WHEN CAST(i.inter AS DOUBLE) /
+         |      (sa.n_sh + sb2.n_sh - i.inter) >= $JaccardTau
+         |      THEN 1 ELSE 0 END AS is_true
+         |  FROM dp c
+         |  JOIN (SELECT p.doc_a, p.doc_b, count(*) AS inter FROM dp p
+         |        JOIN shingled a ON a.doc_id = p.doc_a
+         |        JOIN shingled b ON b.doc_id = p.doc_b AND b.sh = a.sh
+         |        GROUP BY 1, 2) i
+         |    ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  JOIN szs sa ON sa.doc_id = c.doc_a
+         |  JOIN szs sb2 ON sb2.doc_id = c.doc_b),
+         |tott AS (SELECT CAST(sum(is_true) AS BIGINT) AS tt FROM ver)
+         |SELECT CAST(a.bands AS BIGINT) AS bands,
+         |  CAST(a.rpb AS BIGINT) AS rows_per_band,
+         |  CAST(CASE a.bands $predCase END AS BIGINT) AS pred_catch_ppm,
+         |  CAST(count(*) AS BIGINT) AS n_cand,
+         |  CAST(sum(v.is_true) AS BIGINT) AS n_true,
+         |  CAST(sum(v.is_true) * 1000000 // count(*) AS BIGINT)
+         |    AS precision_ppm,
+         |  CAST(sum(v.is_true) * 1000000 // greatest(t.tt, 1) AS BIGINT)
+         |    AS caught_ppm
+         |FROM allc a JOIN ver v ON v.doc_a = a.doc_a AND v.doc_b = a.doc_b,
+         |  tott t
+         |GROUP BY a.bands, a.rpb, t.tt ORDER BY bands DESC""".stripMargin
+    },
+    // one k-gram hash table, three window-min passes, capped pair joins
+    "d43_winnowing" -> {
+      def winSql(w: Int): String =
+        s"""win$w AS (
+           |  SELECT doc_id,
+           |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS mk,
+           |    pos, n_kg
+           |  FROM kg),
+           |fp$w AS MATERIALIZED (
+           |  SELECT DISTINCT doc_id, mk // 2097152 AS fp_hash,
+           |    1048576 - (mk % 2097152) AS fp_pos
+           |  FROM win$w WHERE pos >= least($w, n_kg)),
+           |keep$w AS (
+           |  SELECT fp_hash FROM (SELECT fp_hash, count(DISTINCT doc_id)
+           |    AS nd FROM fp$w GROUP BY 1) WHERE nd <= $WinMaxDocs),
+           |pr$w AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    CAST(count(DISTINCT a.fp_hash) AS BIGINT) AS shared
+           |  FROM fp$w a JOIN keep$w k ON a.fp_hash = k.fp_hash
+           |  JOIN fp$w b ON b.fp_hash = a.fp_hash AND b.doc_id > a.doc_id
+           |  GROUP BY 1, 2),
+           |row$w AS (
+           |  SELECT CAST($w AS BIGINT) AS w,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM kg) AS n_kgrams,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM fp$w) AS n_fp,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM fp$w) * 1000000
+           |      // (SELECT count(*) FROM kg) AS density_ppm,
+           |    CAST(${2000000L / (w + 1)} AS BIGINT) AS pred_density_ppm,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM
+           |      (SELECT fp_hash, count(DISTINCT doc_id) nd FROM fp$w
+           |       GROUP BY 1) WHERE nd > $WinMaxDocs) AS n_common_dropped,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM pr$w) AS n_pairs,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM pr$w
+           |     WHERE shared >= 3) AS n_pairs_strong)"""
+      val wins = WinWs.map(winSql).mkString(",\n")
+      val unions = WinWs.map(w => s"SELECT * FROM row$w")
+        .mkString("\n  UNION ALL ")
+      s"""WITH toksd AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+         |    trim(text) AS t
+         |  FROM documents),
+         |kgs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) >= 4
+         |      THEN list_transform(generate_series(1, len(toks) - 3),
+         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |          || ' ' || toks[i+3])
+         |      ELSE [t] END AS kgarr
+         |  FROM toksd),
+         |kg AS MATERIALIZED (
+         |  SELECT doc_id, u.pos,
+         |    ('0x' || substr(md5(u.g), 1, 8))::BIGINT * 2097152
+         |      + (1048576 - u.pos) AS key,
+         |    len(kgarr) AS n_kg
+         |  FROM kgs, LATERAL (SELECT unnest(kgarr) AS g,
+         |    generate_subscripts(kgarr, 1) AS pos) u),
+         |$wins
+         |$unions
+         |ORDER BY w""".stripMargin
+    },
     "d38_contamination_curve" ->
       s"""WITH $dkShingled,
          |tr AS (SELECT doc_id, sh FROM shingled WHERE doc_id % 50 <> 0),

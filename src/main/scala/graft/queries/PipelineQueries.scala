@@ -368,6 +368,114 @@ object PipelineQueries {
           col("tokens_old"), col("tokens_new"),
           col("md5_old"), col("md5_new"))
         .orderBy(col("lang"), col("shard"))
+    }),
+
+    // Training-run readiness report: the one-page per-language summary a
+    // run owner reads before pressing go — raw volume, gate survivors,
+    // final curated mass (docs + tokens), packed shard count, and the
+    // survivors' mean quality margin (served from the PERSISTED
+    // classifier — third consumer of ClassifierIndex's serve path; a
+    // lang whose mean margin hugs zero is being curated by coin-flip
+    // and needs a model refresh before the run, which is exactly what
+    // t41 then quantifies). Composes p1's stages, p5's pack, and the
+    // t38 serve scan into 5 rows; every number reconciles against its
+    // source query's oracle. Scale: the chain's own cost + three
+    // lang-keyed aggs and one serve scan — nothing new above |docs|.
+    "p7_run_report" -> ((s, d) => {
+      import graft.ops.{CurationLedger => CL}
+      val st = CL.stages(s, d)
+      val raw = st.raw.groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
+      val gate = st.s2.groupBy(col("lang")).agg(count(lit(1)).as("n_gate"))
+      val fin = st.s6.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_final"), sum(col("ntok")).as("tokens_out"))
+      val shards = CL.packShards(st.s6).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_shards"))
+      val p = graft.ops.ClassifierIndex.ensure(s, d,
+        graft.ops.ClassifierIndex.Binary)
+      val (seen, consts) = graft.ops.ClassifierIndex.trainModel(s, p, 2)
+      val tf = st.s6
+        .select(col("doc_id"),
+          explode(graft.ops.TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val margins = graft.ops.ClassifierOps.nbScore(seen, consts, tf,
+          st.s6.select(col("doc_id")))
+        .join(st.s6.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(sum(col("margin_ppm")).as("smargin"), count(lit(1)).as("nm"))
+      raw.join(gate, "lang").join(fin, "lang").join(shards, "lang")
+        .join(margins, "lang")
+        .select(col("lang"), col("n_raw"), col("n_gate"), col("n_final"),
+          col("tokens_out"), col("n_shards"),
+          expr("smargin div nm").as("mean_margin_ppm"))
+        .orderBy(col("lang"))
+    }),
+
+    // Training read-order planner: interleave the packed shards into ONE
+    // global order whose every prefix tracks the target language mixture
+    // (a run that reads lang-major drifts wildly — the model sees hours
+    // of pure `en` before the first `zh` shard; curriculum and loss
+    // stability both want the stream mixed from token one). Deterministic
+    // smooth round-robin (Sainte-Laguë/Webster seat scheduling): lang L's
+    // k-th shard gets priority (2k−1)·10¹²∕n_L and the global order is
+    // (priority, lang, shard) — no RNG, re-runs bit-identical. Readout
+    // per lang: the MAX prefix drift |realized − target| token share over
+    // all steady prefixes (≥20% of the run — tiny prefixes are
+    // degenerate: shard 1 is 100% one lang), side by side with the same
+    // drift under naive lang-major order (the audit measures the
+    // operator's own value: ~30–55k ppm interleaved vs 150–580k naive at
+    // sf0.001). Scale: this plans over the shard MANIFEST (corpus
+    // tokens ∕ ShardTokens rows — the artifact a run materializes
+    // anyway), not the corpus; the global sort and the langs×positions
+    // drift grid are manifest-sized, and the per-lang running sums are
+    // 5-way-parallel lang-partitioned windows.
+    "p8_train_order" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.{CurationLedger => CL}
+      val shards = CL.packShards(CL.stages(s, d).s6).localCheckpoint()
+      val lc = shards.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_l"), sum(col("stoks")).as("tok_l"))
+      val tot = shards.agg(sum(col("stoks")).as("t_all"))
+      val ord = shards.join(broadcast(lc), "lang")
+        .withColumn("k", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("shard"))))
+        .withColumn("prio", expr("(2 * k - 1) * 1000000000000 div n_l"))
+      def drifted(pos: DataFrame): DataFrame =
+        pos.crossJoin(broadcast(lc.select(col("lang").as("l"),
+            col("tok_l"))))
+          .crossJoin(broadcast(tot))
+          .withColumn("cum_l", sum(when(col("lang") === col("l"),
+            col("stoks")).otherwise(0L)).over(
+            Window.partitionBy(col("l")).orderBy(col("pos"))))
+          .select(col("l").as("lang"), col("pos"),
+            expr("abs(cum_l * 1000000 div cum_all" +
+              " - tok_l * 1000000 div t_all)").as("drift"),
+            (col("cum_all") * 5 >= col("t_all")).as("steady"))
+      val gw = Window.orderBy(col("prio"), col("lang"), col("shard"))
+      val gpos = ord.withColumn("pos", row_number().over(gw))
+        .withColumn("cum_all", sum(col("stoks")).over(
+          gw.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("lang"), col("shard"), col("stoks"), col("pos"),
+          col("cum_all"))
+        .localCheckpoint()
+      val nw = Window.orderBy(col("lang"), col("shard"))
+      val npos = shards.withColumn("pos", row_number().over(nw))
+        .withColumn("cum_all", sum(col("stoks")).over(
+          nw.rowsBetween(Window.unboundedPreceding, 0)))
+      val dr = drifted(gpos).filter(col("steady")).localCheckpoint()
+      val mx = dr.groupBy(col("lang")).agg(max(col("drift"))
+        .as("steady_drift_ppm"))
+      val nmx = drifted(npos).filter(col("steady"))
+        .groupBy(col("lang")).agg(max(col("drift")).as("naive_drift_ppm"))
+      val worst = dr.join(mx, "lang")
+        .filter(col("drift") === col("steady_drift_ppm"))
+        .groupBy(col("lang")).agg(min(col("pos")).as("worst_pos"))
+      lc.crossJoin(broadcast(tot)).join(mx, "lang").join(nmx, "lang")
+        .join(worst, "lang")
+        .select(col("lang"), col("n_l").as("n_shards"),
+          col("tok_l").as("tokens_out"),
+          expr("tok_l * 1000000 div t_all").as("target_ppm"),
+          col("steady_drift_ppm"), col("naive_drift_ppm"), col("worst_pos"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -638,7 +746,82 @@ object PipelineQueries {
          |FROM mfo o FULL OUTER JOIN mfn n
          |  ON o.lang = n.lang AND o.shard = n.shard
          |ORDER BY lang, shard""".stripMargin
-    }
+    },
+    // the full chain + three lang-keyed tails + the margin join — every
+    // column re-derivable from its source query's own oracle
+    "p7_run_report" ->
+      s"""$p1ChainSql,
+         |rawc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_raw
+         |         FROM documents GROUP BY 1),
+         |g2 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_gate
+         |       FROM st2 GROUP BY 1),
+         |f6 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_final,
+         |         CAST(sum(ntok) AS BIGINT) AS tokens_out
+         |       FROM st6 GROUP BY 1),
+         |shc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_shards
+         |        FROM shards GROUP BY 1),
+         |mm AS (SELECT s6.lang, CAST(sum(m.margin) AS BIGINT) AS smargin,
+         |         CAST(count(*) AS BIGINT) AS nm
+         |       FROM st6 s6 JOIN mg m USING (doc_id) GROUP BY 1)
+         |SELECT r.lang, n_raw, n_gate, n_final, tokens_out, n_shards,
+         |  CAST(smargin // nm AS BIGINT) AS mean_margin_ppm
+         |FROM rawc r JOIN g2 USING (lang) JOIN f6 USING (lang)
+         |JOIN shc USING (lang) JOIN mm USING (lang)
+         |ORDER BY lang""".stripMargin,
+    // the chain's shard manifest + smooth round-robin priorities + the
+    // steady-prefix drift grids for both orders
+    "p8_train_order" ->
+      s"""$p1ChainSql,
+         |lcx AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l,
+         |          CAST(sum(stoks) AS BIGINT) AS tok_l
+         |        FROM shards GROUP BY 1),
+         |totx AS (SELECT CAST(sum(stoks) AS BIGINT) AS t_all FROM shards),
+         |ordx AS (
+         |  SELECT s.lang, s.shard, s.stoks,
+         |    (2 * (row_number() OVER (PARTITION BY s.lang
+         |      ORDER BY s.shard)) - 1) * 1000000000000 // l.n_l AS prio
+         |  FROM shards s JOIN lcx l USING (lang)),
+         |gposx AS MATERIALIZED (
+         |  SELECT lang, stoks,
+         |    row_number() OVER (ORDER BY prio, lang, shard) AS pos,
+         |    sum(stoks) OVER (ORDER BY prio, lang, shard) AS cum_all
+         |  FROM ordx),
+         |nposx AS MATERIALIZED (
+         |  SELECT lang, stoks,
+         |    row_number() OVER (ORDER BY lang, shard) AS pos,
+         |    sum(stoks) OVER (ORDER BY lang, shard) AS cum_all
+         |  FROM shards),
+         |drx AS (
+         |  SELECT l.lang, g.pos,
+         |    abs(sum(CASE WHEN g.lang = l.lang THEN g.stoks ELSE 0 END)
+         |        OVER (PARTITION BY l.lang ORDER BY g.pos)
+         |      * 1000000 // g.cum_all
+         |      - l.tok_l * 1000000 // t.t_all) AS drift,
+         |    g.cum_all * 5 >= t.t_all AS steady
+         |  FROM gposx g CROSS JOIN lcx l CROSS JOIN totx t),
+         |ndrx AS (
+         |  SELECT l.lang,
+         |    abs(sum(CASE WHEN g.lang = l.lang THEN g.stoks ELSE 0 END)
+         |        OVER (PARTITION BY l.lang ORDER BY g.pos)
+         |      * 1000000 // g.cum_all
+         |      - l.tok_l * 1000000 // t.t_all) AS drift,
+         |    g.cum_all * 5 >= t.t_all AS steady
+         |  FROM nposx g CROSS JOIN lcx l CROSS JOIN totx t),
+         |mxx AS (SELECT lang, CAST(max(drift) AS BIGINT)
+         |          AS steady_drift_ppm
+         |        FROM drx WHERE steady GROUP BY lang),
+         |nmxx AS (SELECT lang, CAST(max(drift) AS BIGINT)
+         |           AS naive_drift_ppm
+         |         FROM ndrx WHERE steady GROUP BY lang)
+         |SELECT l.lang, l.n_l AS n_shards, l.tok_l AS tokens_out,
+         |  CAST(l.tok_l * 1000000 // t.t_all AS BIGINT) AS target_ppm,
+         |  m.steady_drift_ppm, n.naive_drift_ppm,
+         |  CAST((SELECT min(pos) FROM drx d WHERE d.lang = l.lang
+         |        AND d.steady AND d.drift = m.steady_drift_ppm) AS BIGINT)
+         |    AS worst_pos
+         |FROM lcx l CROSS JOIN totx t JOIN mxx m USING (lang)
+         |JOIN nmxx n USING (lang)
+         |ORDER BY lang""".stripMargin
   )
 
   /** The chain's FRONT half (normalize + pinned-model gate, through

@@ -33,6 +33,8 @@ object SimilarityQueries {
     * near-dups — see [[plantedVecs]]. */
   val SemTauProd = 0.95
   val PlantMod = 3    // every vec_id % 3 == 0 gains a near-identical twin
+  val M8Batch = 16    // m8: contrastive batch size
+  val M8Strata = 8    // m8: assignment strata (batches never cross strata)
   val RrfDfCap = 100  // n16 lexical side: drop terms with df > cap
   val MrlDims = 16    // n17: matryoshka prefix length (64 → 16 dims)
   val JlDims = 16     // n22: JL projection target dims (64 → 16)
@@ -278,6 +280,66 @@ object SimilarityQueries {
     "n3_embedding_neardup" -> ((s, d) => {
       cosineNearDupPairs(vecs(s, d), NearDupTau)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Contrastive-batch construction with a false-negative audit and
+    // repair (the CLIP/SigLIP training-data problem: in-batch negatives
+    // are WRONG when two near-duplicate pairs land in one batch — the
+    // "false negative" the papers' data pipelines dedup batches for).
+    // Assignment is stratified — salted-md5 stratum, per-stratum rank,
+    // batch = rank div B — so NO global sort ever happens (the q91
+    // bounded-window discipline; batches never cross strata, the same
+    // per-stratum packing contract as p1's shards). The audit joins the
+    // near-dup pairs (planted corpus, exact all-pairs ground truth at
+    // test scale — at 100 TB the d23/LSH bucket path supplies the same
+    // (id_a,id_b) frame) against the assignment; repair deterministically
+    // advances each collision's larger member one batch within its
+    // stratum (mod wrap) and HONESTLY recounts residual collisions —
+    // moves can collide anew, and the readout would show it. Per batch:
+    // members and in-batch near-dup pairs, before and after repair.
+    "m8_batch_negatives" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = plantedVecs(s, d)
+      val asg = v.select(col("id"),
+          graft.ops.TextOps.hash60(
+            concat(lit("m8|"), col("id").cast("string"))).as("hv"))
+        .withColumn("st", expr(s"hv % $M8Strata"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("st").orderBy("hv", "id")))
+      val nlb = asg.groupBy(col("st"))
+        .agg(expr(s"(max(rn) + ${M8Batch - 1}) div $M8Batch").as("nb"))
+      val a2 = asg.select(col("id"), col("st"),
+        expr(s"(rn - 1) div $M8Batch").as("lb")).localCheckpoint()
+      val pairs = cosineNearDupPairs(v, SemTauProd)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      def collisions(a: DataFrame): DataFrame = pairs
+        .join(a.select(col("id").as("id_a"), col("st"), col("lb")), "id_a")
+        .join(a.select(col("id").as("id_b"), col("st").as("st_b"),
+          col("lb").as("lb_b")), "id_b")
+        .filter(col("st") === col("st_b") && col("lb") === col("lb_b"))
+        .select(col("id_a"), col("id_b"), col("st"), col("lb"))
+      val coll = collisions(a2).localCheckpoint()
+      val moved = coll.select(col("id_b").as("id")).distinct()
+      val a3 = a2.join(broadcast(nlb), "st")
+        .join(moved.withColumn("m", lit(1)), Seq("id"), "left")
+        .withColumn("lb", when(col("m").isNotNull,
+          (col("lb") + 1) % col("nb")).otherwise(col("lb")))
+        .select(col("id"), col("st"), col("lb")).localCheckpoint()
+      val b0 = a2.groupBy(col("st"), col("lb"))
+        .agg(count(lit(1)).as("n_before"))
+      val b1 = a3.groupBy(col("st"), col("lb"))
+        .agg(count(lit(1)).as("n_after"))
+      val c0 = coll.groupBy(col("st"), col("lb"))
+        .agg(count(lit(1)).as("coll_before"))
+      val c1 = collisions(a3).groupBy(col("st"), col("lb"))
+        .agg(count(lit(1)).as("coll_after"))
+      b0.join(c0, Seq("st", "lb"), "left").join(b1, Seq("st", "lb"), "left")
+        .join(c1, Seq("st", "lb"), "left")
+        .select(col("st"), col("lb"), col("n_before"),
+          coalesce(col("coll_before"), lit(0L)).as("coll_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          coalesce(col("coll_after"), lit(0L)).as("coll_after"))
+        .orderBy(col("st"), col("lb"))
     }),
 
     // IVF ANN: label partitions as inverted lists, exact-decimal centroids
@@ -2390,6 +2452,49 @@ object SimilarityQueries {
          |  CASE WHEN n_removed = 0 THEN NULL
          |       ELSE (n_hit * 10000) // n_removed END AS precision_bp
          |FROM counts""".stripMargin,
+    "m8_batch_negatives" ->
+      s"""WITH $dkPlantedV,
+         |h AS (SELECT id,
+         |        ('0x' || substr(md5('m8|' || id), 1, 15))::BIGINT AS hv
+         |      FROM v),
+         |asg AS (SELECT id, hv % $M8Strata AS st,
+         |        row_number() OVER (PARTITION BY hv % $M8Strata
+         |                           ORDER BY hv, id) AS rn FROM h),
+         |nlb AS (SELECT st, (max(rn) + ${M8Batch - 1}) // $M8Batch AS nb
+         |        FROM asg GROUP BY st),
+         |a2 AS (SELECT id, st, (rn - 1) // $M8Batch AS lb FROM asg),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM v a JOIN v b ON a.id < b.id
+         |  WHERE ${dot2("a.emb", "b.emb")}
+         |    / sqrt(${n2of("a.emb")} * ${n2of("b.emb")}) >= $SemTauProd),
+         |coll AS (
+         |  SELECT p.id_a, p.id_b, x.st, x.lb FROM pairs p
+         |  JOIN a2 x ON x.id = p.id_a
+         |  JOIN a2 y ON y.id = p.id_b AND y.st = x.st AND y.lb = x.lb),
+         |moved AS (SELECT DISTINCT id_b AS id FROM coll),
+         |a3 AS (
+         |  SELECT a2.id, a2.st,
+         |    CASE WHEN a2.id IN (SELECT id FROM moved)
+         |         THEN (a2.lb + 1) % nlb.nb ELSE a2.lb END AS lb
+         |  FROM a2 JOIN nlb USING (st)),
+         |coll2 AS (
+         |  SELECT p.id_a, p.id_b, x.st, x.lb FROM pairs p
+         |  JOIN a3 x ON x.id = p.id_a
+         |  JOIN a3 y ON y.id = p.id_b AND y.st = x.st AND y.lb = x.lb),
+         |b0 AS (SELECT st, lb, count(*) AS n_before FROM a2 GROUP BY 1, 2),
+         |b1 AS (SELECT st, lb, count(*) AS n_after FROM a3 GROUP BY 1, 2),
+         |c0 AS (SELECT st, lb, count(*) AS coll_before FROM coll
+         |       GROUP BY 1, 2),
+         |c1 AS (SELECT st, lb, count(*) AS coll_after FROM coll2
+         |       GROUP BY 1, 2)
+         |SELECT st, lb, b0.n_before,
+         |  coalesce(c0.coll_before, 0) AS coll_before,
+         |  coalesce(b1.n_after, 0) AS n_after,
+         |  coalesce(c1.coll_after, 0) AS coll_after
+         |FROM b0 LEFT JOIN c0 USING (st, lb) LEFT JOIN b1 USING (st, lb)
+         |LEFT JOIN c1 USING (st, lb)
+         |ORDER BY st, lb""".stripMargin,
     "n13_multiprobe_lsh" ->
       s"""WITH v AS (
          |  SELECT vec_id AS id,

@@ -29,6 +29,46 @@ object TextQueries {
   val Bm25DfPct = 80
   private val Fp: Long = 1L << 20
 
+  /** The BM25 ranking kernel shared by t36 (end-to-end) and t50 (serving
+    * from the persisted [[graft.ops.Bm25Index]]): integer idf via the
+    * bit-length ln approximation, k1=1.2/b=0.75 saturation in 2²⁰
+    * fixed point, top-k per query. `tf` carries (tok, did, tf[, dl]);
+    * when `dl` is given it joins AFTER the query-term broadcast join
+    * (t36's shape — only candidate postings pay the length join), when
+    * absent the doc length is expected inline (the index denormalizes
+    * it into the posting row, the classic impact-ordered layout that
+    * makes serving join-free on the corpus side). Exact BIGINT
+    * throughout, so index-served scores are bit-identical to the
+    * end-to-end form and both share one oracle. */
+  private[graft] def bm25Rank(tf: DataFrame, dl: Option[DataFrame],
+      qterms: DataFrame, stats: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_ppm").desc, col("did"))
+    val cand = tf.join(broadcast(qterms), "tok")
+      .filter(col("did") =!= col("qid"))
+    val withLen = dl.map(cand.join(_, "did")).getOrElse(cand)
+    withLen.crossJoin(broadcast(stats))
+      .withColumn("arg_fp",
+        expr(s"${Fp}L + ((2*n_docs - 2*df + 1) * ${Fp}L) div (2*df + 1)"))
+      .withColumn("lp", expr("length(bin(arg_fp)) - 1"))
+      .withColumn("pw", expr("shiftleft(1L, cast(lp AS INT))"))
+      .withColumn("idf_ppm", expr(
+        s"(((lp - 20) * ${Fp}L + ((arg_fp - pw) * ${Fp}L) div pw) * 693147) div ${Fp}L"))
+      .withColumn("norm_fp",
+        expr(s"${Fp / 4}L + (3 * dl * n_docs * ${Fp}L) div (4 * n_toks)"))
+      .withColumn("sat_ppm", expr(
+        s"(tf * 2200000 * ${Fp}L) div (tf * ${Fp}L + (6 * norm_fp) div 5)"))
+      .groupBy(col("qid"), col("did"))
+      .agg(sum(expr("(idf_ppm * sat_ppm) div 1000000")).as("score_ppm"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("did").as("doc_id"), col("score_ppm"), col("n_terms"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** t38 keep-label threshold: stop_ratio ≥ 600 bp splits the corpus
     * ~50/50 at both sf0.01 and sf0.1 (measured medians 611/625 bp), so
     * the distilled classifier trains on a balanced label. */
@@ -78,6 +118,62 @@ object TextQueries {
     val pred = graft.ops.ClassifierOps.nbScore(seen, consts, tf,
       teach.select(col("doc_id")))
     (teach, pred)
+  }
+
+  /** t46's trainer body: runs the 4 BPE merge rounds and returns the
+    * learned merges (round, left, right, weight, symbols_after) plus
+    * the FINAL per-word symbol table (word, pos, sym, cnt) — t48's
+    * fertility audit consumes the latter. */
+  private[graft] def bpeTrain(s: SparkSession, d: String)
+      : (Seq[(Long, String, String, Long, Long)], DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = Tables.fanout(Tables.documents(s, d))
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    var sym = wc
+      .select(col("word"), col("cnt"), posexplode(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
+      .withColumn("pos", (col("pos") + 1).cast("long"))
+      .select(col("word"), col("pos"), col("col").as("sym"), col("cnt"))
+      .localCheckpoint()
+    val out = (1 to 4).map { r =>
+      val adj = sym.as("a").join(sym.as("b"),
+        col("a.word") === col("b.word")
+          && col("b.pos") === col("a.pos") + 1)
+      val best = adj
+        .groupBy(col("a.sym").as("l"), col("b.sym").as("rr"))
+        .agg(sum(col("a.cnt")).as("w"))
+        .orderBy(col("w").desc, col("l"), col("rr"))
+        .limit(1).collect().head
+      val (bl, br, bw) = (best.getString(0), best.getString(1),
+        best.getLong(2))
+      val mt = adj
+        .filter(col("a.sym") === bl && col("b.sym") === br)
+        .select(col("a.word").as("word"), col("a.pos").as("pos"))
+        .withColumn("grp", col("pos") - row_number().over(
+          Window.partitionBy(col("word")).orderBy(col("pos"))))
+        .withColumn("off", col("pos") - min(col("pos")).over(
+          Window.partitionBy(col("word"), col("grp"))))
+        .filter(col("off") % 2 === 0)
+        .select(col("word"), col("pos"), lit(1).as("hit"))
+        .localCheckpoint()
+      sym = sym
+        .join(mt.select(col("word"), col("pos"), col("hit")),
+          Seq("word", "pos"), "left")
+        .join(mt.select(col("word"), (col("pos") + 1).as("pos"),
+          col("hit").as("drop")), Seq("word", "pos"), "left")
+        .filter(col("drop").isNull)
+        .select(col("word"), col("pos"),
+          when(col("hit").isNotNull, concat(col("sym"), lit(br)))
+            .otherwise(col("sym")).as("sym"), col("cnt"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("word")).orderBy(col("pos")))
+          .cast("long"))
+        .localCheckpoint()
+      (r.toLong, bl, br, bw, sym.count())
+    }
+    (out, sym)
   }
 
   /** t44's hashed-bigram feature stream: (doc_id, b) — one row per
@@ -136,6 +232,58 @@ object TextQueries {
 
   // Shared DuckDB fragments (mirror of TextOps)
   private val dkToks = "string_split_regex(trim(text), '\\s+')"
+
+  /** t46's 4 unrolled BPE rounds as a WITH-fragment (w0/wc/s1 + per-round
+    * pair-weight, argmax, greedy-leftmost match, rewrite CTEs, ending in
+    * `s5`) — shared by the trainer oracle and t48's fertility tail. Kept
+    * margin-pipes intact: only the consuming template strips (the q94
+    * double-strip gotcha). */
+  private lazy val dkBpeRoundCtes: String = {
+    def roundSql(r: Int) =
+      s"""pr$r AS (
+         |  SELECT a.sym AS l, b.sym AS rr, CAST(sum(a.cnt) AS BIGINT) AS w
+         |  FROM s$r a JOIN s$r b ON b.word = a.word AND b.pos = a.pos + 1
+         |  GROUP BY 1, 2),
+         |bst$r AS (SELECT l, rr, w FROM pr$r
+         |          ORDER BY w DESC, l, rr LIMIT 1),
+         |mt0$r AS (
+         |  SELECT a.word, a.pos
+         |  FROM s$r a JOIN s$r b ON b.word = a.word AND b.pos = a.pos + 1
+         |  JOIN bst$r x ON a.sym = x.l AND b.sym = x.rr),
+         |mt1$r AS (
+         |  SELECT word, pos,
+         |    pos - row_number() OVER (PARTITION BY word ORDER BY pos)
+         |      AS grp
+         |  FROM mt0$r),
+         |mt$r AS (
+         |  SELECT word, pos FROM (
+         |    SELECT word, pos,
+         |      pos - min(pos) OVER (PARTITION BY word, grp) AS off
+         |    FROM mt1$r) WHERE off % 2 = 0),
+         |s${r + 1} AS MATERIALIZED (
+         |  SELECT word, row_number() OVER (PARTITION BY word ORDER BY pos)
+         |    AS pos, sym, cnt
+         |  FROM (
+         |    SELECT s.word, s.pos,
+         |      CASE WHEN m.pos IS NOT NULL THEN s.sym ||
+         |        (SELECT rr FROM bst$r) ELSE s.sym END AS sym,
+         |      s.cnt
+         |    FROM s$r s
+         |    LEFT JOIN mt$r m ON m.word = s.word AND m.pos = s.pos
+         |    LEFT JOIN mt$r m2 ON m2.word = s.word AND m2.pos + 1 = s.pos
+         |    WHERE m2.pos IS NULL))"""
+    val rounds = (1 to 4).map(roundSql).mkString(",\n")
+    s"""w0 AS (
+       |  SELECT unnest($dkToks) AS word FROM documents),
+       |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM w0 WHERE word <> '' GROUP BY 1),
+       |s1 AS MATERIALIZED (
+       |  SELECT word, CAST(u.i AS BIGINT) AS pos,
+       |    substr(word, u.i, 1) AS sym, cnt
+       |  FROM wc, LATERAL (SELECT unnest(generate_series(1, len(word)))
+       |    AS i) u),
+       |$rounds"""
+  }
   private def dkHash60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
   private def dkWordSet(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -718,7 +866,6 @@ object TextQueries {
     // broadcast. Overflow headroom: dl·N·2²⁰ needs dl·N < 2⁴³ — at larger
     // N pre-divide n_toks/n_docs into a fixed-point avgdl instead.
     "t36_bm25" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = Tables.fanout(Tables.documents(s, d))
         .select(col("doc_id"), tokens(col("text")).as("toks"))
       val tf = docs.select(col("doc_id").as("did"), explode(col("toks")).as("tok"))
@@ -733,30 +880,172 @@ object TextQueries {
       val qterms = docs.filter(col("doc_id") < Bm25Queries)
         .select(col("doc_id").as("qid"), explode(array_distinct(col("toks"))).as("tok"))
         .join(dfT, "tok")
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("score_ppm").desc, col("did"))
-      tf.join(broadcast(qterms), "tok")
-        .filter(col("did") =!= col("qid"))
-        .join(dl, "did")
-        .crossJoin(broadcast(stats))
-        .withColumn("arg_fp",
-          expr(s"${Fp}L + ((2*n_docs - 2*df + 1) * ${Fp}L) div (2*df + 1)"))
-        .withColumn("lp", expr("length(bin(arg_fp)) - 1"))
-        .withColumn("pw", expr("shiftleft(1L, cast(lp AS INT))"))
-        .withColumn("idf_ppm", expr(
-          s"(((lp - 20) * ${Fp}L + ((arg_fp - pw) * ${Fp}L) div pw) * 693147) div ${Fp}L"))
-        .withColumn("norm_fp",
-          expr(s"${Fp / 4}L + (3 * dl * n_docs * ${Fp}L) div (4 * n_toks)"))
-        .withColumn("sat_ppm", expr(
-          s"(tf * 2200000 * ${Fp}L) div (tf * ${Fp}L + (6 * norm_fp) div 5)"))
-        .groupBy(col("qid"), col("did"))
-        .agg(sum(expr("(idf_ppm * sat_ppm) div 1000000")).as("score_ppm"),
-          count(lit(1)).as("n_terms"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= Bm25TopK)
-        .select(col("qid").as("query_id"), col("rank"),
-          col("did").as("doc_id"), col("score_ppm"), col("n_terms"))
-        .orderBy(col("query_id"), col("rank"))
+      bm25Rank(tf, Some(dl), qterms, stats)
+    }),
+
+    // BM25 served from the PERSISTED inverted index (the t36-vs-t50
+    // split is n14-vs-n15 for lexical retrieval: t36 re-derives tf/df/
+    // length tables from the corpus inside every invocation; a real
+    // search tier builds the index once and serves many query sets from
+    // it). [[graft.ops.Bm25Index]] materializes postings (tok, did, tf,
+    // dl — doc length denormalized into the posting row, so serving
+    // never joins the corpus) and the lexicon, both written
+    // partitionBy(bucket = hash(tok) % 32): the query's term buckets are
+    // resolved on the driver (a query set's vocabulary is small by
+    // definition) and pushed as partition filters — the scan reads ONLY
+    // the probed buckets' directories, never the rest of the index.
+    // Exact-BIGINT stats make served scores bit-identical to t36: one
+    // oracle gates both.
+    "t50_bm25_serve" -> ((s, d) => graft.ops.Bm25Index.serve(s, d)),
+
+    // CCNet perplexity buckets (Wenzek et al. 2020: score every candidate
+    // doc with a reference LM, split each language at its own score
+    // terciles, keep the head — THE reference methodology for
+    // perplexity-based quality selection) served from the PERSISTED
+    // stupid-backoff model ([[graft.ops.LmIndex]] — t37's count tables
+    // built once per corpus; scoring here is bit-identical to t37's
+    // in-query form, so the model artifact is oracle-gated through this
+    // query). Per-lang tercile boundaries come from a bounded md5-decided
+    // reservoir (q91/t42's discipline: ≤160 rows per lang through the
+    // rank window, NEVER an ntile over the corpus), kept as a 5-row
+    // broadcast frame — no driver collect. Output per (lang, bucket):
+    // docs, mean/min/max LM score. Scale: one holdout scoring pass
+    // (vocab-bounded model joins) + the bounded reservoir + one
+    // broadcast boundary join + one (lang,bucket) agg.
+    "t51_ppl_buckets" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = graft.ops.LmIndex.ensure(s, d)
+      val scl = graft.ops.LmIndex.scoreHoldout(s, d, p)
+        .select(col("doc_id"), col("avg_ppm"))
+        .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          "doc_id")
+        .localCheckpoint() // sampled AND bucketed below
+      val smp = scl.withColumn("h", hash60(concat(lit("t51|"),
+          col("doc_id").cast("string"))))
+        .withColumn("brn", row_number().over(
+          Window.partitionBy(col("lang"), col("h") % 8)
+            .orderBy(col("h"), col("doc_id"))))
+        .filter(col("brn") <= 20)
+      val rk = smp.withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("avg_ppm"), col("doc_id"))))
+        .withColumn("ns", count(lit(1)).over(
+          Window.partitionBy(col("lang"))))
+      val bnd = rk.groupBy(col("lang")).agg(
+        max(when(col("rn") === greatest(expr("ns div 3"), lit(1L)),
+          col("avg_ppm"))).as("b1"),
+        max(when(col("rn") === greatest(expr("(2 * ns) div 3"), lit(1L)),
+          col("avg_ppm"))).as("b2"))
+      scl.join(broadcast(bnd), "lang")
+        .withColumn("bucket",
+          when(col("avg_ppm") > col("b2"), 2L)
+            .when(col("avg_ppm") > col("b1"), 1L).otherwise(0L))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(avg_ppm) div count(1)").as("mean_avg_ppm"),
+          min(col("avg_ppm")).as("min_avg"),
+          max(col("avg_ppm")).as("max_avg"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
+    // Gopher quality-rule battery (Rae et al. 2021 Appendix A — THE
+    // published heuristic filter set that Dolma/FineWeb/RefinedWeb all
+    // reimplement): per-doc verdicts for the 13 rules expressible on a
+    // whitespace corpus — word count ∈ [50, 100k], mean word length ∈
+    // [3, 10], ≥2 stop words, ≥80% alphabetic words, top-{2,3,4}-gram
+    // CHARACTER fraction ≤ {20,18,16}%, and duplicated-{5..10}-gram
+    // character fraction ≤ {15,14,13,12,11,10}% (overlapping duplicate
+    // occurrences cover a character ONCE — interval-union coverage, the
+    // d37 gaps-and-islands machinery, not t31's occurrence counts; the
+    // line/paragraph rules need newlines this corpus lacks and are
+    // documented out). dup3/dup4 coverage ship as readouts with no
+    // verdict — no published threshold, but they are nonzero here, so
+    // the oracle genuinely gates the islands path that dup5..10 (all
+    // zero on this corpus) cannot. Char offsets live in the normalized
+    // single-space coordinate system (denominator total_len + N − 1) —
+    // layout-independent and engine-identical. Scale shape: one token
+    // explode, two per-doc windows (offsets + 9 leads), a ≤9×|tokens|
+    // gram explode, and per-(doc,n) windows — everything partitions by
+    // doc_id; no cross-doc join anywhere.
+    "t52_gopher_rules" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val inst = Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("tl", length(col("tok")).cast("long"))
+      val wPrev = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val o = inst
+        .withColumn("s", coalesce(sum(col("tl") + 1).over(wPrev), lit(0L)))
+        .withColumn("endp", col("tl") + col("s"))
+      val wLead = Window.partitionBy("doc_id").orderBy("pos")
+      val l = (1 to 9).foldLeft(o) { (df, j) =>
+        df.withColumn(s"t$j", lead(col("tok"), j).over(wLead))
+          .withColumn(s"e$j", lead(col("endp"), j).over(wLead))
+      }
+      val giStructs = (2 to 10).map { n =>
+        val g = concat_ws(" ", (col("tok") +: (1 until n).map(j => col(s"t$j"))): _*)
+        when(col(s"e${n - 1}").isNotNull,
+          struct(lit(n.toLong).as("n"), g.as("g"), col("s").as("gs"),
+            col(s"e${n - 1}").as("ge")))
+      }
+      // gram instances feed BOTH the top-gram agg and the dup-coverage
+      // join — checkpoint so the double windows upstream run once
+      val gi = l.select(col("doc_id"), explode(array(giStructs: _*)).as("gr"))
+        .filter(col("gr").isNotNull)
+        .select(col("doc_id"), col("gr.n").as("n"), col("gr.g").as("g"),
+          col("gr.gs").as("s"), col("gr.ge").as("e"))
+        .localCheckpoint()
+      val gc = gi.groupBy(col("doc_id"), col("n"), col("g"))
+        .agg(count(lit(1)).as("c"), max(col("e") - col("s")).as("cl"))
+        .localCheckpoint()
+      val wTop = Window.partitionBy("doc_id", "n")
+        .orderBy(col("c").desc, col("cl").desc, col("g").asc)
+      val topp = gc.filter(col("n") <= 4)
+        .withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+        .groupBy(col("doc_id"))
+        .agg(max(when(col("n") === 2, col("c") * col("cl"))).as("top2_chars"),
+          (3 to 4).map(n => max(when(col("n") === n, col("c") * col("cl")))
+            .as(s"top${n}_chars")): _*)
+      val wCov = Window.partitionBy("doc_id", "n").orderBy("s", "e")
+      val covp = gi
+        .join(gc.filter(col("c") >= 2 && col("n") >= 3)
+          .select("doc_id", "n", "g"), Seq("doc_id", "n", "g"))
+        .withColumn("ni", when(col("s") > coalesce(
+          max(col("e")).over(wCov.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(-1L)), 1L).otherwise(0L))
+        .withColumn("isl_id", sum(col("ni"))
+          .over(wCov.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("doc_id"), col("n"), col("isl_id"))
+        .agg((max(col("e")) - min(col("s"))).as("seg"))
+        .groupBy(col("doc_id"), col("n")).agg(sum(col("seg")).as("covered"))
+        .groupBy(col("doc_id"))
+        .agg(max(when(col("n") === 3, col("covered"))).as("dup3_chars"),
+          (4 to 10).map(n => max(when(col("n") === n, col("covered")))
+            .as(s"dup${n}_chars")): _*)
+      val docstats = o.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("tl")).as("total_len"),
+          sum(when(col("tok").isin(stopwords: _*), 1L).otherwise(0L))
+            .as("stop_cnt"),
+          sum(when(col("tok").rlike("[a-z]"), 1L).otherwise(0L))
+            .as("alpha_cnt"))
+      val base = docstats
+        .join(topp, Seq("doc_id"), "left").join(covp, Seq("doc_id"), "left")
+        .withColumn("alpha_ppm", expr("alpha_cnt * 1000000 div n_words"))
+        .withColumn("nc", expr("total_len + n_words - 1"))
+      val withPpm = ((2 to 4).map(n => s"top$n") ++ (3 to 10).map(n => s"dup$n"))
+        .foldLeft(base) { (df, p) =>
+          df.withColumn(s"${p}_ppm",
+            expr(s"coalesce(${p}_chars, 0) * 1000000 div nc"))
+        }
+      withPpm
+        .withColumn("n_failed", expr(s"CAST($gopherFails AS BIGINT)"))
+        .select(Seq(col("doc_id"), col("n_words"),
+          expr("total_len * 100 div n_words").as("mean_wl_centi"),
+          col("stop_cnt"), col("alpha_ppm"),
+          col("top2_ppm"), col("top3_ppm"), col("top4_ppm")) ++
+          (3 to 10).map(n => col(s"dup${n}_ppm")) :+
+          col("n_failed") :+ (col("n_failed") === 0L).as("keep"): _*)
+        .orderBy(col("doc_id"))
     }),
 
     // Stupid-backoff bigram LM scoring (Brants et al. EMNLP 2007 — the
@@ -1326,56 +1615,36 @@ object TextQueries {
     // replays all 4 rounds declaratively — agreement proves the greedy
     // overlap semantics, not just the counts.
     "t46_bpe_train" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val wc = Tables.fanout(Tables.documents(s, d))
-        .select(explode(tokens(col("text"))).as("word"))
-        .filter(col("word") =!= "")
-        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      var sym = wc
-        .select(col("word"), col("cnt"), posexplode(expr(
-          "transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
-        .withColumn("pos", (col("pos") + 1).cast("long"))
-        .select(col("word"), col("pos"), col("col").as("sym"), col("cnt"))
-        .localCheckpoint()
-      val out = (1 to 4).map { r =>
-        val adj = sym.as("a").join(sym.as("b"),
-          col("a.word") === col("b.word")
-            && col("b.pos") === col("a.pos") + 1)
-        val best = adj
-          .groupBy(col("a.sym").as("l"), col("b.sym").as("rr"))
-          .agg(sum(col("a.cnt")).as("w"))
-          .orderBy(col("w").desc, col("l"), col("rr"))
-          .limit(1).collect().head
-        val (bl, br, bw) = (best.getString(0), best.getString(1),
-          best.getLong(2))
-        val mt = adj
-          .filter(col("a.sym") === bl && col("b.sym") === br)
-          .select(col("a.word").as("word"), col("a.pos").as("pos"))
-          .withColumn("grp", col("pos") - row_number().over(
-            Window.partitionBy(col("word")).orderBy(col("pos"))))
-          .withColumn("off", col("pos") - min(col("pos")).over(
-            Window.partitionBy(col("word"), col("grp"))))
-          .filter(col("off") % 2 === 0)
-          .select(col("word"), col("pos"), lit(1).as("hit"))
-          .localCheckpoint()
-        sym = sym
-          .join(mt.select(col("word"), col("pos"), col("hit")),
-            Seq("word", "pos"), "left")
-          .join(mt.select(col("word"), (col("pos") + 1).as("pos"),
-            col("hit").as("drop")), Seq("word", "pos"), "left")
-          .filter(col("drop").isNull)
-          .select(col("word"), col("pos"),
-            when(col("hit").isNotNull, concat(col("sym"), lit(br)))
-              .otherwise(col("sym")).as("sym"), col("cnt"))
-          .withColumn("pos", row_number().over(
-            Window.partitionBy(col("word")).orderBy(col("pos")))
-            .cast("long"))
-          .localCheckpoint()
-        (r.toLong, bl, br, bw, sym.count())
-      }
+      val (out, _) = bpeTrain(s, d)
       import s.implicits._
       out.toDF("round", "left_sym", "right_sym", "pair_weight",
         "symbols_after").orderBy(col("round"))
+    }),
+
+    // Tokenizer fertility audit (the multilingual-mix metric: symbols
+    // per word and chars per symbol under the t46-trained BPE, per
+    // language — a lang whose fertility runs hot pays more sequence
+    // budget per word of content, the classic under-represented-script
+    // tax; the number a tokenizer refresh is judged on). Composes the
+    // trainer's final rewrite with per-lang word instance counts —
+    // symbol counts come from the |vocab|-row table, instances from one
+    // (lang, word) agg, so cost is one corpus scan above the trainer.
+    "t48_tokenizer_fertility" -> ((s, d) => {
+      val (_, sym) = bpeTrain(s, d)
+      val nsym = sym.groupBy(col("word")).agg(count(lit(1)).as("ns"))
+      Tables.fanout(Tables.documents(s, d))
+        .select(col("lang"), explode(tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
+        .join(nsym, "word")
+        .groupBy(col("lang"))
+        .agg(sum(col("c")).as("n_words"),
+          sum(col("c") * col("ns")).as("n_symbols"),
+          sum(col("c") * length(col("word"))).as("chars"))
+        .select(col("lang"), col("n_words"), col("n_symbols"),
+          expr("n_symbols * 1000000 div n_words").as("fertility_ppm"),
+          expr("chars * 1000000 div n_symbols").as("chars_per_sym_ppm"))
+        .orderBy(col("lang"))
     }),
 
     // Token frequency spectrum (the Good-Turing count-of-counts /
@@ -2062,40 +2331,6 @@ object TextQueries {
     // 4 unrolled BPE rounds: pair weights, lexicographic argmax,
     // gaps-and-islands greedy-leftmost application, rewrite + re-index
     "t46_bpe_train" -> {
-      def roundSql(r: Int) =
-        s"""pr$r AS (
-           |  SELECT a.sym AS l, b.sym AS rr, CAST(sum(a.cnt) AS BIGINT) AS w
-           |  FROM s$r a JOIN s$r b ON b.word = a.word AND b.pos = a.pos + 1
-           |  GROUP BY 1, 2),
-           |bst$r AS (SELECT l, rr, w FROM pr$r
-           |          ORDER BY w DESC, l, rr LIMIT 1),
-           |mt0$r AS (
-           |  SELECT a.word, a.pos
-           |  FROM s$r a JOIN s$r b ON b.word = a.word AND b.pos = a.pos + 1
-           |  JOIN bst$r x ON a.sym = x.l AND b.sym = x.rr),
-           |mt1$r AS (
-           |  SELECT word, pos,
-           |    pos - row_number() OVER (PARTITION BY word ORDER BY pos)
-           |      AS grp
-           |  FROM mt0$r),
-           |mt$r AS (
-           |  SELECT word, pos FROM (
-           |    SELECT word, pos,
-           |      pos - min(pos) OVER (PARTITION BY word, grp) AS off
-           |    FROM mt1$r) WHERE off % 2 = 0),
-           |s${r + 1} AS MATERIALIZED (
-           |  SELECT word, row_number() OVER (PARTITION BY word ORDER BY pos)
-           |    AS pos, sym, cnt
-           |  FROM (
-           |    SELECT s.word, s.pos,
-           |      CASE WHEN m.pos IS NOT NULL THEN s.sym ||
-           |        (SELECT rr FROM bst$r) ELSE s.sym END AS sym,
-           |      s.cnt
-           |    FROM s$r s
-           |    LEFT JOIN mt$r m ON m.word = s.word AND m.pos = s.pos
-           |    LEFT JOIN mt$r m2 ON m2.word = s.word AND m2.pos + 1 = s.pos
-           |    WHERE m2.pos IS NULL))""".stripMargin
-      val rounds = (1 to 4).map(roundSql).mkString(",\n")
       val readout = (1 to 4).map { r =>
         s"""SELECT $r AS round, l AS left_sym, rr AS right_sym,
            |  w AS pair_weight,
@@ -2103,20 +2338,28 @@ object TextQueries {
            |    AS symbols_after
            |FROM bst$r""".stripMargin
       }.mkString("\nUNION ALL\n")
-      s"""WITH w0 AS (
-         |  SELECT unnest($dkToks) AS word FROM documents),
-         |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
-         |       FROM w0 WHERE word <> '' GROUP BY 1),
-         |s1 AS MATERIALIZED (
-         |  SELECT word, CAST(u.i AS BIGINT) AS pos,
-         |    substr(word, u.i, 1) AS sym, cnt
-         |  FROM wc, LATERAL (SELECT unnest(generate_series(1, len(word)))
-         |    AS i) u),
-         |$rounds
+      s"""WITH $dkBpeRoundCtes
          |SELECT CAST(round AS BIGINT) AS round, left_sym, right_sym,
          |  pair_weight, symbols_after
          |FROM ($readout) ORDER BY round""".stripMargin
     },
+    // the trainer's final rewrite (s5) joined to per-lang word
+    // instances — fertility and chars-per-symbol in exact ppm
+    "t48_tokenizer_fertility" ->
+      s"""WITH $dkBpeRoundCtes,
+         |nsym AS (SELECT word, CAST(count(*) AS BIGINT) AS ns
+         |         FROM s5 GROUP BY 1),
+         |wl AS (SELECT lang, unnest($dkToks) AS word FROM documents),
+         |wlc AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS c
+         |        FROM wl WHERE word <> '' GROUP BY 1, 2)
+         |SELECT w.lang, CAST(sum(w.c) AS BIGINT) AS n_words,
+         |  CAST(sum(w.c * n.ns) AS BIGINT) AS n_symbols,
+         |  CAST(sum(w.c * n.ns) * 1000000 // sum(w.c) AS BIGINT)
+         |    AS fertility_ppm,
+         |  CAST(sum(w.c * len(w.word)) * 1000000 // sum(w.c * n.ns)
+         |    AS BIGINT) AS chars_per_sym_ppm
+         |FROM wlc w JOIN nsym n USING (word)
+         |GROUP BY w.lang ORDER BY w.lang""".stripMargin,
     "t47_freq_spectrum" ->
       s"""WITH tk AS (SELECT unnest($dkToks) AS tok FROM documents),
          |tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
@@ -2757,7 +3000,199 @@ object TextQueries {
          |  (p.correct * 1000000) // p.n_docs
          |    - (ov.c * 1000000) // ov.n AS delta_ppm
          |FROM per p, ov ORDER BY p.lang""".stripMargin,
-    "t36_bm25" ->
+    "t36_bm25" -> bm25OracleSql,
+    // bit-identical serving contract: the persisted index stores exactly
+    // the values t36 recomputes, so one oracle gates both forms
+    "t50_bm25_serve" -> bm25OracleSql,
+    "t52_gopher_rules" -> gopherOracleSql,
+    // t37's scoring chain (persisted-model serving is bit-identical) +
+    // per-lang reservoir terciles + bucket rollup
+    "t51_ppl_buckets" ->
+      s"""WITH t AS (SELECT doc_id, lang, $dkToks AS toks FROM documents),
+         |mb AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+         |           i -> toks[i])) AS w1,
+         |         unnest(list_transform(generate_series(1, len(toks) - 1),
+         |           i -> toks[i + 1])) AS w2
+         |  FROM t WHERE doc_id % 4 <> 0 AND len(toks) > 1),
+         |pc AS (SELECT w1, w2, count(*) AS pair_cnt FROM mb GROUP BY w1, w2),
+         |fc AS (SELECT w1, count(*) AS pref_cnt FROM mb GROUP BY w1),
+         |uc AS (SELECT w2, count(*) AS uni_cnt FROM (
+         |         SELECT unnest(toks) AS w2 FROM t WHERE doc_id % 4 <> 0)
+         |       GROUP BY w2),
+         |n AS (SELECT count(*) AS n_tok FROM (
+         |        SELECT unnest(toks) AS w FROM t WHERE doc_id % 4 <> 0)),
+         |sb AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(generate_series(1, len(toks) - 1),
+         |           i -> toks[i])) AS w1,
+         |         unnest(list_transform(generate_series(1, len(toks) - 1),
+         |           i -> toks[i + 1])) AS w2
+         |  FROM t WHERE doc_id % 4 = 0 AND len(toks) > 1),
+         |sc AS MATERIALIZED (
+         |  SELECT sb.doc_id,
+         |    CAST(sum(CASE WHEN pc.pair_cnt IS NOT NULL
+         |                  THEN (pc.pair_cnt * 1000000) // fc.pref_cnt
+         |                  ELSE (coalesce(uc.uni_cnt, 0) * 2000000)
+         |                         // (5 * n.n_tok) END) AS BIGINT)
+         |      // count(*) AS avg_ppm
+         |  FROM sb
+         |  LEFT JOIN pc ON pc.w1 = sb.w1 AND pc.w2 = sb.w2
+         |  LEFT JOIN fc ON fc.w1 = sb.w1
+         |  LEFT JOIN uc ON uc.w2 = sb.w2
+         |  CROSS JOIN n GROUP BY sb.doc_id),
+         |scl AS (SELECT s.doc_id, s.avg_ppm, t.lang
+         |        FROM sc s JOIN t USING (doc_id)),
+         |smp AS (
+         |  SELECT lang, doc_id, avg_ppm, h FROM (
+         |    SELECT lang, doc_id, avg_ppm, h,
+         |      row_number() OVER (PARTITION BY lang, h % 8
+         |                         ORDER BY h, doc_id) AS brn
+         |    FROM (SELECT lang, doc_id, avg_ppm,
+         |            ('0x' || substr(md5('t51|' || doc_id), 1, 15))::BIGINT
+         |              AS h
+         |          FROM scl)) WHERE brn <= 20),
+         |rk AS (
+         |  SELECT lang, avg_ppm,
+         |    row_number() OVER (PARTITION BY lang
+         |                       ORDER BY avg_ppm, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS ns
+         |  FROM smp),
+         |bnd AS (
+         |  SELECT lang,
+         |    max(CASE WHEN rn = greatest(ns // 3, 1) THEN avg_ppm END)
+         |      AS b1,
+         |    max(CASE WHEN rn = greatest((2 * ns) // 3, 1) THEN avg_ppm
+         |        END) AS b2
+         |  FROM rk GROUP BY lang)
+         |SELECT s.lang,
+         |  CAST(CASE WHEN s.avg_ppm > b.b2 THEN 2
+         |       WHEN s.avg_ppm > b.b1 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(s.avg_ppm) // count(*) AS BIGINT) AS mean_avg_ppm,
+         |  CAST(min(s.avg_ppm) AS BIGINT) AS min_avg,
+         |  CAST(max(s.avg_ppm) AS BIGINT) AS max_avg
+         |FROM scl s JOIN bnd b USING (lang)
+         |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+  )
+
+  /** t52's 13 Gopher verdicts as ONE shared CASE-sum string — no division
+    * anywhere in it, so the identical text parses in Spark and DuckDB
+    * (the ppm operands are computed per-engine upstream). Thresholds are
+    * the published Appendix-A values. */
+  private lazy val gopherFails: String = {
+    val th = Map(2 -> 200000, 3 -> 180000, 4 -> 160000, 5 -> 150000,
+      6 -> 140000, 7 -> 130000, 8 -> 120000, 9 -> 110000, 10 -> 100000)
+    (Seq(
+      "CASE WHEN n_words BETWEEN 50 AND 100000 THEN 0 ELSE 1 END",
+      "CASE WHEN total_len * 100 BETWEEN 300 * n_words AND 1000 * n_words THEN 0 ELSE 1 END",
+      "CASE WHEN stop_cnt >= 2 THEN 0 ELSE 1 END",
+      "CASE WHEN alpha_ppm >= 800000 THEN 0 ELSE 1 END") ++
+      (2 to 4).map(n => s"CASE WHEN top${n}_ppm <= ${th(n)} THEN 0 ELSE 1 END") ++
+      (5 to 10).map(n => s"CASE WHEN dup${n}_ppm <= ${th(n)} THEN 0 ELSE 1 END"))
+      .mkString(" + ")
+  }
+
+  /** t52's DuckDB mirror — same windows, same islands, same verdict
+    * string; the 9-way gram melt and the pivot columns are generated by
+    * the same loops that build the Spark plan. */
+  private lazy val gopherOracleSql: String = {
+    val gi = (2 to 10).map { n =>
+      val toks = (Seq("tok") ++ (1 until n).map(j => s"t$j")).mkString(" || ' ' || ")
+      s"  SELECT doc_id, $n AS n, $toks AS g, s, e${n - 1} AS e FROM l WHERE e${n - 1} IS NOT NULL"
+    }.mkString("\n  UNION ALL\n")
+    val leadsT = (1 to 9).map(j => s"lead(tok, $j) OVER w AS t$j").mkString(", ")
+    val leadsE = (1 to 9).map(j => s"lead(endp, $j) OVER w AS e$j").mkString(", ")
+    val topCols = (2 to 4).map(n =>
+      s"coalesce(max(CASE WHEN n = $n THEN top_chars END), 0) AS top${n}_chars").mkString(",\n    ")
+    val covCols = (3 to 10).map(n =>
+      s"coalesce(max(CASE WHEN n = $n THEN covered END), 0) AS dup${n}_chars").mkString(",\n    ")
+    val ppm = ((2 to 4).map(n =>
+      s"CAST(top${n}_chars * 1000000 // nc AS BIGINT) AS top${n}_ppm") ++
+      (3 to 10).map(n =>
+        s"CAST(dup${n}_chars * 1000000 // nc AS BIGINT) AS dup${n}_ppm"))
+      .mkString(",\n    ")
+    val dupOut = (3 to 10).map(n => s"dup${n}_ppm").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, $dkToks AS toks FROM documents),
+       |inst AS (
+       |  SELECT doc_id, i AS pos, toks[i] AS tok,
+       |         CAST(length(toks[i]) AS BIGINT) AS tl
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) u),
+       |o AS (
+       |  SELECT doc_id, pos, tok, tl,
+       |    coalesce(sum(tl + 1) OVER po, 0) AS s,
+       |    tl + coalesce(sum(tl + 1) OVER po, 0) AS endp
+       |  FROM inst
+       |  WINDOW po AS (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |l AS (
+       |  SELECT doc_id, pos, tok, tl, s, endp, $leadsT, $leadsE
+       |  FROM o WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |gi AS (
+       |$gi),
+       |gc AS (SELECT doc_id, n, g, count(*) AS c, max(e - s) AS cl
+       |       FROM gi GROUP BY 1, 2, 3),
+       |docstats AS (
+       |  SELECT doc_id, count(*) AS n_words, sum(tl) AS total_len,
+       |    sum(CASE WHEN tok IN ${dkWordSet(stopwords)}
+       |        THEN 1 ELSE 0 END) AS stop_cnt,
+       |    sum(CASE WHEN regexp_matches(tok, '[a-z]') THEN 1 ELSE 0 END)
+       |      AS alpha_cnt
+       |  FROM o GROUP BY 1),
+       |topg AS (
+       |  SELECT doc_id, n, c * cl AS top_chars,
+       |    row_number() OVER (PARTITION BY doc_id, n
+       |      ORDER BY c DESC, cl DESC, g ASC) AS rn
+       |  FROM gc WHERE n <= 4),
+       |topp AS (
+       |  SELECT doc_id, $topCols FROM topg WHERE rn = 1 GROUP BY 1),
+       |di AS (
+       |  SELECT gi.doc_id, gi.n, gi.s, gi.e
+       |  FROM gi JOIN gc USING (doc_id, n, g)
+       |  WHERE gi.n >= 3 AND gc.c >= 2),
+       |isl AS (
+       |  SELECT doc_id, n, s, e,
+       |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id, n
+       |      ORDER BY s, e
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |    THEN 1 ELSE 0 END AS ni
+       |  FROM di),
+       |isl2 AS (
+       |  SELECT doc_id, n, s, e,
+       |    sum(ni) OVER (PARTITION BY doc_id, n ORDER BY s, e
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+       |  FROM isl),
+       |cov AS (
+       |  SELECT doc_id, n, sum(mx - mn) AS covered FROM (
+       |    SELECT doc_id, n, isl_id, max(e) AS mx, min(s) AS mn
+       |    FROM isl2 GROUP BY 1, 2, 3) q GROUP BY 1, 2),
+       |covp AS (
+       |  SELECT doc_id, $covCols FROM cov GROUP BY 1),
+       |base AS (
+       |  SELECT d.doc_id, d.n_words, d.total_len, d.stop_cnt,
+       |    d.alpha_cnt * 1000000 // d.n_words AS alpha_ppm,
+       |    d.total_len + d.n_words - 1 AS nc,
+       |    ${(2 to 4).map(n => s"coalesce(tp.top${n}_chars, 0) AS top${n}_chars").mkString(", ")},
+       |    ${(3 to 10).map(n => s"coalesce(cp.dup${n}_chars, 0) AS dup${n}_chars").mkString(", ")}
+       |  FROM docstats d LEFT JOIN topp tp USING (doc_id)
+       |  LEFT JOIN covp cp USING (doc_id)),
+       |r AS (
+       |  SELECT doc_id, n_words, total_len, stop_cnt, alpha_ppm, nc,
+       |    $ppm
+       |  FROM base)
+       |SELECT doc_id, n_words,
+       |  CAST(total_len * 100 // n_words AS BIGINT) AS mean_wl_centi,
+       |  CAST(stop_cnt AS BIGINT) AS stop_cnt,
+       |  CAST(alpha_ppm AS BIGINT) AS alpha_ppm,
+       |  top2_ppm, top3_ppm, top4_ppm, $dupOut,
+       |  CAST($gopherFails AS BIGINT) AS n_failed,
+       |  ($gopherFails) = 0 AS keep
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  private lazy val bm25OracleSql: String =
       s"""WITH docs AS (
          |  SELECT doc_id, $dkToks AS toks FROM documents),
          |tf AS (
@@ -2802,5 +3237,4 @@ object TextQueries {
          |                       ORDER BY score_ppm DESC, did) AS rank
          |  FROM scored) WHERE rank <= $Bm25TopK
          |ORDER BY query_id, rank""".stripMargin
-  )
 }

@@ -145,7 +145,19 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       // totally ordered), frequency spectrum, distinct-n, contamination
       // curve, boundary refresh (hash-decided reservoirs)
       "t46_bpe_train", "t47_freq_spectrum", "t45_distinct_ngrams",
-      "d38_contamination_curve", "q94_boundary_refresh")
+      "d38_contamination_curve", "q94_boundary_refresh",
+      // LSH advisor (hash-decided candidates + exact verify), effective
+      // size (min-id canonicals), run report (deterministic stage aggs)
+      "d39_lsh_advisor", "d40_effective_size", "p7_run_report",
+      "t48_tokenizer_fertility", "d42_chaining_audit",
+      // winnowing (hash-decided fingerprints), train-order (manifest
+      // scheduling), index-served BM25 (exact-BIGINT artifact)
+      "d43_winnowing", "p8_train_order", "t50_bm25_serve",
+      // CCNet buckets (persisted-LM scores + md5-decided reservoir)
+      "t51_ppl_buckets",
+      // Gopher battery (per-doc windows), contrastive batch audit
+      // (salted-md5 strata + exact pair truth)
+      "t52_gopher_rules", "m8_batch_negatives")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {

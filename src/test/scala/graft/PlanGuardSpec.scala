@@ -80,6 +80,19 @@ class PlanGuardSpec extends SparkSpecBase {
       s"n15 must rank through the bounded TopKAggregator, not a window:\n$p")
   }
 
+  test("t50 partition-prunes the postings scan to the query-term buckets") {
+    // The inverted index's access path: the postings scan reads ONLY the
+    // buckets holding the query's terms (partitionBy(bucket) layout),
+    // and the query-term frame broadcasts into it. A plan listing every
+    // bucket or shuffling the postings side has lost the index. (First
+    // run per corpus builds the index; assertions are on steady-state.)
+    val p = planOf("t50_bm25_serve")
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined,
+      s"t50's postings scan must carry a bucket partition filter:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"t50's query-term join must broadcast:\n$p")
+  }
+
   test("q64b profiles distincts through registers, not an Expand") {
     // q64's exact multi-column countDistinct plans an Expand (|cols|× the
     // scan) feeding distinct shuffles with O(cardinality) state; q64b's
