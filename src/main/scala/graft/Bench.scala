@@ -86,7 +86,7 @@ object Bench {
     "t42_curriculum_bins", "t43_boilerplate_strip", "t44_dsir_select",
     "t45_distinct_ngrams", "t46_bpe_train", "t47_freq_spectrum",
     "t48_tokenizer_fertility", "t50_bm25_serve", "t51_ppl_buckets",
-    "t52_gopher_rules",
+    "t52_gopher_rules", "t53_signal_agreement",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
     "d8d_triangle_doulion", "d9b_graph_stats_sketch",
     "d11_containment", "d12_incremental_dedup",
@@ -109,7 +109,7 @@ object Bench {
     "n17_matryoshka_recall", "n18_binary_ann", "n18b_binary_rerank",
     "n19_filtered_ann", "n20_mmr_rerank", "n21_nprobe_sweep",
     "n21b_nprobe_trained", "n22_jl_distortion", "n22b_jl_recall",
-    "n23_cluster_sample",
+    "n23_cluster_sample", "n24_ivf_rebalance",
     "m1_binary_meta", "m2_frame_windows", "m3_decode_features",
     "m4_patch_dedup", "m5_shared_patches", "m6_crossmodal_retrieval",
     "m7_modality_mix", "m8_batch_negatives",

@@ -45,7 +45,11 @@ object ScaleProbe {
     // fifth-session additions: winnowing (per-doc windows), read-order
     // planner (manifest-sized), index-served BM25 (pruned postings)
     "d43_winnowing", "p8_train_order", "t50_bm25_serve",
-    "t51_ppl_buckets")
+    "t51_ppl_buckets",
+    // sixth-session additions: Gopher battery (9x gram melt, per-doc
+    // windows), batch-negative audit (pair-bounded), signal agreement
+    // (two serve scans); n24 excluded — it reads 8 index-metadata rows
+    "t52_gopher_rules", "m8_batch_negatives", "t53_signal_agreement")
 
   private def h(c: Column): Column = graft.ops.TextOps.hash60(c)
 

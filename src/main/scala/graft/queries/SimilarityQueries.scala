@@ -1012,6 +1012,69 @@ object SimilarityQueries {
         .orderBy(col("list_id"))
     }),
 
+    // IVF index REBALANCE planner — the maintenance op that completes
+    // the index lifecycle (build n15 / serve n15 / admit streaming /
+    // compact spec / REBALANCE here): per list, split when size > 1.5×
+    // target (into ⌈size∕target⌉ sublists), merge when size < target∕2
+    // (smallest-first deterministic pairing), else ok — with the
+    // projected per-unit share after the plan. Two scenarios in one
+    // frame: `current` (this trained index is BALANCED — every verdict
+    // ok, the training-works certificate) and `burst6x`, a q93-style
+    // capacity what-if admitting 6× the largest list's size into it (a
+    // topical burst concentrated where the corpus is densest) — split,
+    // merge, and ok all demonstrably fire, and the projected units
+    // return to ~target share. Reads ONLY the persisted index codes:
+    // planner cost is |lists| rows regardless of corpus size — at
+    // 100 TB this runs on the metadata, never the vectors.
+    "n24_ivf_rebalance" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = graft.ops.IvfIndex.ensure(s, d)
+      val s0 = s.read.parquet(p.codes)
+        .groupBy(col("list_id").cast("long").as("list_id"))
+        .agg(count(lit(1)).as("n_codes"))
+        .localCheckpoint()
+      val mx = s0.orderBy(col("n_codes").desc, col("list_id")).limit(1)
+        .select(col("list_id").as("burst_list"),
+          (col("n_codes") * 6).as("burst_add"))
+      val sc = s0.select(lit("current").as("scenario"), col("list_id"),
+          col("n_codes"))
+        .unionByName(s0.crossJoin(broadcast(mx))
+          .select(lit("burst6x").as("scenario"), col("list_id"),
+            (col("n_codes") + when(col("list_id") === col("burst_list"),
+              col("burst_add")).otherwise(0L)).as("n_codes")))
+      val tot = sc.groupBy(col("scenario"))
+        .agg(sum(col("n_codes")).as("n_total"),
+          count(lit(1)).as("n_lists"))
+      val v = sc.join(broadcast(tot), "scenario")
+        .withColumn("target", expr("n_total div n_lists"))
+        .withColumn("verdict", expr(
+          """CASE WHEN n_codes * 2 > 3 * target THEN 'split'
+            |     WHEN n_codes * 2 < target THEN 'merge'
+            |     ELSE 'ok' END""".stripMargin))
+      val wm = Window.partitionBy("scenario", "verdict")
+        .orderBy("n_codes", "list_id")
+      val w = v
+        .withColumn("n_sub", expr(
+          "CASE WHEN verdict = 'split' THEN (n_codes + target - 1) div target ELSE 1 END"))
+        .withColumn("rn", row_number().over(wm))
+        .withColumn("merge_group",
+          when(col("verdict") === "merge", expr("(rn + 1) div 2")))
+      val m = w.filter(col("verdict") === "merge")
+        .groupBy(col("scenario"), col("merge_group"))
+        .agg(sum(col("n_codes")).as("grp_codes"))
+      w.join(m, Seq("scenario", "merge_group"), "left")
+        .withColumn("unit_codes", expr(
+          """CASE WHEN verdict = 'split' THEN (n_codes + n_sub - 1) div n_sub
+            |     WHEN verdict = 'merge' THEN grp_codes
+            |     ELSE n_codes END""".stripMargin))
+        .select(col("scenario"), col("list_id"), col("n_codes"),
+          expr("n_codes * 1000000 div n_total").as("share_ppm"),
+          col("verdict"), col("n_sub"), col("merge_group"),
+          col("unit_codes"),
+          expr("unit_codes * 1000000 div n_total").as("unit_ppm"))
+        .orderBy(col("scenario"), col("list_id"))
+    }),
+
     // Cross-modal retrieval serving join (registered m6): ANN neighbors
     // resolved back to document metadata — embeddings and documents share
     // the id space (vec_id = doc_id), so the top-k result set (k·|queries|
@@ -1745,6 +1808,62 @@ object SimilarityQueries {
          |  (s.n_codes * 1000000) // t.n_total AS share_ppm,
          |  (t.n_max * t.n_lists * 1000000) // t.n_total AS imbalance_ppm
          |FROM sizes s, tot t ORDER BY list_id""".stripMargin,
+    // n15b's size chain + pure planner arithmetic, both scenarios
+    "n24_ivf_rebalance" ->
+      s"""WITH $dkKmeansCtes,
+         |s0 AS (
+         |  SELECT cluster AS list_id, CAST(count(*) AS BIGINT) AS n_codes
+         |  FROM afinal GROUP BY cluster),
+         |mx AS (
+         |  SELECT list_id AS burst_list, n_codes * 6 AS burst_add FROM s0
+         |  ORDER BY n_codes DESC, list_id LIMIT 1),
+         |sc AS (
+         |  SELECT 'current' AS scenario, list_id, n_codes FROM s0
+         |  UNION ALL
+         |  SELECT 'burst6x', s0.list_id,
+         |    s0.n_codes + CASE WHEN s0.list_id = mx.burst_list
+         |                      THEN mx.burst_add ELSE 0 END
+         |  FROM s0, mx),
+         |tot AS (
+         |  SELECT scenario, CAST(sum(n_codes) AS BIGINT) AS n_total,
+         |         CAST(count(*) AS BIGINT) AS n_lists
+         |  FROM sc GROUP BY 1),
+         |pv AS (
+         |  SELECT sc.scenario, sc.list_id, sc.n_codes, t.n_total,
+         |    t.n_total // t.n_lists AS target,
+         |    CASE WHEN sc.n_codes * 2 > 3 * (t.n_total // t.n_lists)
+         |           THEN 'split'
+         |         WHEN sc.n_codes * 2 < (t.n_total // t.n_lists)
+         |           THEN 'merge'
+         |         ELSE 'ok' END AS verdict
+         |  FROM sc JOIN tot t USING (scenario)),
+         |w AS (
+         |  SELECT *,
+         |    CASE WHEN verdict = 'split'
+         |         THEN (n_codes + target - 1) // target ELSE 1 END AS n_sub,
+         |    CASE WHEN verdict = 'merge'
+         |      THEN (row_number() OVER (PARTITION BY scenario, verdict
+         |            ORDER BY n_codes, list_id) + 1) // 2 END AS merge_group
+         |  FROM pv),
+         |m AS (
+         |  SELECT scenario, merge_group,
+         |         CAST(sum(n_codes) AS BIGINT) AS grp_codes
+         |  FROM w WHERE verdict = 'merge' GROUP BY 1, 2),
+         |u AS (
+         |  SELECT w.scenario, w.list_id, w.n_codes, w.n_total, w.verdict,
+         |    w.n_sub, w.merge_group,
+         |    CASE WHEN w.verdict = 'split'
+         |           THEN (w.n_codes + w.n_sub - 1) // w.n_sub
+         |         WHEN w.verdict = 'merge' THEN m.grp_codes
+         |         ELSE w.n_codes END AS unit_codes
+         |  FROM w LEFT JOIN m USING (scenario, merge_group))
+         |SELECT scenario, list_id, n_codes,
+         |  CAST(n_codes * 1000000 // n_total AS BIGINT) AS share_ppm,
+         |  verdict, CAST(n_sub AS BIGINT) AS n_sub,
+         |  CAST(merge_group AS BIGINT) AS merge_group,
+         |  CAST(unit_codes AS BIGINT) AS unit_codes,
+         |  CAST(unit_codes * 1000000 // n_total AS BIGINT) AS unit_ppm
+         |FROM u ORDER BY scenario, list_id""".stripMargin,
     // two n1 chains (full-width truth, MrlDims prefix) + the n12 readout
     "n17_matryoshka_recall" ->
       s"""WITH v AS (

@@ -1048,6 +1048,67 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Quality-signal agreement audit — the CCNet-vs-classifier question
+    // every curation methodology paper relitigates (Wenzek's perplexity
+    // buckets vs the fastText-style distilled classifier): both signals
+    // served from their PERSISTED artifacts ([[graft.ops.LmIndex]] /
+    // [[graft.ops.ClassifierIndex]]) over the SAME holdout, each split
+    // at per-lang terciles from the bounded md5-decided reservoir
+    // (t51/t42's discipline — never an ntile over the corpus), then
+    // cross-tabbed per (lang, lm_bucket, nb_bucket) with the share of
+    // the language's holdout in ppm. A diagonal-heavy table says the
+    // cheap signal can stand in for the expensive one; the off-diagonal
+    // mass is exactly the docs where the two filters would disagree.
+    // Scale: two serve-only scans + two ≤160-row/lang reservoirs + two
+    // 5-row broadcast boundary frames + one (lang,3,3) agg.
+    "t53_signal_agreement" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val langs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val p = graft.ops.LmIndex.ensure(s, d)
+      val scl = graft.ops.LmIndex.scoreHoldout(s, d, p)
+        .select(col("doc_id"), col("avg_ppm"))
+        .join(langs, "doc_id").localCheckpoint()
+      val nbl = nbServePredictions(s, d)._2
+        .select(col("doc_id"), col("margin_ppm").as("margin"))
+        .join(langs, "doc_id").localCheckpoint()
+      def bounds(df: DataFrame, vcol: String, salt: String): DataFrame = {
+        val smp = df.withColumn("h", hash60(concat(lit(s"$salt|"),
+            col("doc_id").cast("string"))))
+          .withColumn("brn", row_number().over(
+            Window.partitionBy(col("lang"), col("h") % 8)
+              .orderBy(col("h"), col("doc_id"))))
+          .filter(col("brn") <= 20)
+        smp.withColumn("rn", row_number().over(
+            Window.partitionBy(col("lang"))
+              .orderBy(col(vcol), col("doc_id"))))
+          .withColumn("ns", count(lit(1)).over(
+            Window.partitionBy(col("lang"))))
+          .groupBy(col("lang")).agg(
+            max(when(col("rn") === greatest(expr("ns div 3"), lit(1L)),
+              col(vcol))).as("b1"),
+            max(when(col("rn") === greatest(expr("(2 * ns) div 3"), lit(1L)),
+              col(vcol))).as("b2"))
+      }
+      val lb = bounds(scl, "avg_ppm", "t53L")
+      val cb = bounds(nbl, "margin", "t53C")
+        .select(col("lang"), col("b1").as("c1"), col("b2").as("c2"))
+      val j = scl.join(nbl.select(col("doc_id"), col("margin")), "doc_id")
+        .join(broadcast(lb), "lang").join(broadcast(cb), "lang")
+        .withColumn("lm_bucket", when(col("avg_ppm") > col("b2"), 2L)
+          .when(col("avg_ppm") > col("b1"), 1L).otherwise(0L))
+        .withColumn("nb_bucket", when(col("margin") > col("c2"), 2L)
+          .when(col("margin") > col("c1"), 1L).otherwise(0L))
+        .localCheckpoint()
+      val lt = j.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      j.groupBy(col("lang"), col("lm_bucket"), col("nb_bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .join(broadcast(lt), "lang")
+        .select(col("lang"), col("lm_bucket"), col("nb_bucket"),
+          col("n_docs"),
+          expr("n_docs * 1000000 div n_lang").as("lang_share_ppm"))
+        .orderBy(col("lang"), col("lm_bucket"), col("nb_bucket"))
+    }),
+
     // Stupid-backoff bigram LM scoring (Brants et al. EMNLP 2007 — the
     // web-scale LM smoothing that needs NO discount estimation, designed
     // for exactly this kind of distributed count infrastructure): docs
@@ -3008,63 +3069,8 @@ object TextQueries {
     // t37's scoring chain (persisted-model serving is bit-identical) +
     // per-lang reservoir terciles + bucket rollup
     "t51_ppl_buckets" ->
-      s"""WITH t AS (SELECT doc_id, lang, $dkToks AS toks FROM documents),
-         |mb AS (
-         |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
-         |           i -> toks[i])) AS w1,
-         |         unnest(list_transform(generate_series(1, len(toks) - 1),
-         |           i -> toks[i + 1])) AS w2
-         |  FROM t WHERE doc_id % 4 <> 0 AND len(toks) > 1),
-         |pc AS (SELECT w1, w2, count(*) AS pair_cnt FROM mb GROUP BY w1, w2),
-         |fc AS (SELECT w1, count(*) AS pref_cnt FROM mb GROUP BY w1),
-         |uc AS (SELECT w2, count(*) AS uni_cnt FROM (
-         |         SELECT unnest(toks) AS w2 FROM t WHERE doc_id % 4 <> 0)
-         |       GROUP BY w2),
-         |n AS (SELECT count(*) AS n_tok FROM (
-         |        SELECT unnest(toks) AS w FROM t WHERE doc_id % 4 <> 0)),
-         |sb AS (
-         |  SELECT doc_id,
-         |         unnest(list_transform(generate_series(1, len(toks) - 1),
-         |           i -> toks[i])) AS w1,
-         |         unnest(list_transform(generate_series(1, len(toks) - 1),
-         |           i -> toks[i + 1])) AS w2
-         |  FROM t WHERE doc_id % 4 = 0 AND len(toks) > 1),
-         |sc AS MATERIALIZED (
-         |  SELECT sb.doc_id,
-         |    CAST(sum(CASE WHEN pc.pair_cnt IS NOT NULL
-         |                  THEN (pc.pair_cnt * 1000000) // fc.pref_cnt
-         |                  ELSE (coalesce(uc.uni_cnt, 0) * 2000000)
-         |                         // (5 * n.n_tok) END) AS BIGINT)
-         |      // count(*) AS avg_ppm
-         |  FROM sb
-         |  LEFT JOIN pc ON pc.w1 = sb.w1 AND pc.w2 = sb.w2
-         |  LEFT JOIN fc ON fc.w1 = sb.w1
-         |  LEFT JOIN uc ON uc.w2 = sb.w2
-         |  CROSS JOIN n GROUP BY sb.doc_id),
-         |scl AS (SELECT s.doc_id, s.avg_ppm, t.lang
-         |        FROM sc s JOIN t USING (doc_id)),
-         |smp AS (
-         |  SELECT lang, doc_id, avg_ppm, h FROM (
-         |    SELECT lang, doc_id, avg_ppm, h,
-         |      row_number() OVER (PARTITION BY lang, h % 8
-         |                         ORDER BY h, doc_id) AS brn
-         |    FROM (SELECT lang, doc_id, avg_ppm,
-         |            ('0x' || substr(md5('t51|' || doc_id), 1, 15))::BIGINT
-         |              AS h
-         |          FROM scl)) WHERE brn <= 20),
-         |rk AS (
-         |  SELECT lang, avg_ppm,
-         |    row_number() OVER (PARTITION BY lang
-         |                       ORDER BY avg_ppm, doc_id) AS rn,
-         |    count(*) OVER (PARTITION BY lang) AS ns
-         |  FROM smp),
-         |bnd AS (
-         |  SELECT lang,
-         |    max(CASE WHEN rn = greatest(ns // 3, 1) THEN avg_ppm END)
-         |      AS b1,
-         |    max(CASE WHEN rn = greatest((2 * ns) // 3, 1) THEN avg_ppm
-         |        END) AS b2
-         |  FROM rk GROUP BY lang)
+      s"""WITH $dkLmScoreCtes,
+         |${dkTercileBnd("scl", "avg_ppm", "t51", "")}
          |SELECT s.lang,
          |  CAST(CASE WHEN s.avg_ppm > b.b2 THEN 2
          |       WHEN s.avg_ppm > b.b1 THEN 1 ELSE 0 END AS BIGINT)
@@ -3074,8 +3080,106 @@ object TextQueries {
          |  CAST(min(s.avg_ppm) AS BIGINT) AS min_avg,
          |  CAST(max(s.avg_ppm) AS BIGINT) AS max_avg
          |FROM scl s JOIN bnd b USING (lang)
-         |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+         |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+    // LM chain + NB margin chain (c_ prefix) + two reservoir-tercile
+    // fragments + the cross-tab
+    "t53_signal_agreement" ->
+      s"""WITH $dkLmScoreCtes,
+         |${dkNbMarginCtes("doc_id % 4 = 0", pfx = "c_")},
+         |nbl AS (SELECT m.doc_id, m.margin, t.lang
+         |        FROM c_marg m JOIN t USING (doc_id)),
+         |${dkTercileBnd("scl", "avg_ppm", "t53L", "L")},
+         |${dkTercileBnd("nbl", "margin", "t53C", "C")},
+         |j AS (
+         |  SELECT s.lang, s.doc_id,
+         |    CASE WHEN s.avg_ppm > lb.b2 THEN 2
+         |         WHEN s.avg_ppm > lb.b1 THEN 1 ELSE 0 END AS lm_bucket,
+         |    CASE WHEN nb.margin > cb.b2 THEN 2
+         |         WHEN nb.margin > cb.b1 THEN 1 ELSE 0 END AS nb_bucket
+         |  FROM scl s
+         |  JOIN nbl nb USING (doc_id)
+         |  JOIN Lbnd lb ON lb.lang = s.lang
+         |  JOIN Cbnd cb ON cb.lang = s.lang),
+         |lt AS (SELECT lang, count(*) AS n_lang FROM j GROUP BY 1)
+         |SELECT j.lang, CAST(j.lm_bucket AS BIGINT) AS lm_bucket,
+         |  CAST(j.nb_bucket AS BIGINT) AS nb_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) * 1000000 // lt.n_lang AS BIGINT)
+         |    AS lang_share_ppm
+         |FROM j JOIN lt USING (lang)
+         |GROUP BY j.lang, j.lm_bucket, j.nb_bucket, lt.n_lang
+         |ORDER BY lang, lm_bucket, nb_bucket""".stripMargin
   )
+
+  /** t51's LM-scoring chain — the persisted stupid-backoff model
+    * re-derived declaratively (train split doc_id%4≠0), holdout scored,
+    * ending in `scl` (doc_id, avg_ppm, lang). Shared by t51 (tercile
+    * report) and t53 (signal-agreement cross-tab). */
+  private lazy val dkLmScoreCtes: String =
+    s"""t AS (SELECT doc_id, lang, $dkToks AS toks FROM documents),
+       |mb AS (
+       |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+       |           i -> toks[i])) AS w1,
+       |         unnest(list_transform(generate_series(1, len(toks) - 1),
+       |           i -> toks[i + 1])) AS w2
+       |  FROM t WHERE doc_id % 4 <> 0 AND len(toks) > 1),
+       |pc AS (SELECT w1, w2, count(*) AS pair_cnt FROM mb GROUP BY w1, w2),
+       |fc AS (SELECT w1, count(*) AS pref_cnt FROM mb GROUP BY w1),
+       |uc AS (SELECT w2, count(*) AS uni_cnt FROM (
+       |         SELECT unnest(toks) AS w2 FROM t WHERE doc_id % 4 <> 0)
+       |       GROUP BY w2),
+       |n AS (SELECT count(*) AS n_tok FROM (
+       |        SELECT unnest(toks) AS w FROM t WHERE doc_id % 4 <> 0)),
+       |sb AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(generate_series(1, len(toks) - 1),
+       |           i -> toks[i])) AS w1,
+       |         unnest(list_transform(generate_series(1, len(toks) - 1),
+       |           i -> toks[i + 1])) AS w2
+       |  FROM t WHERE doc_id % 4 = 0 AND len(toks) > 1),
+       |sc AS MATERIALIZED (
+       |  SELECT sb.doc_id,
+       |    CAST(sum(CASE WHEN pc.pair_cnt IS NOT NULL
+       |                  THEN (pc.pair_cnt * 1000000) // fc.pref_cnt
+       |                  ELSE (coalesce(uc.uni_cnt, 0) * 2000000)
+       |                         // (5 * n.n_tok) END) AS BIGINT)
+       |      // count(*) AS avg_ppm
+       |  FROM sb
+       |  LEFT JOIN pc ON pc.w1 = sb.w1 AND pc.w2 = sb.w2
+       |  LEFT JOIN fc ON fc.w1 = sb.w1
+       |  LEFT JOIN uc ON uc.w2 = sb.w2
+       |  CROSS JOIN n GROUP BY sb.doc_id),
+       |scl AS (SELECT s.doc_id, s.avg_ppm, t.lang
+       |        FROM sc s JOIN t USING (doc_id))""".stripMargin
+
+  /** Bounded per-lang tercile boundaries over `src(doc_id, lang, vcol)`
+    * — t51's md5-decided reservoir (≤160 rows/lang through the rank
+    * window, NEVER an ntile over the corpus), emitted as
+    * `${pfx}bnd(lang, b1, b2)`. */
+  private def dkTercileBnd(src: String, vcol: String, salt: String,
+      pfx: String): String =
+    s"""${pfx}smp AS (
+       |  SELECT lang, doc_id, $vcol, h FROM (
+       |    SELECT lang, doc_id, $vcol, h,
+       |      row_number() OVER (PARTITION BY lang, h % 8
+       |                         ORDER BY h, doc_id) AS brn
+       |    FROM (SELECT lang, doc_id, $vcol,
+       |            ('0x' || substr(md5('$salt|' || doc_id), 1, 15))::BIGINT
+       |              AS h
+       |          FROM $src)) WHERE brn <= 20),
+       |${pfx}rk AS (
+       |  SELECT lang, $vcol,
+       |    row_number() OVER (PARTITION BY lang
+       |                       ORDER BY $vcol, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS ns
+       |  FROM ${pfx}smp),
+       |${pfx}bnd AS (
+       |  SELECT lang,
+       |    max(CASE WHEN rn = greatest(ns // 3, 1) THEN $vcol END)
+       |      AS b1,
+       |    max(CASE WHEN rn = greatest((2 * ns) // 3, 1) THEN $vcol
+       |        END) AS b2
+       |  FROM ${pfx}rk GROUP BY lang)""".stripMargin
 
   /** t52's 13 Gopher verdicts as ONE shared CASE-sum string — no division
     * anywhere in it, so the identical text parses in Spark and DuckDB

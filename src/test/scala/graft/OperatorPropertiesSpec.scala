@@ -157,7 +157,10 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       "t51_ppl_buckets",
       // Gopher battery (per-doc windows), contrastive batch audit
       // (salted-md5 strata + exact pair truth)
-      "t52_gopher_rules", "m8_batch_negatives")
+      "t52_gopher_rules", "m8_batch_negatives",
+      // signal agreement (persisted-artifact serves + md5 reservoirs),
+      // index rebalance planner (persisted list sizes + planner math)
+      "t53_signal_agreement", "n24_ivf_rebalance")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {
