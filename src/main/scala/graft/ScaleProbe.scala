@@ -47,9 +47,12 @@ object ScaleProbe {
     "d43_winnowing", "p8_train_order", "t50_bm25_serve",
     "t51_ppl_buckets",
     // sixth-session additions: Gopher battery (9x gram melt, per-doc
-    // windows), batch-negative audit (pair-bounded), signal agreement
-    // (two serve scans); n24 excluded — it reads 8 index-metadata rows
-    "t52_gopher_rules", "m8_batch_negatives", "t53_signal_agreement")
+    // windows), signal agreement (two serve scans). Excluded: n24
+    // (reads 8 index-metadata rows) and m8 (its exact all-pairs TRUTH
+    // leg is quadratic by construction — measured 17.6x at 10x vecs —
+    // the validator-input shape shared with n1/d8; the operator's own
+    // assignment/audit/repair joins are |pairs|-bounded)
+    "t52_gopher_rules", "t53_signal_agreement")
 
   private def h(c: Column): Column = graft.ops.TextOps.hash60(c)
 

@@ -3185,7 +3185,7 @@ object TextQueries {
     * anywhere in it, so the identical text parses in Spark and DuckDB
     * (the ppm operands are computed per-engine upstream). Thresholds are
     * the published Appendix-A values. */
-  private lazy val gopherFails: String = {
+  private[graft] lazy val gopherFails: String = {
     val th = Map(2 -> 200000, 3 -> 180000, 4 -> 160000, 5 -> 150000,
       6 -> 140000, 7 -> 130000, 8 -> 120000, 9 -> 110000, 10 -> 100000)
     (Seq(

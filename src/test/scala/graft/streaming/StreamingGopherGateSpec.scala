@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** The streamed Gopher battery: the row-local HOF form must reproduce
+  * the batch t52 query (explode + per-doc windows) column-for-column —
+  * two independent implementations of the same 13-rule contract,
+  * including the interval-union duplicate-gram coverage — and the gate
+  * must replay identically through a MemoryStream. */
+class StreamingGopherGateSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs = graft.Tables.documents(spark, sfDir)
+    .select(col("doc_id"), col("text"))
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[Row] =
+    df.orderBy(col("doc_id")).collect().toSeq
+
+  test("HOF rule frame equals the batch t52 windows column-for-column") {
+    val hof = StreamingGopherGate.ruleFrame(docs)
+    val batch = graft.SparkEntry.queries("t52_gopher_rules")(spark, sfDir)
+    assert(hof.columns.toSeq == batch.columns.toSeq)
+    val h = rowsOf(hof)
+    val b = rowsOf(batch)
+    assert(h.size == b.size && h.nonEmpty)
+    h.zip(b).foreach { case (x, y) => assert(x == y, s"\nhof:   $x\nbatch: $y") }
+    // the intricate paths are genuinely exercised on this corpus
+    val dup3 = hof.filter(col("dup3_ppm") > 0).count()
+    assert(dup3 > 0, "dup-gram coverage never fired — corpus drift?")
+  }
+
+  test("streamed gate replays to the batch rule frame exactly") {
+    implicit val ctx = spark.sqlContext
+    val incoming = docs.as[(Long, String)].collect().sortBy(_._1)
+    val in = MemoryStream[(Long, String)]
+    val streamed = StreamingGopherGate.ruleFrame(
+      in.toDF().toDF("doc_id", "text"))
+    val q = streamed.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("gopher_gate").start()
+    try {
+      val (b1, b2) = incoming.splitAt(incoming.length / 2)
+      in.addData(b1.toSeq); q.processAllAvailable()
+      in.addData(b2.toSeq); q.processAllAvailable()
+      val got = spark.table("gopher_gate")
+        .orderBy(col("doc_id")).collect().toSeq
+      val batch = rowsOf(StreamingGopherGate.ruleFrame(docs))
+      assert(got.size == batch.size)
+      got.zip(batch).foreach { case (x, y) => assert(x == y) }
+      // both verdicts occur — the gate separates this corpus
+      val keeps = got.map(_.getBoolean(got.head.length - 1)).toSet
+      assert(keeps == Set(true, false))
+    } finally q.stop()
+  }
+}
