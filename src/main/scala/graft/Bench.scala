@@ -115,7 +115,7 @@ object Bench {
     "m7_modality_mix", "m8_batch_negatives",
     "p1_curation_ledger", "p2_rag_serve", "p3_delta_refresh",
     "p4_disposition", "p5_manifest", "p6_shard_repack", "p7_run_report",
-    "p8_train_order")
+    "p8_train_order", "p9_resume_plan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -289,27 +289,8 @@ object PipelineQueries {
     // plus a shard-keyed agg whose state is the shard's OWN member hash
     // list (ShardTokens-bounded); per-doc md5s are computed in the same
     // scan that packs.
-    "p5_manifest" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val st = graft.ops.CurationLedger.stages(s, d)
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      st.s6
-        .withColumn("prefix", coalesce(sum(col("ntok")).over(w), lit(0L)))
-        .withColumn("shard",
-          floor(col("prefix") / graft.ops.CurationLedger.ShardTokens)
-            .cast("long"))
-        .withColumn("h", md5(col("text").cast("binary")))
-        .groupBy(col("lang"), col("shard"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("ntok")).as("shard_tokens"),
-          min(col("doc_id")).as("first_doc"),
-          max(col("doc_id")).as("last_doc"),
-          md5(array_join(transform(sort_array(collect_list(
-              struct(col("doc_id"), col("h")))), x => x.getField("h")), "")
-            .cast("binary")).as("shard_md5"))
-        .orderBy(col("lang"), col("shard"))
-    }),
+    "p5_manifest" -> ((s, d) =>
+      p5Manifest(s, d).orderBy(col("lang"), col("shard"))),
 
     // Incremental shard REPACK planner: a corpus drop arrived — which of
     // yesterday's packed shards are byte-identical today, and which must
@@ -476,8 +457,77 @@ object PipelineQueries {
           expr("tok_l * 1000000 div t_all").as("target_ppm"),
           col("steady_drift_ppm"), col("naive_drift_ppm"), col("worst_pos"))
         .orderBy(col("lang"))
+    }),
+
+    // Crash-resume planner — the restart question every preempted
+    // 100 TB run answers before burning a second pass: which packed
+    // shards are durable and where does each stratum resume? Prefix
+    // packing (p1/p5) makes resume WELL-DEFINED: durable shards are a
+    // per-lang shard-index prefix, so the lost work is exactly the pack
+    // suffix and the resume point is the first doc of the first lost
+    // shard. The crash itself is simulated with a deterministic
+    // md5-decided cut per lang (h % (n_shards+1) durable shards — some
+    // langs nearly complete, some barely started; the p6-delta honesty
+    // pattern: the scenario is a knob, the arithmetic is the operator).
+    // Per lang: planned/durable shard counts, docs+tokens done and
+    // remaining, and the resume doc id (NULL = lang complete). Planner
+    // grain is the |shards| manifest — at 100 TB this reads yesterday's
+    // persisted manifest, never the corpus.
+    "p9_resume_plan" -> ((s, d) => {
+      val mfst = p5Manifest(s, d).localCheckpoint()
+      val per = mfst.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_shards"),
+          sum(col("n_docs")).as("docs_total"),
+          sum(col("shard_tokens")).as("tokens_total"))
+        .withColumn("h",
+          graft.ops.TextOps.hash60(concat(lit("p9|"), col("lang"))))
+        .withColumn("n_durable", expr("h % (n_shards + 1)"))
+      val cut = broadcast(per.select(col("lang"), col("n_durable")))
+      val done = mfst.join(cut, "lang")
+        .filter(col("shard") < col("n_durable"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_docs")).as("docs_done"),
+          sum(col("shard_tokens")).as("tokens_done"))
+      val resume = mfst.join(cut, "lang")
+        .filter(col("shard") >= col("n_durable"))
+        .groupBy(col("lang"))
+        .agg(min(col("first_doc")).as("resume_doc_id"))
+      per.join(done, Seq("lang"), "left").join(resume, Seq("lang"), "left")
+        .select(col("lang"), col("n_shards"), col("n_durable"),
+          coalesce(col("docs_done"), lit(0L)).as("docs_done"),
+          (col("docs_total") - coalesce(col("docs_done"), lit(0L)))
+            .as("docs_remaining"),
+          coalesce(col("tokens_done"), lit(0L)).as("tokens_done"),
+          (col("tokens_total") - coalesce(col("tokens_done"), lit(0L)))
+            .as("tokens_remaining"),
+          col("resume_doc_id"))
+        .orderBy(col("lang"))
     })
   )
+
+  /** p5's per-shard integrity manifest (lang, shard, n_docs,
+    * shard_tokens, first_doc, last_doc, shard_md5) — shared by p5 (the
+    * manifest itself) and p9 (the crash-resume planner over it). */
+  private def p5Manifest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = graft.ops.CurationLedger.stages(s, d)
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    st.s6
+      .withColumn("prefix", coalesce(sum(col("ntok")).over(w), lit(0L)))
+      .withColumn("shard",
+        floor(col("prefix") / graft.ops.CurationLedger.ShardTokens)
+          .cast("long"))
+      .withColumn("h", md5(col("text").cast("binary")))
+      .groupBy(col("lang"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        md5(array_join(transform(sort_array(collect_list(
+            struct(col("doc_id"), col("h")))), x => x.getField("h")), "")
+          .cast("binary")).as("shard_md5"))
+  }
 
   val oracles: Map[String, String] = Map(
     // n16's fused CTEs → per-query RRF normalization → 5 unrolled MMR
@@ -706,6 +756,47 @@ object PipelineQueries {
          |  CAST(max(doc_id) AS BIGINT) AS last_doc,
          |  md5(string_agg(h, '' ORDER BY doc_id)) AS shard_md5
          |FROM mf GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
+    // p5's manifest chain + the md5-decided crash cut + resume arithmetic
+    "p9_resume_plan" ->
+      s"""$p1ChainSql,
+         |mf AS (
+         |  SELECT pk.lang, pk.prefix // ${graft.ops.CurationLedger.ShardTokens}
+         |      AS shard, pk.doc_id, pk.ntok
+         |  FROM pk),
+         |sh AS (
+         |  SELECT lang, shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(ntok) AS BIGINT) AS shard_tokens,
+         |    CAST(min(doc_id) AS BIGINT) AS first_doc
+         |  FROM mf GROUP BY 1, 2),
+         |per AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_shards,
+         |    CAST(sum(n_docs) AS BIGINT) AS docs_total,
+         |    CAST(sum(shard_tokens) AS BIGINT) AS tokens_total,
+         |    ('0x' || substr(md5('p9|' || lang), 1, 15))::BIGINT AS h
+         |  FROM sh GROUP BY lang),
+         |pp AS (SELECT *, h % (n_shards + 1) AS n_durable FROM per),
+         |dn AS (
+         |  SELECT s.lang, CAST(sum(s.n_docs) AS BIGINT) AS docs_done,
+         |    CAST(sum(s.shard_tokens) AS BIGINT) AS tokens_done
+         |  FROM sh s JOIN pp ON pp.lang = s.lang
+         |    AND s.shard < pp.n_durable
+         |  GROUP BY 1),
+         |rs AS (
+         |  SELECT s.lang, CAST(min(s.first_doc) AS BIGINT) AS resume_doc_id
+         |  FROM sh s JOIN pp ON pp.lang = s.lang
+         |    AND s.shard >= pp.n_durable
+         |  GROUP BY 1)
+         |SELECT pp.lang, pp.n_shards,
+         |  CAST(pp.n_durable AS BIGINT) AS n_durable,
+         |  CAST(coalesce(dn.docs_done, 0) AS BIGINT) AS docs_done,
+         |  CAST(pp.docs_total - coalesce(dn.docs_done, 0) AS BIGINT)
+         |    AS docs_remaining,
+         |  CAST(coalesce(dn.tokens_done, 0) AS BIGINT) AS tokens_done,
+         |  CAST(pp.tokens_total - coalesce(dn.tokens_done, 0) AS BIGINT)
+         |    AS tokens_remaining,
+         |  rs.resume_doc_id
+         |FROM pp LEFT JOIN dn USING (lang) LEFT JOIN rs USING (lang)
+         |ORDER BY lang""".stripMargin,
     // the repack diff replayed declaratively: shared front through st2,
     // then per-population keeper passes, two prefix packs, and the
     // (lang, shard)-keyed manifest outer join

@@ -160,7 +160,9 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       "t52_gopher_rules", "m8_batch_negatives",
       // signal agreement (persisted-artifact serves + md5 reservoirs),
       // index rebalance planner (persisted list sizes + planner math)
-      "t53_signal_agreement", "n24_ivf_rebalance")
+      "t53_signal_agreement", "n24_ivf_rebalance",
+      // resume planner (manifest grain, md5-decided cut)
+      "p9_resume_plan")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {
