@@ -93,6 +93,15 @@ class PlanGuardSpec extends SparkSpecBase {
       s"t50's query-term join must broadcast:\n$p")
   }
 
+  test("p9's crash-cut frame broadcasts into the manifest, never shuffles it") {
+    // The 5-row per-lang cut joins INTO the shard manifest; a shuffled
+    // manifest side would re-exchange the pack for a planner that only
+    // reads it.
+    val p = planOf("p9_resume_plan")
+    assert(p.contains("BroadcastHashJoin"),
+      s"p9's cut join must broadcast:\n$p")
+  }
+
   test("q64b profiles distincts through registers, not an Expand") {
     // q64's exact multi-column countDistinct plans an Expand (|cols|× the
     // scan) feeding distinct shuffles with O(cardinality) state; q64b's

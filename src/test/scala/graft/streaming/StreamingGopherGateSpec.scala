@@ -33,6 +33,23 @@ class StreamingGopherGateSpec extends SparkSpecBase {
     assert(dup3 > 0, "dup-gram coverage never fired — corpus drift?")
   }
 
+  test("planted 5-gram geometry: interval-union coverage is exact") {
+    // "a b c d e x a b c d e": the 5-gram "a b c d e" occurs at char
+    // intervals [0,9) and [12,21) — disjoint, covered = 18 of nc = 21
+    // normalized chars (11 tokens ·1 char + 10 spaces).
+    val r = StreamingGopherGate.evalDoc(1L, "a b c d e x a b c d e")
+    assert(r.dup5_ppm == 18L * 1000000L / 21L) // 857142
+    assert(r.dup6_ppm == 0L)                   // no repeated 6-gram
+    // "a a a a a a a": the 5-gram occurs at [0,9), [2,11), [4,13) —
+    // OVERLAPPING; union [0,13) = all 13 chars, counted once.
+    val r2 = StreamingGopherGate.evalDoc(2L, "a a a a a a a")
+    assert(r2.dup5_ppm == 1000000L)
+    // and the published dup-5 verdict fires on it
+    assert(r2.n_failed >= 1L && !r2.keep)
+    // top-gram chars: "a a" occurs 6×, charlen 3 → 18 of 13 chars
+    assert(r2.top2_ppm == 18L * 1000000L / 13L)
+  }
+
   test("streamed gate replays to the batch rule frame exactly") {
     implicit val ctx = spark.sqlContext
     val incoming = docs.as[(Long, String)].collect().sortBy(_._1)
