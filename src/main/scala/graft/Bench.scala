@@ -69,7 +69,7 @@ object Bench {
     "q85_join_size_estimate", "q86_hll_rollup", "q87_skew_report",
     "q88_log2_quantiles", "q89_priority_sample", "q90_ivm_join",
     "q91_range_plan", "q92_block_audit", "q93_waterfill_mixture",
-    "q94_boundary_refresh",
+    "q94_boundary_refresh", "q95_session_window",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_regex_tokens", "t6_string_funcs", "t7_array_funcs", "t8_explode",
     "t9_regex_extract", "t10_normalize", "t11_hash_split",

@@ -472,6 +472,30 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("session_idx"))
     }),
 
+    // Spark's NATIVE session_window aggregation — the two-implementation
+    // proof for q14: the built-in merging-session operator must agree
+    // with the explicit gaps-and-islands form. The boundary semantics
+    // differ by one epsilon and the oracle encodes the NATIVE rule: a
+    // session extends [ts, ts+gap), so a successor at exactly gap
+    // seconds starts a NEW session (q14's lag form merges at exactly
+    // 1800 s — `> 1800` splits vs session_window's `>= 1800`). Output
+    // in epoch seconds (sess_end = last event + gap, the operator's
+    // contract). Scale: one hash exchange on user_id, sessions merged
+    // inside the aggregation — no window, no lag, and the same operator
+    // runs under a watermark in streaming.
+    "q95_session_window" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event_id"))
+        .select(col("user_id"),
+          unix_timestamp(col("sw.start")).as("sess_start_s"),
+          unix_timestamp(col("sw.end")).as("sess_end_s"),
+          col("n_events"), col("first_event_id"))
+        .orderBy(col("user_id"), col("sess_start_s"))
+    }),
+
     // Pivot: daily counts per event type as columns (explicit value list →
     // deterministic schema; absent cells filled to 0 to match FILTER-count
     // semantics).
@@ -2872,6 +2896,31 @@ object RelationalQueries {
         |  date_diff('second', MIN(ts), MAX(ts)) AS dur_s
         |FROM sess GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+    // native-rule islands: split at diff >= 1800 (session extends
+    // [ts, ts+gap)); end = last event + gap
+    "q95_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+        |    lag(ts::TIMESTAMP) OVER (PARTITION BY user_id
+        |      ORDER BY ts::TIMESTAMP, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1
+        |    ELSE 0 END AS new_sess
+        |  FROM o),
+        |sess AS (
+        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id,
+        |  CAST(floor(epoch(MIN(ts))) AS BIGINT) AS sess_start_s,
+        |  CAST(floor(epoch(MAX(ts))) + 1800 AS BIGINT) AS sess_end_s,
+        |  COUNT(*) AS n_events,
+        |  MIN(event_id) AS first_event_id
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start_s""".stripMargin,
     "q15_pivot" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,

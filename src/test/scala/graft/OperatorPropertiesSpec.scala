@@ -162,7 +162,9 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       // index rebalance planner (persisted list sizes + planner math)
       "t53_signal_agreement", "n24_ivf_rebalance",
       // resume planner (manifest grain, md5-decided cut)
-      "p9_resume_plan")
+      "p9_resume_plan",
+      // native session_window (deterministic merging aggregation)
+      "q95_session_window")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {
