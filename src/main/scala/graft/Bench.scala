@@ -86,7 +86,7 @@ object Bench {
     "t42_curriculum_bins", "t43_boilerplate_strip", "t44_dsir_select",
     "t45_distinct_ngrams", "t46_bpe_train", "t47_freq_spectrum",
     "t48_tokenizer_fertility", "t50_bm25_serve", "t51_ppl_buckets",
-    "t52_gopher_rules", "t53_signal_agreement",
+    "t52_gopher_rules", "t53_signal_agreement", "t54_filter_bias",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
     "d8d_triangle_doulion", "d9b_graph_stats_sketch",
     "d11_containment", "d12_incremental_dedup",

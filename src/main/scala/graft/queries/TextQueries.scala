@@ -1109,6 +1109,56 @@ object TextQueries {
         .orderBy(col("lang"), col("lm_bucket"), col("nb_bucket"))
     }),
 
+    // Filter-bias audit (Dodge et al. 2021 / Welbl et al.: a single
+    // GLOBAL quality threshold drops some languages and sources far
+    // harder than others — the demographic-skew mechanism of
+    // perplexity filtering, measured rather than assumed): the
+    // persisted-LM holdout scores under ONE corpus-wide head boundary
+    // (top third, from a bounded 160-row md5 reservoir — t51's
+    // per-lang discipline with the lang collapsed to a constant), then
+    // per (lang, source): docs, kept, kept-share ppm, the overall
+    // kept share, and the signed bias. t51 asks "what does each
+    // language's own tercile keep"; this asks what ONE shared knob
+    // does to each slice — the table a responsible-curation review
+    // reads before shipping the knob. Scale: one serve-only scoring
+    // pass + a ≤160-row reservoir + one broadcast scalar + one
+    // (lang, source) agg.
+    "t54_filter_bias" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = graft.ops.LmIndex.ensure(s, d)
+      val scl = graft.ops.LmIndex.scoreHoldout(s, d, p)
+        .select(col("doc_id"), col("avg_ppm"))
+        .join(Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source")), "doc_id")
+        .localCheckpoint()
+      val smp = scl.withColumn("h", hash60(concat(lit("t54|"),
+          col("doc_id").cast("string"))))
+        .withColumn("brn", row_number().over(
+          Window.partitionBy(col("h") % 8).orderBy(col("h"), col("doc_id"))))
+        .filter(col("brn") <= 20)
+      val rk = smp.withColumn("rn", row_number().over(
+          Window.orderBy(col("avg_ppm"), col("doc_id"))))
+        .withColumn("ns", count(lit(1)).over(Window.partitionBy(lit(1))))
+      val bnd = rk.groupBy().agg(
+        max(when(col("rn") === greatest(expr("(2 * ns) div 3"), lit(1L)),
+          col("avg_ppm"))).as("b2"))
+      val fl = scl.crossJoin(broadcast(bnd))
+        .withColumn("kept",
+          when(col("avg_ppm") > col("b2"), 1L).otherwise(0L))
+        .localCheckpoint()
+      val tot = fl.agg(sum(col("kept")).as("k_all"),
+        count(lit(1)).as("n_all"))
+      fl.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"))
+        .crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("n_docs"), col("n_kept"),
+          expr("n_kept * 1000000 div n_docs").as("kept_share_ppm"),
+          expr("k_all * 1000000 div n_all").as("overall_share_ppm"),
+          expr("n_kept * 1000000 div n_docs - k_all * 1000000 div n_all")
+            .as("bias_ppm"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // Stupid-backoff bigram LM scoring (Brants et al. EMNLP 2007 — the
     // web-scale LM smoothing that needs NO discount estimation, designed
     // for exactly this kind of distributed count infrastructure): docs
@@ -3108,7 +3158,33 @@ object TextQueries {
          |    AS lang_share_ppm
          |FROM j JOIN lt USING (lang)
          |GROUP BY j.lang, j.lm_bucket, j.nb_bucket, lt.n_lang
-         |ORDER BY lang, lm_bucket, nb_bucket""".stripMargin
+         |ORDER BY lang, lm_bucket, nb_bucket""".stripMargin,
+    // LM chain + a GLOBAL reservoir boundary (lang collapsed to a
+    // constant so the per-lang fragment computes one corpus-wide b2)
+    "t54_filter_bias" ->
+      s"""WITH $dkLmScoreCtes,
+         |scs AS (SELECT s.doc_id, s.avg_ppm, s.lang, d.source
+         |        FROM scl s JOIN documents d USING (doc_id)),
+         |ga AS (SELECT 'all' AS lang, doc_id, avg_ppm FROM scl),
+         |${dkTercileBnd("ga", "avg_ppm", "t54", "G")},
+         |fl AS (
+         |  SELECT scs.*, CASE WHEN scs.avg_ppm > g.b2 THEN 1 ELSE 0 END
+         |    AS kept
+         |  FROM scs, Gbnd g),
+         |tt AS (SELECT CAST(sum(kept) AS BIGINT) AS k_all,
+         |              CAST(count(*) AS BIGINT) AS n_all FROM fl)
+         |SELECT fl.lang, fl.source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(fl.kept) AS BIGINT) AS n_kept,
+         |  CAST(sum(fl.kept) * 1000000 // count(*) AS BIGINT)
+         |    AS kept_share_ppm,
+         |  CAST(tt.k_all * 1000000 // tt.n_all AS BIGINT)
+         |    AS overall_share_ppm,
+         |  CAST(sum(fl.kept) * 1000000 // count(*)
+         |    - tt.k_all * 1000000 // tt.n_all AS BIGINT) AS bias_ppm
+         |FROM fl, tt
+         |GROUP BY fl.lang, fl.source, tt.k_all, tt.n_all
+         |ORDER BY lang, source""".stripMargin
   )
 
   /** t51's LM-scoring chain — the persisted stupid-backoff model

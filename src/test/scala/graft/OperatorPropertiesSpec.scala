@@ -164,7 +164,9 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       // resume planner (manifest grain, md5-decided cut)
       "p9_resume_plan",
       // native session_window (deterministic merging aggregation)
-      "q95_session_window")
+      "q95_session_window",
+      // filter-bias audit (persisted-LM serve + global md5 reservoir)
+      "t54_filter_bias")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {
