@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   *  - `lexicon/`  — (tok, df) per distinct term, same bucket layout.
   *  - `stats/`    — one row (n_docs, n_toks), exact BIGINTs.
   *
-  * The corpus key embeds (row count, max doc_id) of the documents table
-  * ([[IvfIndex.indexRoot]]'s stale-index guard): a regenerated corpus
+  * The corpus key embeds (row count, max doc_id, order-independent
+  * `bit_xor(xxhash64(doc_id, text))`) of the documents table
+  * ([[IvfIndex.indexRoot]]'s stale-index guard, content-hardened): any
+  * regenerated corpus — even one with identical count and max id —
   * changes the key and [[ensure]] rebuilds.
   *
   * Serving reads the 1-row stats file, the pruned lexicon rows for the
@@ -59,12 +61,17 @@ object Bm25Index {
     graft.Tables.fanout(graft.Tables.documents(s, sfDir))
       .select(col("doc_id"), graft.ops.TextOps.tokens(col("text")).as("toks"))
 
-  /** Deterministic per-corpus index location (gitignored `target/`). */
+  /** Deterministic per-corpus index location (gitignored `target/`).
+    * Key = (row count, max doc_id, order-independent content xor): a
+    * regenerated corpus with the same shape but different text still
+    * changes the key — postings can never silently serve stale. */
   def indexRoot(s: SparkSession, sfDir: String): String = {
     val fp = graft.Tables.documents(s, sfDir)
-      .agg(count(lit(1)), max(col("doc_id"))).collect()(0)
+      .agg(count(lit(1)), max(col("doc_id")),
+        expr("bit_xor(xxhash64(doc_id, text))")).collect()(0)
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    s"target/bm25-index/$key-${fp.getLong(0)}-${fp.getLong(1)}"
+    s"target/bm25-index/$key-${fp.getLong(0)}-${fp.getLong(1)}" +
+      s"-${java.lang.Long.toHexString(fp.getLong(2))}"
   }
 
   /** Scan the corpus once and materialize postings + lexicon + stats. */

@@ -76,9 +76,11 @@ object ClassifierIndex {
     * `target/`; cwd is the repo root for every graft entry point). */
   def indexRoot(s: SparkSession, sfDir: String, kind: String): String = {
     val fp = graft.Tables.documents(s, sfDir)
-      .agg(count(lit(1)), max(col("doc_id"))).collect()(0)
+      .agg(count(lit(1)), max(col("doc_id")),
+        expr("bit_xor(xxhash64(doc_id, text))")).collect()(0)
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    s"target/nb-model/$key-${fp.getLong(0)}-${fp.getLong(1)}-$kind"
+    s"target/nb-model/$key-${fp.getLong(0)}-${fp.getLong(1)}" +
+      s"-${java.lang.Long.toHexString(fp.getLong(2))}-$kind"
   }
 
   /** One tokenize pass → teacher labels + fold-grained count stats. */

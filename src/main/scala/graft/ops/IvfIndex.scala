@@ -52,9 +52,11 @@ object IvfIndex {
     * `target/`; cwd is the repo root for every graft entry point). */
   def indexRoot(s: SparkSession, sfDir: String): String = {
     val fp = graft.Tables.embeddings(s, sfDir)
-      .agg(count(lit(1)), max(col("vec_id"))).collect()(0)
+      .agg(count(lit(1)), max(col("vec_id")),
+        expr("bit_xor(xxhash64(vec_id, embedding))")).collect()(0)
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    s"target/ivf-index/$key-${fp.getLong(0)}-${fp.getLong(1)}"
+    s"target/ivf-index/$key-${fp.getLong(0)}-${fp.getLong(1)}" +
+      s"-${java.lang.Long.toHexString(fp.getLong(2))}"
   }
 
   /** Train coarse quantizer + PQ codebooks and materialize the index. */

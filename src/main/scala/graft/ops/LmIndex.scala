@@ -50,12 +50,16 @@ object LmIndex {
         (a: Column, b: Column) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
 
-  /** Deterministic per-corpus index location (gitignored `target/`). */
+  /** Deterministic per-corpus index location (gitignored `target/`).
+    * Key = (row count, max doc_id, order-independent content xor) —
+    * same-shape-different-text regeneration changes the key. */
   def indexRoot(s: SparkSession, sfDir: String): String = {
     val fp = graft.Tables.documents(s, sfDir)
-      .agg(count(lit(1)), max(col("doc_id"))).collect()(0)
+      .agg(count(lit(1)), max(col("doc_id")),
+        expr("bit_xor(xxhash64(doc_id, text))")).collect()(0)
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    s"target/lm-index/$key-${fp.getLong(0)}-${fp.getLong(1)}"
+    s"target/lm-index/$key-${fp.getLong(0)}-${fp.getLong(1)}" +
+      s"-${java.lang.Long.toHexString(fp.getLong(2))}"
   }
 
   /** Derive the t37 model tables from the training split and persist. */

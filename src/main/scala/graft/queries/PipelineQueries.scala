@@ -62,17 +62,24 @@ object PipelineQueries {
         col("emb").as("emb_i"), col("n2").as("n2_i"))
       val b = shv.select(col("qid").as("qid_b"), col("cid").as("j"),
         col("emb").as("emb_j"), col("n2").as("n2_j"))
-      val pw = a.join(b, col("qid") === col("qid_b") && col("i") =!= col("j"))
+      // LEFT join: a query whose fused shortlist has exactly ONE
+      // candidate produces no (i ≠ j) pair rows — an inner join would
+      // drop the query entirely while the oracle still emits its
+      // rank-1 row. The null-padded row keeps the group alive; its
+      // sim map is simply empty (step 1 never consults it).
+      val pw = a.join(b,
+          col("qid") === col("qid_b") && col("i") =!= col("j"), "left")
         .select(col("qid"), col("i"), col("rel_i"), col("rrf_i"), col("j"),
           cosine(dot(col("emb_i"), col("emb_j")),
             col("n2_i"), col("n2_j")).as("sm"))
-        .as[(Long, Long, Double, Long, Long, Double)]
+        .as[(Long, Long, Double, Long, Option[Long], Option[Double])]
       val mmr = pw.groupByKey(_._1)
         .flatMapGroups { (qid, it) =>
           val rows = it.toSeq
           val rel = rows.map(r => r._2 -> r._3).toMap
           val rrf = rows.map(r => r._2 -> r._4).toMap
-          val sim = rows.map(r => (r._2, r._5) -> r._6).toMap
+          val sim = rows.flatMap(r =>
+            r._5.map(j => (r._2, j) -> r._6.get)).toMap
           var selected = Vector.empty[Long]
           val out = Seq.newBuilder[(Long, Long, Long, Double, Double, Long)]
           var step = 1

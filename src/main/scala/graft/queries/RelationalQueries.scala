@@ -1877,8 +1877,12 @@ object RelationalQueries {
     // cap and its unused share re-spreads over the still-active domains
     // proportionally to their weights — which can cascade (at sf0.01:
     // fr caps in round 1, the re-spread then pushes zh over in round 2).
-    // Four unrolled rounds cover the ≤|domains|−1 possible cascades; a
-    // round with no new cap is a fixpoint (identical recomputation).
+    // Five unrolled rounds (= |domains|) are exactly sufficient: each
+    // round either caps ≥1 new domain or is a fixpoint (identical
+    // recomputation), so after the ≤|domains|−1 possible cap rounds one
+    // more round re-spreads the last freed share — and if THAT round
+    // caps the final domain there is no active domain left to re-spread
+    // to, so no further round can change anything.
     // Exact-share floor(rem·w/W) uses the q72 split-multiplication (no
     // 1e19 intermediate). Readout per domain: cap, the round it capped
     // (0 = never), final allocation, realized epochs and mixture share,
@@ -1899,7 +1903,7 @@ object RelationalQueries {
         .withColumn("cap_tokens", col("lang_tokens") * lit(2L))
         .withColumn("capped_round", lit(0L))
         .withColumn("alloc_tokens", lit(0L))
-      for (r <- 1 to 4) {
+      for (r <- 1 to 5) {
         val sc = st.agg(
           coalesce(sum(when(col("capped_round") === 0, col("target_ppm"))),
             lit(0L)).as("w_act"),
@@ -3721,7 +3725,7 @@ object RelationalQueries {
         |  (alloc_tokens * 10000) // lang_tokens AS epochs_bp
         |FROM alloc ORDER BY lang""".stripMargin,
     "q93_waterfill_mixture" -> {
-      val rounds = (1 to 4).map { r =>
+      val rounds = (1 to 5).map { r =>
         s"""a$r AS (SELECT
            |    CAST(coalesce(sum(CASE WHEN capped_round = 0
            |      THEN target_ppm END), 0) AS BIGINT) AS w_act,
@@ -3761,14 +3765,14 @@ object RelationalQueries {
          |  FROM toks t JOIN w USING (lang) CROSS JOIN tot),
          |$rounds,
          |ta AS (SELECT CAST(sum(alloc_tokens) AS BIGINT) AS total_alloc
-         |       FROM s4)
+         |       FROM s5)
          |SELECT lang, lang_tokens, target_ppm, cap_tokens, capped_round,
          |  alloc_tokens,
          |  (alloc_tokens * 10000) // lang_tokens AS epochs_bp,
          |  (alloc_tokens * 1000000) // total_alloc AS realized_ppm,
          |  budget AS budget_tokens,
          |  budget - total_alloc AS leftover_tokens
-         |FROM s4, ta ORDER BY lang""".stripMargin
+         |FROM s5, ta ORDER BY lang""".stripMargin
     },
     "q73_stratified_sample" ->
       """WITH r AS (

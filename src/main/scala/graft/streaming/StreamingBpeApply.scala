@@ -31,9 +31,14 @@ object StreamingBpeApply {
   /** The full trained tokenizer: chars of the `wordCol` column through
     * every merge in training order. */
   def tokenize(wordCol: String, merges: Seq[(String, String)]): Column = {
+    // sequence(1, 0) is the DESCENDING array [1, 0], so a zero-length
+    // word would yield two empty-string symbols; guard to the empty
+    // array, matching the trainer's `word <> ''` filter.
     val chars = expr(
-      s"transform(sequence(1, length($wordCol)), " +
-        s"i -> substring($wordCol, i, 1))")
+      s"CASE WHEN length($wordCol) > 0 THEN " +
+        s"transform(sequence(1, length($wordCol)), " +
+        s"i -> substring($wordCol, i, 1)) " +
+        s"ELSE CAST(array() AS array<string>) END")
     merges.foldLeft(chars: Column) { case (acc, (l, r)) =>
       applyMerge(acc, l, r)
     }

@@ -24,15 +24,25 @@ import org.apache.spark.sql.DataFrame
   *
   * All char arithmetic lives in the same normalized single-space
   * coordinate system as t52 (token lengths + one space between), and
-  * every division has non-negative operands, so Scala `/` ≡ SQL `div`.
+  * every division has non-negative operands, so Scala `/` ≡ SQL `div`
+  * — EXCEPT the degenerate empty/whitespace-only document, where the
+  * normalized char count `nc = total_len + n − 1` is 0 (split yields a
+  * single zero-length token). SQL `x div 0` is NULL, and the verdict
+  * CASE (`WHEN pass THEN 0 ELSE 1`) routes NULL to the ELSE, so the
+  * batch emits NULL ppm columns that each COUNT AS FAILED. The ppm
+  * fields are therefore `Option[Long]` (None ⇔ batch NULL, None ⇒
+  * rule failed), keeping the bit-equality contract on exactly the
+  * input an ingest gate must survive rather than throwing
+  * ArithmeticException and killing the stream.
   */
 object StreamingGopherGate {
 
   final case class GopherRow(doc_id: Long, n_words: Long,
     mean_wl_centi: Long, stop_cnt: Long, alpha_ppm: Long,
-    top2_ppm: Long, top3_ppm: Long, top4_ppm: Long,
-    dup3_ppm: Long, dup4_ppm: Long, dup5_ppm: Long, dup6_ppm: Long,
-    dup7_ppm: Long, dup8_ppm: Long, dup9_ppm: Long, dup10_ppm: Long,
+    top2_ppm: Option[Long], top3_ppm: Option[Long], top4_ppm: Option[Long],
+    dup3_ppm: Option[Long], dup4_ppm: Option[Long], dup5_ppm: Option[Long],
+    dup6_ppm: Option[Long], dup7_ppm: Option[Long], dup8_ppm: Option[Long],
+    dup9_ppm: Option[Long], dup10_ppm: Option[Long],
     n_failed: Long, keep: Boolean)
 
   /** The published Appendix-A thresholds (ppm) — the same literals the
@@ -86,7 +96,10 @@ object StreamingGopherGate {
       }
       cov
     }
-    def ppm(x: Long): Long = x * 1000000L / nc
+    // nc == 0 ⇔ empty/whitespace-only doc: SQL `x div 0` = NULL, and
+    // the batch verdict CASE counts NULL ppm as failed (see scaladoc)
+    def ppm(x: Long): Option[Long] =
+      if (nc == 0L) None else Some(x * 1000000L / nc)
     val topPpm = (2 to 4).map(w => w -> ppm(topChars(gramsOf(w)))).toMap
     val dupPpm = (3 to 10).map(w => w -> ppm(dupChars(gramsOf(w)))).toMap
     val alphaPpm = alphaCnt * 1000000L / n
@@ -96,8 +109,8 @@ object StreamingGopherGate {
       failed += 1
     if (stopCnt < 2) failed += 1
     if (alphaPpm < 800000L) failed += 1
-    (2 to 4).foreach(w => if (topPpm(w) > TopTh(w)) failed += 1)
-    (5 to 10).foreach(w => if (dupPpm(w) > DupTh(w)) failed += 1)
+    (2 to 4).foreach(w => if (!topPpm(w).exists(_ <= TopTh(w))) failed += 1)
+    (5 to 10).foreach(w => if (!dupPpm(w).exists(_ <= DupTh(w))) failed += 1)
     GopherRow(docId, n, totalLen * 100 / n, stopCnt, alphaPpm,
       topPpm(2), topPpm(3), topPpm(4),
       dupPpm(3), dupPpm(4), dupPpm(5), dupPpm(6), dupPpm(7), dupPpm(8),

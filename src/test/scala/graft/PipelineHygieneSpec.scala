@@ -51,6 +51,20 @@ class PipelineHygieneSpec extends SparkSpecBase {
       s"scan must read exactly the 2 projected columns:\n${planStr.take(1500)}")
   }
 
+  test("p2 serves every query n16 fuses — none dropped by the MMR leg") {
+    // the MMR pairwise frame is a LEFT join precisely so a query whose
+    // fused shortlist has one candidate still emits its rank-1 row; an
+    // inner join would silently drop it while the oracle keeps it.
+    val fused = SparkEntry.queries("n16_rrf_fusion")(spark, sfDir)
+      .select("query_id").distinct().as[Long](longEncoder).collect().toSet
+    val served = SparkEntry.queries("p2_rag_serve")(spark, sfDir)
+      .select("query_id").distinct().as[Long](longEncoder).collect().toSet
+    assert(fused.nonEmpty && served == fused,
+      s"p2 lost queries: ${(fused -- served).mkString(", ")}")
+  }
+
+  private lazy val longEncoder = org.apache.spark.sql.Encoders.scalaLong
+
   test("p4 dispositions reconcile with p1's stage ledger, evidence is sane") {
     // Two independent formulations of the same chain must agree: p4's
     // per-doc status counts are exactly p1's per-stage (docs_in −

@@ -61,4 +61,17 @@ class StreamingBpeApplySpec extends SparkSpecBase {
         "streamed apply must reconcile with the trainer's rewrite")
     } finally q.stop()
   }
+
+  test("empty word tokenizes to an empty array, not [\"\", \"\"]") {
+    // sequence(1, 0) is DESCENDING [1, 0]; unguarded it would emit two
+    // empty-string symbols for a zero-length word. The guard matches
+    // the trainer's `word <> ''` filter.
+    val merges = Seq(("a", "b"))
+    val out = Seq("", "ab", "x").toDF("word")
+      .select(col("word"),
+        StreamingBpeApply.tokenize("word", merges).as("syms"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(out("") == Seq.empty[String])
+    assert(out("ab") == Seq("ab") && out("x") == Seq("x"))
+  }
 }

@@ -38,16 +38,36 @@ class StreamingGopherGateSpec extends SparkSpecBase {
     // intervals [0,9) and [12,21) — disjoint, covered = 18 of nc = 21
     // normalized chars (11 tokens ·1 char + 10 spaces).
     val r = StreamingGopherGate.evalDoc(1L, "a b c d e x a b c d e")
-    assert(r.dup5_ppm == 18L * 1000000L / 21L) // 857142
-    assert(r.dup6_ppm == 0L)                   // no repeated 6-gram
+    assert(r.dup5_ppm.contains(18L * 1000000L / 21L)) // 857142
+    assert(r.dup6_ppm.contains(0L))                   // no repeated 6-gram
     // "a a a a a a a": the 5-gram occurs at [0,9), [2,11), [4,13) —
     // OVERLAPPING; union [0,13) = all 13 chars, counted once.
     val r2 = StreamingGopherGate.evalDoc(2L, "a a a a a a a")
-    assert(r2.dup5_ppm == 1000000L)
+    assert(r2.dup5_ppm.contains(1000000L))
     // and the published dup-5 verdict fires on it
     assert(r2.n_failed >= 1L && !r2.keep)
     // top-gram chars: "a a" occurs 6×, charlen 3 → 18 of 13 chars
-    assert(r2.top2_ppm == 18L * 1000000L / 13L)
+    assert(r2.top2_ppm.contains(18L * 1000000L / 13L))
+  }
+
+  test("empty/whitespace doc survives the gate with the batch NULL shape") {
+    // split("") yields one zero-length token → nc = 0: the batch's
+    // `x div 0` is NULL and its `WHEN pass THEN 0 ELSE 1` verdict CASE
+    // routes every NULL ppm to ELSE — all 13 rules fail. The gate must
+    // emit that row, not throw ArithmeticException.
+    for (tx <- Seq("", "   ", "\t\n")) {
+      val r = StreamingGopherGate.evalDoc(9L, tx)
+      assert(r.n_words == 1L && r.mean_wl_centi == 0L && r.alpha_ppm == 0L)
+      assert(r.top2_ppm.isEmpty && r.top4_ppm.isEmpty &&
+        r.dup3_ppm.isEmpty && r.dup10_ppm.isEmpty)
+      assert(r.n_failed == 13L && !r.keep)
+    }
+    // and the DataFrame form carries the None through as SQL NULL
+    val df = StreamingGopherGate.ruleFrame(
+      Seq((9L, ""), (10L, "the of and the of and " * 10)).toDF("doc_id", "text"))
+    val rows = df.orderBy(col("doc_id")).collect()
+    assert(rows(0).isNullAt(df.columns.indexOf("top2_ppm")))
+    assert(!rows(1).isNullAt(df.columns.indexOf("top2_ppm")))
   }
 
   test("streamed gate replays to the batch rule frame exactly") {
