@@ -49,7 +49,7 @@ object CurationLedger {
 
   final case class Stages(raw: DataFrame, s1: DataFrame, s2: DataFrame,
       s3: DataFrame, s4: DataFrame, s5: DataFrame, s6: DataFrame,
-      exactKeeper: DataFrame, canon: DataFrame)
+      exactKeeper: DataFrame, canon: DataFrame, margins: DataFrame)
 
   /** t10's normalization, verbatim. */
   def normTextCol(text: Column): Column =
@@ -63,6 +63,16 @@ object CurationLedger {
     * model version), which is what makes the gate append-safe. */
   def frontStages(s: SparkSession, d: String,
       pred: Column): (DataFrame, DataFrame, DataFrame) = {
+    val (raw, s1, s2, _) = frontStagesScored(s, d, pred)
+    (raw, s1, s2)
+  }
+
+  /** [[frontStages]] plus the full per-doc margin frame
+    * `(doc_id, margin_ppm)` — the gate's continuous score for EVERY raw
+    * doc, persisted by [[CurationIndex]] so p7-class consumers read the
+    * margin instead of re-running the serve scan. */
+  def frontStagesScored(s: SparkSession, d: String,
+      pred: Column): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val raw = graft.Tables.fanout(graft.Tables.documents(s, d))
       .filter(pred)
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
@@ -81,11 +91,13 @@ object CurationLedger {
     val tfAll = raw
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val admitted = ClassifierOps.nbScore(seen, consts, tfAll,
+    val margins = ClassifierOps.nbScore(seen, consts, tfAll,
         raw.select(col("doc_id")))
-      .filter(col("margin_ppm") > 0).select(col("doc_id"))
+      .select(col("doc_id"), col("margin_ppm"))
+      .localCheckpoint()
+    val admitted = margins.filter(col("margin_ppm") > 0).select(col("doc_id"))
     val s2 = s1.join(admitted, "doc_id").localCheckpoint()
-    (raw, s1, s2)
+    (raw, s1, s2, margins)
   }
 
   /** All stage survivor frames. `raw` carries (doc_id, text, lang,
@@ -93,7 +105,7 @@ object CurationLedger {
   def stages(s: SparkSession, d: String): Stages = {
     import graft.queries.DedupQueries.{NumHashes, Bands, RowsPerBand,
       JaccardTau}
-    val (raw, s1, s2) = frontStages(s, d, lit(true))
+    val (raw, s1, s2, margins) = frontStagesScored(s, d, lit(true))
     // 3. exact dedup (d1): md5(norm_text) groups, min-id keeper
     val keepers = s2
       .groupBy(md5(col("norm_text").cast("binary")).as("h"))
@@ -161,7 +173,92 @@ object CurationLedger {
       .filter(pmod(TextOps.hash60(concat(lit("mix|"), col("text"))),
         lit(10000L)) < col("rate_bp"))
       .localCheckpoint()
-    Stages(raw, s1, s2, s3, s4, s5, s6, exactKeeper, canon)
+    Stages(raw, s1, s2, s3, s4, s5, s6, exactKeeper, canon, margins)
+  }
+
+  /** p1's 9-row stage-boundary reconciliation ledger from a computed
+    * [[Stages]] — exact integer (docs, tokens) in/out per stage.
+    * [[CurationIndex.build]] persists this frame; the p1 query serves
+    * the persisted rows. */
+  def ledger(st: Stages): DataFrame = {
+    def cnt(df: DataFrame, tok: String): DataFrame =
+      df.agg(count(lit(1)).as("dc"),
+        coalesce(sum(col(tok)), lit(0L)).as("tc"))
+    def row(id: Int, name: String, in: DataFrame, inTok: String,
+        out: DataFrame, outTok: String): DataFrame =
+      cnt(in, inTok).crossJoin(cnt(out, outTok).select(
+          col("dc").as("dc2"), col("tc").as("tc2")))
+        .select(lit(id.toLong).as("stage_id"), lit(name).as("stage"),
+          col("dc").as("docs_in"), col("dc2").as("docs_out"),
+          col("tc").as("tokens_in"), col("tc2").as("tokens_out"))
+    val shards = packShards(st.s6)
+    val chunks = chunkRows(st.s6)
+    Seq(
+      row(0, "ingest", st.raw, "ntok_raw", st.raw, "ntok_raw"),
+      row(1, "normalize", st.raw, "ntok_raw", st.s1, "ntok"),
+      row(2, "nb_gate", st.s1, "ntok", st.s2, "ntok"),
+      row(3, "exact_dedup", st.s2, "ntok", st.s3, "ntok"),
+      row(4, "neardup_collapse", st.s3, "ntok", st.s4, "ntok"),
+      row(5, "decontaminate", st.s4, "ntok", st.s5, "ntok"),
+      row(6, "mixture", st.s5, "ntok", st.s6, "ntok"),
+      row(7, "pack", st.s6, "ntok", shards, "stoks"),
+      row(8, "chunk", st.s6, "ntok", chunks, "ctoks")
+    ).reduce(_ unionByName _)
+  }
+
+  /** p4's per-doc disposition — for EVERY ingested doc, the stage that
+    * decided its fate (precedence = stage order) and the evidence id
+    * the semantics define (exact-dup keeper / near-dup canonical).
+    * Persisted by [[CurationIndex.build]]. */
+  def disposition(st: Stages): DataFrame = {
+    def mem(df: DataFrame, n: String) =
+      df.select(col("doc_id"), lit(1).as(n))
+    st.raw.select(col("doc_id"))
+      .join(mem(st.s1, "in1"), Seq("doc_id"), "left")
+      .join(mem(st.s2, "in2"), Seq("doc_id"), "left")
+      .join(mem(st.s3, "in3"), Seq("doc_id"), "left")
+      .join(mem(st.s4, "in4"), Seq("doc_id"), "left")
+      .join(mem(st.s5, "in5"), Seq("doc_id"), "left")
+      .join(mem(st.s6, "in6"), Seq("doc_id"), "left")
+      .join(st.exactKeeper, Seq("doc_id"), "left")
+      .join(st.canon.select(col("doc_id"), col("canon_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("in1").isNull, "dropped_empty_norm")
+          .when(col("in2").isNull, "dropped_gate")
+          .when(col("in3").isNull, "dropped_exact_dup")
+          .when(col("in4").isNull, "collapsed_neardup")
+          .when(col("in5").isNull, "dropped_contaminated")
+          .when(col("in6").isNull, "dropped_mixture")
+          .otherwise("kept").as("status"),
+        when(col("in2").isNotNull && col("in3").isNull, col("keeper_id"))
+          .when(col("in3").isNotNull && col("in4").isNull,
+            col("canon_id"))
+          .otherwise(lit(null).cast("long")).as("canonical_id"))
+  }
+
+  /** p5's per-shard integrity manifest over the final mixture —
+    * (lang, shard, n_docs, shard_tokens, first_doc, last_doc,
+    * shard_md5), shard_md5 = md5 of the members' per-doc content md5s
+    * concatenated in doc_id order. Persisted by
+    * [[CurationIndex.build]]; p5 serves it, p8/p9 plan over it. */
+  def manifest(s6: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    s6
+      .withColumn("prefix", coalesce(sum(col("ntok")).over(w), lit(0L)))
+      .withColumn("shard",
+        floor(col("prefix") / ShardTokens).cast("long"))
+      .withColumn("h", md5(col("text").cast("binary")))
+      .groupBy(col("lang"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        md5(array_join(transform(sort_array(collect_list(
+            struct(col("doc_id"), col("h")))), x => x.getField("h")), "")
+          .cast("binary")).as("shard_md5"))
   }
 
   /** t15's packing over the final mixture: one row per (lang, shard)

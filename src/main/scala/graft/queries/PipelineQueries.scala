@@ -135,31 +135,43 @@ object PipelineQueries {
     // how much). The DuckDB oracle recomputes BOTH chains from scratch —
     // ledger equality proves incremental ≡ full recompute.
     "p3_delta_refresh" -> ((s, d) => {
-      import graft.ops.{CurationLedger => CL, DedupOps}
+      import graft.ops.{CurationIndex => CI, DedupOps}
       import graft.queries.DedupQueries.{NumHashes, Bands, RowsPerBand,
         JaccardTau}
       val cut = Tables.documents(s, d)
         .agg(expr("((max(doc_id) + 1) * 4) div 5").as("c")).head.getLong(0)
-      val (rawB, s1B, s2B) = CL.frontStages(s, d, col("doc_id") < cut)
-      val (rawD, s1D, s2D) = CL.frontStages(s, d, col("doc_id") >= cut)
+      // the front half (normalize + pinned-model gate) is per-doc, so
+      // it COMMUTES with any id slice: both chains' fronts are status
+      // filters on the ONE persisted curation record — the base front
+      // is never recomputed, which is the whole point of a delta run
+      val docsT = CI.docsDf(s, CI.ensure(s, d))
+      def s1Of(df: DataFrame) =
+        df.filter(col("status") =!= "dropped_empty_norm")
+      def s2Of(df: DataFrame) = s1Of(df)
+        .filter(col("status") =!= "dropped_gate")
+      val rawB = docsT.filter(col("doc_id") < cut)
+      val rawD = docsT.filter(col("doc_id") >= cut)
+      val (s1B, s1D) = (s1Of(rawB), s1Of(rawD))
+      val (s2B, s2D) = (s2Of(rawB), s2Of(rawD))
       // exact dedup: base keepers; delta keepers = min id per hash NOT
-      // in the base dictionary (the persisted artifact at 100 TB)
-      def withHash(df: DataFrame) =
-        df.withColumn("h", md5(col("norm_text").cast("binary")))
-      val hb = withHash(s2B).groupBy(col("h"))
+      // in the base dictionary (stored norm_md5 — no re-normalize)
+      val hb = s2B.groupBy(col("norm_md5").as("h"))
         .agg(min(col("doc_id")).as("doc_id")).localCheckpoint()
-      val s3B = s2B.join(hb.select(col("doc_id")), "doc_id")
-        .localCheckpoint()
-      val novel = withHash(s2D)
+      val s3B = s2B.select(col("doc_id"))
+        .join(hb.select(col("doc_id")), "doc_id").localCheckpoint()
+      val novel = s2D.select(col("norm_md5").as("h"), col("doc_id"))
         .join(hb.select(col("h")), Seq("h"), "left_anti")
         .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
-      val s3D = s2D.join(novel.select(col("doc_id")), "doc_id")
-        .localCheckpoint()
+      val s3D = s2D.select(col("doc_id"))
+        .join(novel.select(col("doc_id")), "doc_id").localCheckpoint()
       // near-dup: the base run once (its forest is the persisted state),
-      // then the union via forest ∪ delta-driven candidates only
-      val arrB = DedupOps.shingleArrays(s3B.select(col("doc_id"), col("text")))
+      // then the union via forest ∪ delta-driven candidates only; the
+      // shingle legs are the one place the corpus text is still read
+      val txt = Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"))
+      val arrB = DedupOps.shingleArrays(s3B.join(txt, "doc_id"))
         .localCheckpoint()
-      val arrD = DedupOps.shingleArrays(s3D.select(col("doc_id"), col("text")))
+      val arrD = DedupOps.shingleArrays(s3D.join(txt, "doc_id"))
         .localCheckpoint()
       val bandsB = DedupOps.lshBands(
         DedupOps.minhashSignatureNarrow(arrB, NumHashes), Bands, RowsPerBand)
@@ -227,60 +239,25 @@ object PipelineQueries {
     // in the training set?") — and it costs nothing beyond p1's own
     // stages plus two evidence joins. Disposition precedence = stage
     // order; evidence NULL except where the semantics define one.
+    // Served from the persisted per-doc curation record
+    // ([[graft.ops.CurationIndex]] `docs/`): the chain runs once at
+    // build, every "why is doc X not in the training set?" read after
+    // that is a 3-column scan of the artifact. The DuckDB oracle still
+    // replays the whole chain from scratch — persisted ≡ recomputed is
+    // the row-for-row contract.
     "p4_disposition" -> ((s, d) => {
-      val st = graft.ops.CurationLedger.stages(s, d)
-      def mem(df: DataFrame, n: String) =
-        df.select(col("doc_id"), lit(1).as(n))
-      st.raw.select(col("doc_id"))
-        .join(mem(st.s1, "in1"), Seq("doc_id"), "left")
-        .join(mem(st.s2, "in2"), Seq("doc_id"), "left")
-        .join(mem(st.s3, "in3"), Seq("doc_id"), "left")
-        .join(mem(st.s4, "in4"), Seq("doc_id"), "left")
-        .join(mem(st.s5, "in5"), Seq("doc_id"), "left")
-        .join(mem(st.s6, "in6"), Seq("doc_id"), "left")
-        .join(st.exactKeeper, Seq("doc_id"), "left")
-        .join(st.canon.select(col("doc_id"), col("canon_id")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          when(col("in1").isNull, "dropped_empty_norm")
-            .when(col("in2").isNull, "dropped_gate")
-            .when(col("in3").isNull, "dropped_exact_dup")
-            .when(col("in4").isNull, "collapsed_neardup")
-            .when(col("in5").isNull, "dropped_contaminated")
-            .when(col("in6").isNull, "dropped_mixture")
-            .otherwise("kept").as("status"),
-          when(col("in2").isNotNull && col("in3").isNull, col("keeper_id"))
-            .when(col("in3").isNotNull && col("in4").isNull,
-              col("canon_id"))
-            .otherwise(lit(null).cast("long")).as("canonical_id"))
+      val p = graft.ops.CurationIndex.ensure(s, d)
+      graft.ops.CurationIndex.docsDf(s, p)
+        .select(col("doc_id"), col("status"), col("canonical_id"))
         .orderBy(col("doc_id"))
     }),
 
+    // Served from the persisted 9-row `ledger/` artifact — the chain
+    // itself runs once inside [[graft.ops.CurationIndex.ensure]];
+    // the oracle recomputes every stage and must match bit-for-bit.
     "p1_curation_ledger" -> ((s, d) => {
-      val st = graft.ops.CurationLedger.stages(s, d)
-      def cnt(df: DataFrame, tok: String): DataFrame =
-        df.agg(count(lit(1)).as("dc"),
-          coalesce(sum(col(tok)), lit(0L)).as("tc"))
-      def row(id: Int, name: String, in: DataFrame, inTok: String,
-          out: DataFrame, outTok: String): DataFrame =
-        cnt(in, inTok).crossJoin(cnt(out, outTok).select(
-            col("dc").as("dc2"), col("tc").as("tc2")))
-          .select(lit(id.toLong).as("stage_id"), lit(name).as("stage"),
-            col("dc").as("docs_in"), col("dc2").as("docs_out"),
-            col("tc").as("tokens_in"), col("tc2").as("tokens_out"))
-      val shards = graft.ops.CurationLedger.packShards(st.s6)
-      val chunks = graft.ops.CurationLedger.chunkRows(st.s6)
-      Seq(
-        row(0, "ingest", st.raw, "ntok_raw", st.raw, "ntok_raw"),
-        row(1, "normalize", st.raw, "ntok_raw", st.s1, "ntok"),
-        row(2, "nb_gate", st.s1, "ntok", st.s2, "ntok"),
-        row(3, "exact_dedup", st.s2, "ntok", st.s3, "ntok"),
-        row(4, "neardup_collapse", st.s3, "ntok", st.s4, "ntok"),
-        row(5, "decontaminate", st.s4, "ntok", st.s5, "ntok"),
-        row(6, "mixture", st.s5, "ntok", st.s6, "ntok"),
-        row(7, "pack", st.s6, "ntok", shards, "stoks"),
-        row(8, "chunk", st.s6, "ntok", chunks, "ctoks")
-      ).reduce(_ unionByName _).orderBy(col("stage_id"))
+      val p = graft.ops.CurationIndex.ensure(s, d)
+      graft.ops.CurationIndex.ledgerDf(s, p).orderBy(col("stage_id"))
     }),
 
     // Shard MANIFEST with integrity checksums — the artifact a 100 TB run
@@ -323,9 +300,17 @@ object PipelineQueries {
       import graft.ops.{CurationLedger => CL}
       val cut = Tables.documents(s, d)
         .agg(expr("((max(doc_id) + 1) * 4) div 5").as("c")).head.getLong(0)
-      val (_, _, s2) = CL.frontStages(s, d, lit(true))
+      // one persisted front serves both what-if slices: the per-doc
+      // gate decisions and both content hashes are stored columns
+      // (norm_md5 for keeper-ship, doc_md5 for shard integrity) — the
+      // corpus is never re-read, re-normalized, or re-hashed
+      val s2 = graft.ops.CurationIndex
+        .docsDf(s, graft.ops.CurationIndex.ensure(s, d))
+        .filter(!col("status").isin("dropped_empty_norm", "dropped_gate"))
+        .select(col("doc_id"), col("lang"), col("ntok"),
+          col("norm_md5"), col("doc_md5"))
       def survivors(df: DataFrame) = {
-        val keep = df.groupBy(md5(col("norm_text").cast("binary")).as("h"))
+        val keep = df.groupBy(col("norm_md5").as("h"))
           .agg(min(col("doc_id")).as("doc_id"))
         df.join(keep.select(col("doc_id")), "doc_id")
       }
@@ -335,12 +320,12 @@ object PipelineQueries {
         df.withColumn("prefix", coalesce(sum(col("ntok")).over(w), lit(0L)))
           .withColumn("shard",
             floor(col("prefix") / CL.ShardTokens).cast("long"))
-          .withColumn("hh", md5(col("text").cast("binary")))
           .groupBy(col("lang"), col("shard"))
           .agg(count(lit(1)).as(s"n_docs_$sfx"),
             sum(col("ntok")).as(s"tokens_$sfx"),
             md5(array_join(transform(sort_array(collect_list(
-                struct(col("doc_id"), col("hh")))), x => x.getField("hh")),
+                struct(col("doc_id"), col("doc_md5")))),
+                x => x.getField("doc_md5")),
               "").cast("binary")).as(s"md5_$sfx"))
       }
       val oldM = manifest(survivors(s2.filter(col("doc_id") < cut
@@ -369,26 +354,25 @@ object PipelineQueries {
     // t38 serve scan into 5 rows; every number reconciles against its
     // source query's oracle. Scale: the chain's own cost + three
     // lang-keyed aggs and one serve scan — nothing new above |docs|.
+    // Served ENTIRELY from the persisted artifacts: every survivor set
+    // is a status filter on `docs/`, the gate margin is the stored
+    // per-doc score (identical to re-running the serve scan — the same
+    // persisted model produced it at build), and the shard counts come
+    // from `manifest/`. Five lang-keyed aggs over the record table; the
+    // corpus is never read.
     "p7_run_report" -> ((s, d) => {
-      import graft.ops.{CurationLedger => CL}
-      val st = CL.stages(s, d)
-      val raw = st.raw.groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
-      val gate = st.s2.groupBy(col("lang")).agg(count(lit(1)).as("n_gate"))
-      val fin = st.s6.groupBy(col("lang"))
+      val p = graft.ops.CurationIndex.ensure(s, d)
+      val docs = graft.ops.CurationIndex.docsDf(s, p)
+      val kept = docs.filter(col("status") === "kept")
+      val raw = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_raw"))
+      val gate = docs.filter(!col("status").isin(
+          "dropped_empty_norm", "dropped_gate"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_gate"))
+      val fin = kept.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_final"), sum(col("ntok")).as("tokens_out"))
-      val shards = CL.packShards(st.s6).groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_shards"))
-      val p = graft.ops.ClassifierIndex.ensure(s, d,
-        graft.ops.ClassifierIndex.Binary)
-      val (seen, consts) = graft.ops.ClassifierIndex.trainModel(s, p, 2)
-      val tf = st.s6
-        .select(col("doc_id"),
-          explode(graft.ops.TextOps.tokens(col("text"))).as("tok"))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      val margins = graft.ops.ClassifierOps.nbScore(seen, consts, tf,
-          st.s6.select(col("doc_id")))
-        .join(st.s6.select(col("doc_id"), col("lang")), "doc_id")
-        .groupBy(col("lang"))
+      val shards = graft.ops.CurationIndex.manifestDf(s, p)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_shards"))
+      val margins = kept.groupBy(col("lang"))
         .agg(sum(col("margin_ppm")).as("smargin"), count(lit(1)).as("nm"))
       raw.join(gate, "lang").join(fin, "lang").join(shards, "lang")
         .join(margins, "lang")
@@ -418,8 +402,9 @@ object PipelineQueries {
     // 5-way-parallel lang-partitioned windows.
     "p8_train_order" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      import graft.ops.{CurationLedger => CL}
-      val shards = CL.packShards(CL.stages(s, d).s6).localCheckpoint()
+      // plans over the persisted |shards| manifest — never the corpus
+      val shards = p5Manifest(s, d)
+        .select(col("lang"), col("shard"), col("shard_tokens").as("stoks"))
       val lc = shards.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_l"), sum(col("stoks")).as("tok_l"))
       val tot = shards.agg(sum(col("stoks")).as("t_all"))
@@ -481,7 +466,7 @@ object PipelineQueries {
     // grain is the |shards| manifest — at 100 TB this reads yesterday's
     // persisted manifest, never the corpus.
     "p9_resume_plan" -> ((s, d) => {
-      val mfst = p5Manifest(s, d).localCheckpoint()
+      val mfst = p5Manifest(s, d)
       val per = mfst.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_shards"),
           sum(col("n_docs")).as("docs_total"),
@@ -514,26 +499,13 @@ object PipelineQueries {
 
   /** p5's per-shard integrity manifest (lang, shard, n_docs,
     * shard_tokens, first_doc, last_doc, shard_md5) — shared by p5 (the
-    * manifest itself) and p9 (the crash-resume planner over it). */
+    * manifest itself) and p9 (the crash-resume planner over it). Read
+    * from the persisted `manifest/` artifact
+    * ([[graft.ops.CurationIndex]]); the chain that derives it runs
+    * once at build. */
   private def p5Manifest(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val st = graft.ops.CurationLedger.stages(s, d)
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    st.s6
-      .withColumn("prefix", coalesce(sum(col("ntok")).over(w), lit(0L)))
-      .withColumn("shard",
-        floor(col("prefix") / graft.ops.CurationLedger.ShardTokens)
-          .cast("long"))
-      .withColumn("h", md5(col("text").cast("binary")))
-      .groupBy(col("lang"), col("shard"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("ntok")).as("shard_tokens"),
-        min(col("doc_id")).as("first_doc"),
-        max(col("doc_id")).as("last_doc"),
-        md5(array_join(transform(sort_array(collect_list(
-            struct(col("doc_id"), col("h")))), x => x.getField("h")), "")
-          .cast("binary")).as("shard_md5"))
+    val p = graft.ops.CurationIndex.ensure(s, d)
+    graft.ops.CurationIndex.manifestDf(s, p)
   }
 
   val oracles: Map[String, String] = Map(

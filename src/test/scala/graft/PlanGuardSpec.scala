@@ -102,6 +102,23 @@ class PlanGuardSpec extends SparkSpecBase {
       s"p9's cut join must broadcast:\n$p")
   }
 
+  test("p1/p4/p5/p9 serve the persisted curation artifacts, not the corpus") {
+    // The round-9 finding: 8 p-family queries recomputed the identical
+    // curation front per query. The chain now runs ONCE inside
+    // CurationIndex.ensure; the serve plans must read the persisted
+    // artifact (ledger/docs/manifest parquet under curation-index/) and
+    // never rescan the documents table. (ensure() runs at plan-build
+    // time — these assertions pin the steady-state serve plan.)
+    Seq("p1_curation_ledger", "p4_disposition", "p5_manifest",
+        "p9_resume_plan").foreach { name =>
+      val p = planOf(name)
+      assert(p.contains("curation-index"),
+        s"$name must scan the persisted curation artifact:\n$p")
+      assert(!p.contains("documents"),
+        s"$name must not rescan the corpus:\n$p")
+    }
+  }
+
   test("q64b profiles distincts through registers, not an Expand") {
     // q64's exact multi-column countDistinct plans an Expand (|cols|× the
     // scan) feeding distinct shuffles with O(cardinality) state; q64b's
