@@ -107,4 +107,60 @@ object RangePlanOps {
     * assignment shared by the batch planner and the streaming router. */
   def pidColumn(bounds: Seq[Double])(v: Column): Column =
     size(filter(typedLit(bounds), b => b < v)).cast("long")
+
+  /** EXACT global rank without a single-partition sort — the scale-safe
+    * replacement for `row_number().over(Window.orderBy(v, key))` (the
+    * q66/t38d shape the q91 discipline exists to kill):
+    *
+    *  1. bounded stratified reservoir over the table (≤640 rows, the
+    *     [[boundedRankedSample]] machinery) — runs at PLAN time,
+    *  2. `p−1` sampled order-statistic boundaries become literals,
+    *  3. literal-probe range id (count of boundaries strictly < v),
+    *  4. per-range local `row_number` (hash-partitioned window on the
+    *     range id — each task sorts ~|rows|/p, never the table),
+    *  5. global rank = local rank + per-range offsets (a ≤p-row count
+    *     frame, prefix-summed and broadcast).
+    *
+    * CORRECTNESS does not depend on sample quality — only balance
+    * does: assignment uses strict `<` on v alone, so rows with equal v
+    * can never split across ranges, ranges are monotone in v, and the
+    * within-range order is the caller's full (v, key) total order;
+    * offset + local is therefore the exact global rank for ANY
+    * boundary set. The boundary probe casts v to double — safe because
+    * long→double is monotone (collisions above 2^53 merge ranges, never
+    * split ties). `key` must make (v, key) a total order. */
+  def globalRank(df: DataFrame, v: Column, key: Column, p: Int,
+      tag: String, rankCol: String): DataFrame = {
+    val s = df.sparkSession
+    val vd = v.cast("double")
+    val samp = df.select(vd.as("__v"), key.cast("string").as("__k"))
+      .withColumn("__h", TextOps.hash60(concat(lit(tag + "|"), col("__k"))))
+      .withColumn("__b", col("__h") % SampleBuckets)
+      .withColumn("__brn", row_number().over(
+        Window.partitionBy(col("__b"))
+          .orderBy(col("__h"), col("__k"), col("__v"))))
+      .filter(col("__brn") <= PerBucket)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("__v"), col("__k"))))
+      .localCheckpoint()
+    val ns = samp.agg(max(col("rn")).as("ns"))
+    val bounds = s.range(1, p.toLong).toDF("i").crossJoin(broadcast(ns))
+      .select(col("i"), expr(s"(i * ns) div $p").as("pos"))
+      .filter(col("pos") >= 1)
+      .join(samp, col("pos") === col("rn"))
+      .orderBy(col("i"))
+      .select(col("__v")).collect().map(_.getDouble(0)).toSeq.distinct
+    val pidded = df.withColumn("__pid", pidColumn(bounds)(vd))
+    val local = pidded.withColumn("__lrn",
+      row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(v, key)).cast("long"))
+    val offs = pidded.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offs), "__pid")
+      .withColumn(rankCol, col("__off") + col("__lrn"))
+      .drop("__pid", "__lrn", "__off")
+  }
 }

@@ -1703,16 +1703,28 @@ object RelationalQueries {
         .orderBy(col("day"))
     }),
 
-    // Equal-frequency decile segmentation (ntile — the one ranking window
-    // q18/q38 don't cover): customers bucketed into account-balance
-    // deciles, then per-decile spend. The ORDER BY is made total
-    // (acctbal, custkey) so both engines assign identical bucket
-    // boundaries — ntile over a tied prefix is otherwise
-    // implementation-defined. One customer-keyed window + one small agg.
+    // Equal-frequency decile segmentation (exact ntile semantics — the
+    // one ranking form q18/q38 don't cover): customers bucketed into
+    // account-balance deciles, then per-decile spend. The ORDER BY is
+    // made total (acctbal, custkey) so both engines assign identical
+    // bucket boundaries. A literal `ntile(10).over(Window.orderBy(...))`
+    // plans as Exchange SinglePartition — every customer through ONE
+    // sort task, the q91 defect — so the rank comes from
+    // [[graft.ops.RangePlanOps.globalRank]] (sampled range boundaries →
+    // per-range local rank + broadcast offsets; exact for any boundary
+    // set) and the decile is ntile's published arithmetic on that rank:
+    // the first n%10 buckets carry n/10+1 rows, the rest n/10.
     "q66_ntile_deciles" -> ((s, d) => {
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      Tables.customer(s, d)
-        .withColumn("decile", ntile(10).over(w))
+      val cust = Tables.customer(s, d)
+      val ranked = graft.ops.RangePlanOps.globalRank(cust,
+        col("c_acctbal"), col("c_custkey"), 32, "q66", "grank")
+      val n = cust.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(n))
+        .withColumn("decile", expr(
+          """CASE WHEN grank <= (n div 10 + 1) * (n % 10)
+            |THEN (grank - 1) div (n div 10 + 1) + 1
+            |ELSE n % 10 + (grank - (n div 10 + 1) * (n % 10) - 1)
+            |  div (n div 10) + 1 END""".stripMargin).cast("int"))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_customers"),
           expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)")
@@ -2364,12 +2376,14 @@ object RelationalQueries {
     // 2^b−1] — a ≤2× relative-error quantile from constant state, the
     // 100 TB alternative to exact percentiles (q23), which need a full
     // sort. The exact order statistic rides along as the self-evaluation
-    // (est_lo ≤ exact_val ≤ est_hi by construction); at scale you'd skip
-    // that global-sort readout and keep only the histogram path.
+    // (est_lo ≤ exact_val ≤ est_hi by construction) — ranked by
+    // [[graft.ops.RangePlanOps.globalRank]] (range partitions +
+    // broadcast offsets), so even the exact readout never funnels the
+    // table through one sort task.
     "q88_log2_quantiles" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.fanout(Tables.documents(s, d))
-        .select(greatest(col("n_chars"), lit(1L)).as("v"))
+        .select(col("doc_id"), greatest(col("n_chars"), lit(1L)).as("v"))
       val hb = docs.selectExpr("CAST(length(bin(v)) AS BIGINT) AS b")
         .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
       val tot = hb.agg(sum(col("cnt")).as("n"))
@@ -2380,8 +2394,8 @@ object RelationalQueries {
         .select(col("q"), expr("(n * q + 99) div 100").as("rank"))
       val pick = ranks.join(broadcast(cum), col("cum") >= col("rank"))
         .groupBy(col("q"), col("rank")).agg(min(col("b")).as("bucket"))
-      val ordered = docs.withColumn("rn",
-        row_number().over(Window.orderBy(col("v"))))
+      val ordered = graft.ops.RangePlanOps.globalRank(docs,
+        col("v"), col("doc_id"), 32, "q88", "rn")
       val exact = ranks.join(ordered, col("rn") === col("rank"))
         .select(col("q"), col("v").as("exact_val"))
       pick.join(exact, "q")

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.TextOps._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis queries over `documents` (training-data-pipeline surface:
@@ -1316,28 +1316,26 @@ object TextQueries {
     // (ties broken by doc_id on both sides — textbook Spearman's
     // tied-rank averaging would need non-integer ranks; the tie-broken
     // form is deterministic and equal to it in the untied limit).
-    // ρ_ppm = 10⁶ − 6·Σd²·10⁶ div n(n²−1), exact BIGINTs while the
-    // NUMERATOR 6·Σd²·10⁶ stays under 2⁶³: worst-case Σd² = n(n²−1)/3,
-    // so 2·10⁶·n³ overflows at n ≈ 16.6k holdout docs — past that,
-    // widen the numerator product to DECIMAL(38,0) (and rank on a
-    // q91-style range partition once the sort itself is the bound).
-    // The two rank windows sort only the HOLDOUT (per-fold sample, not
-    // the corpus).
+    // ρ_ppm = 10⁶ − 6·Σd²·10⁶ div n(n²−1) with the numerator product
+    // widened to DECIMAL(38,0) ([[rhoPpmExpr]] — 6·Σd²·10⁶ wraps BIGINT
+    // at n ≈ 16.6k holdout docs; the widened form is exact to
+    // n ≈ 3.7e10, planted-proven in ClassifierQuerySpec), and both
+    // ranks computed by [[graft.ops.RangePlanOps.globalRank]] (sampled
+    // range boundaries → per-range local rank + broadcast offsets) so
+    // no holdout-sized sort ever runs through one task.
     "t38d_rank_fidelity" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val (teach, pred) = nbServePredictions(s, d)
       val ratio = teach.select(col("doc_id"), col("teacher_bp"))
-      val ranked = pred.join(ratio, "doc_id")
-        .withColumn("rank_student", row_number().over(
-          Window.orderBy(col("margin_ppm"), col("doc_id"))))
-        .withColumn("rank_teacher", row_number().over(
-          Window.orderBy(col("teacher_bp"), col("doc_id"))))
+      val joined = pred.join(ratio, "doc_id").localCheckpoint()
+      val rs = graft.ops.RangePlanOps.globalRank(joined,
+        col("margin_ppm"), col("doc_id"), 32, "t38d-s", "rank_student")
+        .localCheckpoint()
+      val ranked = graft.ops.RangePlanOps.globalRank(rs,
+        col("teacher_bp"), col("doc_id"), 32, "t38d-t", "rank_teacher")
         .withColumn("d", col("rank_student") - col("rank_teacher"))
       ranked.agg(count(lit(1)).as("n"),
           sum(col("d") * col("d")).as("sum_d2"))
-        .select(col("n"), col("sum_d2"),
-          expr("1000000L - 6 * sum_d2 * 1000000L div (n * (n * n - 1))")
-            .as("rho_ppm"))
+        .select(col("n"), col("sum_d2"), rhoPpmExpr.as("rho_ppm"))
     }),
 
     // 4-fold cross-validation of the distilled filter WITHOUT retraining
@@ -3070,7 +3068,8 @@ object TextQueries {
          |      * (rank_student - rank_teacher)) AS BIGINT) AS sum_d2
          |  FROM rk)
          |SELECT n, sum_d2,
-         |  1000000 - (6 * sum_d2 * 1000000) // (n * (n * n - 1)) AS rho_ppm
+         |  1000000 - CAST((CAST(6 AS HUGEINT) * sum_d2 * 1000000)
+         |    // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT) AS rho_ppm
          |FROM agg""".stripMargin,
     "t38b_threshold_sweep" ->
       s"""WITH $dkNbBinaryCtes,
@@ -3256,6 +3255,18 @@ object TextQueries {
        |    max(CASE WHEN rn = greatest((2 * ns) // 3, 1) THEN $vcol
        |        END) AS b2
        |  FROM ${pfx}rk GROUP BY lang)""".stripMargin
+
+  /** t38d's Spearman ρ (ppm) over columns `n`, `sum_d2`:
+    * 10⁶ − 6·Σd²·10⁶ div n(n²−1), the NUMERATOR product widened to
+    * DECIMAL(38,0) — in plain BIGINTs the worst case Σd² = n(n²−1)/3
+    * makes it 2·10⁶·n³, which wraps 2⁶³ at n ≈ 16.6k; the widened form
+    * is exact while 2·10⁶·n³ < 10³⁸, i.e. to n ≈ 3.7e10 holdout docs.
+    * Subtraction stays in BIGINT (IntegralDivide returns long), so the
+    * output type is unchanged. DuckDB mirror: the same product through
+    * HUGEINT (int128). */
+  private[graft] def rhoPpmExpr: Column =
+    expr("1000000L - CAST(6 AS DECIMAL(38,0)) * sum_d2 * 1000000 div " +
+      "(CAST(n AS DECIMAL(38,0)) * n * n - n)")
 
   /** t52's 13 Gopher verdicts as ONE shared CASE-sum string — no division
     * anywhere in it, so the identical text parses in Spark and DuckDB

@@ -187,6 +187,19 @@ class PlanGuardSpec extends SparkSpecBase {
       s"t38 must serve the persisted ClassifierIndex model, not retrain:\n$p")
   }
 
+  test("q66 ranks through range partitions, never one global ntile sort") {
+    // ntile(10).over(Window.orderBy(...)) plans as Exchange
+    // SinglePartition — the whole customer table through one sort task.
+    // The exact-rank form must show only PARTITIONED windows (the range
+    // id leads the window spec); an un-partitioned spec ordered by
+    // c_acctbal means the global sort came back.
+    val p = planOf("q66_ntile_deciles")
+    assert(!p.contains("ntile("),
+      s"q66 must not plan a global ntile:\n$p")
+    assert("windowspecdefinition\\(c_acctbal".r.findFirstIn(p).isEmpty,
+      s"q66's rank window must be range-partitioned, not global:\n$p")
+  }
+
   test("q91 never sorts or windows the full table") {
     // The range planner's contract: the ONLY sort is the sample's
     // (executed while building the boundary literals, outside this

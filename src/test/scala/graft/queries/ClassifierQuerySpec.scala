@@ -34,4 +34,22 @@ class ClassifierQuerySpec extends SparkSpecBase {
     assert(r._1 == t38, s"refreshed-model accuracy ${r._1} != t38 $t38")
     assert(r._2 == r._3 + r._4, "flip directions must partition the flips")
   }
+
+  test("t38d's widened ρ numerator survives >16.6k-doc holdouts") {
+    // worst case Σd² = n(n²−1)/3 gives numerator 2·10⁶·n³: at n = 20 000
+    // that is 1.6e19 > 2⁶³ — plain BIGINT would wrap; the DECIMAL(38,0)
+    // form must land exactly on ρ = 10⁶ − 2·10⁶ = −10⁶. Plus two small-n
+    // cases checkable by hand (perfect agreement and one swap).
+    val rows = Seq(
+      (20000L, 20000L * (20000L * 20000L - 1L) / 3L, -1000000L),
+      (100L, 0L, 1000000L),              // identical rankings
+      (4L, 2L, 1000000L - 200000L))      // one adjacent swap: 6·2·10⁶/60
+    val got = rows.map { case (n, d2, _) => (n, d2) }
+      .toDF("n", "sum_d2")
+      .select(col("n"), TextQueries.rhoPpmExpr.as("rho"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (n, _, want) =>
+      assert(got(n) == want, s"n=$n: rho ${got(n)} != $want")
+    }
+  }
 }
