@@ -114,6 +114,74 @@ object SimilarityQueries {
       .orderBy(col("removed_id"))
   }
 
+  /** Cluster-bucketed near-dup pair frame — the d23/SemDeDup candidate
+    * path (k-means clusters as the candidate filter, exact cosine
+    * within a cluster only): the 100 TB pair generation, never
+    * all-pairs. Shared by [[semDedupRemovals]]' shape and m8. */
+  private def clusterNearDupPairs(v: DataFrame, tau: Double): DataFrame = {
+    val assigned = kmeansAssign(v, KmK, KmIters)
+      .select(col("id"), col("cluster"))
+    val av = v.join(assigned, "id")
+    val a = av.select(col("cluster"), col("id").as("id_a"),
+      col("emb").as("emb_a"), norm2(col("emb")).as("n2_a"))
+    val b = av.select(col("cluster").as("cluster_b"), col("id").as("id_b"),
+      col("emb").as("emb_b"), norm2(col("emb")).as("n2_b"))
+    a.join(b, col("cluster") === col("cluster_b")
+        && col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(dot(col("emb_a"), col("emb_b")),
+        col("n2_a"), col("n2_b")))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** m8/m8b's shared audit-and-repair body over a caller-supplied
+    * near-dup pair frame — the pair generation is the ONLY difference
+    * between the headline (cluster-bucketed) and validator (exact
+    * all-pairs) forms. */
+  private def batchNegativesAudit(v: DataFrame,
+      pairs0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val asg = v.select(col("id"),
+        graft.ops.TextOps.hash60(
+          concat(lit("m8|"), col("id").cast("string"))).as("hv"))
+      .withColumn("st", expr(s"hv % $M8Strata"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("st").orderBy("hv", "id")))
+    val nlb = asg.groupBy(col("st"))
+      .agg(expr(s"(max(rn) + ${M8Batch - 1}) div $M8Batch").as("nb"))
+    val a2 = asg.select(col("id"), col("st"),
+      expr(s"(rn - 1) div $M8Batch").as("lb")).localCheckpoint()
+    val pairs = pairs0.localCheckpoint()
+    def collisions(a: DataFrame): DataFrame = pairs
+      .join(a.select(col("id").as("id_a"), col("st"), col("lb")), "id_a")
+      .join(a.select(col("id").as("id_b"), col("st").as("st_b"),
+        col("lb").as("lb_b")), "id_b")
+      .filter(col("st") === col("st_b") && col("lb") === col("lb_b"))
+      .select(col("id_a"), col("id_b"), col("st"), col("lb"))
+    val coll = collisions(a2).localCheckpoint()
+    val moved = coll.select(col("id_b").as("id")).distinct()
+    val a3 = a2.join(broadcast(nlb), "st")
+      .join(moved.withColumn("m", lit(1)), Seq("id"), "left")
+      .withColumn("lb", when(col("m").isNotNull,
+        (col("lb") + 1) % col("nb")).otherwise(col("lb")))
+      .select(col("id"), col("st"), col("lb")).localCheckpoint()
+    val b0 = a2.groupBy(col("st"), col("lb"))
+      .agg(count(lit(1)).as("n_before"))
+    val b1 = a3.groupBy(col("st"), col("lb"))
+      .agg(count(lit(1)).as("n_after"))
+    val c0 = coll.groupBy(col("st"), col("lb"))
+      .agg(count(lit(1)).as("coll_before"))
+    val c1 = collisions(a3).groupBy(col("st"), col("lb"))
+      .agg(count(lit(1)).as("coll_after"))
+    b0.join(c0, Seq("st", "lb"), "left").join(b1, Seq("st", "lb"), "left")
+      .join(c1, Seq("st", "lb"), "left")
+      .select(col("st"), col("lb"), col("n_before"),
+        coalesce(col("coll_before"), lit(0L)).as("coll_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("coll_after"), lit(0L)).as("coll_after"))
+      .orderBy(col("st"), col("lb"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact ANN baseline: top-10 cosine neighbors of the first 8 vectors.
     "n1_ann_bruteforce" -> ((s, d) => {
@@ -290,56 +358,30 @@ object SimilarityQueries {
     // batch = rank div B — so NO global sort ever happens (the q91
     // bounded-window discipline; batches never cross strata, the same
     // per-stratum packing contract as p1's shards). The audit joins the
-    // near-dup pairs (planted corpus, exact all-pairs ground truth at
-    // test scale — at 100 TB the d23/LSH bucket path supplies the same
-    // (id_a,id_b) frame) against the assignment; repair deterministically
-    // advances each collision's larger member one batch within its
-    // stratum (mod wrap) and HONESTLY recounts residual collisions —
-    // moves can collide anew, and the readout would show it. Per batch:
-    // members and in-batch near-dup pairs, before and after repair.
+    // near-dup pairs from the CLUSTER-BUCKETED candidate path
+    // ([[clusterNearDupPairs]] — d23b's k-means filter + in-cluster
+    // exact verify, the 100 TB pair generation) against the assignment;
+    // repair deterministically advances each collision's larger member
+    // one batch within its stratum (mod wrap) and HONESTLY recounts
+    // residual collisions — moves can collide anew, and the readout
+    // would show it. Per batch: members and in-batch near-dup pairs,
+    // before and after repair. The exact all-pairs truth lives in the
+    // bench-excluded validator twin m8b (the d4/d19 policy); m8b ≡ m8
+    // on this corpus iff the cluster filter has full recall — d23c
+    // measures exactly that.
     "m8_batch_negatives" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val v = plantedVecs(s, d)
-      val asg = v.select(col("id"),
-          graft.ops.TextOps.hash60(
-            concat(lit("m8|"), col("id").cast("string"))).as("hv"))
-        .withColumn("st", expr(s"hv % $M8Strata"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("st").orderBy("hv", "id")))
-      val nlb = asg.groupBy(col("st"))
-        .agg(expr(s"(max(rn) + ${M8Batch - 1}) div $M8Batch").as("nb"))
-      val a2 = asg.select(col("id"), col("st"),
-        expr(s"(rn - 1) div $M8Batch").as("lb")).localCheckpoint()
-      val pairs = cosineNearDupPairs(v, SemTauProd)
-        .select(col("id_a"), col("id_b")).localCheckpoint()
-      def collisions(a: DataFrame): DataFrame = pairs
-        .join(a.select(col("id").as("id_a"), col("st"), col("lb")), "id_a")
-        .join(a.select(col("id").as("id_b"), col("st").as("st_b"),
-          col("lb").as("lb_b")), "id_b")
-        .filter(col("st") === col("st_b") && col("lb") === col("lb_b"))
-        .select(col("id_a"), col("id_b"), col("st"), col("lb"))
-      val coll = collisions(a2).localCheckpoint()
-      val moved = coll.select(col("id_b").as("id")).distinct()
-      val a3 = a2.join(broadcast(nlb), "st")
-        .join(moved.withColumn("m", lit(1)), Seq("id"), "left")
-        .withColumn("lb", when(col("m").isNotNull,
-          (col("lb") + 1) % col("nb")).otherwise(col("lb")))
-        .select(col("id"), col("st"), col("lb")).localCheckpoint()
-      val b0 = a2.groupBy(col("st"), col("lb"))
-        .agg(count(lit(1)).as("n_before"))
-      val b1 = a3.groupBy(col("st"), col("lb"))
-        .agg(count(lit(1)).as("n_after"))
-      val c0 = coll.groupBy(col("st"), col("lb"))
-        .agg(count(lit(1)).as("coll_before"))
-      val c1 = collisions(a3).groupBy(col("st"), col("lb"))
-        .agg(count(lit(1)).as("coll_after"))
-      b0.join(c0, Seq("st", "lb"), "left").join(b1, Seq("st", "lb"), "left")
-        .join(c1, Seq("st", "lb"), "left")
-        .select(col("st"), col("lb"), col("n_before"),
-          coalesce(col("coll_before"), lit(0L)).as("coll_before"),
-          coalesce(col("n_after"), lit(0L)).as("n_after"),
-          coalesce(col("coll_after"), lit(0L)).as("coll_after"))
-        .orderBy(col("st"), col("lb"))
+      batchNegativesAudit(v, clusterNearDupPairs(v, SemTauProd))
+    }),
+
+    // m8's exact-truth validator twin: the SAME audit over the
+    // all-pairs cosine ground truth — quadratic by construction, so
+    // bench-excluded (the d4/d6/d19 policy) and used to certify the
+    // headline's bucketed pair frame.
+    "m8b_batch_negatives_exact" -> ((s, d) => {
+      val v = plantedVecs(s, d)
+      batchNegativesAudit(v,
+        cosineNearDupPairs(v, SemTauProd).select(col("id_a"), col("id_b")))
     }),
 
     // IVF ANN: label partitions as inverted lists, exact-decimal centroids
@@ -2572,6 +2614,52 @@ object SimilarityQueries {
          |       ELSE (n_hit * 10000) // n_removed END AS precision_bp
          |FROM counts""".stripMargin,
     "m8_batch_negatives" ->
+      s"""WITH ${dkKmeansCtesOver(dkPlantedV)},
+         |h AS (SELECT id,
+         |        ('0x' || substr(md5('m8|' || id), 1, 15))::BIGINT AS hv
+         |      FROM v),
+         |asg AS (SELECT id, hv % $M8Strata AS st,
+         |        row_number() OVER (PARTITION BY hv % $M8Strata
+         |                           ORDER BY hv, id) AS rn FROM h),
+         |nlb AS (SELECT st, (max(rn) + ${M8Batch - 1}) // $M8Batch AS nb
+         |        FROM asg GROUP BY st),
+         |ba2 AS (SELECT id, st, (rn - 1) // $M8Batch AS lb FROM asg),
+         |av AS (
+         |  SELECT a.id, a.cluster, v.emb
+         |  FROM afinal a JOIN v ON v.id = a.id),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM av a JOIN av b ON a.cluster = b.cluster AND a.id < b.id
+         |  WHERE ${dot2("a.emb", "b.emb")}
+         |    / sqrt(${n2of("a.emb")} * ${n2of("b.emb")}) >= $SemTauProd),
+         |coll AS (
+         |  SELECT p.id_a, p.id_b, x.st, x.lb FROM pairs p
+         |  JOIN ba2 x ON x.id = p.id_a
+         |  JOIN ba2 y ON y.id = p.id_b AND y.st = x.st AND y.lb = x.lb),
+         |moved AS (SELECT DISTINCT id_b AS id FROM coll),
+         |ba3 AS (
+         |  SELECT ba2.id, ba2.st,
+         |    CASE WHEN ba2.id IN (SELECT id FROM moved)
+         |         THEN (ba2.lb + 1) % nlb.nb ELSE ba2.lb END AS lb
+         |  FROM ba2 JOIN nlb USING (st)),
+         |coll2 AS (
+         |  SELECT p.id_a, p.id_b, x.st, x.lb FROM pairs p
+         |  JOIN ba3 x ON x.id = p.id_a
+         |  JOIN ba3 y ON y.id = p.id_b AND y.st = x.st AND y.lb = x.lb),
+         |b0 AS (SELECT st, lb, count(*) AS n_before FROM ba2 GROUP BY 1, 2),
+         |b1 AS (SELECT st, lb, count(*) AS n_after FROM ba3 GROUP BY 1, 2),
+         |c0 AS (SELECT st, lb, count(*) AS coll_before FROM coll
+         |       GROUP BY 1, 2),
+         |c1 AS (SELECT st, lb, count(*) AS coll_after FROM coll2
+         |       GROUP BY 1, 2)
+         |SELECT st, lb, b0.n_before,
+         |  coalesce(c0.coll_before, 0) AS coll_before,
+         |  coalesce(b1.n_after, 0) AS n_after,
+         |  coalesce(c1.coll_after, 0) AS coll_after
+         |FROM b0 LEFT JOIN c0 USING (st, lb) LEFT JOIN b1 USING (st, lb)
+         |LEFT JOIN c1 USING (st, lb)
+         |ORDER BY st, lb""".stripMargin,
+    "m8b_batch_negatives_exact" ->
       s"""WITH $dkPlantedV,
          |h AS (SELECT id,
          |        ('0x' || substr(md5('m8|' || id), 1, 15))::BIGINT AS hv
