@@ -137,6 +137,61 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** d43's k-gram combined-key table: (doc_id, n_kg, pos, key) with
+    * key = hash·2²¹ + (2²⁰ − pos0 − 1), so one BIGINT `min` picks
+    * (min hash, rightmost position) simultaneously. Checkpointed: d43
+    * re-windows it per sweep point, d44 reuses it at w=8. */
+  private def winnowKgrams(ds: DataFrame): DataFrame = {
+    val toksd = ds.select(col("doc_id"), tokens(col("text")).as("toks"),
+      trim(col("text")).as("t"))
+    val kgarr = when(size(col("toks")) >= 4,
+      transform(sequence(lit(1), size(col("toks")) - 3), i =>
+        concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1), element_at(col("toks"), i + 2),
+          element_at(col("toks"), i + 3))))
+      .otherwise(array(col("t")))
+    toksd.select(col("doc_id"), kgarr.as("kgarr"))
+      .select(col("doc_id"), size(col("kgarr")).cast("long").as("n_kg"),
+        posexplode(col("kgarr")).as(Seq("pos0", "g")))
+      .select(col("doc_id"), col("n_kg"), (col("pos0") + 1).as("pos"),
+        (hash32(col("g")) * 2097152L + (lit(1048576L) - col("pos0") - 1))
+          .as("key"))
+      .localCheckpoint()
+  }
+
+  /** Winnowing fingerprint selection at window w over [[winnowKgrams]]:
+    * distinct (doc_id, fp_hash, fp_pos) — a per-doc ROWS window, so the
+    * selection is embarrassingly parallel. Checkpointed: consumers read
+    * it two or three times (density agg, cull agg, pair join). */
+  private def winnowFps(kg: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), 0)
+    kg.withColumn("mk", min(col("key")).over(win))
+      .filter(col("pos") >= least(lit(w.toLong), col("n_kg")))
+      .select(col("doc_id"), expr("mk div 2097152").as("fp_hash"),
+        expr("1048576 - (mk % 2097152)").as("fp_pos"))
+      .distinct()
+      .localCheckpoint()
+  }
+
+  /** Fingerprint match pairs through the culled index: hashes in more
+    * than [[WinMaxDocs]] docs dropped first (MOSS's boilerplate cull —
+    * it also BOUNDS each bucket's fan-out at C(cap,2) pairs, the d2
+    * band-bucket argument). Returns (per-hash doc counts, grouped
+    * (doc_a, doc_b, shared) pairs). */
+  private def winnowPairFrame(fp: DataFrame): (DataFrame, DataFrame) = {
+    val byHash = fp.groupBy(col("fp_hash"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val keep = byHash.filter(col("nd") <= WinMaxDocs).select(col("fp_hash"))
+    val pairs = fp.join(keep, Seq("fp_hash"), "left_semi").as("a")
+      .join(fp.as("b"), col("b.fp_hash") === col("a.fp_hash")
+        && col("b.doc_id") > col("a.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(countDistinct(col("a.fp_hash")).as("shared"))
+    (byHash, pairs)
+  }
+
   val queries: Map[String, Q] = Map(
     // Exact dedup: content-hash groupBy; keeper = min doc_id. At scale:
     // hash-partitioned shuffle on a 32-hex key — perfectly distributed.
@@ -1075,43 +1130,12 @@ object DedupQueries {
     // the checkpointed hash table without re-hashing, and the pair join
     // is capped per bucket; nothing exceeds |tokens| rows.
     "d43_winnowing" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val toksd = docs(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("toks"),
-          trim(col("text")).as("t"))
-      val kgarr = when(size(col("toks")) >= 4,
-        transform(sequence(lit(1), size(col("toks")) - 3), i =>
-          concat_ws(" ", element_at(col("toks"), i),
-            element_at(col("toks"), i + 1), element_at(col("toks"), i + 2),
-            element_at(col("toks"), i + 3))))
-        .otherwise(array(col("t")))
-      val kg = toksd.select(col("doc_id"), kgarr.as("kgarr"))
-        .select(col("doc_id"), size(col("kgarr")).cast("long").as("n_kg"),
-          posexplode(col("kgarr")).as(Seq("pos0", "g")))
-        .select(col("doc_id"), col("n_kg"), (col("pos0") + 1).as("pos"),
-          (hash32(col("g")) * 2097152L + (lit(1048576L) - col("pos0") - 1))
-            .as("key"))
-        .localCheckpoint()
+      val kg = winnowKgrams(docs(s, d))
       val nKg = kg.agg(count(lit(1)).as("n_kgrams"))
       val rows = WinWs.map { w =>
-        val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-          .rowsBetween(-(w - 1), 0)
-        val fp = kg.withColumn("mk", min(col("key")).over(win))
-          .filter(col("pos") >= least(lit(w.toLong), col("n_kg")))
-          .select(col("doc_id"), expr("mk div 2097152").as("fp_hash"),
-            expr("1048576 - (mk % 2097152)").as("fp_pos"))
-          .distinct()
-          .localCheckpoint()
-        val byHash = fp.groupBy(col("fp_hash"))
-          .agg(countDistinct(col("doc_id")).as("nd"))
-        val keep = byHash.filter(col("nd") <= WinMaxDocs)
-          .select(col("fp_hash"))
-        val pairs = fp.join(keep, Seq("fp_hash"), "left_semi")
-          .as("a")
-          .join(fp.as("b"), col("b.fp_hash") === col("a.fp_hash")
-            && col("b.doc_id") > col("a.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(countDistinct(col("a.fp_hash")).as("shared"))
+        val fp = winnowFps(kg, w)
+        val (byHash, pairFrame) = winnowPairFrame(fp)
+        val pairs = pairFrame
           .agg(count(lit(1)).as("n_pairs"),
             coalesce(sum(when(col("shared") >= 3, 1L).otherwise(0L)), lit(0L))
               .as("n_pairs_strong"))
@@ -1127,6 +1151,69 @@ object DedupQueries {
             col("n_common_dropped"), col("n_pairs"), col("n_pairs_strong"))
       }
       rows.reduce(_ union _).orderBy(col("w"))
+    }),
+
+    // Dedup-signal agreement audit (t53's cross-signal methodology on
+    // the dedup side — the "which candidate generator do I trust"
+    // question every pipeline owner asks before paying for the exact
+    // pass): MinHash-band collisions (d2's candidate stage, pre-verify)
+    // vs winnowing-fingerprint match pairs (d43's culled w=8 index),
+    // each scored against d4's exact-Jaccard ≥ τ pair truth. One row
+    // per signal plus their intersection and union: candidates, true
+    // hits, recall_ppm vs the truth set, precision_ppm of the candidate
+    // set — recall says what the signal misses, precision what the
+    // verify step pays, `both`/`either` whether the two signals are
+    // redundant or complementary (MinHash is SET-level, winnowing is
+    // POSITION-aware, so containment-style dups split them). Scale: both
+    // candidate generators are the banded/bucketed paths; the one
+    // quadratic-class leg is the d4 truth (shingle-bucket join), which
+    // is exactly why d44 lives OUTSIDE the bench headline with the
+    // d4/d19 validators — it certifies the scale path, it isn't one.
+    // The merge is one (doc_a, doc_b) groupBy over tagged candidate
+    // rows + a broadcast-sized 1-row readout exploded to 4 signals.
+    "d44_signal_agreement" -> ((s, d) => {
+      val ds = docs(s, d)
+      val truth = exactJaccardPairs(explodedShingles(ds), JaccardTau)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val candA = candidatePairs(lshBands(
+          minhashSignatureNarrow(shingleArrays(ds), NumHashes),
+          Bands, RowsPerBand))
+        .select(col("doc_a"), col("doc_b"))
+      val candB = winnowPairFrame(winnowFps(winnowKgrams(ds), 8))._2
+        .select(col("doc_a"), col("doc_b"))
+      val flags = candA.withColumn("ia", lit(1L)).withColumn("ib", lit(0L))
+        .unionByName(candB.withColumn("ia", lit(0L)).withColumn("ib", lit(1L)))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(max(col("ia")).as("in_a"), max(col("ib")).as("in_b"))
+        .join(truth.withColumn("t", lit(1L)), Seq("doc_a", "doc_b"), "left")
+        .withColumn("is_true", coalesce(col("t"), lit(0L)))
+      val tt = truth.agg(count(lit(1)).as("truth_total"))
+      val one = flags.agg(
+        coalesce(sum(col("in_a")), lit(0L)).as("a_cand"),
+        coalesce(sum(col("in_a") * col("is_true")), lit(0L)).as("a_true"),
+        coalesce(sum(col("in_b")), lit(0L)).as("b_cand"),
+        coalesce(sum(col("in_b") * col("is_true")), lit(0L)).as("b_true"),
+        coalesce(sum(col("in_a") * col("in_b")), lit(0L)).as("both_cand"),
+        coalesce(sum(col("in_a") * col("in_b") * col("is_true")), lit(0L))
+          .as("both_true"),
+        count(lit(1)).as("e_cand"),
+        coalesce(sum(col("is_true")), lit(0L)).as("e_true"))
+        .crossJoin(broadcast(tt))
+      def sigStruct(nme: String, c: String, t: String) =
+        struct(lit(nme).as("signal"), col(c).as("n_cand"), col(t).as("n_true"))
+      one.select(explode(array(
+            sigStruct("both", "both_cand", "both_true"),
+            sigStruct("either", "e_cand", "e_true"),
+            sigStruct("minhash_band", "a_cand", "a_true"),
+            sigStruct("winnow_w8", "b_cand", "b_true"))).as("r"),
+          col("truth_total"))
+        .select(col("r.signal").as("signal"), col("r.n_cand").as("n_cand"),
+          col("r.n_true").as("n_true"), col("truth_total"),
+          expr("r.n_true * 1000000 div greatest(truth_total, 1L)")
+            .as("recall_ppm"),
+          expr("r.n_true * 1000000 div greatest(r.n_cand, 1L)")
+            .as("precision_ppm"))
+        .orderBy(col("signal"))
     }),
 
     // Contamination operating curve (the PaLM/GPT-4 report methodology:
@@ -1408,6 +1495,53 @@ object DedupQueries {
        |  FROM sh0),
        |shingled AS (
        |  SELECT DISTINCT doc_id, unnest(shingles) AS sh FROM sh1)""".stripMargin
+
+  /** d43/d44's k-gram combined-key table CTEs (toksd → kgs → kg):
+    * DuckDB mirror of [[winnowKgrams]]. */
+  private val dkWinnowKgCtes: String =
+    s"""toksd AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+       |    trim(text) AS t
+       |  FROM documents),
+       |kgs AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) >= 4
+       |      THEN list_transform(generate_series(1, len(toks) - 3),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] ||
+       |          ' ' || toks[i+3])
+       |      ELSE [t] END AS kgarr
+       |  FROM toksd),
+       |kg AS MATERIALIZED (
+       |  SELECT doc_id, u.pos,
+       |    ('0x' || substr(md5(u.g), 1, 8))::BIGINT * 2097152
+       |      + (1048576 - u.pos) AS key,
+       |    len(kgarr) AS n_kg
+       |  FROM kgs, LATERAL (SELECT unnest(kgarr) AS g,
+       |    generate_subscripts(kgarr, 1) AS pos) u)""".stripMargin
+
+  /** Winnowing selection + culled pair join at window `w` over `kg`
+    * (win$w → fp$w → keep$w → pr$w): DuckDB mirror of [[winnowFps]] +
+    * [[winnowPairFrame]]. */
+  private def dkWinnowChain(w: Int): String =
+    s"""win$w AS (
+       |  SELECT doc_id,
+       |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS mk,
+       |    pos, n_kg
+       |  FROM kg),
+       |fp$w AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, mk // 2097152 AS fp_hash,
+       |    1048576 - (mk % 2097152) AS fp_pos
+       |  FROM win$w WHERE pos >= least($w, n_kg)),
+       |keep$w AS (
+       |  SELECT fp_hash FROM (SELECT fp_hash, count(DISTINCT doc_id)
+       |    AS nd FROM fp$w GROUP BY 1) WHERE nd <= $WinMaxDocs),
+       |pr$w AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(DISTINCT a.fp_hash) AS BIGINT) AS shared
+       |  FROM fp$w a JOIN keep$w k ON a.fp_hash = k.fp_hash
+       |  JOIN fp$w b ON b.fp_hash = a.fp_hash AND b.doc_id > a.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
 
   /** Exhaustive exact-Jaccard pairs (d4's oracle; d20 reuses it — same
     * answer via prefix filtering). */
@@ -2384,25 +2518,7 @@ object DedupQueries {
     // one k-gram hash table, three window-min passes, capped pair joins
     "d43_winnowing" -> {
       def winSql(w: Int): String =
-        s"""win$w AS (
-           |  SELECT doc_id,
-           |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
-           |      ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS mk,
-           |    pos, n_kg
-           |  FROM kg),
-           |fp$w AS MATERIALIZED (
-           |  SELECT DISTINCT doc_id, mk // 2097152 AS fp_hash,
-           |    1048576 - (mk % 2097152) AS fp_pos
-           |  FROM win$w WHERE pos >= least($w, n_kg)),
-           |keep$w AS (
-           |  SELECT fp_hash FROM (SELECT fp_hash, count(DISTINCT doc_id)
-           |    AS nd FROM fp$w GROUP BY 1) WHERE nd <= $WinMaxDocs),
-           |pr$w AS (
-           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |    CAST(count(DISTINCT a.fp_hash) AS BIGINT) AS shared
-           |  FROM fp$w a JOIN keep$w k ON a.fp_hash = k.fp_hash
-           |  JOIN fp$w b ON b.fp_hash = a.fp_hash AND b.doc_id > a.doc_id
-           |  GROUP BY 1, 2),
+        s"""${dkWinnowChain(w)},
            |row$w AS (
            |  SELECT CAST($w AS BIGINT) AS w,
            |    (SELECT CAST(count(*) AS BIGINT) FROM kg) AS n_kgrams,
@@ -2419,29 +2535,64 @@ object DedupQueries {
       val wins = WinWs.map(winSql).mkString(",\n")
       val unions = WinWs.map(w => s"SELECT * FROM row$w")
         .mkString("\n  UNION ALL ")
-      s"""WITH toksd AS (
-         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
-         |    trim(text) AS t
-         |  FROM documents),
-         |kgs AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(toks) >= 4
-         |      THEN list_transform(generate_series(1, len(toks) - 3),
-         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-         |          || ' ' || toks[i+3])
-         |      ELSE [t] END AS kgarr
-         |  FROM toksd),
-         |kg AS MATERIALIZED (
-         |  SELECT doc_id, u.pos,
-         |    ('0x' || substr(md5(u.g), 1, 8))::BIGINT * 2097152
-         |      + (1048576 - u.pos) AS key,
-         |    len(kgarr) AS n_kg
-         |  FROM kgs, LATERAL (SELECT unnest(kgarr) AS g,
-         |    generate_subscripts(kgarr, 1) AS pos) u),
+      s"""WITH $dkWinnowKgCtes,
          |$wins
          |$unions
          |ORDER BY w""".stripMargin
     },
+    "d44_signal_agreement" ->
+      s"""WITH $dkMinhashCandCtes,
+         |cand_a AS (SELECT doc_a, doc_b FROM pairs),
+         |tsz AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled
+         |        GROUP BY doc_id),
+         |tint AS (
+         |  SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+         |  FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |        FROM shingled a JOIN shingled b
+         |          ON a.sh = b.sh AND a.doc_id < b.doc_id) p
+         |  JOIN shingled a ON a.doc_id = p.doc_a
+         |  JOIN shingled b ON b.doc_id = p.doc_b AND b.sh = a.sh
+         |  GROUP BY p.doc_a, p.doc_b),
+         |truth AS MATERIALIZED (
+         |  SELECT i.doc_a, i.doc_b FROM tint i
+         |  JOIN tsz sa ON sa.doc_id = i.doc_a
+         |  JOIN tsz sb ON sb.doc_id = i.doc_b
+         |  WHERE CAST(i.inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.inter)
+         |    >= $JaccardTau),
+         |$dkWinnowKgCtes,
+         |${dkWinnowChain(8)},
+         |cand_b AS (SELECT doc_a, doc_b FROM pr8),
+         |tagged AS (SELECT doc_a, doc_b, 1 AS ia, 0 AS ib FROM cand_a
+         |      UNION ALL SELECT doc_a, doc_b, 0, 1 FROM cand_b),
+         |flags AS (
+         |  SELECT doc_a, doc_b, max(ia) AS in_a, max(ib) AS in_b
+         |  FROM tagged GROUP BY 1, 2),
+         |ft AS (
+         |  SELECT f.in_a, f.in_b,
+         |    CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_true
+         |  FROM flags f LEFT JOIN truth t
+         |    ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS truth_total FROM truth),
+         |onerow AS (SELECT
+         |  CAST(coalesce(sum(in_a), 0) AS BIGINT) AS a_cand,
+         |  CAST(coalesce(sum(in_a * is_true), 0) AS BIGINT) AS a_true,
+         |  CAST(coalesce(sum(in_b), 0) AS BIGINT) AS b_cand,
+         |  CAST(coalesce(sum(in_b * is_true), 0) AS BIGINT) AS b_true,
+         |  CAST(coalesce(sum(in_a * in_b), 0) AS BIGINT) AS both_cand,
+         |  CAST(coalesce(sum(in_a * in_b * is_true), 0) AS BIGINT)
+         |    AS both_true,
+         |  CAST(count(*) AS BIGINT) AS e_cand,
+         |  CAST(coalesce(sum(is_true), 0) AS BIGINT) AS e_true FROM ft),
+         |m AS (
+         |  SELECT 'both' AS signal, both_cand AS n_cand, both_true AS n_true
+         |  FROM onerow
+         |  UNION ALL SELECT 'either', e_cand, e_true FROM onerow
+         |  UNION ALL SELECT 'minhash_band', a_cand, a_true FROM onerow
+         |  UNION ALL SELECT 'winnow_w8', b_cand, b_true FROM onerow)
+         |SELECT signal, n_cand, n_true, truth_total,
+         |  n_true * 1000000 // greatest(truth_total, 1) AS recall_ppm,
+         |  n_true * 1000000 // greatest(n_cand, 1) AS precision_ppm
+         |FROM m CROSS JOIN tt ORDER BY signal""".stripMargin,
     "d38_contamination_curve" ->
       s"""WITH $dkShingled,
          |tr AS (SELECT doc_id, sh FROM shingled WHERE doc_id % 50 <> 0),

@@ -496,6 +496,31 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("sess_start_s"))
     }),
 
+    // DYNAMIC-gap session window: q95's operator with the gap as a
+    // per-EVENT column (Spark's dynamic session gap — each event holds
+    // its session open [ts, ts+gap(event)); sessions merge while the
+    // next event starts strictly BEFORE the running max end, and the
+    // merged session's end is the max of member ends). Purchases hold
+    // a session open 45 min, everything else 15 — engagement-weighted
+    // sessionization. The oracle is therefore the running-MAX-end
+    // islands form (max over all preceding interval ends, not q95's
+    // prev-ts lag: a long-gap event in the middle can outlast several
+    // short-gap successors). Scale: identical to q95 — one hash
+    // exchange on user_id, sessions merged inside the aggregation.
+    "q95b_session_window_dynamic" -> ((s, d) => {
+      val gap = when(col("event_type") === "purchase", lit("45 minutes"))
+        .otherwise(lit("15 minutes"))
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event_id"))
+        .select(col("user_id"),
+          unix_timestamp(col("sw.start")).as("sess_start_s"),
+          unix_timestamp(col("sw.end")).as("sess_end_s"),
+          col("n_events"), col("first_event_id"))
+        .orderBy(col("user_id"), col("sess_start_s"))
+    }),
+
     // Pivot: daily counts per event type as columns (explicit value list →
     // deterministic schema; absent cells filled to 0 to match FILTER-count
     // semantics).
@@ -2935,6 +2960,41 @@ object RelationalQueries {
         |SELECT user_id,
         |  CAST(floor(epoch(MIN(ts))) AS BIGINT) AS sess_start_s,
         |  CAST(floor(epoch(MAX(ts))) + 1800 AS BIGINT) AS sess_end_s,
+        |  COUNT(*) AS n_events,
+        |  MIN(event_id) AS first_event_id
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start_s""".stripMargin,
+    // dynamic-gap islands: running MAX of preceding interval ends (a
+    // long-gap event can outlast several short-gap successors — lag of
+    // the previous end alone would split too early); split at
+    // ts >= prev_max_end ([ts, ts+gap) half-open, the native rule);
+    // merged end = max member end, exact in epoch microseconds.
+    "q95b_session_window_dynamic" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+        |    CASE WHEN event_type = 'purchase' THEN 2700 ELSE 900 END
+        |      AS gap_s
+        |  FROM events),
+        |w AS (
+        |  SELECT *,
+        |    max(epoch_us(ts) + gap_s * 1000000::BIGINT) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_max_end
+        |  FROM o),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_max_end IS NULL
+        |    OR epoch_us(ts) >= prev_max_end THEN 1 ELSE 0 END AS new_sess
+        |  FROM w),
+        |sess AS (
+        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id,
+        |  CAST(floor(epoch(MIN(ts))) AS BIGINT) AS sess_start_s,
+        |  CAST(max(epoch_us(ts) + gap_s * 1000000::BIGINT) // 1000000
+        |    AS BIGINT) AS sess_end_s,
         |  COUNT(*) AS n_events,
         |  MIN(event_id) AS first_event_id
         |FROM sess GROUP BY user_id, sid

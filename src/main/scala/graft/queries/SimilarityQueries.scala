@@ -1173,8 +1173,11 @@ object SimilarityQueries {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
+    // One materialization feeds all 4×(iters+1) Lloyd jobs — each
+    // iteration otherwise re-scans parquet + re-slices the subvector.
+    val vc = v.localCheckpoint()
     val fits = (0 until PqM).map { m => Future {
-      val sv = v.select(col("id"), pqSub(m).as("emb"))
+      val sv = vc.select(col("id"), pqSub(m).as("emb"))
       val (cents, _) = kmeansFit(sv, PqKsub, KmIters)
       cents.select(col("cid"), col("cent")).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq

@@ -28,6 +28,22 @@ import sys
 PAIR = re.compile(r'"([a-z][a-z0-9_]+)":([0-9]+\.[0-9]+)')
 META = {"value", "sf"}  # numeric non-query keys in the bench line
 
+# Adjudicated intentional shape changes: the old best-prior measured a
+# DIFFERENT (scale-unsafe) plan, so the comparison floor resets to the
+# new form's isolated warm cost — otherwise the gate would flag the
+# scale-safety trade forever. name -> (floor_sec, round, reason).
+ADJUDICATED = {
+    # r10: single-partition global-ntile sort -> q91-style range-rank
+    # (sampled boundaries + per-range offsets); warm isolated 1.6 s.
+    "q66_ntile_deciles": (1.6, "r10",
+                          "exact ntile via range-exchange rank"),
+    # r10: all-pairs cosine pair frame -> cluster-bucketed k-means
+    # candidates (+in-query training cost); the quadratic truth moved to
+    # bench-excluded m8b. Warm isolated 7.4 s.
+    "m8_batch_negatives": (7.4, "r10",
+                           "bucketed pair frame incl. k-means training"),
+}
+
 
 def query_times(text):
     return {k: float(v) for k, v in PAIR.findall(text) if k not in META}
@@ -59,6 +75,11 @@ def main():
     if not best:
         print("no BENCH_r*.json priors found — nothing to compare")
         return 0
+    for name, (floor, rnd, reason) in ADJUDICATED.items():
+        if best.get(name, floor) < floor:
+            print(f"ADJ  {name}: floor {best[name]:.3f}s -> {floor:.3f}s "
+                  f"({rnd}: {reason})")
+            best[name] = floor
     regressions = []
     fresh = []
     for name, sec in sorted(current.items()):

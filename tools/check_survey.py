@@ -9,16 +9,26 @@ Citations in the coverage map use short ids (q27, t4b, ...), so the diff
 runs on short ids = the name segment before the first underscore.
 
 Usage: python3 tools/check_survey.py [oracle_sql.json] [SURVEY.md]
+With no dump argument the query-name set is parsed straight from the
+src/main/scala/graft/queries registries — a Verify dump can be stale
+(round 9's false STALE flags came from a 7-query-old default dump); the
+source never is.
 Exit 1 on any drift.
 """
+import glob
 import json
 import re
 import sys
 
-oracle_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_sf01/oracle_sql.json"
 survey_path = sys.argv[2] if len(sys.argv) > 2 else "SURVEY.md"
 
-names = set(json.load(open(oracle_path)).keys())
+if len(sys.argv) > 1:
+    names = set(json.load(open(sys.argv[1])).keys())
+else:
+    names = set()
+    for f in glob.glob("src/main/scala/graft/queries/*.scala"):
+        names |= set(re.findall(
+            r'"([sqtdnmp]\d+[a-z]{0,2}_[a-z0-9_]+)" ->', open(f).read()))
 short = {n.split("_", 1)[0] for n in names}
 
 text = open(survey_path).read()
