@@ -70,6 +70,7 @@ object Bench {
     "q88_log2_quantiles", "q89_priority_sample", "q90_ivm_join",
     "q91_range_plan", "q92_block_audit", "q93_waterfill_mixture",
     "q94_boundary_refresh", "q95_session_window",
+    "q95b_session_window_dynamic",
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t5_regex_tokens", "t6_string_funcs", "t7_array_funcs", "t8_explode",
     "t9_regex_extract", "t10_normalize", "t11_hash_split",
@@ -87,6 +88,7 @@ object Bench {
     "t45_distinct_ngrams", "t46_bpe_train", "t47_freq_spectrum",
     "t48_tokenizer_fertility", "t50_bm25_serve", "t51_ppl_buckets",
     "t52_gopher_rules", "t53_signal_agreement", "t54_filter_bias",
+    "t55_min_k_prob",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
     "d8d_triangle_doulion", "d9b_graph_stats_sketch",
     "d11_containment", "d12_incremental_dedup",

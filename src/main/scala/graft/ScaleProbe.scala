@@ -48,11 +48,15 @@ object ScaleProbe {
     "t51_ppl_buckets",
     // sixth-session additions: Gopher battery (9x gram melt, per-doc
     // windows), signal agreement (two serve scans). Excluded: n24
-    // (reads 8 index-metadata rows) and m8 (its exact all-pairs TRUTH
-    // leg is quadratic by construction — measured 17.6x at 10x vecs —
-    // the validator-input shape shared with n1/d8; the operator's own
-    // assignment/audit/repair joins are |pairs|-bounded)
-    "t52_gopher_rules", "t53_signal_agreement")
+    // (reads 8 index-metadata rows), m8b (the exact all-pairs TRUTH
+    // twin — quadratic by construction, measured 17.6x at 10x vecs
+    // back when it was m8's headline leg; the validator-input shape
+    // shared with n1/d8) and d44 (its d4 truth leg is the same class)
+    "t52_gopher_rules", "t53_signal_agreement",
+    // round-10: m8's headline pair frame is now the cluster-bucketed
+    // path (the 17.6x all-pairs leg moved to m8b) — back in the
+    // linear-claims list; t55 is serve-only joins + per-doc windows
+    "m8_batch_negatives", "t55_min_k_prob")
 
   private def h(c: Column): Column = graft.ops.TextOps.hash60(c)
 

@@ -95,12 +95,16 @@ object LmIndex {
     * exact integer arithmetic (seen → pair/pref ppm, unseen →
     * 2·uni∕(5·N)), bit-identical output columns. */
   def scoreHoldout(s: SparkSession, sfDir: String, p: IndexPaths): DataFrame =
-    scoreBigrams(s,
-      bigramsOf(corpusToks(s, sfDir).filter(col("doc_id") % 4 === 0)), p)
+    scoreBigrams(s, holdoutBigrams(s, sfDir), p)
 
-  /** t37's per-doc scoring of arbitrary (doc_id, w1, w2) bigrams against
-    * the persisted tables. */
-  def scoreBigrams(s: SparkSession, bigrams: DataFrame,
+  /** The holdout split's (doc_id, w1, w2) bigrams (doc_id % 4 == 0). */
+  def holdoutBigrams(s: SparkSession, sfDir: String): DataFrame =
+    bigramsOf(corpusToks(s, sfDir).filter(col("doc_id") % 4 === 0))
+
+  /** Per-BIGRAM scores against the persisted tables: (doc_id, w1, w2,
+    * score_ppm, backoff) — the raw grain under [[scoreBigrams]]'
+    * per-doc aggregate; t55's min-k% selection needs it. */
+  def scoreBigramsRaw(s: SparkSession, bigrams: DataFrame,
       p: IndexPaths): DataFrame =
     bigrams
       .join(s.read.parquet(p.pair), Seq("w1", "w2"), "left")
@@ -113,6 +117,14 @@ object LmIndex {
           |     ELSE (coalesce(uni_cnt, 0) * 2000000) div (5 * n_tok)
           |END""".stripMargin))
       .withColumn("backoff", when(col("pair_cnt").isNull, 1L).otherwise(0L))
+      .select(col("doc_id"), col("w1"), col("w2"),
+        col("score_ppm"), col("backoff"))
+
+  /** t37's per-doc scoring of arbitrary (doc_id, w1, w2) bigrams against
+    * the persisted tables. */
+  def scoreBigrams(s: SparkSession, bigrams: DataFrame,
+      p: IndexPaths): DataFrame =
+    scoreBigramsRaw(s, bigrams, p)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("backoff")).as("n_backoff"),

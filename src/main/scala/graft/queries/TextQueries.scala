@@ -1159,6 +1159,50 @@ object TextQueries {
         .orderBy(col("lang"), col("source"))
     }),
 
+    // Min-K% Prob membership audit (Shi et al. 2023, "Detecting
+    // Pretraining Data from Large Language Models"): a doc the model
+    // has SEEN keeps even its worst tokens well-predicted, so the
+    // membership signal is the mean of the bottom-k% per-token scores
+    // — outlier low-prob tokens dominate for genuine non-members. Here
+    // per holdout doc: its bigrams scored against the persisted
+    // stupid-backoff LM (serve-only — [[graft.ops.LmIndex]]), the
+    // bottom ⌈20%⌉ by score selected per doc, their integer-ppm mean =
+    // mink_ppm; readout = the top-3 most member-like docs per lang
+    // (suspected train-set leakage into the eval split — the
+    // decontamination cross-check from the LM side, complementing
+    // d14/d30's n-gram gates). gap_ppm = avg − mink: a small gap with
+    // high mink is the paper's member signature. Scale: per-doc ROWS
+    // windows (doc-partitioned) + a per-lang top-3 (WindowGroupLimit);
+    // the model joins are vocab-bounded; nothing exceeds |bigrams|.
+    "t55_min_k_prob" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = graft.ops.LmIndex.ensure(s, d)
+      val raw = graft.ops.LmIndex.scoreBigramsRaw(s,
+        graft.ops.LmIndex.holdoutBigrams(s, d), p)
+      val wd = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score_ppm"), col("w1"), col("w2"))
+      val mink = raw
+        .withColumn("brk", row_number().over(wd))
+        .withColumn("nb", count(lit(1)).over(
+          Window.partitionBy(col("doc_id"))))
+        .filter(col("brk") <= greatest(expr("nb div 5"), lit(1L)))
+        .groupBy(col("doc_id"))
+        .agg(expr("sum(score_ppm) div count(1)").as("mink_ppm"))
+      val scl = graft.ops.LmIndex.scoreHoldout(s, d, p)
+        .select(col("doc_id"), col("avg_ppm"))
+        .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          "doc_id")
+      val wl = Window.partitionBy(col("lang"))
+        .orderBy(col("mink_ppm").desc, col("doc_id"))
+      scl.join(mink, "doc_id")
+        .withColumn("rk", row_number().over(wl))
+        .filter(col("rk") <= 3)
+        .select(col("lang"), col("rk").cast("long").as("rk"),
+          col("doc_id"), col("mink_ppm"), col("avg_ppm"),
+          (col("avg_ppm") - col("mink_ppm")).as("gap_ppm"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
     // Stupid-backoff bigram LM scoring (Brants et al. EMNLP 2007 — the
     // web-scale LM smoothing that needs NO discount estimation, designed
     // for exactly this kind of distributed count infrastructure): docs
@@ -3183,7 +3227,29 @@ object TextQueries {
          |    - tt.k_all * 1000000 // tt.n_all AS BIGINT) AS bias_ppm
          |FROM fl, tt
          |GROUP BY fl.lang, fl.source, tt.k_all, tt.n_all
-         |ORDER BY lang, source""".stripMargin
+         |ORDER BY lang, source""".stripMargin,
+    // LM chain's per-bigram grain (sbs) -> per-doc bottom-20% mean ->
+    // per-lang top-3 member-like suspects
+    "t55_min_k_prob" ->
+      s"""WITH $dkLmScoreCtes,
+         |mk AS (
+         |  SELECT doc_id,
+         |    CAST(sum(score_ppm) AS BIGINT) // count(*) AS mink_ppm
+         |  FROM (
+         |    SELECT doc_id, score_ppm,
+         |      row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score_ppm, w1, w2) AS brk,
+         |      count(*) OVER (PARTITION BY doc_id) AS nb
+         |    FROM sbs)
+         |  WHERE brk <= greatest(nb // 5, 1)
+         |  GROUP BY doc_id),
+         |j AS (SELECT s.lang, s.doc_id, m.mink_ppm, s.avg_ppm
+         |      FROM scl s JOIN mk m USING (doc_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+         |        ORDER BY mink_ppm DESC, doc_id) AS rk FROM j)
+         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, mink_ppm,
+         |  avg_ppm, CAST(avg_ppm - mink_ppm AS BIGINT) AS gap_ppm
+         |FROM r WHERE rk <= 3 ORDER BY lang, rk""".stripMargin
   )
 
   /** t51's LM-scoring chain — the persisted stupid-backoff model
@@ -3212,18 +3278,21 @@ object TextQueries {
        |         unnest(list_transform(generate_series(1, len(toks) - 1),
        |           i -> toks[i + 1])) AS w2
        |  FROM t WHERE doc_id % 4 = 0 AND len(toks) > 1),
-       |sc AS MATERIALIZED (
-       |  SELECT sb.doc_id,
-       |    CAST(sum(CASE WHEN pc.pair_cnt IS NOT NULL
-       |                  THEN (pc.pair_cnt * 1000000) // fc.pref_cnt
-       |                  ELSE (coalesce(uc.uni_cnt, 0) * 2000000)
-       |                         // (5 * n.n_tok) END) AS BIGINT)
-       |      // count(*) AS avg_ppm
+       |sbs AS MATERIALIZED (
+       |  SELECT sb.doc_id, sb.w1, sb.w2,
+       |    CASE WHEN pc.pair_cnt IS NOT NULL
+       |         THEN (pc.pair_cnt * 1000000) // fc.pref_cnt
+       |         ELSE (coalesce(uc.uni_cnt, 0) * 2000000)
+       |                // (5 * n.n_tok) END AS score_ppm
        |  FROM sb
        |  LEFT JOIN pc ON pc.w1 = sb.w1 AND pc.w2 = sb.w2
        |  LEFT JOIN fc ON fc.w1 = sb.w1
        |  LEFT JOIN uc ON uc.w2 = sb.w2
-       |  CROSS JOIN n GROUP BY sb.doc_id),
+       |  CROSS JOIN n),
+       |sc AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(sum(score_ppm) AS BIGINT) // count(*) AS avg_ppm
+       |  FROM sbs GROUP BY doc_id),
        |scl AS (SELECT s.doc_id, s.avg_ppm, t.lang
        |        FROM sc s JOIN t USING (doc_id))""".stripMargin
 

@@ -163,10 +163,16 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       "t53_signal_agreement", "n24_ivf_rebalance",
       // resume planner (manifest grain, md5-decided cut)
       "p9_resume_plan",
-      // native session_window (deterministic merging aggregation)
-      "q95_session_window",
+      // native session_window (deterministic merging aggregation),
+      // incl. the dynamic-gap form
+      "q95_session_window", "q95b_session_window_dynamic",
+      // dedup-signal agreement (deterministic candidate generators +
+      // exact truth join)
+      "d44_signal_agreement",
       // filter-bias audit (persisted-LM serve + global md5 reservoir)
-      "t54_filter_bias")
+      "t54_filter_bias",
+      // min-k% membership audit (persisted-LM serve, per-doc windows)
+      "t55_min_k_prob")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {
