@@ -102,6 +102,7 @@ object Bench {
     "d33r_star_residual", "d34_modularity", "d36_threshold_sweep",
     "d37_span_surgery", "d38_contamination_curve", "d39_lsh_advisor",
     "d40_effective_size", "d42_chaining_audit", "d43_winnowing",
+    "d45_contamination_agreement",
     "n1_ann_bruteforce", "n2_ann_lsh", "n3_embedding_neardup",
     "n4_label_centroids", "n5_ivf_ann", "n6_kmeans", "n7_ivf_kmeans",
     "n8_quantize", "n9_knn_graph", "n10_quantized_rerank", "n11_pq_adc",

@@ -55,8 +55,9 @@ object ScaleProbe {
     "t52_gopher_rules", "t53_signal_agreement",
     // round-10: m8's headline pair frame is now the cluster-bucketed
     // path (the 17.6x all-pairs leg moved to m8b) — back in the
-    // linear-claims list; t55 is serve-only joins + per-doc windows
-    "m8_batch_negatives", "t55_min_k_prob")
+    // linear-claims list; t55 is serve-only joins + per-doc windows;
+    // d45's four contamination signals are all small-bench-side joins
+    "m8_batch_negatives", "t55_min_k_prob", "d45_contamination_agreement")
 
   private def h(c: Column): Column = graft.ops.TextOps.hash60(c)
 

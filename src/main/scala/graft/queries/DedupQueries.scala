@@ -1216,6 +1216,103 @@ object DedupQueries {
         .orderBy(col("signal"))
     }),
 
+    // Contamination-SIGNAL agreement audit (the d44/t53 pattern on the
+    // decontamination side — completing the agreement-audit trilogy:
+    // quality signals t53, dedup candidates d44, contamination flags
+    // here): four benchmark-leak detectors over the SAME train split,
+    // each a real published gate — exact ≥3-shared-shingle (d14's
+    // rule, the truth), Bloom-probed ≥3 (d30 — one-sided: recall is
+    // 100% BY CONSTRUCTION, so its row measures pure FP cost),
+    // winnowing-fingerprint overlap (MOSS — position-aware, the only
+    // signal here that would survive benchmark paraphrase reordering),
+    // and the ≥10% n-gram fraction (d38's PaLM-style knob, which
+    // misses LONG docs whose absolute overlap is large but diluted).
+    // Per signal + all4 + either: flagged, true hits, recall_ppm,
+    // precision_ppm vs the exact truth. Scale: the bench side is the
+    // small one everywhere (d14's argument); winnow adds one per-doc
+    // window pass; the merge is one train-universe left-join frame.
+    "d45_contamination_agreement" -> ((s, d) => {
+      val ds = docs(s, d)
+      val sh = explodedShingles(ds)
+      val benchPred = col("doc_id") % 50 === 0
+      val train = sh.filter(!benchPred)
+      val benchSh = sh.filter(benchPred).select(col("sh")).distinct()
+      val exact = train.join(benchSh, Seq("sh"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_exact"))
+      val own = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_own"))
+      // d30's Bloom probe (2048×32-bit words, k=3 salted bits)
+      val ks = Seq(1, 2, 3)
+      def bitsOf(df: DataFrame,
+          keep: Seq[org.apache.spark.sql.Column]) =
+        df.select(keep :+ explode(array(ks.map(k =>
+            pmod(saltedHash60(col("sh"), k), lit(65536L))): _*)).as("b"): _*)
+          .select(keep :+ expr("b div 32").as("word") :+
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(b % 32 AS INT))")
+              .as("mask"): _*)
+      val bloom = bitsOf(benchSh, Seq(col("sh"))).drop("sh")
+        .groupBy(col("word")).agg(bit_or(col("mask")).as("bits"))
+      val bloomHits = bitsOf(train, Seq(col("doc_id"), col("sh")))
+        .join(broadcast(bloom), Seq("word"), "left")
+        .groupBy(col("doc_id"), col("sh"))
+        .agg(min(when(expr("(coalesce(bits, CAST(0 AS BIGINT)) & mask) <> 0"),
+          1L).otherwise(0L)).as("all_set"))
+        .filter(col("all_set") === 1)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bloom"))
+      // MOSS winnowing-fingerprint overlap (w=8)
+      val fps = winnowFps(winnowKgrams(ds), 8)
+      val benchFp = fps.filter(benchPred).select(col("fp_hash")).distinct()
+      val wfl = fps.filter(!benchPred)
+        .join(benchFp, Seq("fp_hash"), "left_semi")
+        .select(col("doc_id")).distinct().withColumn("fw", lit(1L))
+      val flags = ds.filter(!benchPred).select(col("doc_id"))
+        .join(exact, Seq("doc_id"), "left")
+        .join(bloomHits, Seq("doc_id"), "left")
+        .join(wfl, Seq("doc_id"), "left")
+        .join(own, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(coalesce(col("n_exact"), lit(0L)) >= 3, 1L).otherwise(0L)
+            .as("f_exact"),
+          when(coalesce(col("n_bloom"), lit(0L)) >= 3, 1L).otherwise(0L)
+            .as("f_bloom"),
+          coalesce(col("fw"), lit(0L)).as("f_winnow"),
+          when(expr("coalesce(n_exact, 0L) * 10000" +
+            " div greatest(coalesce(n_own, 1L), 1L)") >= 1000, 1L)
+            .otherwise(0L).as("f_frac"))
+      val one = flags.agg(
+        sum(col("f_exact")).as("truth_total"),
+        sum(col("f_bloom")).as("bl_n"),
+        sum(col("f_bloom") * col("f_exact")).as("bl_t"),
+        sum(col("f_winnow")).as("wn_n"),
+        sum(col("f_winnow") * col("f_exact")).as("wn_t"),
+        sum(col("f_frac")).as("fr_n"),
+        sum(col("f_frac") * col("f_exact")).as("fr_t"),
+        sum(greatest(col("f_exact"), col("f_bloom"), col("f_winnow"),
+          col("f_frac"))).as("ei_n"),
+        sum(greatest(col("f_exact"), col("f_bloom"), col("f_winnow"),
+          col("f_frac")) * col("f_exact")).as("ei_t"),
+        sum(col("f_exact") * col("f_bloom") * col("f_winnow")
+          * col("f_frac")).as("a4_n"))
+      def sigStruct(nme: String, c: org.apache.spark.sql.Column,
+          t: org.apache.spark.sql.Column) =
+        struct(lit(nme).as("signal"), c.as("n_flagged"), t.as("n_true"))
+      one.select(explode(array(
+            sigStruct("all4", col("a4_n"), col("a4_n")),
+            sigStruct("bloom", col("bl_n"), col("bl_t")),
+            sigStruct("either", col("ei_n"), col("ei_t")),
+            sigStruct("exact", col("truth_total"), col("truth_total")),
+            sigStruct("frac10", col("fr_n"), col("fr_t")),
+            sigStruct("winnow_w8", col("wn_n"), col("wn_t")))).as("r"),
+          col("truth_total"))
+        .select(col("r.signal").as("signal"),
+          col("r.n_flagged").as("n_flagged"), col("r.n_true").as("n_true"),
+          col("truth_total"),
+          expr("r.n_true * 1000000 div greatest(truth_total, 1L)")
+            .as("recall_ppm"),
+          expr("r.n_true * 1000000 div greatest(r.n_flagged, 1L)")
+            .as("precision_ppm"))
+        .orderBy(col("signal"))
+    }),
+
     // Contamination operating curve (the PaLM/GPT-4 report methodology:
     // a doc is contaminated when MORE THAN X% of its n-grams appear in
     // the benchmark — a FRACTION knob, where d14's gate is an absolute
@@ -2539,6 +2636,88 @@ object DedupQueries {
          |$wins
          |$unions
          |ORDER BY w""".stripMargin
+    },
+    "d45_contamination_agreement" -> {
+      val salts = Seq(1, 2, 3)
+      def bitsSel(src: String, cols: String) = salts.map { k =>
+        s"""SELECT $cols,
+           |  ('0x' || substr(md5('$k|' || sh), 1, 15))::BIGINT % 65536 AS b
+           |FROM $src""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH $dkShingled,
+         |tr AS (SELECT doc_id, sh FROM shingled WHERE doc_id % 50 <> 0),
+         |be AS (SELECT DISTINCT sh FROM shingled WHERE doc_id % 50 = 0),
+         |ex AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_exact
+         |       FROM tr WHERE sh IN (SELECT sh FROM be) GROUP BY 1),
+         |own AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_own
+         |        FROM tr GROUP BY 1),
+         |bb AS (
+         |${bitsSel("be", "sh")}),
+         |bloom AS (
+         |  SELECT b // 32 AS word,
+         |    bit_or(1::BIGINT << CAST(b % 32 AS INT)) AS bits
+         |  FROM bb GROUP BY b // 32),
+         |pr AS (
+         |${bitsSel("tr", "doc_id, sh")}),
+         |pos AS (
+         |  SELECT p.doc_id, p.sh,
+         |    min(CASE WHEN (coalesce(w.bits, 0::BIGINT)
+         |          & (1::BIGINT << CAST(p.b % 32 AS INT))) <> 0
+         |        THEN 1 ELSE 0 END) AS all_set
+         |  FROM pr p LEFT JOIN bloom w ON w.word = p.b // 32
+         |  GROUP BY p.doc_id, p.sh),
+         |bh AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom
+         |  FROM pos WHERE all_set = 1 GROUP BY doc_id),
+         |$dkWinnowKgCtes,
+         |${dkWinnowChain(8)},
+         |wbe AS (SELECT DISTINCT fp_hash FROM fp8 WHERE doc_id % 50 = 0),
+         |wfl AS (SELECT DISTINCT doc_id FROM fp8
+         |        WHERE doc_id % 50 <> 0
+         |          AND fp_hash IN (SELECT fp_hash FROM wbe)),
+         |flags AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN coalesce(e.n_exact, 0) >= 3 THEN 1 ELSE 0 END
+         |      AS f_exact,
+         |    CASE WHEN coalesce(b.n_bloom, 0) >= 3 THEN 1 ELSE 0 END
+         |      AS f_bloom,
+         |    CASE WHEN w.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_winnow,
+         |    CASE WHEN coalesce(e.n_exact, 0) * 10000
+         |        // greatest(coalesce(o.n_own, 1), 1) >= 1000
+         |      THEN 1 ELSE 0 END AS f_frac
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+         |  LEFT JOIN ex e USING (doc_id)
+         |  LEFT JOIN bh b USING (doc_id)
+         |  LEFT JOIN wfl w USING (doc_id)
+         |  LEFT JOIN own o USING (doc_id)),
+         |onerow AS (SELECT
+         |  CAST(coalesce(sum(f_exact), 0) AS BIGINT) AS truth_total,
+         |  CAST(coalesce(sum(f_bloom), 0) AS BIGINT) AS bl_n,
+         |  CAST(coalesce(sum(f_bloom * f_exact), 0) AS BIGINT) AS bl_t,
+         |  CAST(coalesce(sum(f_winnow), 0) AS BIGINT) AS wn_n,
+         |  CAST(coalesce(sum(f_winnow * f_exact), 0) AS BIGINT) AS wn_t,
+         |  CAST(coalesce(sum(f_frac), 0) AS BIGINT) AS fr_n,
+         |  CAST(coalesce(sum(f_frac * f_exact), 0) AS BIGINT) AS fr_t,
+         |  CAST(coalesce(sum(greatest(f_exact, f_bloom, f_winnow,
+         |    f_frac)), 0) AS BIGINT) AS ei_n,
+         |  CAST(coalesce(sum(greatest(f_exact, f_bloom, f_winnow, f_frac)
+         |    * f_exact), 0) AS BIGINT) AS ei_t,
+         |  CAST(coalesce(sum(f_exact * f_bloom * f_winnow * f_frac), 0)
+         |    AS BIGINT) AS a4_n
+         |  FROM flags),
+         |m AS (
+         |  SELECT 'all4' AS signal, a4_n AS n_flagged, a4_n AS n_true
+         |  FROM onerow
+         |  UNION ALL SELECT 'bloom', bl_n, bl_t FROM onerow
+         |  UNION ALL SELECT 'either', ei_n, ei_t FROM onerow
+         |  UNION ALL SELECT 'exact', truth_total, truth_total FROM onerow
+         |  UNION ALL SELECT 'frac10', fr_n, fr_t FROM onerow
+         |  UNION ALL SELECT 'winnow_w8', wn_n, wn_t FROM onerow)
+         |SELECT signal, n_flagged, n_true, truth_total,
+         |  n_true * 1000000 // greatest(truth_total, 1) AS recall_ppm,
+         |  n_true * 1000000 // greatest(n_flagged, 1) AS precision_ppm
+         |FROM m CROSS JOIN (SELECT truth_total FROM onerow) t
+         |ORDER BY signal""".stripMargin
     },
     "d44_signal_agreement" ->
       s"""WITH $dkMinhashCandCtes,

@@ -167,8 +167,8 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       // incl. the dynamic-gap form
       "q95_session_window", "q95b_session_window_dynamic",
       // dedup-signal agreement (deterministic candidate generators +
-      // exact truth join)
-      "d44_signal_agreement",
+      // exact truth join) + the contamination-signal cross-audit
+      "d44_signal_agreement", "d45_contamination_agreement",
       // filter-bias audit (persisted-LM serve + global md5 reservoir)
       "t54_filter_bias",
       // min-k% membership audit (persisted-LM serve, per-doc windows)
