@@ -142,8 +142,19 @@ object DedupQueries {
     * (min hash, rightmost position) simultaneously. Checkpointed: d43
     * re-windows it per sweep point, d44 reuses it at w=8. */
   private def winnowKgrams(ds: DataFrame): DataFrame = {
-    val toksd = ds.select(col("doc_id"), tokens(col("text")).as("toks"),
-      trim(col("text")).as("t"))
+    val p = ds.sparkSession.sparkContext.defaultParallelism
+    // Catalyst pushes deterministic projections THROUGH a repartition,
+    // so without a barrier the interpreted-HOF k-gram build + per-gram
+    // md5 land on the exchange's MAP side — ONE task when the input is
+    // a single parquet file (measured: a 10 s single-task stage under
+    // d43/d45; the 32-task stage after it read pre-computed rows).
+    // Materializing the cheap tokenized frame right after the exchange
+    // pins the heavy explode onto the 32-way checkpoint scan
+    // (measured: the kg materialization falls ~13 s → ~1.2 s).
+    val toksd = ds.repartition(p, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"),
+        trim(col("text")).as("t"))
+      .localCheckpoint()
     val kgarr = when(size(col("toks")) >= 4,
       transform(sequence(lit(1), size(col("toks")) - 3), i =>
         concat_ws(" ", element_at(col("toks"), i),
@@ -165,13 +176,22 @@ object DedupQueries {
     * it two or three times (density agg, cull agg, pair join). */
   private def winnowFps(kg: DataFrame, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val p = kg.sparkSession.sparkContext.defaultParallelism
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(-(w - 1), 0)
-    kg.withColumn("mk", min(col("key")).over(win))
+    // PIN the window exchange: fingerprint rows are byte-light (3
+    // longs) but the window + distinct are compute-heavy, and AQE's
+    // byte-based coalesce plans them onto ONE task (the d20/d5 pinned-
+    // exchange lesson — measured: a single 9.9 s straggler stage under
+    // d45). HashPartitioning(doc_id) also satisfies the distinct's
+    // clustering (doc_id ⊂ the distinct keys), so one exchange serves
+    // both.
+    kg.repartition(p, col("doc_id"))
+      .withColumn("mk", min(col("key")).over(win))
       .filter(col("pos") >= least(lit(w.toLong), col("n_kg")))
       .select(col("doc_id"), expr("mk div 2097152").as("fp_hash"),
         expr("1048576 - (mk % 2097152)").as("fp_pos"))
-      .distinct()
+      .dropDuplicates()
       .localCheckpoint()
   }
 
@@ -1233,7 +1253,10 @@ object DedupQueries {
     // window pass; the merge is one train-universe left-join frame.
     "d45_contamination_agreement" -> ((s, d) => {
       val ds = docs(s, d)
-      val sh = explodedShingles(ds)
+      // one shingle materialization feeds exact, own, frac AND the
+      // Bloom probe's bit explode — otherwise the document explode
+      // re-runs once per leg
+      val sh = explodedShingles(ds).localCheckpoint()
       val benchPred = col("doc_id") % 50 === 0
       val train = sh.filter(!benchPred)
       val benchSh = sh.filter(benchPred).select(col("sh")).distinct()
