@@ -187,6 +187,25 @@ class PlanGuardSpec extends SparkSpecBase {
       s"t38 must serve the persisted ClassifierIndex model, not retrain:\n$p")
   }
 
+  test("t55 broadcasts the PERSISTED LM tables into both bigram scans") {
+    // The min-k serving contract mirrors t38's: the vocab-bounded LM
+    // count tables (pair / prefix / unigram / totals) broadcast into
+    // the holdout bigram scan — a sort-merge join on a token key would
+    // shuffle the corpus bigram list to meet a dictionary. Scoring
+    // runs twice (per-bigram mink leg + per-doc avg leg), each with 3
+    // model joins, so the plan must carry at least 6 broadcast-hash
+    // joins and no token-keyed sort-merge. The lone SortMergeJoin on
+    // doc_id (scl ⋈ mink — two co-partitioned per-doc aggregates) is
+    // the correct shape and stays.
+    val p = planOf("t55_min_k_prob")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 6, s"t55 expected >=6 model broadcasts, found $bhj:\n$p")
+    assert("SortMergeJoin \\[[^\\]]*w[12]".r.findFirstIn(p).isEmpty,
+      s"t55's model join fell back to a token-keyed sort-merge:\n$p")
+    assert(p.contains("lm-index"),
+      s"t55 must serve the persisted LmIndex, not retrain in-query:\n$p")
+  }
+
   test("q66 ranks through range partitions, never one global ntile sort") {
     // ntile(10).over(Window.orderBy(...)) plans as Exchange
     // SinglePartition — the whole customer table through one sort task.
