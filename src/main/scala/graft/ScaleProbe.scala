@@ -35,6 +35,19 @@ object ScaleProbe {
 
   val G1xDir = "target/scaleprobe/g1x"
   val G10xDir = "target/scaleprobe/g10x"
+  val G100xDir = "target/scaleprobe/g100x"
+
+  /** The heaviest headline families get a SECOND decade (t10x → t100x:
+    * 500k docs / 200k vectors / 60M lineitem) — two decades of evidence
+    * for §2.10's 100 TB claims. Kept to the families whose cost model
+    * is worth the extra corpus: winnowing (per-doc windows), the Gopher
+    * battery (9× gram melt), the sketched graph family (registers
+    * ∝ |E|), contrastive batches (the k ∝ N SemDeDup knob engages its
+    * growth path at this scale — expected cluster size stays ~2500, so
+    * the pair frame stays linear), and the composed curation chain
+    * (CurationIndex build + serve). */
+  val DecadeQueries = Seq("d43_winnowing", "t52_gopher_rules",
+    "d9b_graph_stats_sketch", "m8_batch_negatives", "p1_curation_ledger")
   val ProbeQueries = Seq("d9b_graph_stats_sketch", "d33r_star_residual",
     "d29r_lpa_residual", "d36_threshold_sweep", "n15_ivfpq_serve",
     "q91_range_plan", "p1_curation_ledger",
@@ -171,9 +184,28 @@ object ScaleProbe {
     val qjson = rows.map { case (n, a, b, r) =>
       f""""$n":{"t1x":$a%.2f,"t10x":$b%.2f,"ratio":$r%.2f}"""
     }.mkString(",")
-    println(s"""{"metric":"scale_probe","docs":[$d1,$d10],""" +
-      s""""embeddings":[$e1,$e10],"lineitem":[$l1,$l10],""" +
-      s""""queries":{$qjson}}""")
+    // second decade for the heaviest families (reuses each query's 10×
+    // reading from the loop above as the denominator)
+    ensureCorpus(spark, G100xDir, 100)
+    val (d100, e100, l100) = card(G100xDir)
+    val t10 = rows.map { case (n, _, b, _) => n -> b }.toMap
+    val rows100 = DecadeQueries.map { n =>
+      def run(d: String): Double = {
+        val ts = (1 to 2).map(_ => time(qs(n)(spark, d)
+          .write.format("noop").mode("overwrite").save()))
+        ts.min
+      }
+      System.err.println(s"[scale-probe] $n @100x ...")
+      val c = run(G100xDir)
+      System.err.println(f"[scale-probe] $n: ${t10(n)}%.2f s → $c%.2f s")
+      (n, t10(n), c, c / t10(n))
+    }
+    val qjson100 = rows100.map { case (n, b, c, r) =>
+      f""""$n":{"t10x":$b%.2f,"t100x":$c%.2f,"ratio":$r%.2f}"""
+    }.mkString(",")
+    println(s"""{"metric":"scale_probe","docs":[$d1,$d10,$d100],""" +
+      s""""embeddings":[$e1,$e10,$e100],"lineitem":[$l1,$l10,$l100],""" +
+      s""""queries":{$qjson},"queries100x":{$qjson100}}""")
     spark.stop()
   }
 }

@@ -44,15 +44,26 @@ object CurationIndex {
     def manifest: String = s"$root/manifest"
   }
 
+  /** Curation-CHAIN version, embedded in the artifact key alongside the
+    * corpus fingerprint. The fingerprint guards against corpus drift;
+    * this literal guards against LOGIC drift — editing
+    * [[CurationLedger]]'s thresholds or stage semantics would otherwise
+    * leave stale persisted artifacts that p1/p4/p5/p7/p9 silently serve
+    * (and internal cross-checks like p4-vs-p1 read the SAME stale
+    * artifact, so they keep passing). BUMP THIS on any CurationLedger
+    * semantic change — the model-'kind' suffix discipline from
+    * [[ClassifierIndex]]. */
+  val ChainVersion = 1
+
   /** Deterministic per-corpus artifact location (gitignored
-    * `target/`); key = (count, max id, content xor). */
+    * `target/`); key = (chain version, count, max id, content xor). */
   def indexRoot(s: SparkSession, sfDir: String): String = {
     val fp = graft.Tables.documents(s, sfDir)
       .agg(count(lit(1)), max(col("doc_id")),
         expr("bit_xor(xxhash64(doc_id, text))")).collect()(0)
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    s"target/curation-index/$key-${fp.getLong(0)}-${fp.getLong(1)}" +
-      s"-${java.lang.Long.toHexString(fp.getLong(2))}"
+    s"target/curation-index/v$ChainVersion-$key-${fp.getLong(0)}" +
+      s"-${fp.getLong(1)}-${java.lang.Long.toHexString(fp.getLong(2))}"
   }
 
   /** ONE chain run → the three persisted artifacts. */

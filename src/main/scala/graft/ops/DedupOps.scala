@@ -1081,4 +1081,81 @@ object DedupOps {
         col("cleaned_md5"))
       .orderBy(col("doc_id"))
   }
+
+  /** Winnowing k-gram combined-key table (Schleimer/Wilkerson/Aiken
+    * SIGMOD 2003 — MOSS): (doc_id, n_kg, pos, key) with key =
+    * hash·2²¹ + (2²⁰ − pos0 − 1), so one BIGINT `min` picks (min hash,
+    * rightmost position) simultaneously — hash < 2³², pos < 2²⁰, so the
+    * key stays under 2⁵³. Checkpointed: d43 re-windows it per sweep
+    * point; [[DedupIndex.build]] fingerprints it at w=8. */
+  def winnowKgrams(ds: DataFrame): DataFrame = {
+    val p = ds.sparkSession.sparkContext.defaultParallelism
+    // Catalyst pushes deterministic projections THROUGH a repartition,
+    // so without a barrier the interpreted-HOF k-gram build + per-gram
+    // md5 land on the exchange's MAP side — ONE task when the input is
+    // a single parquet file (measured: a 10 s single-task stage under
+    // d43/d45; the 32-task stage after it read pre-computed rows).
+    // Materializing the cheap tokenized frame right after the exchange
+    // pins the heavy explode onto the 32-way checkpoint scan
+    // (measured: the kg materialization falls ~13 s → ~1.2 s).
+    val toksd = ds.repartition(p, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"),
+        trim(col("text")).as("t"))
+      .localCheckpoint()
+    val kgarr = when(size(col("toks")) >= 4,
+      transform(sequence(lit(1), size(col("toks")) - 3), i =>
+        concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1), element_at(col("toks"), i + 2),
+          element_at(col("toks"), i + 3))))
+      .otherwise(array(col("t")))
+    toksd.select(col("doc_id"), kgarr.as("kgarr"))
+      .select(col("doc_id"), size(col("kgarr")).cast("long").as("n_kg"),
+        posexplode(col("kgarr")).as(Seq("pos0", "g")))
+      .select(col("doc_id"), col("n_kg"), (col("pos0") + 1).as("pos"),
+        (hash32(col("g")) * 2097152L + (lit(1048576L) - col("pos0") - 1))
+          .as("key"))
+      .localCheckpoint()
+  }
+
+  /** Winnowing fingerprint selection at window w over [[winnowKgrams]]:
+    * distinct (doc_id, fp_hash, fp_pos) — a per-doc ROWS window, so the
+    * selection is embarrassingly parallel. Checkpointed: consumers read
+    * it two or three times (density agg, cull agg, pair join). */
+  def winnowFps(kg: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = kg.sparkSession.sparkContext.defaultParallelism
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), 0)
+    // PIN the window exchange: fingerprint rows are byte-light (3
+    // longs) but the window + distinct are compute-heavy, and AQE's
+    // byte-based coalesce plans them onto ONE task (the d20/d5 pinned-
+    // exchange lesson — measured: a single 9.9 s straggler stage under
+    // d45). HashPartitioning(doc_id) also satisfies the distinct's
+    // clustering (doc_id ⊂ the distinct keys), so one exchange serves
+    // both.
+    kg.repartition(p, col("doc_id"))
+      .withColumn("mk", min(col("key")).over(win))
+      .filter(col("pos") >= least(lit(w.toLong), col("n_kg")))
+      .select(col("doc_id"), expr("mk div 2097152").as("fp_hash"),
+        expr("1048576 - (mk % 2097152)").as("fp_pos"))
+      .dropDuplicates()
+      .localCheckpoint()
+  }
+
+  /** Fingerprint match pairs through the culled index: hashes in more
+    * than `maxDocs` docs dropped first (MOSS's boilerplate cull — it
+    * also BOUNDS each bucket's fan-out at C(cap,2) pairs, the d2
+    * band-bucket argument). Returns (per-hash doc counts, grouped
+    * (doc_a, doc_b, shared) pairs). */
+  def winnowPairFrame(fp: DataFrame, maxDocs: Int): (DataFrame, DataFrame) = {
+    val byHash = fp.groupBy(col("fp_hash"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val keep = byHash.filter(col("nd") <= maxDocs).select(col("fp_hash"))
+    val pairs = fp.join(keep, Seq("fp_hash"), "left_semi").as("a")
+      .join(fp.as("b"), col("b.fp_hash") === col("a.fp_hash")
+        && col("b.doc_id") > col("a.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(countDistinct(col("a.fp_hash")).as("shared"))
+    (byHash, pairs)
+  }
 }

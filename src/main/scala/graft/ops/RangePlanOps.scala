@@ -128,7 +128,13 @@ object RangePlanOps {
     * offset + local is therefore the exact global rank for ANY
     * boundary set. The boundary probe casts v to double — safe because
     * long→double is monotone (collisions above 2^53 merge ranges, never
-    * split ties). `key` must make (v, key) a total order. */
+    * split ties). `key` must make (v, key) a total order, and `v` must
+    * be NON-NULL on every row: the boundary collect reads sampled v
+    * values with getDouble (a NULL would NPE at plan-build time), and
+    * the strict-< probe has no defined NULL range — callers with
+    * nullable measures must coalesce/filter first (current callers
+    * pass c_acctbal, greatest(n_chars,1), margin_ppm — all non-null
+    * by construction). */
   def globalRank(df: DataFrame, v: Column, key: Column, p: Int,
       tag: String, rankCol: String): DataFrame = {
     val s = df.sparkSession

@@ -119,7 +119,15 @@ object SimilarityQueries {
     * within a cluster only): the 100 TB pair generation, never
     * all-pairs. Shared by [[semDedupRemovals]]' shape and m8. */
   private def clusterNearDupPairs(v: DataFrame, tau: Double): DataFrame = {
-    val assigned = kmeansAssign(v, KmK, KmIters)
+    // SemDeDup's "k ∝ N" knob made executable: k grows so the EXPECTED
+    // cluster size stays ~2500, making the in-cluster pair count
+    // ~N·2500/2 — linear in N — instead of (N/k)²·k, quadratic at fixed
+    // k. Every oracle corpus (≤2500 vectors at sf ≤ 0.1) and the 10×
+    // probe corpus (20 000 / 2500 = 8 = KmK) land EXACTLY at KmK, so
+    // the unrolled DuckDB k-means oracle and the existing probe ratios
+    // are untouched; only the 100× decade engages the growth path.
+    val k = math.max(KmK, (v.count() / 2500L).toInt)
+    val assigned = kmeansAssign(v, k, KmIters)
       .select(col("id"), col("cluster"))
     val av = v.join(assigned, "id")
     val a = av.select(col("cluster"), col("id").as("id_a"),

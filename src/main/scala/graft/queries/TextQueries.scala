@@ -1166,7 +1166,9 @@ object TextQueries {
     // — outlier low-prob tokens dominate for genuine non-members. Here
     // per holdout doc: its bigrams scored against the persisted
     // stupid-backoff LM (serve-only — [[graft.ops.LmIndex]]), the
-    // bottom ⌈20%⌉ by score selected per doc, their integer-ppm mean =
+    // bottom ⌊20%⌋ by score selected per doc (floor(n div 5) clamped
+    // to ≥1 — n=7 bigrams selects 1; all three implementations use
+    // the same floor), their integer-ppm mean =
     // mink_ppm; readout = the top-3 most member-like docs per lang
     // (suspected train-set leakage into the eval split — the
     // decontamination cross-check from the LM side, complementing

@@ -21,7 +21,12 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   * order yields, for every CLOSED shard, a row bit-equal to the batch
   * manifest formula (p5's window + agg); the per-stratum tail shard
   * stays open in state — a streaming writer cannot know the corpus
-  * ended, so finalizing the tail is the caller's end-of-feed action.
+  * ended — until the feed owner appends a FLUSH sentinel
+  * (`DocIn(..., flush = true)`, one per stratum, after the last real
+  * document): the sentinel closes the open tail shard, emits its row,
+  * and clears the state, so a bounded replay's full manifest equals the
+  * batch manifest INCLUDING the tail (spec-asserted). A flush against
+  * empty state is a no-op.
   *
   * At scale: state per stratum is one open shard's member-hash list —
   * ShardTokens-bounded, the same bound as p5's agg state; per-doc work
@@ -30,7 +35,8 @@ object StreamingManifest {
 
   val ShardTokens: Long = graft.ops.CurationLedger.ShardTokens.toLong
 
-  final case class DocIn(lang: String, docId: Long, ntok: Long, h: String)
+  final case class DocIn(lang: String, docId: Long, ntok: Long, h: String,
+      flush: Boolean = false)
   final case class ManifestRow(lang: String, shard: Long, nDocs: Long,
       shardTokens: Long, firstDoc: Long, lastDoc: Long, shardMd5: String)
   final case class Open(prefix: Long, shard: Long, concat: String,
@@ -50,7 +56,8 @@ object StreamingManifest {
 
     override def handleInputRows(lang: String, rows: Iterator[DocIn],
         timerValues: TimerValues): Iterator[ManifestRow] = {
-      val ordered = rows.toSeq.sortBy(_.docId)
+      val (flushes, docs) = rows.toSeq.partition(_.flush)
+      val ordered = docs.sortBy(_.docId)
       var st = if (open.exists()) open.get()
                else Open(0L, 0L, "", 0L, 0L, Long.MaxValue, Long.MinValue)
       val out = Seq.newBuilder[ManifestRow]
@@ -66,7 +73,17 @@ object StreamingManifest {
           st.nDocs + 1, st.tokens + r.ntok,
           math.min(st.firstDoc, r.docId), math.max(st.lastDoc, r.docId))
       }
-      open.update(st)
+      // End-of-feed finalization: a flush sentinel (processed AFTER this
+      // batch's documents — the feed owner appends it last) closes the
+      // open tail shard and clears the state, so a bounded replay's
+      // manifest equals the batch manifest INCLUDING the tail. Idempotent:
+      // a flush against empty state emits nothing.
+      if (flushes.nonEmpty) {
+        if (st.nDocs > 0)
+          out += ManifestRow(lang, st.shard, st.nDocs, st.tokens,
+            st.firstDoc, st.lastDoc, md5hex(st.concat))
+        open.clear()
+      } else open.update(st)
       out.result().iterator
     }
   }
@@ -78,7 +95,9 @@ object StreamingManifest {
       : Dataset[ManifestRow] = {
     import spark.implicits._
     docs.select(col("lang"), col("doc_id").as("docId"),
-        col("ntok").cast("long").as("ntok"), col("h"))
+        col("ntok").cast("long").as("ntok"), col("h"),
+        (if (docs.columns.contains("flush")) col("flush")
+         else lit(false)).as("flush"))
       .as[DocIn]
       .groupByKey(_.lang)
       .transformWithState(new ManifestProcessor,

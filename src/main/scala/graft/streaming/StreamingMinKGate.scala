@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions.col
   * discipline). Scoring is the exact integer arithmetic of
   * [[graft.ops.LmIndex.scoreBigramsRaw]]: seen pair → pair·10⁶ div
   * prefix; unseen → 0.4-backoff as uni·2·10⁶ div (5·n_tok); all
-  * non-negative, so Scala `/` ≡ SQL `div`. The bottom-⌈20%⌉ selection
+  * non-negative, so Scala `/` ≡ SQL `div`. The bottom-⌊20%⌋ selection
+  * (floor(n div 5) clamped to ≥1, matching the batch t55 exactly)
   * sorts scores ascending — the batch breaks ties by (score, w1, w2),
   * but boundary ties have EQUAL scores, so the bottom-k SUM (and hence
   * mink_ppm) is tie-order invariant and the spec asserts bit-equality

@@ -172,7 +172,9 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       // filter-bias audit (persisted-LM serve + global md5 reservoir)
       "t54_filter_bias",
       // min-k% membership audit (persisted-LM serve, per-doc windows)
-      "t55_min_k_prob")
+      "t55_min_k_prob",
+      // dedup-index health readout (serve-only artifact aggs)
+      "d46_dedup_index_stats")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {

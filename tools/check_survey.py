@@ -29,6 +29,24 @@ else:
     for f in glob.glob("src/main/scala/graft/queries/*.scala"):
         names |= set(re.findall(
             r'"([sqtdnmp]\d+[a-z]{0,2}_[a-z0-9_]+)" ->', open(f).read()))
+
+# Sanity-gate the regex extraction itself: a query registered through a
+# computed key, an unscanned file, or left commented-out would silently
+# shrink `names` and weaken the drift gate. Bench.scala's headline list
+# is an independently-maintained enumeration of (a subset of) the same
+# registry — every headline name MUST appear in the extracted set, so a
+# headline/extraction mismatch means the extraction (or Bench) is wrong.
+bench_src = open("src/main/scala/graft/Bench.scala").read()
+m_head = re.search(r"val headline: Seq\[String\] = Seq\((.*?)\)\n", bench_src, re.S)
+if not m_head:
+    print("FAIL: cannot parse Bench.scala headline list")
+    sys.exit(1)
+bench_names = set(re.findall(r'"([a-z0-9_]+)"', m_head.group(1)))
+unextracted = sorted(bench_names - names)
+if unextracted:
+    for n in unextracted:
+        print(f"FAIL: Bench headline query not found by source extraction: {n}")
+    sys.exit(1)
 short = {n.split("_", 1)[0] for n in names}
 
 text = open(survey_path).read()
