@@ -70,7 +70,12 @@ object ScaleProbe {
     // path (the 17.6x all-pairs leg moved to m8b) — back in the
     // linear-claims list; t55 is serve-only joins + per-doc windows;
     // d45's four contamination signals are all small-bench-side joins
-    "m8_batch_negatives", "t55_min_k_prob", "d45_contamination_agreement")
+    "m8_batch_negatives", "t55_min_k_prob", "d45_contamination_agreement",
+    // round-11: per-source cap (histogram selection — the sort is over
+    // the |sources|×|q| histogram), DoReMi weights (serve joins +
+    // |sources|-row windows), source-pair TV divergence (vocab-keyed
+    // pair join; pairs-per-word bounded by |sources|²)
+    "t56_source_cap", "t57_doremi_weights", "t58_source_divergence")
 
   private def h(c: Column): Column = graft.ops.TextOps.hash60(c)
 

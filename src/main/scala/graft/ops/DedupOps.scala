@@ -494,6 +494,64 @@ object DedupOps {
         coalesce(col("canon_id"), col("doc_id")).as("canon_id"))
   }
 
+  /** Monotone threshold-sweep connected components: min-id star labels at
+    * every τ in ascending `taus` over the edge set `{(doc_a, doc_b) :
+    * weight ≤ τ}`, computed by CONTRACTION instead of τ independent CC
+    * runs. Edge sets grow with τ, so components refine monotonically:
+    * the step from τ₋ to τ only has to merge the τ₋ components along the
+    * NEWLY activated (τ₋ < weight ≤ τ) edges, each endpoint first mapped
+    * to its τ₋ canonical id (edges with weight ≤ τ₋ are intra-supernode
+    * self-loops after the contraction and are dropped by construction).
+    *
+    * Min-id composes exactly: the contracted graph's node ids ARE the τ₋
+    * component minima, so the contracted star label — the min supernode
+    * id of a merged component — equals the min doc_id over the union of
+    * the merged τ₋ components; per-τ bit-parity with a from-scratch
+    * [[starComponents]] run is pinned in `DedupOpsSpec`.
+    *
+    * Scale shape: the sweep pays Σ_τ |E(weight = τ)| ≈ |E(≤ max τ)| edge
+    * traffic TOTAL, versus Σ_τ |E(weight ≤ τ)| (≈ |taus| × |E|) for
+    * independent per-τ runs, and every step after the first starts from
+    * an already-contracted graph, so its star rounds converge in fewer
+    * iterations. Labels are localCheckpointed per step — the lineage
+    * does not stack across the sweep.
+    *
+    * Returns one (τ, labels) pair per requested τ; labels has the
+    * [[starComponents]] contract (doc_id, canon_id) over `docs`. */
+  def sweepComponents(edges: DataFrame, docs: DataFrame, weight: Column,
+      taus: Seq[Int], uncheckedRounds: Int = 0): Seq[(Int, DataFrame)] = {
+    require(taus.nonEmpty && taus == taus.sorted,
+      s"taus must be ascending, got $taus")
+    var labels: DataFrame = null
+    var prev = Long.MinValue
+    taus.map { tau =>
+      val step = edges.filter(weight > lit(prev) && weight <= lit(tau.toLong))
+        .select(col("doc_a"), col("doc_b"))
+      labels = (if (labels == null) {
+        starComponents(step, docs.select(col("doc_id")),
+          uncheckedRounds = uncheckedRounds)
+      } else {
+        // contract: map both endpoints of the newly activated edges to
+        // their τ₋ canonical ids, run star-CC over the supernode graph
+        // (previous canon ids as nodes), then compose the label maps
+        val contracted = starComponents(
+          step
+            .join(labels.select(col("doc_id").as("doc_a"),
+              col("canon_id").as("ca")), "doc_a")
+            .join(labels.select(col("doc_id").as("doc_b"),
+              col("canon_id").as("cb")), "doc_b")
+            .select(col("ca").as("doc_a"), col("cb").as("doc_b")),
+          labels.select(col("canon_id").as("doc_id")).distinct(),
+          uncheckedRounds = uncheckedRounds)
+        labels.join(contracted.select(col("doc_id").as("canon_id"),
+            col("canon_id").as("nc")), "canon_id")
+          .select(col("doc_id"), col("nc").as("canon_id"))
+      }).localCheckpoint(eager = true)
+      prev = tau.toLong
+      tau -> labels
+    }
+  }
+
   /** Canonical keeper by CENTRALITY instead of min-id: each component's
     * keeper is its highest-degree member (tie → smallest doc_id) — in a
     * near-dup cluster the most-connected document is the best

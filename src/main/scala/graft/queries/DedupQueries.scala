@@ -914,27 +914,43 @@ object DedupQueries {
       val ix = graft.ops.DedupIndex.ensure(s, d)
       // the persisted class edges carry their hamming distance, so the
       // τ sweep filters a parquet scan — the candidate join is paid at
-      // index-build time, once per corpus
+      // index-build time, once per corpus. Per-τ labels come from ONE
+      // monotone contraction sweep ([[graft.ops.DedupOps
+      // .sweepComponents]]): τ's CC merges τ-1's components along the
+      // newly activated hamming==τ edges only, instead of 4 independent
+      // star-CC loops each re-walking the full ≤τ edge set.
       val pairs = graft.ops.DedupIndex.classEdgesDf(s, ix)
       val nodes = graft.ops.DedupIndex.classesDf(s, ix)
         .select(col("doc_id")).localCheckpoint()
-      (0 to MaxHamming).map { tau =>
-        val comp = starComponents(
-          pairs.filter(col("hamming") <= tau)
-            .select(col("doc_a"), col("doc_b")), nodes,
-          uncheckedRounds = 2)
-        val sizes = comp.groupBy(col("canon_id"))
-          .agg(count(lit(1)).as("sz"))
-        val edges = pairs.filter(col("hamming") <= tau)
-          .agg(count(lit(1)).as("n_edges"))
-        sizes.agg(count(lit(1)).as("n_components"),
-            sum(col("sz")).as("n_nodes"), max(col("sz")).as("giant"))
-          .crossJoin(broadcast(edges))
-          .select(lit(tau.toLong).as("tau"), col("n_edges"),
-            col("n_components"),
-            (col("n_nodes") - col("n_components")).as("n_collapsed"),
-            expr("giant * 1000000L div n_nodes").as("giant_share_ppm"))
-      }.reduce(_ unionByName _).orderBy(col("tau"))
+      // uncheckedRounds=1 (not the from-scratch loops' 2): every step
+      // after τ=0 runs on an already-contracted supernode graph whose
+      // star rounds converge in 1-2 iterations — forcing a third
+      // unchecked round costs more stages than the fixpoint check saves
+      val byTau = sweepComponents(pairs, nodes, col("hamming"),
+        0 to MaxHamming, uncheckedRounds = 1)
+      // ONE stats pass over the tau-tagged union of the four label
+      // frames (2 shuffles total) instead of four independent
+      // agg+crossJoin chains; the per-τ edge count is a cumsum over the
+      // ≤4-row hamming histogram, not four scans
+      val lbl = byTau.map { case (tau, comp) =>
+        comp.withColumn("tau", lit(tau.toLong))
+      }.reduce(_ unionByName _)
+      val stats = lbl.groupBy(col("tau"), col("canon_id"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("tau"))
+        .agg(count(lit(1)).as("n_components"),
+          sum(col("sz")).as("n_nodes"), max(col("sz")).as("giant"))
+      val hist = pairs.groupBy(col("hamming")).agg(count(lit(1)).as("c"))
+      val ecnt = byTau.map { case (tau, _) =>
+        hist.filter(col("hamming") <= tau)
+          .agg(coalesce(sum(col("c")), lit(0L)).as("n_edges"))
+          .select(lit(tau.toLong).as("tau"), col("n_edges"))
+      }.reduce(_ unionByName _)
+      stats.join(broadcast(ecnt), "tau")
+        .select(col("tau"), col("n_edges"), col("n_components"),
+          (col("n_nodes") - col("n_components")).as("n_collapsed"),
+          expr("giant * 1000000L div n_nodes").as("giant_share_ppm"))
+        .orderBy(col("tau"))
     }),
 
     // Contaminated-SPAN surgery (the GPT-3 appendix-C discipline, Brown

@@ -1205,6 +1205,163 @@ object TextQueries {
         .orderBy(col("lang"), col("rk"))
     }),
 
+    // Per-source document cap (the RefinedWeb/CCNet "URL dedup + per-
+    // domain cap" discipline: no single domain may contribute more than
+    // its quota, and when it overflows the LOWEST-quality docs go first).
+    // cap = max(1, 80% of the mean source size) — data-relative, so the
+    // trim bites at every SF. Selection is EXACT under the composite
+    // order (stopword-density ppm DESC, doc_id ASC) but pays NO per-doc
+    // sort: a (source, q) histogram + one cumsum over it finds each
+    // source's quality floor and how many docs to take AT the floor;
+    // only the boundary tie class (docs with q == floor) pays a per-doc
+    // rank. At 100 TB the histogram is |sources|×|distinct q| rows —
+    // the per-doc shuffle is one map-side-combined groupBy, never a
+    // window sort over the corpus. Readout per source: docs, cap,
+    // kept/dropped, the realized quality floor, and kept token mass.
+    "t56_source_cap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.fanout(Tables.documents(s, d))
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_stop", wordSetCount(col("toks"), stopwords))
+        .withColumn("q", expr("(n_stop * 1000000) div n_tokens"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("q"))
+        .localCheckpoint() // scanned by the histogram AND the tie rank
+      val hist = base.groupBy(col("source"), col("q"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_tokens")).as("tok"))
+      val srcN = hist.groupBy(col("source"))
+        .agg(sum(col("cnt")).as("n_docs"))
+      val tot = srcN.agg(sum(col("n_docs")).as("tot_docs"),
+        count(lit(1)).as("n_sources"))
+      val capf = srcN.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          greatest(expr("(tot_docs * 8) div (10 * n_sources)"), lit(1L))
+            .as("cap"))
+      val cum = hist.join(broadcast(capf), "source")
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("source")).orderBy(col("q").desc)))
+        .withColumn("eff", least(col("cap"), col("n_docs")))
+      // the unique boundary row per source: the first (in q desc order)
+      // histogram row whose cumulative count reaches the effective cap
+      val bnd = cum
+        .filter(col("cum") >= col("eff") &&
+          col("cum") - col("cnt") < col("eff"))
+        .select(col("source"), col("q").as("q_floor"),
+          (col("eff") - (col("cum") - col("cnt"))).as("take_at_floor"))
+      val fullTok = hist.join(broadcast(bnd), "source")
+        .filter(col("q") > col("q_floor"))
+        .groupBy(col("source")).agg(sum(col("tok")).as("tok_full"))
+      val tieTok = base.join(broadcast(bnd), "source")
+        .filter(col("q") === col("q_floor"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+        .filter(col("rn") <= col("take_at_floor"))
+        .groupBy(col("source")).agg(sum(col("n_tokens")).as("tok_tie"))
+      capf.join(broadcast(bnd), "source")
+        .join(broadcast(fullTok), Seq("source"), "left")
+        .join(broadcast(tieTok), Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("cap"),
+          least(col("cap"), col("n_docs")).as("n_kept"),
+          (col("n_docs") - least(col("cap"), col("n_docs")))
+            .as("n_dropped"),
+          col("q_floor"),
+          (coalesce(col("tok_full"), lit(0L)) +
+            coalesce(col("tok_tie"), lit(0L))).as("kept_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    // Domain-mixture reweighting from measured model loss (the DoReMi
+    // discipline, Xie et al. 2023: upweight domains the reference model
+    // predicts WORST, so training spends its budget where the model is
+    // weakest). Per source over the LM-scored holdout: mean score vs the
+    // corpus mean → deficit_ppm (positive = worse-predicted); weight ∝
+    // token_share × (1 + η·deficit) with η = 4, floored at 0.1× so no
+    // domain starves (DoReMi's uniform-smoothing term), normalized to
+    // ppm. The multiplicative-weights exp() is linearized to keep the
+    // arithmetic integer-exact cross-engine (no transcendentals — t24's
+    // discipline); token_share base ≤ 1e6 keeps wraw·1e6 ≤ 5e18 inside
+    // i64 (q72's overflow accounting). Serve-only against the persisted
+    // LmIndex; output feeds q72's mixture planner as its weight table.
+    "t57_doremi_weights" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = graft.ops.LmIndex.ensure(s, d)
+      // ONE corpus pass: the scored holdout collapses to a |sources|-row
+      // frame; corpus totals ride single-partition windows over that
+      // tiny frame (the t13 pattern) instead of a second scoring pass
+      val sd = graft.ops.LmIndex.scoreHoldout(s, d, p)
+        .select(col("doc_id"), col("avg_ppm"))
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source"),
+          size(tokens(col("text"))).cast("long").as("n_tokens")),
+          "doc_id")
+      val wAll = Window.partitionBy(lit(1))
+      sd.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          sum(col("avg_ppm")).as("sum_avg"))
+        .withColumn("src_avg_ppm", expr("sum_avg div n_docs"))
+        .withColumn("tot_sum", sum(col("sum_avg")).over(wAll))
+        .withColumn("tot_docs", sum(col("n_docs")).over(wAll))
+        .withColumn("tot_tokens", sum(col("n_tokens")).over(wAll))
+        .withColumn("deficit_ppm",
+          expr("tot_sum div tot_docs") - col("src_avg_ppm"))
+        .withColumn("wraw",
+          expr("((n_tokens * 1000000) div tot_tokens) * " +
+            "greatest(1000000 + 4 * deficit_ppm, 100000)"))
+        .withColumn("wtot", sum(col("wraw")).over(wAll))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("src_avg_ppm"), col("deficit_ppm"),
+          expr("(wraw * 1000000) div wtot").as("weight_ppm"))
+        .orderBy(col("source"))
+    }),
+
+    // Source-pair distributional divergence (the domain-similarity
+    // matrix mixture design reads before setting weights — DoReMi/DoGE
+    // analyses and Moore-Lewis-style selection all start from "how far
+    // apart are these domains?"): total-variation distance between
+    // per-source unigram distributions, integer ppm. TV needs NO
+    // smoothing (unlike KL), and the absent-word mass folds into scalar
+    // arithmetic: Σ_w|p_a−p_b| = Σ_common|p_a−p_b| + (S_a−C_a) +
+    // (S_b−C_b) with S_x the source's total ppm mass and C_x its mass on
+    // the pair's common vocab — so the pairwise join is an INNER join on
+    // the shared vocab key, never an outer join materializing every
+    // (word, pair) row. Scale: the unigram table is vocab-bounded; the
+    // self-join emits ≤ C(|sources|,2) rows per word (block by pair or
+    // sketch if |sources| grows past the low hundreds); everything after
+    // is |sources|²-row broadcast arithmetic.
+    "t58_source_divergence" -> ((s, d) => {
+      val uni = Tables.fanout(Tables.documents(s, d))
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // feeds totals, masses, and the pair join
+      val tot = uni.groupBy(col("source"))
+        .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("vocab"))
+      val p = uni.join(broadcast(tot.select(col("source"), col("tot"))),
+          "source")
+        .select(col("source"), col("w"),
+          expr("(cnt * 1000000) div tot").as("p"))
+      val mass = p.groupBy(col("source")).agg(sum(col("p")).as("s_sum"))
+      val pairAgg = p.as("a")
+        .join(p.as("b"),
+          col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("vocab_common"),
+          sum(abs(col("a.p") - col("b.p"))).as("d_common"),
+          sum(col("a.p")).as("c_a"), sum(col("b.p")).as("c_b"))
+      pairAgg
+        .join(broadcast(mass.select(col("source").as("src_a"),
+          col("s_sum").as("s_a"))), "src_a")
+        .join(broadcast(mass.select(col("source").as("src_b"),
+          col("s_sum").as("s_b"))), "src_b")
+        .join(broadcast(tot.select(col("source").as("src_a"),
+          col("vocab").as("vocab_a"))), "src_a")
+        .join(broadcast(tot.select(col("source").as("src_b"),
+          col("vocab").as("vocab_b"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("vocab_a"),
+          col("vocab_b"), col("vocab_common"),
+          expr("(d_common + (s_a - c_a) + (s_b - c_b)) div 2")
+            .as("tv_ppm"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // Stupid-backoff bigram LM scoring (Brants et al. EMNLP 2007 — the
     // web-scale LM smoothing that needs NO discount estimation, designed
     // for exactly this kind of distributed count infrastructure): docs
@@ -3251,7 +3408,102 @@ object TextQueries {
          |        ORDER BY mink_ppm DESC, doc_id) AS rk FROM j)
          |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, mink_ppm,
          |  avg_ppm, CAST(avg_ppm - mink_ppm AS BIGINT) AS gap_ppm
-         |FROM r WHERE rk <= 3 ORDER BY lang, rk""".stripMargin
+         |FROM r WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
+    // the oracle selects kept docs NAIVELY (row_number over the full
+    // composite order) — it checks the histogram selection end-to-end
+    "t56_source_cap" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    (CAST(len(list_filter(toks, t ->
+         |       t IN ${dkWordSet(stopwords)})) AS BIGINT) * 1000000)
+         |      // CAST(len(toks) AS BIGINT) AS q
+         |  FROM (SELECT doc_id, source, $dkToks AS toks FROM documents)),
+         |srcn AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM base GROUP BY source),
+         |tot AS (
+         |  SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+         |    CAST(count(*) AS BIGINT) AS n_sources FROM srcn),
+         |capf AS (
+         |  SELECT source, n_docs,
+         |    greatest((tot_docs * 8) // (10 * n_sources), 1) AS cap
+         |  FROM srcn, tot),
+         |rk AS (
+         |  SELECT b.source, b.n_tokens, b.q, c.cap, c.n_docs,
+         |    row_number() OVER (PARTITION BY b.source
+         |      ORDER BY b.q DESC, b.doc_id) AS rn
+         |  FROM base b JOIN capf c USING (source)),
+         |kept AS (
+         |  SELECT source, min(q) AS q_floor,
+         |    CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+         |  FROM rk WHERE rn <= cap GROUP BY source)
+         |SELECT c.source, c.n_docs, c.cap,
+         |  least(c.cap, c.n_docs) AS n_kept,
+         |  c.n_docs - least(c.cap, c.n_docs) AS n_dropped,
+         |  k.q_floor, k.kept_tokens
+         |FROM capf c JOIN kept k USING (source)
+         |ORDER BY source""".stripMargin,
+    "t57_doremi_weights" ->
+      s"""WITH $dkLmScoreCtes,
+         |nt AS (
+         |  SELECT doc_id, source,
+         |    CAST(len($dkToks) AS BIGINT) AS n_tokens FROM documents),
+         |sd AS (
+         |  SELECT s.doc_id, s.avg_ppm, n.source, n.n_tokens
+         |  FROM sc s JOIN nt n USING (doc_id)),
+         |src AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(sum(avg_ppm) AS BIGINT) // count(*) AS src_avg_ppm
+         |  FROM sd GROUP BY source),
+         |tot AS (
+         |  SELECT CAST(sum(avg_ppm) AS BIGINT) // count(*)
+         |      AS corpus_avg_ppm,
+         |    CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM sd),
+         |w AS (
+         |  SELECT source, n_docs, n_tokens, src_avg_ppm,
+         |    corpus_avg_ppm - src_avg_ppm AS deficit_ppm,
+         |    ((n_tokens * 1000000) // tot_tokens) *
+         |      greatest(1000000 + 4 * (corpus_avg_ppm - src_avg_ppm),
+         |        100000) AS wraw
+         |  FROM src, tot),
+         |wt AS (SELECT CAST(sum(wraw) AS BIGINT) AS wtot FROM w)
+         |SELECT source, n_docs, n_tokens, src_avg_ppm, deficit_ppm,
+         |  (wraw * 1000000) // wtot AS weight_ppm
+         |FROM w, wt ORDER BY source""".stripMargin,
+    "t58_source_divergence" ->
+      s"""WITH uni AS (
+         |  SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT source, unnest($dkToks) AS w FROM documents)
+         |  GROUP BY source, w),
+         |tot AS (
+         |  SELECT source, CAST(sum(cnt) AS BIGINT) AS tot,
+         |    CAST(count(*) AS BIGINT) AS vocab
+         |  FROM uni GROUP BY source),
+         |p AS (
+         |  SELECT u.source, u.w, (u.cnt * 1000000) // t.tot AS p
+         |  FROM uni u JOIN tot t USING (source)),
+         |mass AS (
+         |  SELECT source, CAST(sum(p) AS BIGINT) AS s_sum
+         |  FROM p GROUP BY source),
+         |pr AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(count(*) AS BIGINT) AS vocab_common,
+         |    CAST(sum(abs(a.p - b.p)) AS BIGINT) AS d_common,
+         |    CAST(sum(a.p) AS BIGINT) AS c_a,
+         |    CAST(sum(b.p) AS BIGINT) AS c_b
+         |  FROM p a JOIN p b ON a.w = b.w AND a.source < b.source
+         |  GROUP BY a.source, b.source)
+         |SELECT pr.src_a, pr.src_b, ta.vocab AS vocab_a,
+         |  tb.vocab AS vocab_b, pr.vocab_common,
+         |  (pr.d_common + (ma.s_sum - pr.c_a) + (mb.s_sum - pr.c_b)) // 2
+         |    AS tv_ppm
+         |FROM pr
+         |JOIN tot ta ON ta.source = pr.src_a
+         |JOIN tot tb ON tb.source = pr.src_b
+         |JOIN mass ma ON ma.source = pr.src_a
+         |JOIN mass mb ON mb.source = pr.src_b
+         |ORDER BY src_a, src_b""".stripMargin
   )
 
   /** t51's LM-scoring chain — the persisted stupid-backoff model

@@ -174,7 +174,13 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       // min-k% membership audit (persisted-LM serve, per-doc windows)
       "t55_min_k_prob",
       // dedup-index health readout (serve-only artifact aggs)
-      "d46_dedup_index_stats")
+      "d46_dedup_index_stats",
+      // per-source cap (histogram threshold selection + tie rank)
+      "t56_source_cap",
+      // DoReMi weights (persisted-LM serve + |sources|-row windows)
+      "t57_doremi_weights",
+      // source-pair TV divergence (vocab-keyed pair join + scalar mass)
+      "t58_source_divergence")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {

@@ -241,6 +241,18 @@ class PlanGuardSpec extends SparkSpecBase {
       s"t55 must serve the persisted LmIndex, not retrain in-query:\n$p")
   }
 
+  test("t57 serves the persisted LM and broadcasts its model tables") {
+    // The DoReMi weights must not retrain the LM in-query: the holdout
+    // scoring leg joins the persisted vocab-bounded count tables via
+    // broadcast (3 model joins), and the final weight frame is
+    // |sources|-row broadcast arithmetic — no token-keyed sort-merge.
+    val p = planOf("t57_doremi_weights")
+    assert(p.contains("lm-index"),
+      s"t57 must serve the persisted LmIndex, not retrain in-query:\n$p")
+    assert("SortMergeJoin \\[[^\\]]*w[12]".r.findFirstIn(p).isEmpty,
+      s"t57's model join fell back to a token-keyed sort-merge:\n$p")
+  }
+
   test("q66 ranks through range partitions, never one global ntile sort") {
     // ntile(10).over(Window.orderBy(...)) plans as Exchange
     // SinglePartition — the whole customer table through one sort task.

@@ -43,6 +43,29 @@ class SurgeryManifestSpec extends SparkSpecBase {
       "a verbatim benchmark copy must be excised to nothing")
   }
 
+  test("t56 planted caps: tie split at the floor, under-cap source kept") {
+    // 8 docs over 2 sources → cap = max(1, (8*8) div (10*2)) = 3.
+    // Source A (6 docs): one q=1e6 doc, a THREE-way tie at q=500000
+    // (only two fit under the cap — doc_id asc breaks it), two q=0.
+    // Source B (2 docs) is under the cap: untouched, floor = its min q.
+    val docs = Seq(
+      (0L, "A", "the a of"), // q = 1000000
+      (2L, "A", "the x"), (4L, "A", "a y"), (6L, "A", "of z"), // 500000
+      (8L, "A", "p r"), (10L, "A", "u v"), // q = 0
+      (1L, "B", "the and in to x"), // q = 800000
+      (3L, "B", "m n") // q = 0
+    ).toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("t56cap").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextQueries.queries("t56_source_cap")(spark, dir)
+      .select("source", "n_docs", "cap", "n_kept", "n_dropped",
+        "q_floor", "kept_tokens")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("A", 6L, 3L, 3L, 3L, 500000L, 7L), // d0(3 tok) + d2 + d4 (2 each)
+      ("B", 2L, 3L, 2L, 0L, 0L, 7L)))
+  }
+
   test("d37 on the corpus conserves tokens and islands stay disjoint") {
     val out = graft.queries.DedupQueries.queries("d37_span_surgery")(
       spark, sfDir)

@@ -140,6 +140,34 @@ class DedupSpec extends SparkSpecBase {
       "every path node must collapse to the min id")
   }
 
+  test("sweep components ≡ per-τ star components on weighted random graphs") {
+    // the d36 contraction identity: labels at τ composed from τ-1's
+    // labels along only the newly activated edges must equal a
+    // from-scratch star-CC run over the full ≤τ edge set — every τ,
+    // seeded random weighted multigraphs (self-loops, duplicates, both
+    // orientations; weight 0 present AND absent in the first step)
+    import scala.util.Random
+    val rnd = new Random(20260816L)
+    (1 to 3).foreach { trial =>
+      val n = 30
+      val minW = if (trial == 2) 2 else 0 // trial 2: empty first steps
+      val edges = (0 until 70).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong,
+          (minW + rnd.nextInt(4 - minW)).toLong))
+        .toDF("doc_a", "doc_b", "hamming")
+      val nodes = (0L until n.toLong).toDF("doc_id")
+      sweepComponents(edges, nodes, col("hamming"), 0 to 3,
+          uncheckedRounds = 1).foreach { case (tau, labels) =>
+        val direct = starComponents(
+          edges.filter(col("hamming") <= tau)
+            .select(col("doc_a"), col("doc_b")), nodes)
+          .as[(Long, Long)].collect().toMap
+        assert(labels.as[(Long, Long)].collect().toMap == direct,
+          s"trial $trial τ=$tau: sweep != from-scratch star-CC")
+      }
+    }
+  }
+
   test("incremental CC: star forest of old edges ∪ delta ≡ full recompute") {
     // the d35 identity on seeded random graphs: collapsing any subset of
     // the edges to its star forest before adding the rest must not
