@@ -190,8 +190,26 @@ object ScaleProbe {
       f""""$n":{"t1x":$a%.2f,"t10x":$b%.2f,"ratio":$r%.2f}"""
     }.mkString(",")
     // second decade for the heaviest families (reuses each query's 10×
-    // reading from the loop above as the denominator)
+    // reading from the loop above as the denominator).
+    // Drop every localCheckpoint the 1x/10x section pinned first: probe
+    // queries checkpoint intermediates that live until unpersisted, and
+    // ~25 queries × 2 scales of pinned blocks squeeze the unified
+    // memory the decade's 500k-doc sorts need (observed as
+    // UNABLE_TO_ACQUIRE_MEMORY in the winnowing leg once the probe
+    // list grew past ~25 queries).
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
     ensureCorpus(spark, G100xDir, 100)
+    // Shuffle partitions must scale with input — the engine's 32 is the
+    // sf0.1/1×/10× grain; at the 100× corpus 32 partitions put ~2M
+    // exploded gram rows in each task's aggregation map and 32
+    // concurrent maps exceed the executor pool (observed as
+    // AGGREGATE_OUT_OF_MEMORY in the Gopher leg). 256 restores the
+    // per-task working set the operators were designed for — exactly
+    // what a production cluster does by running more tasks; AQE
+    // coalesces the small ones back.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "256")
     val (d100, e100, l100) = card(G100xDir)
     val t10 = rows.map { case (n, _, b, _) => n -> b }.toMap
     val rows100 = DecadeQueries.map { n =>
@@ -205,6 +223,7 @@ object ScaleProbe {
       System.err.println(f"[scale-probe] $n: ${t10(n)}%.2f s → $c%.2f s")
       (n, t10(n), c, c / t10(n))
     }
+    spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     val qjson100 = rows100.map { case (n, b, c, r) =>
       f""""$n":{"t10x":$b%.2f,"t100x":$c%.2f,"ratio":$r%.2f}"""
     }.mkString(",")

@@ -156,7 +156,11 @@ class DedupSpec extends SparkSpecBase {
           (minW + rnd.nextInt(4 - minW)).toLong))
         .toDF("doc_a", "doc_b", "hamming")
       val nodes = (0L until n.toLong).toDF("doc_id")
-      sweepComponents(edges, nodes, col("hamming"), 0 to 3,
+      // trial 3 also exercises a NON-CONTIGUOUS tau list (the step
+      // filter accumulates the full (prev, tau] weight window, so gaps
+      // must not drop edges)
+      val taus = if (trial == 3) Seq(1, 3) else (0 to 3).toSeq
+      sweepComponents(edges, nodes, col("hamming"), taus,
           uncheckedRounds = 1).foreach { case (tau, labels) =>
         val direct = starComponents(
           edges.filter(col("hamming") <= tau)
