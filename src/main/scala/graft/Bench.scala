@@ -93,8 +93,8 @@ object Bench {
     "t45_distinct_ngrams", "t46_bpe_train", "t47_freq_spectrum",
     "t48_tokenizer_fertility", "t50_bm25_serve", "t51_ppl_buckets",
     "t52_gopher_rules", "t53_signal_agreement", "t54_filter_bias",
-    "t55_min_k_prob", "t56_source_cap", "t57_doremi_weights",
-    "t58_source_divergence",
+    "t55_min_k_prob", "t56_source_cap", "t56b_cap_sweep",
+    "t57_doremi_weights", "t58_source_divergence",
     "d1_exact_dedup", "d2_minhash_lsh", "d3_simhash", "d5_simhash_pairs",
     "d8d_triangle_doulion", "d9b_graph_stats_sketch",
     "d11_containment", "d12_incremental_dedup",

@@ -163,6 +163,16 @@ object ScaleProbe {
     val spark = ClusterConfigs.local(
       SparkSession.builder().appName("graft-scale-probe"), 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Queries localCheckpoint intermediates that stay pinned until
+    // unpersisted, and UnifiedMemoryManager protects in-use storage up
+    // to storageFraction — at the 100× corpus one query's pinned
+    // k-gram table (tens of GB) halves the execution pool the NEXT
+    // query's aggregation maps need (observed as AGGREGATE_OUT_OF_
+    // MEMORY / UNABLE_TO_ACQUIRE_MEMORY in the t52@100x leg). A real
+    // deployment owns its checkpoint lifecycle per job; the probe
+    // drops everything pinned after each timed measurement.
+    def dropPinned(): Unit = spark.sparkContext.getPersistentRDDs
+      .values.foreach(_.unpersist(blocking = false))
     ensureCorpus(spark, G1xDir, 1)
     ensureCorpus(spark, G10xDir, 10)
     val qs = SparkEntry.queries
@@ -175,8 +185,12 @@ object ScaleProbe {
     val (d10, e10, l10) = card(G10xDir)
     val rows = ProbeQueries.map { n =>
       def run(d: String): Double = {
-        val ts = (1 to 2).map(_ => time(qs(n)(spark, d)
-          .write.format("noop").mode("overwrite").save()))
+        val ts = (1 to 2).map { _ =>
+          val t = time(qs(n)(spark, d)
+            .write.format("noop").mode("overwrite").save())
+          dropPinned()
+          t
+        }
         ts.min
       }
       System.err.println(s"[scale-probe] $n @1x ...")
@@ -190,15 +204,8 @@ object ScaleProbe {
       f""""$n":{"t1x":$a%.2f,"t10x":$b%.2f,"ratio":$r%.2f}"""
     }.mkString(",")
     // second decade for the heaviest families (reuses each query's 10×
-    // reading from the loop above as the denominator).
-    // Drop every localCheckpoint the 1x/10x section pinned first: probe
-    // queries checkpoint intermediates that live until unpersisted, and
-    // ~25 queries × 2 scales of pinned blocks squeeze the unified
-    // memory the decade's 500k-doc sorts need (observed as
-    // UNABLE_TO_ACQUIRE_MEMORY in the winnowing leg once the probe
-    // list grew past ~25 queries).
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+    // reading from the loop above as the denominator)
+    dropPinned()
     ensureCorpus(spark, G100xDir, 100)
     // Shuffle partitions must scale with input — the engine's 32 is the
     // sf0.1/1×/10× grain; at the 100× corpus 32 partitions put ~2M
@@ -210,12 +217,39 @@ object ScaleProbe {
     // coalesces the small ones back.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "256")
+    // Scan-side twin of the same sizing rule: the decade corpus is 90 MB
+    // ON DISK across 400 small files, so the default 128 MB
+    // maxPartitionBytes bin-packs the whole scan into ~14 tasks of ~36k
+    // docs whose 9-way gram melt builds ~6M-entry partial-agg maps —
+    // 32 concurrent tasks of those exhaust the pool before the spill
+    // sorter can even allocate (the brief's "size maxPartitionBytes so
+    // partitions fit" rule, hit in practice). 4 MB targets ~70 scan
+    // tasks of ~7k docs each.
+    val prevMaxPart = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpenCost = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+    spark.conf.set("spark.sql.files.openCostInBytes", "131072")
     val (d100, e100, l100) = card(G100xDir)
     val t10 = rows.map { case (n, _, b, _) => n -> b }.toMap
     val rows100 = DecadeQueries.map { n =>
+      // fanout() repartitions to defaultParallelism (32) at every
+      // query head, so scan-side sizing alone cannot shrink the
+      // per-task working set of anything downstream of it — at 500k
+      // docs a 32-way gram melt is ~16k docs (~2.5M partial-agg
+      // entries) per task and 32 concurrent maps exhaust the pool.
+      // The partition-override hook the invariance spec uses
+      // (withFanoutParts) IS the production knob: 256-way fanout puts
+      // ~2k docs in each task. Results are partition-invariant
+      // (OperatorPropertiesSpec pins exactly that).
       def run(d: String): Double = {
-        val ts = (1 to 2).map(_ => time(qs(n)(spark, d)
-          .write.format("noop").mode("overwrite").save()))
+        val ts = (1 to 2).map { _ =>
+          val t = Tables.withFanoutParts(256) {
+            time(qs(n)(spark, d)
+              .write.format("noop").mode("overwrite").save())
+          }
+          dropPinned()
+          t
+        }
         ts.min
       }
       System.err.println(s"[scale-probe] $n @100x ...")
@@ -224,6 +258,8 @@ object ScaleProbe {
       (n, t10(n), c, c / t10(n))
     }
     spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", prevMaxPart)
+    spark.conf.set("spark.sql.files.openCostInBytes", prevOpenCost)
     val qjson100 = rows100.map { case (n, b, c, r) =>
       f""""$n":{"t10x":$b%.2f,"t100x":$c%.2f,"ratio":$r%.2f}"""
     }.mkString(",")

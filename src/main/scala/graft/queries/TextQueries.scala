@@ -1270,6 +1270,55 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // Domain-quota tuning sweep (the d36/t38b operating-curve discipline
+    // applied to t56's cap knob: how aggressive should the per-source
+    // quota be before the corpus-wide trim runs?). The per-doc pass is
+    // paid ONCE — a (source, q) histogram — and each cap point ∈ {50,
+    // 80, 100, 120}% of the mean source size is pure histogram
+    // arithmetic: per-source cumsum finds the realized quality floor,
+    // closed-form least(cap, n_docs) gives the yield. No per-doc work
+    // per sweep point (t56 itself pays the boundary tie rank; the knob
+    // sweep doesn't need it because its readout is doc counts + floor
+    // levels). Readout per point: sources trimmed, docs kept/dropped,
+    // mean realized floor — the retention/quality trade rendered as a
+    // curve.
+    "t56b_cap_sweep" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = Tables.fanout(Tables.documents(s, d))
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_stop", wordSetCount(col("toks"), stopwords))
+        .withColumn("q", expr("(n_stop * 1000000) div n_tokens"))
+        .groupBy(col("source"), col("q")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // the ONE per-doc pass; 4 sweep points reuse
+      val srcN = hist.groupBy(col("source"))
+        .agg(sum(col("cnt")).as("n_docs"))
+      val tot = srcN.agg(sum(col("n_docs")).as("tot_docs"),
+        count(lit(1)).as("n_sources"))
+      Seq(50L, 80L, 100L, 120L).map { pct =>
+        val capf = srcN.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"),
+            greatest(expr(s"(tot_docs * $pct) div (100 * n_sources)"),
+              lit(1L)).as("cap"))
+        val cum = hist.join(broadcast(capf), "source")
+          .withColumn("cum", sum(col("cnt")).over(
+            Window.partitionBy(col("source")).orderBy(col("q").desc)))
+          .withColumn("eff", least(col("cap"), col("n_docs")))
+        val bnd = cum
+          .filter(col("cum") >= col("eff") &&
+            col("cum") - col("cnt") < col("eff"))
+          .groupBy().agg(sum(col("q")).as("sum_floor"),
+            count(lit(1)).as("n_src"),
+            sum(when(col("n_docs") > col("cap"), 1L).otherwise(0L))
+              .as("n_sources_trimmed"),
+            sum(col("eff")).as("n_kept"),
+            sum(col("n_docs") - col("eff")).as("n_dropped"))
+        bnd.select(lit(pct).as("cap_pct"), col("n_sources_trimmed"),
+          col("n_kept"), col("n_dropped"),
+          expr("sum_floor div n_src").as("mean_q_floor"))
+      }.reduce(_ unionByName _).orderBy(col("cap_pct"))
+    }),
+
     // Domain-mixture reweighting from measured model loss (the DoReMi
     // discipline, Xie et al. 2023: upweight domains the reference model
     // predicts WORST, so training spends its budget where the model is
@@ -3443,6 +3492,50 @@ object TextQueries {
          |  k.q_floor, k.kept_tokens
          |FROM capf c JOIN kept k USING (source)
          |ORDER BY source""".stripMargin,
+    "t56b_cap_sweep" -> {
+      val pts = Seq(50, 80, 100, 120).map { p =>
+        s"""capf$p AS (
+           |  SELECT source, n_docs,
+           |    greatest((tot_docs * $p) // (100 * n_sources), 1) AS cap
+           |  FROM srcn, tot),
+           |rk$p AS (
+           |  SELECT b.source, b.q, c.cap, c.n_docs,
+           |    row_number() OVER (PARTITION BY b.source
+           |      ORDER BY b.q DESC, b.doc_id) AS rn
+           |  FROM base b JOIN capf$p c USING (source)),
+           |fl$p AS (
+           |  SELECT source, min(q) AS q_floor FROM rk$p
+           |  WHERE rn <= cap GROUP BY source),
+           |o$p AS (
+           |  SELECT CAST($p AS BIGINT) AS cap_pct,
+           |    (SELECT CAST(sum(CASE WHEN n_docs > cap THEN 1 ELSE 0 END)
+           |       AS BIGINT) FROM capf$p) AS n_sources_trimmed,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM rk$p WHERE rn <= cap)
+           |      AS n_kept,
+           |    (SELECT CAST(sum(n_docs) AS BIGINT) FROM srcn)
+           |      - (SELECT CAST(count(*) AS BIGINT) FROM rk$p
+           |         WHERE rn <= cap) AS n_dropped,
+           |    (SELECT CAST(sum(q_floor) AS BIGINT) // count(*)
+           |     FROM fl$p) AS mean_q_floor)""".stripMargin
+      }.mkString(",\n")
+      val unions = Seq(50, 80, 100, 120)
+        .map(p => s"SELECT * FROM o$p").mkString("\nUNION ALL\n")
+      s"""WITH base AS (
+         |  SELECT doc_id, source,
+         |    (CAST(len(list_filter(toks, t ->
+         |       t IN ${dkWordSet(stopwords)})) AS BIGINT) * 1000000)
+         |      // CAST(len(toks) AS BIGINT) AS q
+         |  FROM (SELECT doc_id, source, $dkToks AS toks FROM documents)),
+         |srcn AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM base GROUP BY source),
+         |tot AS (
+         |  SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+         |    CAST(count(*) AS BIGINT) AS n_sources FROM srcn),
+         |$pts
+         |$unions
+         |ORDER BY cap_pct""".stripMargin
+    },
     "t57_doremi_weights" ->
       s"""WITH $dkLmScoreCtes,
          |nt AS (

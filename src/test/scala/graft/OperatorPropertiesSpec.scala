@@ -175,8 +175,9 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       "t55_min_k_prob",
       // dedup-index health readout (serve-only artifact aggs)
       "d46_dedup_index_stats",
-      // per-source cap (histogram threshold selection + tie rank)
-      "t56_source_cap",
+      // per-source cap (histogram threshold selection + tie rank) and
+      // its knob sweep (one histogram, four thresholds)
+      "t56_source_cap", "t56b_cap_sweep",
       // DoReMi weights (persisted-LM serve + |sources|-row windows)
       "t57_doremi_weights",
       // source-pair TV divergence (vocab-keyed pair join + scalar mass)
