@@ -223,8 +223,9 @@ object ScaleProbe {
     // docs whose 9-way gram melt builds ~6M-entry partial-agg maps —
     // 32 concurrent tasks of those exhaust the pool before the spill
     // sorter can even allocate (the brief's "size maxPartitionBytes so
-    // partitions fit" rule, hit in practice). 4 MB targets ~70 scan
-    // tasks of ~7k docs each.
+    // partitions fit" rule, hit in practice). 1 MB (with openCost cut to
+    // 128 KB so small files still pack) targets ~140 scan tasks of
+    // ~3.5k docs each.
     val prevMaxPart = spark.conf.get("spark.sql.files.maxPartitionBytes")
     val prevOpenCost = spark.conf.get("spark.sql.files.openCostInBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")

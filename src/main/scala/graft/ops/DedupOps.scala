@@ -522,13 +522,31 @@ object DedupOps {
       taus: Seq[Int], uncheckedRounds: Int = 0): Seq[(Int, DataFrame)] = {
     require(taus.nonEmpty && taus == taus.sorted,
       s"taus must be ascending, got $taus")
+    // Edge endpoints outside `docs` still carry CONNECTIVITY in a
+    // from-scratch starComponents run (its forest is built from the raw
+    // edge set; `docs` only scopes the emitted labels), so a contraction
+    // step that inner-joined prior labels would silently drop such edges
+    // and diverge from the per-τ equivalence this method promises. To
+    // keep exact parity, the sweep carries labels over docs ∪ extra
+    // endpoints internally and filters back to `docs` at emit; when the
+    // endpoints are a subset of docs (every in-repo caller) the extra
+    // frame is empty and the fast path below is byte-identical to
+    // labeling over `docs` alone.
+    val docIds = docs.select(col("doc_id"))
+    val extra = edges.select(col("doc_a").as("doc_id"))
+      .union(edges.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .join(docIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = true)
+    val hasExtra = !extra.isEmpty
+    val nodes = if (hasExtra) docIds.union(extra) else docIds
     var labels: DataFrame = null
     var prev = Long.MinValue
     taus.map { tau =>
       val step = edges.filter(weight > lit(prev) && weight <= lit(tau.toLong))
         .select(col("doc_a"), col("doc_b"))
       labels = (if (labels == null) {
-        starComponents(step, docs.select(col("doc_id")),
+        starComponents(step, nodes,
           uncheckedRounds = uncheckedRounds)
       } else {
         // contract: map both endpoints of the newly activated edges to
@@ -548,7 +566,9 @@ object DedupOps {
           .select(col("doc_id"), col("nc").as("canon_id"))
       }).localCheckpoint(eager = true)
       prev = tau.toLong
-      tau -> labels
+      tau -> (if (hasExtra) {
+        labels.join(docIds, Seq("doc_id"), "left_semi")
+      } else labels)
     }
   }
 

@@ -135,6 +135,75 @@ object MultimodalQueries {
           expr("total_bytes * 1000000L div all_bytes").as("byte_share_ppm"),
           col("token_equiv"))
         .orderBy(col("kind"))
+    }),
+
+    // Interleaved multimodal sequence packing — t15's prefix-sum shard
+    // assignment applied to a MIXED text/image/audio stream, with each
+    // item costed at m7's per-modality token-equivalent rate (a training
+    // loader packs heterogeneous items into fixed token-budget
+    // sequences; the mix per shard is what a curriculum designer
+    // audits). Per (lang, shard): item count, per-modality counts,
+    // token total, and the id span. Conservation (Σ shard tok_total ≡
+    // corpus token_equiv — no item dropped or double-packed, the p5
+    // discipline) is asserted in `MultimodalSpec`. Scale shape = t15's:
+    // the running sum partitions by lang, so no global single-partition
+    // window; the per-shard collapse is one combinable agg on the same
+    // key prefix.
+    "m9_interleaved_pack" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val media = Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id").as("media_id"), col("lang"),
+          expr("CASE doc_id % 3 WHEN 0 THEN 'text' WHEN 1 THEN 'image' " +
+            "ELSE 'audio' END").as("kind"),
+          length(col("text").cast("binary")).cast("long").as("byte_len"))
+        .withColumn("token_equiv",
+          expr("CASE kind WHEN 'text' THEN byte_len div 4 " +
+            "WHEN 'image' THEN 256 + byte_len div 1024 " +
+            "ELSE byte_len div 320 END"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("media_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      media
+        .withColumn("prefix_toks",
+          coalesce(sum(col("token_equiv")).over(w), lit(0L)))
+        .withColumn("shard", expr("prefix_toks div 2048"))
+        .groupBy(col("lang"), col("shard"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(when(col("kind") === "text", 1L).otherwise(0L)).as("n_text"),
+          sum(when(col("kind") === "image", 1L).otherwise(0L)).as("n_image"),
+          sum(when(col("kind") === "audio", 1L).otherwise(0L)).as("n_audio"),
+          sum(col("token_equiv")).as("tok_total"),
+          min(col("media_id")).as("first_media"),
+          max(col("media_id")).as("last_media"))
+        .orderBy(col("lang"), col("shard"))
+    }),
+
+    // Perceptual-hash near-dup for binary payloads — image dedup gets
+    // the same banded-not-all-pairs story text has (d5): an aHash-style
+    // 32-bit fingerprint with one bit per fixed tile of the payload
+    // (bit_i = MSB of md5(tile_i)), so a local edit flips only the bits
+    // of the tiles it touches and re-encoded/lightly-edited payloads of
+    // the same length land within small Hamming distance. Candidate
+    // generation and skew-salted pairing reuse d5's machinery verbatim
+    // ([[graft.ops.DedupOps.simhashBands]]/[[graft.ops.DedupOps.simhashPairs]]:
+    // 4×8-bit bands guarantee recall at Hamming ≤ 3 by pigeonhole) — at
+    // 100 TB only 4-byte fingerprints shuffle, never payload bytes, and
+    // a hot band bucket triangle-salts across the cluster instead of
+    // enumerating n² pairs in one task.
+    "m10_phash_neardup" -> ((s, d) => {
+      val media = asMediaRecords(Tables.documents(s, d), "doc_id", "text", "doc")
+      val ph = media
+        .withColumn("tw", greatest(expr("byte_len div 32"), lit(1L)))
+        .withColumn("phash", expr(
+          """aggregate(sequence(0, 31), 0L, (acc, i) ->
+            |  acc + IF(substring(md5(substring(payload,
+            |        CAST(i * tw + 1 AS INT), CAST(tw AS INT))), 1, 1) >= '8',
+            |    shiftleft(1L, i), 0L))""".stripMargin))
+        .select(col("media_id").as("doc_id"), col("phash"))
+      graft.ops.DedupOps.simhashPairs(
+          graft.ops.DedupOps.simhashBands(ph, col("phash")), 3)
+        .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+          col("hamming"))
+        .orderBy(col("media_a"), col("media_b"))
     })
   )
 
@@ -224,6 +293,70 @@ object MultimodalQueries {
         |SELECT m.media_id, m.n_patches, m.n_distinct,
         |       coalesce(s.n_shared, 0) AS n_shared
         |FROM m LEFT JOIN s USING (media_id) ORDER BY media_id""".stripMargin,
+    // byte_len = UTF-8 byte length on both sides (octet_length(encode())
+    // vs length(cast binary)) — exact without the ascii guard; nothing
+    // here slices.
+    "m9_interleaved_pack" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id, lang,
+        |    CASE doc_id % 3 WHEN 0 THEN 'text' WHEN 1 THEN 'image'
+        |         ELSE 'audio' END AS kind,
+        |    octet_length(encode(text)) AS byte_len
+        |  FROM documents),
+        |tok AS (
+        |  SELECT media_id, lang, kind,
+        |    CASE kind WHEN 'text' THEN byte_len // 4
+        |      WHEN 'image' THEN 256 + byte_len // 1024
+        |      ELSE byte_len // 320 END AS token_equiv
+        |  FROM media),
+        |pre AS (
+        |  SELECT media_id, lang, kind, token_equiv,
+        |    CAST(coalesce(SUM(token_equiv) OVER (PARTITION BY lang
+        |      ORDER BY media_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS prefix_toks
+        |  FROM tok)
+        |SELECT lang, prefix_toks // 2048 AS shard, COUNT(*) AS n_media,
+        |  CAST(SUM(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_text,
+        |  CAST(SUM(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_image,
+        |  CAST(SUM(CASE WHEN kind = 'audio' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_audio,
+        |  CAST(SUM(token_equiv) AS BIGINT) AS tok_total,
+        |  MIN(media_id) AS first_media, MAX(media_id) AS last_media
+        |FROM pre GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
+    // tile slicing needs char=byte equivalence → ascii guard; the
+    // first-matching-band ownership on the Spark side and DISTINCT here
+    // both reduce to "each colliding pair exactly once"
+    "m10_phash_neardup" ->
+      s"""WITH $dkAsciiGuard,
+        |m AS (
+        |  SELECT doc_id AS media_id, text,
+        |    greatest(octet_length(encode(text)) // 32, 1) AS tw
+        |  FROM ascii_docs),
+        |ph AS (
+        |  SELECT media_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 31), i ->
+        |      CASE WHEN substr(md5(substring(text,
+        |             CAST(i * tw + 1 AS INT), CAST(tw AS INT))), 1, 1) >= '8'
+        |           THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))
+        |      AS BIGINT) AS phash
+        |  FROM m),
+        |bands AS (
+        |  SELECT media_id, phash, b.band_idx,
+        |         (phash >> (b.band_idx * 8)) & 255 AS band_val
+        |  FROM ph, (SELECT unnest([0,1,2,3]) AS band_idx) b),
+        |cand AS (
+        |  SELECT DISTINCT l.media_id AS media_a, r.media_id AS media_b,
+        |         l.phash AS ph_a, r.phash AS ph_b
+        |  FROM bands l JOIN bands r
+        |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+        |   AND l.media_id < r.media_id)
+        |SELECT media_a, media_b,
+        |  bit_count(xor(ph_a, ph_b))::BIGINT AS hamming
+        |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3
+        |ORDER BY media_a, media_b""".stripMargin,
     "m5_shared_patches" ->
       s"""WITH $dkAsciiGuard,
         |p AS (

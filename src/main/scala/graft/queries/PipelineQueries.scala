@@ -494,6 +494,40 @@ object PipelineQueries {
             .as("tokens_remaining"),
           col("resume_doc_id"))
         .orderBy(col("lang"))
+    }),
+
+    // The measure → reweight → allocate mixture loop as ONE verified
+    // composition (the p1/p2 dress-rehearsal discipline applied to
+    // mixture design): t57 measures per-source LM loss on the persisted
+    // LmIndex and emits DoReMi weights; those MEASURED weights — not
+    // hand-set targets — drive q93's epoch-capped water-filling
+    // allocator ([[graft.ops.MixtureOps.waterFill]]), yielding the
+    // final per-source token budget a training run would consume.
+    // Budget = 1.5× corpus tokens, per-source cap = 2 epochs of its own
+    // mass; freed budget from capped sources re-fills the rest. Scale
+    // shape: the corpus-scale work (LM scoring) is t57's one serve-only
+    // pass; everything after is |sources|-row scalar arithmetic, so the
+    // loop costs the same at 100 TB as at sf0.01.
+    "p10_mixture_loop" -> ((s, d) => {
+      val dw = TextQueries.queries("t57_doremi_weights")(s, d)
+      val tot = dw.agg(sum(col("n_tokens")).as("total_tokens"))
+      val st = graft.ops.MixtureOps.waterFill(
+        dw.select(col("source"), col("n_tokens"),
+            col("weight_ppm").as("target_ppm"))
+          .crossJoin(broadcast(tot))
+          .withColumn("budget", expr("(total_tokens * 3) DIV 2"))
+          .withColumn("cap_tokens", col("n_tokens") * lit(2L)),
+        rounds = 5)
+      val ta = st.agg(sum(col("alloc_tokens")).as("total_alloc"))
+      st.crossJoin(broadcast(ta))
+        .select(col("source"), col("n_tokens"),
+          col("target_ppm").as("weight_ppm"),
+          col("cap_tokens"), col("capped_round"), col("alloc_tokens"),
+          expr("(alloc_tokens * 10000) DIV n_tokens").as("epochs_bp"),
+          expr("(alloc_tokens * 1000000) DIV total_alloc").as("realized_ppm"),
+          col("budget").as("budget_tokens"),
+          (col("budget") - col("total_alloc")).as("leftover_tokens"))
+        .orderBy(col("source"))
     })
   )
 
@@ -891,7 +925,31 @@ object PipelineQueries {
          |    AS worst_pos
          |FROM lcx l CROSS JOIN totx t JOIN mxx m USING (lang)
          |JOIN nmxx n USING (lang)
-         |ORDER BY lang""".stripMargin
+         |ORDER BY lang""".stripMargin,
+    // p10: t57's measured DoReMi weight chain (dw) seeds q93's unrolled
+    // water-fill rounds — the measure → reweight → allocate loop as one
+    // statement
+    "p10_mixture_loop" ->
+      s"""WITH ${TextQueries.dkDoremiCtes},
+         |ptot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |         FROM dw),
+         |s0 AS (
+         |  SELECT source, n_tokens, weight_ppm AS target_ppm,
+         |    (total_tokens * 3) // 2 AS budget,
+         |    n_tokens * 2 AS cap_tokens,
+         |    CAST(0 AS BIGINT) AS capped_round,
+         |    CAST(0 AS BIGINT) AS alloc_tokens
+         |  FROM dw, ptot),
+         |${RelationalQueries.dkWaterfillRounds("source, n_tokens")},
+         |ta AS (SELECT CAST(sum(alloc_tokens) AS BIGINT) AS total_alloc
+         |       FROM s5)
+         |SELECT source, n_tokens, target_ppm AS weight_ppm, cap_tokens,
+         |  capped_round, alloc_tokens,
+         |  (alloc_tokens * 10000) // n_tokens AS epochs_bp,
+         |  (alloc_tokens * 1000000) // total_alloc AS realized_ppm,
+         |  budget AS budget_tokens,
+         |  budget - total_alloc AS leftover_tokens
+         |FROM s5, ta ORDER BY source""".stripMargin
   )
 
   /** The chain's FRONT half (normalize + pinned-model gate, through

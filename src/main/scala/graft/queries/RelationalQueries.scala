@@ -1935,35 +1935,11 @@ object RelationalQueries {
           size(split(trim(col("text")), "\\s+")).cast("long").as("nt"))
         .groupBy(col("lang")).agg(sum(col("nt")).as("lang_tokens"))
       val tot = toks.agg(sum(col("lang_tokens")).as("total_tokens"))
-      var st = toks.join(broadcast(weights), "lang").crossJoin(broadcast(tot))
-        .withColumn("budget", expr("(total_tokens * 3) DIV 2"))
-        .withColumn("cap_tokens", col("lang_tokens") * lit(2L))
-        .withColumn("capped_round", lit(0L))
-        .withColumn("alloc_tokens", lit(0L))
-      for (r <- 1 to 5) {
-        val sc = st.agg(
-          coalesce(sum(when(col("capped_round") === 0, col("target_ppm"))),
-            lit(0L)).as("w_act"),
-          coalesce(sum(when(col("capped_round") =!= 0, col("alloc_tokens"))),
-            lit(0L)).as("capped_alloc"))
-        st = st.crossJoin(broadcast(sc))
-          .withColumn("want", expr(
-            """CASE WHEN w_act = 0 THEN 0L
-              |ELSE ((budget - capped_alloc) DIV w_act) * target_ppm
-              |  + (((budget - capped_alloc) % w_act) * target_ppm)
-              |    DIV w_act END""".stripMargin))
-          .withColumn("now_capped",
-            col("capped_round") === 0 && col("want") > col("cap_tokens"))
-          .withColumn("alloc_tokens",
-            when(col("capped_round") =!= 0, col("alloc_tokens"))
-              .when(col("now_capped"), col("cap_tokens"))
-              .otherwise(col("want")))
-          .withColumn("capped_round",
-            when(col("now_capped"), lit(r.toLong))
-              .otherwise(col("capped_round")))
-          .drop("w_act", "capped_alloc", "want", "now_capped")
-          .localCheckpoint() // |domains| rows; keeps the unrolled plan flat
-      }
+      val st = graft.ops.MixtureOps.waterFill(
+        toks.join(broadcast(weights), "lang").crossJoin(broadcast(tot))
+          .withColumn("budget", expr("(total_tokens * 3) DIV 2"))
+          .withColumn("cap_tokens", col("lang_tokens") * lit(2L)),
+        rounds = 5)
       val ta = st.agg(sum(col("alloc_tokens")).as("total_alloc"))
       st.crossJoin(broadcast(ta))
         .select(col("lang"), col("lang_tokens"), col("target_ppm"),
@@ -2623,6 +2599,35 @@ object RelationalQueries {
       pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(64L)))
     stage(local, lit(0L))
   }
+
+  /** SQL twin of [[graft.ops.MixtureOps.waterFill]]: the unrolled
+    * redistribution rounds as CTEs s1..s5 over a seed CTE s0 that must
+    * carry `$passCols, target_ppm, budget, cap_tokens, capped_round,
+    * alloc_tokens`. Shared by q93 (lang targets) and p10 (DoReMi source
+    * weights) so both oracles replay the identical integer sequence. */
+  private[queries] def dkWaterfillRounds(passCols: String,
+      rounds: Int = 5): String =
+    (1 to rounds).map { r =>
+      s"""a$r AS (SELECT
+         |    CAST(coalesce(sum(CASE WHEN capped_round = 0
+         |      THEN target_ppm END), 0) AS BIGINT) AS w_act,
+         |    CAST(coalesce(sum(CASE WHEN capped_round <> 0
+         |      THEN alloc_tokens END), 0) AS BIGINT) AS capped_alloc
+         |  FROM s${r - 1}),
+         |s$r AS (SELECT $passCols, target_ppm, budget, cap_tokens,
+         |    CASE WHEN capped_round <> 0 THEN capped_round
+         |         WHEN want > cap_tokens THEN CAST($r AS BIGINT)
+         |         ELSE CAST(0 AS BIGINT) END AS capped_round,
+         |    CASE WHEN capped_round <> 0 THEN alloc_tokens
+         |         WHEN want > cap_tokens THEN cap_tokens
+         |         ELSE want END AS alloc_tokens
+         |  FROM (SELECT s.*,
+         |      CASE WHEN a.w_act = 0 THEN CAST(0 AS BIGINT)
+         |        ELSE ((budget - a.capped_alloc) // a.w_act) * target_ppm
+         |          + (((budget - a.capped_alloc) % a.w_act) * target_ppm)
+         |            // a.w_act END AS want
+         |    FROM s${r - 1} s, a$r a))""".stripMargin
+    }.mkString(",\n")
 
   private val dkAttribution: String =
     """WITH p AS (
@@ -3799,27 +3804,7 @@ object RelationalQueries {
         |  (alloc_tokens * 10000) // lang_tokens AS epochs_bp
         |FROM alloc ORDER BY lang""".stripMargin,
     "q93_waterfill_mixture" -> {
-      val rounds = (1 to 5).map { r =>
-        s"""a$r AS (SELECT
-           |    CAST(coalesce(sum(CASE WHEN capped_round = 0
-           |      THEN target_ppm END), 0) AS BIGINT) AS w_act,
-           |    CAST(coalesce(sum(CASE WHEN capped_round <> 0
-           |      THEN alloc_tokens END), 0) AS BIGINT) AS capped_alloc
-           |  FROM s${r - 1}),
-           |s$r AS (SELECT lang, lang_tokens, target_ppm, budget, cap_tokens,
-           |    CASE WHEN capped_round <> 0 THEN capped_round
-           |         WHEN want > cap_tokens THEN CAST($r AS BIGINT)
-           |         ELSE CAST(0 AS BIGINT) END AS capped_round,
-           |    CASE WHEN capped_round <> 0 THEN alloc_tokens
-           |         WHEN want > cap_tokens THEN cap_tokens
-           |         ELSE want END AS alloc_tokens
-           |  FROM (SELECT s.*,
-           |      CASE WHEN a.w_act = 0 THEN CAST(0 AS BIGINT)
-           |        ELSE ((budget - a.capped_alloc) // a.w_act) * target_ppm
-           |          + (((budget - a.capped_alloc) % a.w_act) * target_ppm)
-           |            // a.w_act END AS want
-           |    FROM s${r - 1} s, a$r a))""".stripMargin
-      }.mkString(",\n")
+      val rounds = dkWaterfillRounds("lang, lang_tokens")
       s"""WITH w(lang, target_ppm) AS (VALUES
          |    ('en', CAST(300000 AS BIGINT)), ('zh', 200000), ('fr', 200000),
          |    ('de', 150000), ('es', 150000)),

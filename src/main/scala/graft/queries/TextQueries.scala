@@ -1326,7 +1326,10 @@ object TextQueries {
     // corpus mean → deficit_ppm (positive = worse-predicted); weight ∝
     // token_share × (1 + η·deficit) with η = 4, floored at 0.1× so no
     // domain starves (DoReMi's uniform-smoothing term), normalized to
-    // ppm. The multiplicative-weights exp() is linearized to keep the
+    // ppm. Both factors are floored: the deficit term at 0.1× AND the
+    // integer token share at 1, so a source holding under 1 ppm of
+    // corpus tokens still gets a nonzero weight instead of truncating
+    // to exactly 0. The multiplicative-weights exp() is linearized to keep the
     // arithmetic integer-exact cross-engine (no transcendentals — t24's
     // discipline); token_share base ≤ 1e6 keeps wraw·1e6 ≤ 5e18 inside
     // i64 (q72's overflow accounting). Serve-only against the persisted
@@ -1353,7 +1356,7 @@ object TextQueries {
         .withColumn("deficit_ppm",
           expr("tot_sum div tot_docs") - col("src_avg_ppm"))
         .withColumn("wraw",
-          expr("((n_tokens * 1000000) div tot_tokens) * " +
+          expr("greatest((n_tokens * 1000000) div tot_tokens, 1) * " +
             "greatest(1000000 + 4 * deficit_ppm, 100000)"))
         .withColumn("wtot", sum(col("wraw")).over(wAll))
         .select(col("source"), col("n_docs"), col("n_tokens"),
@@ -1395,18 +1398,29 @@ object TextQueries {
         .agg(count(lit(1)).as("vocab_common"),
           sum(abs(col("a.p") - col("b.p"))).as("d_common"),
           sum(col("a.p")).as("c_a"), sum(col("b.p")).as("c_b"))
-      pairAgg
+      // Every (a, b) pair gets a row, INCLUDING pairs with zero shared
+      // vocab — those are exactly the maximally divergent pairs
+      // (tv_ppm ≈ 1e6) a mixture designer most needs to see, and the
+      // inner shared-vocab join alone would omit them. The pair frame
+      // is |sources|²-row broadcast arithmetic; coalesce(0) makes the
+      // disjoint case fall out of the same scalar identity:
+      // TV = (0 + S_a + S_b) / 2.
+      val allPairs = tot.select(col("source").as("src_a"),
+          col("vocab").as("vocab_a"))
+        .crossJoin(broadcast(tot.select(col("source").as("src_b"),
+          col("vocab").as("vocab_b"))))
+        .filter(col("src_a") < col("src_b"))
+      allPairs
+        .join(pairAgg, Seq("src_a", "src_b"), "left")
         .join(broadcast(mass.select(col("source").as("src_a"),
           col("s_sum").as("s_a"))), "src_a")
         .join(broadcast(mass.select(col("source").as("src_b"),
           col("s_sum").as("s_b"))), "src_b")
-        .join(broadcast(tot.select(col("source").as("src_a"),
-          col("vocab").as("vocab_a"))), "src_a")
-        .join(broadcast(tot.select(col("source").as("src_b"),
-          col("vocab").as("vocab_b"))), "src_b")
         .select(col("src_a"), col("src_b"), col("vocab_a"),
-          col("vocab_b"), col("vocab_common"),
-          expr("(d_common + (s_a - c_a) + (s_b - c_b)) div 2")
+          col("vocab_b"),
+          coalesce(col("vocab_common"), lit(0L)).as("vocab_common"),
+          expr("""(coalesce(d_common, 0) + (s_a - coalesce(c_a, 0))
+                 + (s_b - coalesce(c_b, 0))) div 2""")
             .as("tv_ppm"))
         .orderBy(col("src_a"), col("src_b"))
     }),
@@ -3537,33 +3551,10 @@ object TextQueries {
          |ORDER BY cap_pct""".stripMargin
     },
     "t57_doremi_weights" ->
-      s"""WITH $dkLmScoreCtes,
-         |nt AS (
-         |  SELECT doc_id, source,
-         |    CAST(len($dkToks) AS BIGINT) AS n_tokens FROM documents),
-         |sd AS (
-         |  SELECT s.doc_id, s.avg_ppm, n.source, n.n_tokens
-         |  FROM sc s JOIN nt n USING (doc_id)),
-         |src AS (
-         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-         |    CAST(sum(avg_ppm) AS BIGINT) // count(*) AS src_avg_ppm
-         |  FROM sd GROUP BY source),
-         |tot AS (
-         |  SELECT CAST(sum(avg_ppm) AS BIGINT) // count(*)
-         |      AS corpus_avg_ppm,
-         |    CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM sd),
-         |w AS (
-         |  SELECT source, n_docs, n_tokens, src_avg_ppm,
-         |    corpus_avg_ppm - src_avg_ppm AS deficit_ppm,
-         |    ((n_tokens * 1000000) // tot_tokens) *
-         |      greatest(1000000 + 4 * (corpus_avg_ppm - src_avg_ppm),
-         |        100000) AS wraw
-         |  FROM src, tot),
-         |wt AS (SELECT CAST(sum(wraw) AS BIGINT) AS wtot FROM w)
+      s"""WITH $dkDoremiCtes
          |SELECT source, n_docs, n_tokens, src_avg_ppm, deficit_ppm,
-         |  (wraw * 1000000) // wtot AS weight_ppm
-         |FROM w, wt ORDER BY source""".stripMargin,
+         |  weight_ppm
+         |FROM dw ORDER BY source""".stripMargin,
     "t58_source_divergence" ->
       s"""WITH uni AS (
          |  SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
@@ -3586,23 +3577,61 @@ object TextQueries {
          |    CAST(sum(a.p) AS BIGINT) AS c_a,
          |    CAST(sum(b.p) AS BIGINT) AS c_b
          |  FROM p a JOIN p b ON a.w = b.w AND a.source < b.source
-         |  GROUP BY a.source, b.source)
-         |SELECT pr.src_a, pr.src_b, ta.vocab AS vocab_a,
-         |  tb.vocab AS vocab_b, pr.vocab_common,
-         |  (pr.d_common + (ma.s_sum - pr.c_a) + (mb.s_sum - pr.c_b)) // 2
-         |    AS tv_ppm
-         |FROM pr
-         |JOIN tot ta ON ta.source = pr.src_a
-         |JOIN tot tb ON tb.source = pr.src_b
-         |JOIN mass ma ON ma.source = pr.src_a
-         |JOIN mass mb ON mb.source = pr.src_b
-         |ORDER BY src_a, src_b""".stripMargin
+         |  GROUP BY a.source, b.source),
+         |ap AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |    a.vocab AS vocab_a, b.vocab AS vocab_b
+         |  FROM tot a JOIN tot b ON a.source < b.source)
+         |SELECT ap.src_a, ap.src_b, ap.vocab_a, ap.vocab_b,
+         |  coalesce(pr.vocab_common, 0) AS vocab_common,
+         |  (coalesce(pr.d_common, 0) + (ma.s_sum - coalesce(pr.c_a, 0))
+         |    + (mb.s_sum - coalesce(pr.c_b, 0))) // 2 AS tv_ppm
+         |FROM ap
+         |LEFT JOIN pr ON pr.src_a = ap.src_a AND pr.src_b = ap.src_b
+         |JOIN mass ma ON ma.source = ap.src_a
+         |JOIN mass mb ON mb.source = ap.src_b
+         |ORDER BY ap.src_a, ap.src_b""".stripMargin
   )
 
   /** t51's LM-scoring chain — the persisted stupid-backoff model
     * re-derived declaratively (train split doc_id%4≠0), holdout scored,
     * ending in `scl` (doc_id, avg_ppm, lang). Shared by t51 (tercile
     * report) and t53 (signal-agreement cross-tab). */
+  /** t57's full DoReMi weight chain — LM scoring ([[dkLmScoreCtes]]) +
+    * per-source rollup + the double-floored weight arithmetic — ending
+    * in CTE `dw` (source, n_docs, n_tokens, src_avg_ppm, deficit_ppm,
+    * weight_ppm). Shared with `PipelineQueries` p10, which feeds `dw`
+    * into the q93 water-fill rounds. */
+  private[queries] lazy val dkDoremiCtes: String =
+    s"""$dkLmScoreCtes,
+       |nt AS (
+       |  SELECT doc_id, source,
+       |    CAST(len($dkToks) AS BIGINT) AS n_tokens FROM documents),
+       |sd AS (
+       |  SELECT s.doc_id, s.avg_ppm, n.source, n.n_tokens
+       |  FROM sc s JOIN nt n USING (doc_id)),
+       |src AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(sum(avg_ppm) AS BIGINT) // count(*) AS src_avg_ppm
+       |  FROM sd GROUP BY source),
+       |tot AS (
+       |  SELECT CAST(sum(avg_ppm) AS BIGINT) // count(*)
+       |      AS corpus_avg_ppm,
+       |    CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM sd),
+       |w AS (
+       |  SELECT source, n_docs, n_tokens, src_avg_ppm,
+       |    corpus_avg_ppm - src_avg_ppm AS deficit_ppm,
+       |    greatest((n_tokens * 1000000) // tot_tokens, 1) *
+       |      greatest(1000000 + 4 * (corpus_avg_ppm - src_avg_ppm),
+       |        100000) AS wraw
+       |  FROM src, tot),
+       |wt AS (SELECT CAST(sum(wraw) AS BIGINT) AS wtot FROM w),
+       |dw AS (
+       |  SELECT source, n_docs, n_tokens, src_avg_ppm, deficit_ppm,
+       |    (wraw * 1000000) // wtot AS weight_ppm
+       |  FROM w, wt)""".stripMargin
+
   private lazy val dkLmScoreCtes: String =
     s"""t AS (SELECT doc_id, lang, $dkToks AS toks FROM documents),
        |mb AS (

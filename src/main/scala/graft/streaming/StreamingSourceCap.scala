@@ -37,6 +37,11 @@ object StreamingSourceCap {
 
   final class SourceCapProcessor(cap: Int)
       extends StatefulProcessor[String, CapOffer, CapDelta] {
+    // cap is caller-supplied configuration; cap <= 0 would make the
+    // over-cap branch read pts.last on an empty kept vector and throw
+    // NoSuchElementException on the first arrival — fail at construction
+    // instead, where the misconfiguration is attributable.
+    require(cap >= 1, s"source cap must be >= 1, got $cap")
     @transient private var kept: ListState[Kept] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =

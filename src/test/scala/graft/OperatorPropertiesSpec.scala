@@ -181,7 +181,12 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       // DoReMi weights (persisted-LM serve + |sources|-row windows)
       "t57_doremi_weights",
       // source-pair TV divergence (vocab-keyed pair join + scalar mass)
-      "t58_source_divergence")
+      "t58_source_divergence",
+      // interleaved multimodal packing (lang-partitioned prefix sums,
+      // total (lang, media_id) order) and pHash near-dup (per-row tile
+      // kernel + banded pairing — first-matching-band ownership is a
+      // pure function of the two hashes)
+      "m9_interleaved_pack", "m10_phash_neardup")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {

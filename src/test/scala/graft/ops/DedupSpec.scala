@@ -172,6 +172,36 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("sweep components: out-of-docs edge endpoints still carry connectivity") {
+    // from-scratch star-CC builds its forest from the RAW edge set (docs
+    // only scopes the emitted labels), so an edge endpoint absent from
+    // docs still merges the components it touches. The sweep's
+    // contraction step must match: nodes 100/101 are pure connectors —
+    // absent from docs — and their edges land in DIFFERENT sweep steps,
+    // so only a later contraction step (not the step-one from-scratch
+    // run) sees them. An inner-join contraction would drop them.
+    val nodes = (0L to 5L).toDF("doc_id")
+    val edges = Seq(
+      (0L, 100L, 0L), // τ=0 step: 0–connector
+      (100L, 1L, 1L), // τ=1 step: connector 100 merges 0 and 1
+      (2L, 101L, 1L),
+      (101L, 3L, 2L), // τ=2 step: connector 101 merges 2 and 3
+      (4L, 5L, 0L)
+    ).toDF("doc_a", "doc_b", "hamming")
+    sweepComponents(edges, nodes, col("hamming"), Seq(0, 1, 2))
+      .foreach { case (tau, labels) =>
+        val got = labels.as[(Long, Long)].collect().toMap
+        val direct = starComponents(
+          edges.filter(col("hamming") <= tau)
+            .select(col("doc_a"), col("doc_b")), nodes)
+          .as[(Long, Long)].collect().toMap
+        assert(got == direct,
+          s"τ=$tau: sweep != from-scratch with out-of-docs endpoints")
+        assert(got.keySet == (0L to 5L).toSet,
+          s"τ=$tau: emitted labels must cover exactly docs")
+      }
+  }
+
   test("incremental CC: star forest of old edges ∪ delta ≡ full recompute") {
     // the d35 identity on seeded random graphs: collapsing any subset of
     // the edges to its star forest before adding the rest must not

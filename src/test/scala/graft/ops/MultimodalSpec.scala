@@ -41,4 +41,59 @@ class MultimodalSpec extends SparkSpecBase {
     assert(rows.forall(_._2.length == 4))
     assert(rows.forall(_._2.forall(w => w.length <= 16)))
   }
+
+  test("m9 interleaved pack conserves items and token budget exactly") {
+    // the p5 discipline: packing must neither drop nor double-pack —
+    // per-lang shard totals re-sum to the corpus-wide item count and
+    // token_equiv mass computed independently of the window/groupBy path
+    val shards = graft.queries.MultimodalQueries
+      .queries("m9_interleaved_pack")(spark, sfDir)
+    val (gotItems, gotToks) = shards
+      .agg(sum(col("n_media")), sum(col("tok_total")))
+      .as[(Long, Long)].collect().head
+    val (expItems, expToks) = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("byte_len"))
+      .select(expr("""CASE doc_id % 3 WHEN 0 THEN byte_len div 4
+                     |WHEN 1 THEN 256 + byte_len div 1024
+                     |ELSE byte_len div 320 END""".stripMargin).as("te"))
+      .agg(count(lit(1)), sum(col("te")))
+      .as[(Long, Long)].collect().head
+    assert(gotItems == expItems, "packed item count != corpus item count")
+    assert(gotToks == expToks, "packed token mass != corpus token mass")
+    // modality split conserves too
+    val kinds = shards.agg(sum(col("n_text")), sum(col("n_image")),
+      sum(col("n_audio"))).as[(Long, Long, Long)].collect().head
+    assert(kinds._1 + kinds._2 + kinds._3 == expItems)
+  }
+
+  test("m10 phash: identical payloads collide at hamming 0, " +
+      "single-tile edits stay within band recall") {
+    // synthetic media frame: two byte-identical payloads plus one with a
+    // single edited tile — the pHash contract is LOCALITY (an edit flips
+    // only the touched tile's bit), which is what makes Hamming banding
+    // a near-dup signal rather than an exact-hash one
+    val base = ("x" * 320) // 32 tiles of 10 bytes
+    val edited = base.substring(0, 160) + "Y" + base.substring(161)
+    val df = Seq((1L, base), (2L, base), (3L, edited))
+      .toDF("doc_id", "text")
+    val pairs = graft.queries.MultimodalQueries
+      .queries("m10_phash_neardup")(spark, sfDir) // plan compiles on corpus
+    assert(pairs.columns.toSeq == Seq("media_a", "media_b", "hamming"))
+    // direct kernel check on the synthetic frame
+    val media = asMediaRecords(df, "doc_id", "text", "doc")
+    val ph = media
+      .withColumn("tw", greatest(expr("byte_len div 32"), lit(1L)))
+      .withColumn("phash", expr(
+        """aggregate(sequence(0, 31), 0L, (acc, i) ->
+          |  acc + IF(substring(md5(substring(payload,
+          |        CAST(i * tw + 1 AS INT), CAST(tw AS INT))), 1, 1) >= '8',
+          |    shiftleft(1L, i), 0L))""".stripMargin))
+      .select(col("media_id"), col("phash"))
+      .as[(Long, Long)].collect().toMap
+    assert(ph(1L) == ph(2L), "identical payloads must share the phash")
+    val ham = java.lang.Long.bitCount(ph(1L) ^ ph(3L))
+    assert(ham == 1, s"one edited tile must flip exactly " +
+      s"that tile's bit, got hamming $ham")
+  }
 }

@@ -104,4 +104,14 @@ class StreamingSourceCapSpec extends SparkSpecBase {
     assert(runSeq(offers) == expect)
     assert(runSeq(offers.reverse) == expect)
   }
+
+  test("cap <= 0 is rejected at construction, not on first arrival") {
+    // cap is caller configuration; with cap=0 the over-cap branch would
+    // hit pts.last on an empty kept vector and surface as an opaque
+    // NoSuchElementException deep inside a microbatch — the processor
+    // must fail fast where the misconfiguration is attributable
+    val e = intercept[IllegalArgumentException](
+      new StreamingSourceCap.SourceCapProcessor(0))
+    assert(e.getMessage.contains("source cap"))
+  }
 }
