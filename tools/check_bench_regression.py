@@ -14,10 +14,17 @@ so "current > 2 x best-ever" is signal, not noise (NEXT.md's measured
 
 Usage:
   sbt -batch "runMain graft.Bench" | tee /tmp/bench.out
-  python3 tools/check_bench_regression.py /tmp/bench.out [factor]
+  python3 tools/check_bench_regression.py /tmp/bench.out [factor] \
+      [--duckdb TIMING.json]
 
 Input: any file (or - for stdin) containing Bench's stdout — the line
 with the "queries" map is located automatically. Exit 1 iff regressions.
+
+--duckdb takes the {"queries": {name: sec}} file that
+check_oracle.py --timing/--time-only writes (measured at the SAME sf
+dir as the bench run) and prints the summary spark/duckdb wall-time
+ratio over the headline intersection — the cross-engine denominator
+the per-round "within 2x of baseline" envelope is judged against.
 """
 import glob
 import json
@@ -62,14 +69,46 @@ def best_prior(root):
     return best
 
 
+def duckdb_ratio(current, timing_path):
+    """Summary spark/duckdb wall ratio over the query intersection."""
+    try:
+        tj = json.load(open(timing_path))
+    except (json.JSONDecodeError, OSError) as e:
+        print(f"duckdb timing file unreadable: {e}", file=sys.stderr)
+        return
+    duck = tj.get("queries", tj)
+    both = sorted(set(current) & set(duck))
+    if not both:
+        print("duckdb ratio: no query intersection")
+        return
+    s_tot = sum(current[q] for q in both)
+    d_tot = sum(duck[q] for q in both)
+    per = sorted(((current[q] / duck[q] if duck[q] > 0 else float("inf"), q)
+                  for q in both), reverse=True)
+    med = per[len(per) // 2][0]
+    print(f"duckdb ratio: spark {s_tot:.1f}s / duckdb {d_tot:.1f}s = "
+          f"{s_tot / d_tot:.2f}x total over {len(both)} shared queries "
+          f"(median per-query {med:.2f}x, sf_dir {tj.get('sf_dir', '?')})")
+    worst = ", ".join(f"{q} {r:.1f}x" for r, q in per[:5])
+    print(f"duckdb ratio worst-5: {worst}")
+
+
 def main():
-    src = sys.argv[1] if len(sys.argv) > 1 else "-"
-    factor = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
+    argv = sys.argv[1:]
+    duck_file = None
+    if "--duckdb" in argv:
+        i = argv.index("--duckdb")
+        duck_file = argv[i + 1]
+        del argv[i:i + 2]
+    src = argv[0] if argv else "-"
+    factor = float(argv[1]) if len(argv) > 1 else 2.0
     text = sys.stdin.read() if src == "-" else open(src).read()
     current = query_times(text)
     if not current:
         print("no per-query timings found in input", file=sys.stderr)
         return 2
+    if duck_file:
+        duckdb_ratio(current, duck_file)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     best = best_prior(root)
     if not best:

@@ -3,9 +3,18 @@
 (writes <out>/<name>/ parquet + <out>/oracle_sql.json), then this script
 replays each oracle SQL in DuckDB over the same sf tables and diffs.
 
+Each oracle execution is also WALL-TIMED (best of --reps runs, default 1)
+so the round has a cross-engine performance denominator: pass
+--timing FILE to dump {"query": duckdb_sec} next to the match flags, and
+feed that file to check_bench_regression.py --duckdb for the summary
+spark/duckdb ratio over the headline intersection. --time-only skips the
+spark-output diff entirely (only oracle_sql.json is needed), which is how
+the denominator is measured at sf0.1 where no Verify dump exists.
+
 Usage: python3 tools/check_oracle.py <sfDir> <outDir>
+           [--timing FILE] [--time-only] [--reps N]
 """
-import json, math, sys
+import json, math, sys, time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -40,19 +49,30 @@ def norm(v):
         return tuple(norm(x) for x in v)
     return v
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, timing_file=None, time_only=False, reps=1):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    timings = {}
     for name, sql in sorted(oracle.items()):
         try:
-            exp = con.execute(sql).fetch_arrow_table()
+            best = None
+            for _ in range(max(1, reps)):
+                t0 = time.monotonic()
+                exp = con.execute(sql).fetch_arrow_table()
+                dt = time.monotonic() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 4)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
+            continue
+        if time_only:
+            print(f"TIME {name}: {timings[name]:.3f}s ({exp.num_rows} rows)")
+            n_pass += 1
             continue
         try:
             got = con.execute(
@@ -91,10 +111,28 @@ def main(sf_dir, out_dir):
                   f"first at {i}:\n  spark : {g}\n  oracle: {e}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(erows)} rows)")
+            print(f"PASS {name} ({len(erows)} rows, oracle {timings[name]:.3f}s)")
             n_pass += 1
+    if timing_file:
+        with open(timing_file, "w") as f:
+            json.dump({"sf_dir": sf_dir, "engine": "duckdb",
+                       "reps": reps, "queries": timings}, f, indent=0,
+                      sort_keys=True)
+        print(f"== duckdb timings ({len(timings)} queries) -> {timing_file}")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = sys.argv[1:]
+    tf = None
+    if "--timing" in flags:
+        tf = flags[flags.index("--timing") + 1]
+        args.remove(tf)
+    reps = 1
+    if "--reps" in flags:
+        r = flags[flags.index("--reps") + 1]
+        reps = int(r)
+        args.remove(r)
+    sys.exit(main(args[0], args[1], timing_file=tf,
+                  time_only="--time-only" in flags, reps=reps))
