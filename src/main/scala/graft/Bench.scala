@@ -123,10 +123,10 @@ object Bench {
     "m1_binary_meta", "m2_frame_windows", "m3_decode_features",
     "m4_patch_dedup", "m5_shared_patches", "m6_crossmodal_retrieval",
     "m7_modality_mix", "m8_batch_negatives", "m9_interleaved_pack",
-    "m10_phash_neardup",
+    "m10_phash_neardup", "m11_phash_collapse", "m12_frame_seq_neardup",
     "p1_curation_ledger", "p2_rag_serve", "p3_delta_refresh",
     "p4_disposition", "p5_manifest", "p6_shard_repack", "p7_run_report",
-    "p8_train_order", "p9_resume_plan")
+    "p8_train_order", "p9_resume_plan", "p10_mixture_loop")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -161,7 +161,14 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val spark = ClusterConfigs.local(
-      SparkSession.builder().appName("graft-scale-probe"), 32).getOrCreate()
+      SparkSession.builder().appName("graft-scale-probe")
+        // RDD blocks (the DISK_ONLY stage frames at the decade — see
+        // below) are NOT compressed by default, unlike shuffle files;
+        // t52@100x's ~250M-row gram stage uncompressed filled the
+        // probe host's disk (observed: "No space left on device" in
+        // the gi stage write). lz4 on text-heavy rows is 3-5× — and
+        // what a production block manager would be configured with.
+        .config("spark.rdd.compress", "true"), 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Queries localCheckpoint intermediates that stay pinned until
     // unpersisted, and UnifiedMemoryManager protects in-use storage up
@@ -170,9 +177,17 @@ object ScaleProbe {
     // query's aggregation maps need (observed as AGGREGATE_OUT_OF_
     // MEMORY / UNABLE_TO_ACQUIRE_MEMORY in the t52@100x leg). A real
     // deployment owns its checkpoint lifecycle per job; the probe
-    // drops everything pinned after each timed measurement.
-    def dropPinned(): Unit = spark.sparkContext.getPersistentRDDs
-      .values.foreach(_.unpersist(blocking = false))
+    // drops everything pinned after each timed measurement — BLOCKING,
+    // so the next measurement's disk/memory accounting starts clean —
+    // and nudges the ContextCleaner (shuffle files of finished stages
+    // are only deleted when their dependency objects are GC'd; a
+    // single-JVM probe accumulates every prior query's shuffle files
+    // on the same 80 GB filesystem the decade stage frames need).
+    def dropPinned(): Unit = {
+      spark.sparkContext.getPersistentRDDs
+        .values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
     ensureCorpus(spark, G1xDir, 1)
     ensureCorpus(spark, G10xDir, 10)
     val qs = SparkEntry.queries
@@ -230,6 +245,14 @@ object ScaleProbe {
     val prevOpenCost = spark.conf.get("spark.sql.files.openCostInBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
     spark.conf.set("spark.sql.files.openCostInBytes", "131072")
+    // Stage frames go to DISK at the decade grain: t52's gram-instance
+    // stage alone is ~250M rows at 500k docs, and memory-and-disk
+    // staging occupies the unified pool's evict-protected storage share
+    // — the 32 concurrent partial-agg maps then can't get execution
+    // memory (observed: AGGREGATE_OUT_OF_MEMORY in the t52 gc agg even
+    // at 256 shuffle partitions). DISK_ONLY hands execution the whole
+    // pool; see [[Tables.stage]].
+    spark.conf.set("spark.graft.stageLevel", "DISK_ONLY")
     val (d100, e100, l100) = card(G100xDir)
     val t10 = rows.map { case (n, _, b, _) => n -> b }.toMap
     val rows100 = DecadeQueries.map { n =>
@@ -261,6 +284,7 @@ object ScaleProbe {
     spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     spark.conf.set("spark.sql.files.maxPartitionBytes", prevMaxPart)
     spark.conf.set("spark.sql.files.openCostInBytes", prevOpenCost)
+    spark.conf.unset("spark.graft.stageLevel")
     val qjson100 = rows100.map { case (n, b, c, r) =>
       f""""$n":{"t10x":$b%.2f,"t100x":$c%.2f,"ratio":$r%.2f}"""
     }.mkString(",")

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Parquet table loader for the driver-generated TPC-H-ish corpus
   * (`/root/testdata/sf*`, see TESTDATA.md).
@@ -26,6 +26,25 @@ object Tables {
   def fanout(df: DataFrame): DataFrame =
     df.repartition(fanoutPartsOverride.get
       .getOrElse(df.sparkSession.sparkContext.defaultParallelism))
+
+  /** Stage a multiply-consumed intermediate: an eager localCheckpoint at
+    * the session-selected storage level. Unset (the bench/Verify grain)
+    * this is exactly Spark's `localCheckpoint()` default
+    * (memory-and-disk). Big-corpus harnesses — the scale probe's 100×
+    * decade — set `spark.graft.stageLevel=DISK_ONLY` so corpus-sized
+    * stage frames (e.g. t52's ~250M-row gram-instance table at 500k
+    * docs) never occupy the unified pool's evict-protected storage
+    * share: execution keeps the whole pool for its aggregation maps,
+    * which is what killed the decade run when the stage frames lived in
+    * RAM (AGGREGATE_OUT_OF_MEMORY). The local-mode twin of writing a
+    * stage table to cluster storage instead of pinning executor RAM at
+    * 100 TB. */
+  def stage[T](ds: Dataset[T]): Dataset[T] =
+    ds.sparkSession.conf.getOption("spark.graft.stageLevel") match {
+      case Some(lvl) => ds.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.fromString(lvl))
+      case None => ds.localCheckpoint(true)
+    }
 
   /** Test hook: pin the fanout partition count while `body` builds plans —
     * partition-invariance property tests run the same query under

@@ -89,7 +89,7 @@ object ClassifierIndex {
     val p = Paths(root)
     val t = graft.Tables.fanout(graft.Tables.documents(s, sfDir))
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .localCheckpoint()
+      .transform(graft.Tables.stage)
     t.select(col("doc_id"), (col("doc_id") % Folds).as("fold"),
         labelCol(kind, col("toks")).as("cls"),
         TextOps.wordSetCount(col("toks"), TextOps.stopwords).as("ns"),

@@ -77,13 +77,13 @@ object CurationLedger {
       .filter(pred)
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         TextOps.tokenCount(col("text")).as("ntok_raw"))
-      .localCheckpoint()
+      .transform(graft.Tables.stage)
     // 1. normalize; empty-normal-form docs drop here
     val s1 = raw
       .withColumn("norm_text", normTextCol(col("text")))
       .filter(length(col("norm_text")) > 0)
       .withColumn("ntok", TextOps.tokenCount(col("norm_text")))
-      .localCheckpoint()
+      .transform(graft.Tables.stage)
     // 2. quality gate: margins from the PERSISTED model over RAW tokens
     // (the ingest form — StreamingNbGate serves the identical collapse)
     val p = ClassifierIndex.ensure(s, d, ClassifierIndex.Binary)
@@ -94,9 +94,9 @@ object CurationLedger {
     val margins = ClassifierOps.nbScore(seen, consts, tfAll,
         raw.select(col("doc_id")))
       .select(col("doc_id"), col("margin_ppm"))
-      .localCheckpoint()
+      .transform(graft.Tables.stage)
     val admitted = margins.filter(col("margin_ppm") > 0).select(col("doc_id"))
-    val s2 = s1.join(admitted, "doc_id").localCheckpoint()
+    val s2 = s1.join(admitted, "doc_id").transform(graft.Tables.stage)
     (raw, s1, s2, margins)
   }
 
@@ -111,7 +111,7 @@ object CurationLedger {
       .groupBy(md5(col("norm_text").cast("binary")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
     val s3 = s2.join(keepers.select(col("doc_id")), "doc_id")
-      .localCheckpoint()
+      .transform(graft.Tables.stage)
     // per-doc keeper evidence (p4's audit trail): every gate survivor's
     // hash-group canonical
     val exactKeeper = s2
@@ -132,7 +132,7 @@ object CurationLedger {
     val s4 = s3.join(
         canon.filter(col("doc_id") === col("canon_id"))
           .select(col("doc_id")), "doc_id")
-      .localCheckpoint()
+      .transform(graft.Tables.stage)
     // 5. decontaminate (d30): bloom over the benchmark slice's raw
     // shingles; drop survivors matching ≥3 distinct bench shingles
     val shAll = DedupOps.explodedShingles(
@@ -159,7 +159,7 @@ object CurationLedger {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bloom"))
       .filter(col("n_bloom") >= FlagShingles)
       .select(col("doc_id"))
-    val s5 = s4.join(flagged, Seq("doc_id"), "left_anti").localCheckpoint()
+    val s5 = s4.join(flagged, Seq("doc_id"), "left_anti").transform(graft.Tables.stage)
     // 6. mixture (t13's uniform-target weight as a keep rate): per-source
     // rate_bp = min(10000, tot/(n_sources·n_src)); membership by content
     // hash — deterministic across runs, engines, partitionings
@@ -172,7 +172,7 @@ object CurationLedger {
     val s6 = s5.join(broadcast(rates), "source")
       .filter(pmod(TextOps.hash60(concat(lit("mix|"), col("text"))),
         lit(10000L)) < col("rate_bp"))
-      .localCheckpoint()
+      .transform(graft.Tables.stage)
     Stages(raw, s1, s2, s3, s4, s5, s6, exactKeeper, canon, margins)
   }
 

@@ -121,7 +121,7 @@ object DedupIndex {
     val sk = ds
       .withColumn("hs", DedupOps.tokenHashes(TextOps.tokens(col("text"))))
       .select(col("doc_id"), DedupOps.simhash32(col("hs")).as("simhash"))
-      .localCheckpoint()
+      .transform(graft.Tables.stage)
     val edges = write(DedupOps.simhashPairs(
       DedupOps.simhashBands(sk, col("simhash")), MaxHamming), p.edges)
     write(DedupOps.connectedComponents(

@@ -229,15 +229,15 @@ object DedupOps {
     * Driver-loop operator: bench-excluded, and like all graph analytics
     * here it runs AFTER d7's component collapse at scale. */
   def kcoreResidual(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var e = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    var e = pairs.select(col("doc_a"), col("doc_b")).transform(graft.Tables.stage)
     for (_ <- 1 to rounds) {
       val alive = e.select(col("doc_a").as("u")).union(e.select(col("doc_b").as("u")))
         .groupBy(col("u")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("u"))
-        .localCheckpoint()
+        .transform(graft.Tables.stage)
       e = e.join(alive, col("doc_a") === col("u"), "left_semi")
         .join(alive, col("doc_b") === col("u"), "left_semi")
-        .localCheckpoint()
+        .transform(graft.Tables.stage)
     }
     e.select(col("doc_a").as("u")).union(e.select(col("doc_b").as("u")))
       .groupBy(col("u")).agg(count(lit(1)).as("deg"))
@@ -262,7 +262,7 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     edges.count()
     var levels = seeds.select(col("doc_id"), lit(0L).as("level"))
-      .localCheckpoint()
+      .transform(graft.Tables.stage)
     var frontier = levels.select(col("doc_id"))
     var i = 1
     var done = false
@@ -270,10 +270,10 @@ object DedupOps {
       val reached = edges.join(frontier, edges("src") === frontier("doc_id"))
         .select(col("dst").as("doc_id")).distinct()
       val next = reached.join(levels, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), lit(i.toLong).as("level")).localCheckpoint()
+        .select(col("doc_id"), lit(i.toLong).as("level")).transform(graft.Tables.stage)
       if (next.isEmpty) done = true
       else {
-        levels = levels.union(next).localCheckpoint()
+        levels = levels.union(next).transform(graft.Tables.stage)
         frontier = next.select(col("doc_id"))
         i += 1
       }
@@ -381,7 +381,7 @@ object DedupOps {
       // materialize FIRST (truncates lineage), THEN run the fixpoint count
       // against the materialized round — otherwise the count evaluates the
       // edge join once and the checkpoint evaluates it again
-      val nextM = next.localCheckpoint(eager = true)
+      val nextM = next.transform(graft.Tables.stage)
       // fixpoint count only on checked rounds — each count is a driver
       // round-trip; early rounds of a pointer-doubled propagation are
       // known-unconverged, so counting them buys nothing
@@ -442,7 +442,7 @@ object DedupOps {
       .select(least(col("doc_a"), col("doc_b")).as("lo"),
         greatest(col("doc_a"), col("doc_b")).as("hi"))
       .filter(col("lo") =!= col("hi")).distinct()
-      .localCheckpoint(eager = true)
+      .transform(graft.Tables.stage)
     var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     var converged = e.isEmpty
     var i = 0
@@ -473,7 +473,7 @@ object DedupOps {
         .select(col("m").as("lo"), col("lo").as("hi"))
         .union(sMin.select(col("m").as("lo"), col("hi")))
         .distinct()
-        .localCheckpoint(eager = true)
+        .transform(graft.Tables.stage)
       // fixpoint: the round's output edge set equals its input edge set
       converged = i >= uc &&
         ss.select(col("lo"), col("hi"), lit(1).as("a"))
@@ -537,7 +537,7 @@ object DedupOps {
       .union(edges.select(col("doc_b").as("doc_id")))
       .distinct()
       .join(docIds, Seq("doc_id"), "left_anti")
-      .localCheckpoint(eager = true)
+      .transform(graft.Tables.stage)
     val hasExtra = !extra.isEmpty
     val nodes = if (hasExtra) docIds.union(extra) else docIds
     var labels: DataFrame = null
@@ -564,7 +564,7 @@ object DedupOps {
         labels.join(contracted.select(col("doc_id").as("canon_id"),
             col("canon_id").as("nc")), "canon_id")
           .select(col("doc_id"), col("nc").as("canon_id"))
-      }).localCheckpoint(eager = true)
+      }).transform(graft.Tables.stage)
       prev = tau.toLong
       tau -> (if (hasExtra) {
         labels.join(docIds, Seq("doc_id"), "left_semi")
@@ -625,7 +625,7 @@ object DedupOps {
         .select(col("doc_id"),
           (lit(1.0 - damping) +
             lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
-        .localCheckpoint(eager = true)
+        .transform(graft.Tables.stage)
       prevCkpt.foreach(_.unpersist(blocking = false))
       prevCkpt = org.apache.spark.sql.graftbridge.Bridge.checkpointedRdd(next)
       ranks = next
@@ -691,7 +691,7 @@ object DedupOps {
             expr("(coalesce(in_mass, 0L) div 100) * 85" +
               " + ((coalesce(in_mass, 0L) % 100) * 85) div 100"))
             .as("rank_ppb"))
-        .localCheckpoint(eager = true)
+        .transform(graft.Tables.stage)
       prevCkpt.foreach(_.unpersist(blocking = false))
       prevCkpt = org.apache.spark.sql.graftbridge.Bridge.checkpointedRdd(next)
       ranks = next
@@ -1060,7 +1060,7 @@ object DedupOps {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.Tables.stage)
     var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
     val byCount = Window.partitionBy(col("doc_id"))
       .orderBy(col("c").desc, col("lbl").asc)
@@ -1075,7 +1075,7 @@ object DedupOps {
       labels = labels.join(top, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .transform(graft.Tables.stage)
     }
     labels
   }
@@ -1126,7 +1126,7 @@ object DedupOps {
       .agg(max(col("n_tokens")).as("n_tokens"),
         min(col("st")).as("span_st"), max(col("en")).as("span_en"),
         count(lit(1)).as("n_hits_isl"))
-      .localCheckpoint() // feeds stats, the coverage explode, and excision
+      .transform(graft.Tables.stage) // feeds stats, the coverage explode, and excision
     val stats = isl.groupBy(col("doc_id"))
       .agg(max(col("n_tokens")).as("n_tokens"),
         count(lit(1)).as("n_spans"),
@@ -1179,7 +1179,7 @@ object DedupOps {
     val toksd = ds.repartition(p, col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("toks"),
         trim(col("text")).as("t"))
-      .localCheckpoint()
+      .transform(graft.Tables.stage)
     val kgarr = when(size(col("toks")) >= 4,
       transform(sequence(lit(1), size(col("toks")) - 3), i =>
         concat_ws(" ", element_at(col("toks"), i),
@@ -1192,7 +1192,7 @@ object DedupOps {
       .select(col("doc_id"), col("n_kg"), (col("pos0") + 1).as("pos"),
         (hash32(col("g")) * 2097152L + (lit(1048576L) - col("pos0") - 1))
           .as("key"))
-      .localCheckpoint()
+      .transform(graft.Tables.stage)
   }
 
   /** Winnowing fingerprint selection at window w over [[winnowKgrams]]:
@@ -1217,7 +1217,7 @@ object DedupOps {
       .select(col("doc_id"), expr("mk div 2097152").as("fp_hash"),
         expr("1048576 - (mk % 2097152)").as("fp_pos"))
       .dropDuplicates()
-      .localCheckpoint()
+      .transform(graft.Tables.stage)
   }
 
   /** Fingerprint match pairs through the culled index: hashes in more

@@ -142,7 +142,7 @@ object IvfIndex {
       .filter(col("pr") <= nprobe)
       .select(col("qid"), col("a0"), col("a1"), col("a2"), col("a3"),
         col("p_list"))
-      .localCheckpoint() // reused: probed-list collect + the gate join
+      .transform(graft.Tables.stage) // reused: probed-list collect + the gate join
     val probedLists = probes.select(col("p_list")).distinct()
       .collect().map(_.getLong(0)).sorted
     val codes = s.read.parquet(p.codes)

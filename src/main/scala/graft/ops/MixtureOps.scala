@@ -49,7 +49,7 @@ object MixtureOps {
           when(col("now_capped"), lit(r.toLong))
             .otherwise(col("capped_round")))
         .drop("w_act", "capped_alloc", "want", "now_capped")
-        .localCheckpoint() // |domains| rows; keeps the unrolled plan flat
+        .transform(graft.Tables.stage) // |domains| rows; keeps the unrolled plan flat
     }
     st
   }

@@ -73,7 +73,7 @@ object RangePlanOps {
     * one-shot planner and the q94 delta refresh). */
   def boundariesFromRanked(s: SparkSession, sample: DataFrame,
       p: Int): Seq[Double] = {
-    val ranked = sample.localCheckpoint()
+    val ranked = sample.transform(graft.Tables.stage)
     val ns = ranked.agg(max(col("rn")).as("ns"))
     s.range(1, p).toDF("i").crossJoin(broadcast(ns))
       .select(col("i"), expr(s"(i * ns) div $p").as("pos"))
@@ -148,7 +148,7 @@ object RangePlanOps {
       .filter(col("__brn") <= PerBucket)
       .withColumn("rn", row_number().over(
         Window.orderBy(col("__v"), col("__k"))))
-      .localCheckpoint()
+      .transform(graft.Tables.stage)
     val ns = samp.agg(max(col("rn")).as("ns"))
     val bounds = s.range(1, p.toLong).toDF("i").crossJoin(broadcast(ns))
       .select(col("i"), expr(s"(i * ns) div $p").as("pos"))

@@ -75,7 +75,7 @@ object DedupQueries {
         when(aLower, col("doc_a")).otherwise(col("doc_b")).as("src"),
         when(aLower, col("doc_b")).otherwise(col("doc_a")).as("dst"),
         when(aLower, col("deg_b")).otherwise(col("deg_a")).as("deg_dst"))
-      .localCheckpoint()
+      .transform(graft.Tables.stage)
     val e1 = dir.select(col("src").as("u"), col("dst").as("v"), col("deg_dst").as("dv"))
     val e2 = dir.select(col("src").as("u"), col("dst").as("w"), col("deg_dst").as("dw"))
     val closing = dir.select(col("src").as("v2"), col("dst").as("w2"))
@@ -131,7 +131,7 @@ object DedupQueries {
     * triangles) over an undirected `(doc_a < doc_b)` edge list, guarded
     * by the wedge budget ([[graft.ops.DedupOps.requireWedgeBudget]]). */
   private def exactGraphStats(pairs: DataFrame, op: String): DataFrame = {
-    val edges = pairs.localCheckpoint()
+    val edges = pairs.transform(graft.Tables.stage)
     val adj = edges
       .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("u", "v")
@@ -285,7 +285,7 @@ object DedupQueries {
     // sf0.1's dense cliques enumerate quadratically — d8b below is the
     // degree-ordered production form; THIS is its ground-truth cross-check.
     "d8_triangle_count" -> ((s, d) => {
-      val edges = servedEdges(s, d).localCheckpoint()
+      val edges = servedEdges(s, d).transform(graft.Tables.stage)
       val nNodes = edges
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .agg(countDistinct(col("doc_id")).as("n_nodes"))
@@ -316,7 +316,7 @@ object DedupQueries {
     // enumeration), and orientation fixes the straggler, not the output.
     // At 100 TB run it AFTER d7 collapses duplicate components.
     "d8b_triangle_degree" -> ((s, d) => {
-      val edges = servedEdges(s, d).localCheckpoint()
+      val edges = servedEdges(s, d).transform(graft.Tables.stage)
       val nNodes = edges
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .agg(countDistinct(col("doc_id")).as("n_nodes"))
@@ -341,7 +341,7 @@ object DedupQueries {
     // forms therefore stay bench-excluded: 880M output rows at sf0.1 is
     // inherent. (k ≤ ~2M keeps k³ in a long.)
     "d8c_triangle_cliques" -> ((s, d) => {
-      val edges = servedEdges(s, d).localCheckpoint()
+      val edges = servedEdges(s, d).transform(graft.Tables.stage)
       val nodes = edges
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .distinct()
@@ -358,7 +358,7 @@ object DedupQueries {
           .as("t_clique"))
       val residual = ec
         .join(cliques.select(col("canon_id")), Seq("canon_id"), "left_anti")
-        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+        .select(col("doc_a"), col("doc_b")).transform(graft.Tables.stage)
       val tri = cliqueTri.crossJoin(degreeOrientedTriangles(residual))
         .select((col("t_clique") + col("n_triangles")).as("n_triangles"))
       nNodes.crossJoin(nEdges).crossJoin(tri)
@@ -383,7 +383,7 @@ object DedupQueries {
         graft.ops.TextOps.hash60(
           concat(col("doc_a").cast("string"), lit("_"),
             col("doc_b").cast("string"))) % 8 === 0)
-        .localCheckpoint()
+        .transform(graft.Tables.stage)
       val nSampled = sampled.agg(count(lit(1)).as("n_sampled_edges"))
       nSampled.crossJoin(degreeOrientedTriangles(sampled)
         .select((col("n_triangles") * lit(512L)).as("est_triangles")))
@@ -456,7 +456,7 @@ object DedupQueries {
     // deterministic in both engines, ~13% HLL σ (1.04/√64). Callers
     // needing small-ball exactness have exact `degree` alongside.
     "d9b_graph_stats_sketch" -> ((s, d) => {
-      val edges = servedEdges(s, d).localCheckpoint()
+      val edges = servedEdges(s, d).transform(graft.Tables.stage)
       val adj = edges
         .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .toDF("u", "v")
@@ -481,7 +481,7 @@ object DedupQueries {
         .selectExpr("u", "bucket",
           "CAST(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END AS BIGINT) AS rho")
         .groupBy(col("u")).agg(regCols.head, regCols.tail: _*)
-        .localCheckpoint()
+        .transform(graft.Tables.stage)
       // ball-2 union: own registers ∪ each neighbor's registers (u ∈ N(mid)
       // for mid ∈ N(u), so the union covers u, N(u), and exactly-2-hop).
       // Exchanges are PINNED on both join inputs (the d5/d20 lesson): the
@@ -513,7 +513,7 @@ object DedupQueries {
         graft.ops.TextOps.hash60(
           concat(col("doc_a").cast("string"), lit("_"),
             col("doc_b").cast("string"))) % 8 === 0)
-        .localCheckpoint()
+        .transform(graft.Tables.stage)
       // wedge join pinned for the same reason as the register join: the
       // sampled edge list is a few MB but expands to p²·wedges rows
       val triEst = sampled.toDF("a", "b").repartition(p, col("b"))
@@ -885,7 +885,7 @@ object DedupQueries {
     "d35_cc_incremental" -> ((s, d) => {
       val df = docs(s, d).withColumn("hs", tokenHashes(tokens(col("text"))))
       val pairs = simhashPairs(simhashBands(df, simhash32(col("hs"))), MaxHamming)
-        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+        .select(col("doc_a"), col("doc_b")).transform(graft.Tables.stage)
       val splitH = graft.ops.TextOps.hash60(
         concat(col("doc_a").cast("string"), lit("_"),
           col("doc_b").cast("string"))) % 5
@@ -921,7 +921,7 @@ object DedupQueries {
       // star-CC loops each re-walking the full ≤τ edge set.
       val pairs = graft.ops.DedupIndex.classEdgesDf(s, ix)
       val nodes = graft.ops.DedupIndex.classesDf(s, ix)
-        .select(col("doc_id")).localCheckpoint()
+        .select(col("doc_id")).transform(graft.Tables.stage)
       // uncheckedRounds=1 (not the from-scratch loops' 2): every step
       // after τ=0 runs on an already-contracted supernode graph whose
       // star rounds converge in 1-2 iterations — forcing a third
@@ -1051,20 +1051,20 @@ object DedupQueries {
     // + one bounded verify — no config re-pays the signature scan.
     "d39_lsh_advisor" -> ((s, d) => {
       val arr = shingleArrays(docs(s, d).select(col("doc_id"), col("text")))
-        .localCheckpoint()
+        .transform(graft.Tables.stage)
       val sig = graft.ops.DedupIndex.minhashDf(s,
         graft.ops.DedupIndex.ensure(s, d))
       val allc = LshConfigs.map { case (b, r) =>
         candidatePairs(lshBands(sig, b, r))
           .select(lit(b.toLong).as("bands"),
             lit(r.toLong).as("rows_per_band"), col("doc_a"), col("doc_b"))
-      }.reduce(_ union _).localCheckpoint()
+      }.reduce(_ union _).transform(graft.Tables.stage)
       val ver = jaccardVerifyArrays(
           allc.select(col("doc_a"), col("doc_b")).distinct(), arr)
         .select(col("doc_a"), col("doc_b"),
           when(col("jaccard") >= JaccardTau, 1L).otherwise(0L)
             .as("is_true"))
-        .localCheckpoint()
+        .transform(graft.Tables.stage)
       val tot = ver.agg(sum(col("is_true")).as("tt"))
       import s.implicits._
       val pred = LshConfigs
@@ -1145,7 +1145,7 @@ object DedupQueries {
     "d44_signal_agreement" -> ((s, d) => {
       val ds = docs(s, d)
       val truth = exactJaccardPairs(explodedShingles(ds), JaccardTau)
-        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+        .select(col("doc_a"), col("doc_b")).transform(graft.Tables.stage)
       val candA = servedCandidates(s, d)
         .select(col("doc_a"), col("doc_b"))
       val candB = winnowPairFrame(servedWinnowFp8(s, d), WinMaxDocs)._2
@@ -1205,7 +1205,7 @@ object DedupQueries {
       // one shingle materialization feeds exact, own, frac AND the
       // Bloom probe's bit explode — otherwise the document explode
       // re-runs once per leg
-      val sh = explodedShingles(ds).localCheckpoint()
+      val sh = explodedShingles(ds).transform(graft.Tables.stage)
       val benchPred = col("doc_id") % 50 === 0
       val train = sh.filter(!benchPred)
       val benchSh = sh.filter(benchPred).select(col("sh")).distinct()
@@ -1333,7 +1333,7 @@ object DedupQueries {
     // degree agg — both map-side combinable, both ∝ |E|.
     "d34_modularity" -> ((s, d) => {
       val (classes, ce0) = residualClassGraph(s, d)
-      val ce = ce0.localCheckpoint() // feeds LPA, m, intra, and degrees
+      val ce = ce0.transform(graft.Tables.stage) // feeds LPA, m, intra, and degrees
       val lab = labelPropagation(ce, classes.select(col("doc_id")), LpaRounds)
       val m = ce.agg(count(lit(1)).as("m"))
       val intra = ce

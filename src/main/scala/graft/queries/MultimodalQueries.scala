@@ -190,22 +190,100 @@ object MultimodalQueries {
     // a hot band bucket triangle-salts across the cluster instead of
     // enumerating n² pairs in one task.
     "m10_phash_neardup" -> ((s, d) => {
-      val media = asMediaRecords(Tables.documents(s, d), "doc_id", "text", "doc")
-      val ph = media
-        .withColumn("tw", greatest(expr("byte_len div 32"), lit(1L)))
-        .withColumn("phash", expr(
-          """aggregate(sequence(0, 31), 0L, (acc, i) ->
-            |  acc + IF(substring(md5(substring(payload,
-            |        CAST(i * tw + 1 AS INT), CAST(tw AS INT))), 1, 1) >= '8',
-            |    shiftleft(1L, i), 0L))""".stripMargin))
-        .select(col("media_id").as("doc_id"), col("phash"))
-      graft.ops.DedupOps.simhashPairs(
-          graft.ops.DedupOps.simhashBands(ph, col("phash")), 3)
+      phashPairs(s, d)
         .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
           col("hamming"))
         .orderBy(col("media_a"), col("media_b"))
+    }),
+
+    // Image near-dup COLLAPSE end-to-end — m10 names the colliding
+    // pairs; this finishes the job the way the text side does
+    // (d7's star-CC + min-id canonical keeper, the d40 readout): the
+    // Hamming≤3 pair graph collapses to components, the minimum
+    // media_id in each cluster is the keeper, and the readout per
+    // collapsed cluster is what a storage planner acts on — members
+    // dropped and payload bytes reclaimed. Scale shape: the pair graph
+    // is m10's (4-byte fingerprints shuffle, payloads never move);
+    // star-CC ships one (doc, label) row per round with no |V|-row
+    // label broadcast; the byte join touches only clustered media.
+    "m11_phash_collapse" -> ((s, d) => {
+      val media = asMediaRecords(Tables.documents(s, d), "doc_id", "text", "doc")
+      val pairs = phashPairs(s, d).select(col("doc_a"), col("doc_b"))
+      val labels = graft.ops.DedupOps.starComponents(pairs,
+        media.select(col("media_id").as("doc_id")))
+      labels.join(media.select(col("media_id").as("doc_id"),
+          col("byte_len")), "doc_id")
+        .groupBy(col("canon_id").as("keeper_id"))
+        .agg(count(lit(1)).as("n_media"),
+          (count(lit(1)) - 1L).as("n_dropped"),
+          sum(when(col("doc_id") =!= col("canon_id"), col("byte_len"))
+            .otherwise(0L)).as("bytes_reclaimed"),
+          max(col("doc_id")).as("last_member"))
+        .filter(col("n_media") >= 2)
+        .orderBy(col("keeper_id"))
+    }),
+
+    // Sampled-frame-sequence near-dup for video payloads — the TEMPORAL
+    // twin of m10's spatial tile hash: m2's 4 evenly-spaced byte windows
+    // act as sampled frames, each hashed to a (position, frame-hash)
+    // signature, and two media match when ≥3 of 4 POSITIONS agree —
+    // re-containered/tail-corrupted clips keep most sampled frames at
+    // the same relative offsets while whole-payload checksums diverge.
+    // Positional join (pos, fh) with m5's hot-key guard: a frame hash
+    // shared by >16 media at one position (black frames, silence) is
+    // dropped before pairing, capping per-key fan-out at C(16,2). The
+    // corpus has no organic same-length near-dups, so every 29th doc
+    // plants a SAME-LENGTH twin with its last fifth overwritten (the
+    // d23b planted-twin discipline: the scenario is a knob, the
+    // positional-match arithmetic is the operator under test).
+    "m12_frame_seq_neardup" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+      val twins = base.filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("""concat(substring(text, 1, length(text) -
+                |          length(text) div 5),
+                |        repeat('z', length(text) div 5))""".stripMargin)
+            .as("text"))
+      val media = asMediaRecords(
+        base.select(col("doc_id"), col("text")).unionByName(twins),
+        "doc_id", "text", "doc")
+      val sigs = sampleWindows(media, 4, 12)
+        .select(col("media_id"), posexplode(col("windows"))
+          .as(Seq("pos", "win")))
+        .select(col("media_id"), col("pos").cast("long").as("pos"),
+          md5(col("win")).as("fh"))
+      val hot = sigs.groupBy(col("pos"), col("fh"))
+        .agg(count(lit(1)).as("nm"))
+      val rare = sigs.join(hot.filter(col("nm").between(2, 16)),
+        Seq("pos", "fh"))
+      rare.select(col("pos"), col("fh"), col("media_id").as("media_a"))
+        .join(rare.select(col("pos"), col("fh"),
+          col("media_id").as("media_b")), Seq("pos", "fh"))
+        .filter(col("media_a") < col("media_b"))
+        .groupBy(col("media_a"), col("media_b"))
+        .agg(count(lit(1)).as("n_frames_matched"))
+        .filter(col("n_frames_matched") >= 3)
+        .orderBy(col("media_a"), col("media_b"))
     })
   )
+
+  /** m10/m11's shared pair kernel: the aHash-style 32-bit payload
+    * fingerprint (bit_i = MSB of md5(tile_i), tiles = byte_len/32-wide
+    * fixed grid) banded and skew-salted through d5's machinery — emits
+    * the verified Hamming≤3 candidate pairs as (doc_a, doc_b, hamming). */
+  private def phashPairs(s: SparkSession, d: String): DataFrame = {
+    val media = asMediaRecords(Tables.documents(s, d), "doc_id", "text", "doc")
+    val ph = media
+      .withColumn("tw", greatest(expr("byte_len div 32"), lit(1L)))
+      .withColumn("phash", expr(
+        """aggregate(sequence(0, 31), 0L, (acc, i) ->
+          |  acc + IF(substring(md5(substring(payload,
+          |        CAST(i * tw + 1 AS INT), CAST(tw AS INT))), 1, 1) >= '8',
+          |    shiftleft(1L, i), 0L))""".stripMargin))
+      .select(col("media_id").as("doc_id"), col("phash"))
+    graft.ops.DedupOps.simhashPairs(
+      graft.ops.DedupOps.simhashBands(ph, col("phash")), 3)
+  }
 
   /** DuckDB can't slice BLOBs (`substring(BLOB, …)` doesn't bind), so the
     * m-oracles slice TEXT by characters while Spark slices the encoded
@@ -356,6 +434,81 @@ object MultimodalQueries {
         |SELECT media_a, media_b,
         |  bit_count(xor(ph_a, ph_b))::BIGINT AS hamming
         |FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 3
+        |ORDER BY media_a, media_b""".stripMargin,
+    // m10's CTEs through the verified pair list, then the d7 oracle
+    // pattern: recursive reachability closure + min-reach canonical +
+    // per-cluster byte accounting (HAVING >= 2 mirrors the Spark filter)
+    "m11_phash_collapse" ->
+      s"""WITH RECURSIVE $dkAsciiGuard,
+        |m AS (
+        |  SELECT doc_id AS media_id, text,
+        |    octet_length(encode(text)) AS byte_len,
+        |    greatest(octet_length(encode(text)) // 32, 1) AS tw
+        |  FROM ascii_docs),
+        |ph AS (
+        |  SELECT media_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 31), i ->
+        |      CASE WHEN substr(md5(substring(text,
+        |             CAST(i * tw + 1 AS INT), CAST(tw AS INT))), 1, 1) >= '8'
+        |           THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))
+        |      AS BIGINT) AS phash
+        |  FROM m),
+        |bands AS (
+        |  SELECT media_id, phash, b.band_idx,
+        |         (phash >> (b.band_idx * 8)) & 255 AS band_val
+        |  FROM ph, (SELECT unnest([0,1,2,3]) AS band_idx) b),
+        |jp AS (
+        |  SELECT DISTINCT l.media_id AS media_a, r.media_id AS media_b
+        |  FROM bands l JOIN bands r
+        |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+        |   AND l.media_id < r.media_id
+        |  WHERE bit_count(xor(l.phash, r.phash)) <= 3),
+        |edges AS (
+        |  SELECT media_a AS src, media_b AS dst FROM jp
+        |  UNION ALL SELECT media_b, media_a FROM jp),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |canon AS (
+        |  SELECT m.media_id,
+        |    least(m.media_id, coalesce(min(r.dst), m.media_id)) AS canon_id
+        |  FROM m LEFT JOIN reach r ON r.src = m.media_id
+        |  GROUP BY m.media_id)
+        |SELECT c.canon_id AS keeper_id, COUNT(*) AS n_media,
+        |  COUNT(*) - 1 AS n_dropped,
+        |  CAST(SUM(CASE WHEN c.media_id <> c.canon_id THEN m.byte_len
+        |           ELSE 0 END) AS BIGINT) AS bytes_reclaimed,
+        |  MAX(c.media_id) AS last_member
+        |FROM canon c JOIN m USING (media_id)
+        |GROUP BY c.canon_id HAVING COUNT(*) >= 2
+        |ORDER BY keeper_id""".stripMargin,
+    // window starts mirror m2's sampleWindows formula; md5 of the same
+    // 12-char/byte slice on both sides under the ascii guard; the
+    // planted same-length tail-overwrite twins mirror the Spark union
+    "m12_frame_seq_neardup" ->
+      s"""WITH $dkAsciiGuard,
+        |feed AS (
+        |  SELECT doc_id, text FROM ascii_docs
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    substring(text, 1, length(text) - length(text) // 5) ||
+        |      repeat('z', length(text) // 5)
+        |  FROM ascii_docs WHERE doc_id % 29 = 0),
+        |w AS (
+        |  SELECT doc_id AS media_id, CAST(b.i AS BIGINT) AS pos,
+        |    md5(substring(text,
+        |      1 + b.i * greatest(octet_length(encode(text)) // 4, 1), 12))
+        |      AS fh
+        |  FROM feed, (SELECT unnest([0,1,2,3]) AS i) b),
+        |hot AS (SELECT pos, fh, count(*) AS nm FROM w GROUP BY pos, fh),
+        |rare AS (SELECT w.media_id, w.pos, w.fh FROM w
+        |         JOIN hot USING (pos, fh) WHERE nm BETWEEN 2 AND 16)
+        |SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |       count(*) AS n_frames_matched
+        |FROM rare a JOIN rare b
+        |  ON a.pos = b.pos AND a.fh = b.fh AND a.media_id < b.media_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY media_a, media_b""".stripMargin,
     "m5_shared_patches" ->
       s"""WITH $dkAsciiGuard,

@@ -56,7 +56,7 @@ object PipelineQueries {
       val shv = sh.join(v, sh("cid") === v("id"))
         .select(col("qid"), col("cid"), col("rel"), col("rrf_ppm"),
           col("emb"), norm2(col("emb")).as("n2"))
-        .localCheckpoint() // both sides of the pairwise leg
+        .transform(graft.Tables.stage) // both sides of the pairwise leg
       val a = shv.select(col("qid"), col("cid").as("i"),
         col("rel").as("rel_i"), col("rrf_ppm").as("rrf_i"),
         col("emb").as("emb_i"), col("n2").as("n2_i"))
@@ -156,37 +156,37 @@ object PipelineQueries {
       // exact dedup: base keepers; delta keepers = min id per hash NOT
       // in the base dictionary (stored norm_md5 — no re-normalize)
       val hb = s2B.groupBy(col("norm_md5").as("h"))
-        .agg(min(col("doc_id")).as("doc_id")).localCheckpoint()
+        .agg(min(col("doc_id")).as("doc_id")).transform(graft.Tables.stage)
       val s3B = s2B.select(col("doc_id"))
-        .join(hb.select(col("doc_id")), "doc_id").localCheckpoint()
+        .join(hb.select(col("doc_id")), "doc_id").transform(graft.Tables.stage)
       val novel = s2D.select(col("norm_md5").as("h"), col("doc_id"))
         .join(hb.select(col("h")), Seq("h"), "left_anti")
         .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
       val s3D = s2D.select(col("doc_id"))
-        .join(novel.select(col("doc_id")), "doc_id").localCheckpoint()
+        .join(novel.select(col("doc_id")), "doc_id").transform(graft.Tables.stage)
       // near-dup: the base run once (its forest is the persisted state),
       // then the union via forest ∪ delta-driven candidates only; the
       // shingle legs are the one place the corpus text is still read
       val txt = Tables.fanout(Tables.documents(s, d))
         .select(col("doc_id"), col("text"))
       val arrB = DedupOps.shingleArrays(s3B.join(txt, "doc_id"))
-        .localCheckpoint()
+        .transform(graft.Tables.stage)
       val arrD = DedupOps.shingleArrays(s3D.join(txt, "doc_id"))
-        .localCheckpoint()
+        .transform(graft.Tables.stage)
       val bandsB = DedupOps.lshBands(
         DedupOps.minhashSignatureNarrow(arrB, NumHashes), Bands, RowsPerBand)
-        .localCheckpoint()
+        .transform(graft.Tables.stage)
       val bandsD = DedupOps.lshBands(
         DedupOps.minhashSignatureNarrow(arrD, NumHashes), Bands, RowsPerBand)
-        .localCheckpoint()
+        .transform(graft.Tables.stage)
       val pairsB = DedupOps.jaccardVerifyArrays(
           DedupOps.candidatePairs(bandsB), arrB)
         .filter(col("jaccard") >= JaccardTau)
         .select(col("doc_a"), col("doc_b"))
       val canonB = DedupOps.starComponents(pairsB, s3B.select(col("doc_id")))
-        .localCheckpoint()
+        .transform(graft.Tables.stage)
       val s4B = canonB.filter(col("doc_id") === col("canon_id"))
-        .select(col("doc_id")).localCheckpoint()
+        .select(col("doc_id")).transform(graft.Tables.stage)
       val candNew = DedupOps.candidatePairs(bandsD)
         .unionByName(DedupOps.candidatePairsAcross(bandsD, bandsB))
       val pairsNew = DedupOps.jaccardVerifyArrays(candNew,
@@ -200,7 +200,7 @@ object PipelineQueries {
       val canonU = DedupOps.starComponents(
         forest.unionByName(pairsNew), s3Uids)
       val s4U = canonU.filter(col("doc_id") === col("canon_id"))
-        .select(col("doc_id")).localCheckpoint()
+        .select(col("doc_id")).transform(graft.Tables.stage)
       // the ledger: exact integer counts, all computed declaratively
       def ct(df: DataFrame, n: String): DataFrame =
         df.agg(count(lit(1)).cast("long").as(n))
@@ -429,12 +429,12 @@ object PipelineQueries {
           gw.rowsBetween(Window.unboundedPreceding, 0)))
         .select(col("lang"), col("shard"), col("stoks"), col("pos"),
           col("cum_all"))
-        .localCheckpoint()
+        .transform(graft.Tables.stage)
       val nw = Window.orderBy(col("lang"), col("shard"))
       val npos = shards.withColumn("pos", row_number().over(nw))
         .withColumn("cum_all", sum(col("stoks")).over(
           nw.rowsBetween(Window.unboundedPreceding, 0)))
-      val dr = drifted(gpos).filter(col("steady")).localCheckpoint()
+      val dr = drifted(gpos).filter(col("steady")).transform(graft.Tables.stage)
       val mx = dr.groupBy(col("lang")).agg(max(col("drift"))
         .as("steady_drift_ppm"))
       val nmx = drifted(npos).filter(col("steady"))

@@ -43,7 +43,7 @@ object RelationalQueries {
   /** q79b/q79c's shared candidate pairs: capped-word SAX window pairs
     * across users, carrying both windows' arrays and stats. */
   private def saxCandidatePairs(s: SparkSession, d: String): DataFrame = {
-    val wins = saxWindows(s, d).localCheckpoint()
+    val wins = saxWindows(s, d).transform(graft.Tables.stage)
     val hot = wins.groupBy(col("word_id")).agg(count(lit(1)).as("nw"))
       .filter(col("nw") <= SaxWordCap).select(col("word_id"))
     val cand = wins.join(hot, "word_id")

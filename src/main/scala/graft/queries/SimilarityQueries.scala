@@ -158,21 +158,21 @@ object SimilarityQueries {
     val nlb = asg.groupBy(col("st"))
       .agg(expr(s"(max(rn) + ${M8Batch - 1}) div $M8Batch").as("nb"))
     val a2 = asg.select(col("id"), col("st"),
-      expr(s"(rn - 1) div $M8Batch").as("lb")).localCheckpoint()
-    val pairs = pairs0.localCheckpoint()
+      expr(s"(rn - 1) div $M8Batch").as("lb")).transform(graft.Tables.stage)
+    val pairs = pairs0.transform(graft.Tables.stage)
     def collisions(a: DataFrame): DataFrame = pairs
       .join(a.select(col("id").as("id_a"), col("st"), col("lb")), "id_a")
       .join(a.select(col("id").as("id_b"), col("st").as("st_b"),
         col("lb").as("lb_b")), "id_b")
       .filter(col("st") === col("st_b") && col("lb") === col("lb_b"))
       .select(col("id_a"), col("id_b"), col("st"), col("lb"))
-    val coll = collisions(a2).localCheckpoint()
+    val coll = collisions(a2).transform(graft.Tables.stage)
     val moved = coll.select(col("id_b").as("id")).distinct()
     val a3 = a2.join(broadcast(nlb), "st")
       .join(moved.withColumn("m", lit(1)), Seq("id"), "left")
       .withColumn("lb", when(col("m").isNotNull,
         (col("lb") + 1) % col("nb")).otherwise(col("lb")))
-      .select(col("id"), col("st"), col("lb")).localCheckpoint()
+      .select(col("id"), col("st"), col("lb")).transform(graft.Tables.stage)
     val b0 = a2.groupBy(col("st"), col("lb"))
       .agg(count(lit(1)).as("n_before"))
     val b1 = a3.groupBy(col("st"), col("lb"))
@@ -264,7 +264,7 @@ object SimilarityQueries {
         .withColumn("cos", cosine(dot(col("q_emb"), col("c_emb")),
           col("q_n2"), col("c_n2")))
         .select(col("query_id"), col("pr"), col("neighbor_id"), col("cos"))
-        .localCheckpoint() // three readers: ranking, hits, volumes
+        .transform(graft.Tables.stage) // three readers: ranking, hits, volumes
       val sweep = s.range(1).select(explode(typedLit(NprobeSweep)).as("np"))
       val rw = Window.partitionBy(col("query_id"), col("np"))
         .orderBy(col("cos").desc, col("neighbor_id"))
@@ -327,7 +327,7 @@ object SimilarityQueries {
         .withColumn("cos", cosine(dot(col("q_emb"), col("c_emb")),
           col("q_n2"), col("c_n2")))
         .select(col("query_id"), col("pr"), col("neighbor_id"), col("cos"))
-        .localCheckpoint()
+        .transform(graft.Tables.stage)
       val sweep = s.range(1).select(explode(typedLit(NprobeSweep)).as("np"))
       val rw = Window.partitionBy(col("query_id"), col("np"))
         .orderBy(col("cos").desc, col("neighbor_id"))
@@ -985,7 +985,7 @@ object SimilarityQueries {
         .filter(col("rnk") <= MmrShortlist)
         .select(col("qid"), col("id").as("cid"), col("rel"), col("emb"),
           norm2(col("emb")).as("n2"))
-        .localCheckpoint()
+        .transform(graft.Tables.stage)
       val a = sh.select(col("qid"), col("cid").as("i"), col("rel").as("rel_i"),
         col("emb").as("emb_i"), col("n2").as("n2_i"))
       val b = sh.select(col("qid").as("qid_b"), col("cid").as("j"),
@@ -1082,7 +1082,7 @@ object SimilarityQueries {
       val s0 = s.read.parquet(p.codes)
         .groupBy(col("list_id").cast("long").as("list_id"))
         .agg(count(lit(1)).as("n_codes"))
-        .localCheckpoint()
+        .transform(graft.Tables.stage)
       val mx = s0.orderBy(col("n_codes").desc, col("list_id")).limit(1)
         .select(col("list_id").as("burst_list"),
           (col("n_codes") * 6).as("burst_add"))
@@ -1183,7 +1183,7 @@ object SimilarityQueries {
     import scala.concurrent.duration.Duration
     // One materialization feeds all 4×(iters+1) Lloyd jobs — each
     // iteration otherwise re-scans parquet + re-slices the subvector.
-    val vc = v.localCheckpoint()
+    val vc = v.transform(graft.Tables.stage)
     val fits = (0 until PqM).map { m => Future {
       val sv = vc.select(col("id"), pqSub(m).as("emb"))
       val (cents, _) = kmeansFit(sv, PqKsub, KmIters)

@@ -136,7 +136,7 @@ object TextQueries {
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
       .withColumn("pos", (col("pos") + 1).cast("long"))
       .select(col("word"), col("pos"), col("col").as("sym"), col("cnt"))
-      .localCheckpoint()
+      .transform(graft.Tables.stage)
     val out = (1 to 4).map { r =>
       val adj = sym.as("a").join(sym.as("b"),
         col("a.word") === col("b.word")
@@ -157,7 +157,7 @@ object TextQueries {
           Window.partitionBy(col("word"), col("grp"))))
         .filter(col("off") % 2 === 0)
         .select(col("word"), col("pos"), lit(1).as("hit"))
-        .localCheckpoint()
+        .transform(graft.Tables.stage)
       sym = sym
         .join(mt.select(col("word"), col("pos"), col("hit")),
           Seq("word", "pos"), "left")
@@ -170,7 +170,7 @@ object TextQueries {
         .withColumn("pos", row_number().over(
           Window.partitionBy(col("word")).orderBy(col("pos")))
           .cast("long"))
-        .localCheckpoint()
+        .transform(graft.Tables.stage)
       (r.toLong, bl, br, bw, sym.count())
     }
     (out, sym)
@@ -919,7 +919,7 @@ object TextQueries {
         .select(col("doc_id"), col("avg_ppm"))
         .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
           "doc_id")
-        .localCheckpoint() // sampled AND bucketed below
+        .transform(graft.Tables.stage) // sampled AND bucketed below
       val smp = scl.withColumn("h", hash60(concat(lit("t51|"),
           col("doc_id").cast("string"))))
         .withColumn("brn", row_number().over(
@@ -994,10 +994,10 @@ object TextQueries {
         .filter(col("gr").isNotNull)
         .select(col("doc_id"), col("gr.n").as("n"), col("gr.g").as("g"),
           col("gr.gs").as("s"), col("gr.ge").as("e"))
-        .localCheckpoint()
+        .transform(graft.Tables.stage)
       val gc = gi.groupBy(col("doc_id"), col("n"), col("g"))
         .agg(count(lit(1)).as("c"), max(col("e") - col("s")).as("cl"))
-        .localCheckpoint()
+        .transform(graft.Tables.stage)
       val wTop = Window.partitionBy("doc_id", "n")
         .orderBy(col("c").desc, col("cl").desc, col("g").asc)
       val topp = gc.filter(col("n") <= 4)
@@ -1067,10 +1067,10 @@ object TextQueries {
       val p = graft.ops.LmIndex.ensure(s, d)
       val scl = graft.ops.LmIndex.scoreHoldout(s, d, p)
         .select(col("doc_id"), col("avg_ppm"))
-        .join(langs, "doc_id").localCheckpoint()
+        .join(langs, "doc_id").transform(graft.Tables.stage)
       val nbl = nbServePredictions(s, d)._2
         .select(col("doc_id"), col("margin_ppm").as("margin"))
-        .join(langs, "doc_id").localCheckpoint()
+        .join(langs, "doc_id").transform(graft.Tables.stage)
       def bounds(df: DataFrame, vcol: String, salt: String): DataFrame = {
         val smp = df.withColumn("h", hash60(concat(lit(s"$salt|"),
             col("doc_id").cast("string"))))
@@ -1098,7 +1098,7 @@ object TextQueries {
           .when(col("avg_ppm") > col("b1"), 1L).otherwise(0L))
         .withColumn("nb_bucket", when(col("margin") > col("c2"), 2L)
           .when(col("margin") > col("c1"), 1L).otherwise(0L))
-        .localCheckpoint()
+        .transform(graft.Tables.stage)
       val lt = j.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
       j.groupBy(col("lang"), col("lm_bucket"), col("nb_bucket"))
         .agg(count(lit(1)).as("n_docs"))
@@ -1130,7 +1130,7 @@ object TextQueries {
         .select(col("doc_id"), col("avg_ppm"))
         .join(Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), col("source")), "doc_id")
-        .localCheckpoint()
+        .transform(graft.Tables.stage)
       val smp = scl.withColumn("h", hash60(concat(lit("t54|"),
           col("doc_id").cast("string"))))
         .withColumn("brn", row_number().over(
@@ -1145,7 +1145,7 @@ object TextQueries {
       val fl = scl.crossJoin(broadcast(bnd))
         .withColumn("kept",
           when(col("avg_ppm") > col("b2"), 1L).otherwise(0L))
-        .localCheckpoint()
+        .transform(graft.Tables.stage)
       val tot = fl.agg(sum(col("kept")).as("k_all"),
         count(lit(1)).as("n_all"))
       fl.groupBy(col("lang"), col("source"))
@@ -1226,7 +1226,7 @@ object TextQueries {
         .withColumn("n_stop", wordSetCount(col("toks"), stopwords))
         .withColumn("q", expr("(n_stop * 1000000) div n_tokens"))
         .select(col("doc_id"), col("source"), col("n_tokens"), col("q"))
-        .localCheckpoint() // scanned by the histogram AND the tie rank
+        .transform(graft.Tables.stage) // scanned by the histogram AND the tie rank
       val hist = base.groupBy(col("source"), col("q"))
         .agg(count(lit(1)).as("cnt"), sum(col("n_tokens")).as("tok"))
       val srcN = hist.groupBy(col("source"))
@@ -1290,7 +1290,7 @@ object TextQueries {
         .withColumn("n_stop", wordSetCount(col("toks"), stopwords))
         .withColumn("q", expr("(n_stop * 1000000) div n_tokens"))
         .groupBy(col("source"), col("q")).agg(count(lit(1)).as("cnt"))
-        .localCheckpoint() // the ONE per-doc pass; 4 sweep points reuse
+        .transform(graft.Tables.stage) // the ONE per-doc pass; 4 sweep points reuse
       val srcN = hist.groupBy(col("source"))
         .agg(sum(col("cnt")).as("n_docs"))
       val tot = srcN.agg(sum(col("n_docs")).as("tot_docs"),
@@ -1383,7 +1383,7 @@ object TextQueries {
       val uni = Tables.fanout(Tables.documents(s, d))
         .select(col("source"), explode(tokens(col("text"))).as("w"))
         .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
-        .localCheckpoint() // feeds totals, masses, and the pair join
+        .transform(graft.Tables.stage) // feeds totals, masses, and the pair join
       val tot = uni.groupBy(col("source"))
         .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("vocab"))
       val p = uni.join(broadcast(tot.select(col("source"), col("tot"))),
@@ -1592,10 +1592,10 @@ object TextQueries {
     "t38d_rank_fidelity" -> ((s, d) => {
       val (teach, pred) = nbServePredictions(s, d)
       val ratio = teach.select(col("doc_id"), col("teacher_bp"))
-      val joined = pred.join(ratio, "doc_id").localCheckpoint()
+      val joined = pred.join(ratio, "doc_id").transform(graft.Tables.stage)
       val rs = graft.ops.RangePlanOps.globalRank(joined,
         col("margin_ppm"), col("doc_id"), 32, "t38d-s", "rank_student")
-        .localCheckpoint()
+        .transform(graft.Tables.stage)
       val ranked = graft.ops.RangePlanOps.globalRank(rs,
         col("teacher_bp"), col("doc_id"), 32, "t38d-t", "rank_teacher")
         .withColumn("d", col("rank_student") - col("rank_teacher"))
@@ -1797,7 +1797,7 @@ object TextQueries {
         .filter(col("doc_id") % 4 === 0)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint() // scored against both models
+        .transform(graft.Tables.stage) // scored against both models
       val teach = graft.ops.ClassifierIndex.teacher(s, p)
         .filter(col("fold") === 0)
       val spine = teach.select(col("doc_id"))
@@ -1862,7 +1862,7 @@ object TextQueries {
       val m = graft.ops.ClassifierOps.nbScore(seen, consts, tf,
           docs.select(col("doc_id")))
         .select(col("doc_id"), col("margin_ppm"))
-        .localCheckpoint() // sampled AND binned below
+        .transform(graft.Tables.stage) // sampled AND binned below
       val smp = m.withColumn("h", hash60(concat(lit("t42|"),
           col("doc_id").cast("string"))))
         .withColumn("brn", row_number().over(

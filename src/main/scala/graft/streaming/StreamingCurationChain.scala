@@ -7,11 +7,19 @@ import org.apache.spark.sql.functions._
   * engine ships, composed into one end-to-end topology in the order a
   * production feed would run them:
   *
-  *   Gopher battery → NB quality gate → chunk-level first-claimer dedup
-  *   → winnowing decontamination (vs the protected base set) → Min-K%
-  *   membership gate → shard packer + manifest accretion
+  *   per-source quota (t56's cap, keep-best-by-quality) → Gopher battery
+  *   → NB quality gate → chunk-level first-claimer dedup → winnowing
+  *   decontamination (vs the protected base set) → Min-K% membership
+  *   gate → shard packer + manifest accretion
   *
   * Stage shapes:
+  *  - the quota gate ([[StreamingSourceCap]]) runs FIRST — it is the one
+  *    stage whose verdict depends on corpus-wide arrival history (the
+  *    per-source kept set), so running it at ingest caps every
+  *    downstream stage's work at Σ source quotas. Its admit/evict
+  *    deltas reduce to the final kept set by set arithmetic
+  *    ([[capKept]]) — the materialized-view consumer a topic reader
+  *    runs between stage 1 and stage 2.
   *  - the four ROW-LOCAL gates (Gopher, NB, winnow-vs-base-Bloom, MinK)
   *    evaluate in ONE stateless pass ([[gateFrame]]): the verdicts are
   *    per-row pure functions, so evaluating all four at arrival and
@@ -42,8 +50,8 @@ import org.apache.spark.sql.functions._
 object StreamingCurationChain {
 
   /** Stage names in chain order (the ledger's rows). */
-  val Stages: Seq[String] = Seq("ingest", "gopher", "nb_gate",
-    "chunk_dedup", "winnow_decontam", "mink_gate")
+  val Stages: Seq[String] = Seq("ingest", "source_cap", "gopher",
+    "nb_gate", "chunk_dedup", "winnow_decontam", "mink_gate")
 
   /** Every literal the stateless battery embeds — built ONCE from the
     * persisted artifacts (ClassifierIndex, DedupIndex, LmIndex), the
@@ -98,6 +106,42 @@ object StreamingCurationChain {
         col("h"), col("gopher_pass"), col("nb_pass"),
         col("winnow_novel"), col("mink_admit"))
   }
+
+  /** t56's per-doc quality (stopword ppm, integer div — the batch op's
+    * exact expression at `TextQueries` t56) as quota-gate offers over a
+    * `(source, doc_id, text)` frame — streaming or batch unchanged (the
+    * spec's batch twin is this same function on the static feed). */
+  def capOffers(docs: DataFrame): org.apache.spark.sql.Dataset[StreamingSourceCap.CapOffer] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .withColumn("toks", graft.ops.TextOps.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stop", graft.ops.TextOps.wordSetCount(col("toks"),
+        graft.ops.TextOps.stopwords))
+      .select(col("source"), col("doc_id").as("docId"),
+        expr("(n_stop * 1000000) div n_tokens").as("q"),
+        col("n_tokens").as("nTokens"))
+      .as[StreamingSourceCap.CapOffer]
+  }
+
+  /** t56's corpus-derived quota over the feed: 80% of the mean source
+    * size, floored at 1 (two scalars off one agg — driver-side by
+    * design; the operational form takes the quota as configuration). */
+  def derivedCap(offers: DataFrame): Int = {
+    val r = offers.agg(count(lit(1)).cast("long").as("n"),
+      countDistinct(col("source")).as("s")).head()
+    math.max(1L, r.getLong(0) * 8L / (10L * r.getLong(1))).toInt
+  }
+
+  /** Reduce the quota stage's admit/evict delta stream to the FINAL kept
+    * doc set: each doc arrives once, so kept = admitted ∖ evicted —
+    * order-free set arithmetic, exactly what a downstream topic consumer
+    * maintains incrementally. */
+  def capKept(deltas: DataFrame): DataFrame =
+    deltas.filter(col("admitted")).select(col("docId").as("doc_id"))
+      .except(deltas.filter(col("evicted") >= 0)
+        .select(col("evicted").as("doc_id")))
 
   /** Doc-level reduction of [[StreamingChunkDedup]] verdicts: a doc is
     * REDUNDANT iff every one of its chunks' contents was claimed by an

@@ -186,7 +186,11 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       // total (lang, media_id) order) and pHash near-dup (per-row tile
       // kernel + banded pairing — first-matching-band ownership is a
       // pure function of the two hashes)
-      "m9_interleaved_pack", "m10_phash_neardup")
+      "m9_interleaved_pack", "m10_phash_neardup",
+      // phash collapse (star-CC labels are split-invariant), frame-seq
+      // near-dup (positional hash join), mixture loop (|sources|-row
+      // waterfill over the serve-only t57 frame)
+      "m11_phash_collapse", "m12_frame_seq_neardup", "p10_mixture_loop")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {

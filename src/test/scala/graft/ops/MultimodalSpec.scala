@@ -96,4 +96,60 @@ class MultimodalSpec extends SparkSpecBase {
     assert(ham == 1, s"one edited tile must flip exactly " +
       s"that tile's bit, got hamming $ham")
   }
+
+  test("m11 collapse: every m10 pair lands in one cluster, byte " +
+      "accounting reconciles, keepers are cluster minima") {
+    val pairs = graft.queries.MultimodalQueries
+      .queries("m10_phash_neardup")(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    val clusters = graft.queries.MultimodalQueries
+      .queries("m11_phash_collapse")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(clusters.nonEmpty, "pair graph is non-empty so clusters must be")
+    // union-find ground truth over the m10 pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.groupBy(find).map { case (_, ms) =>
+      ms.min -> ms.toSet
+    }
+    assert(clusters.map(_._1).toSet == truth.keySet,
+      "keeper set != min-id roots of the pair graph")
+    clusters.foreach { case (keeper, n, dropped, _, last) =>
+      assert(n == truth(keeper).size && dropped == n - 1 &&
+        last == truth(keeper).max)
+    }
+  }
+
+  test("m12 frame-seq: trimmed-tail clip matches, disjoint clip doesn't") {
+    // two payloads equal through the first 3 sampled windows but with
+    // different tails must match (>=3 of 4 positions); an unrelated
+    // payload of the same length must not
+    val a = ("ab" * 200) + ("t1" * 20)      // 440 chars
+    val b = ("ab" * 200) + ("zz" * 20)      // same head, different tail
+    val c = ("qw" * 220)                    // disjoint content, same len
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val media = asMediaRecords(df, "doc_id", "text", "doc")
+    val sigs = sampleWindows(media, 4, 12)
+      .select(col("media_id"), posexplode(col("windows")).as(Seq("pos", "w")))
+      .select(col("media_id"), col("pos"), md5(col("w")).as("fh"))
+      .as[(Long, Int, String)].collect()
+    val byMedia = sigs.groupBy(_._1).view.mapValues(
+      _.map(t => t._2 -> t._3).toMap).toMap
+    val matched12 = (0 until 4).count(p => byMedia(1L)(p) == byMedia(2L)(p))
+    val matched13 = (0 until 4).count(p => byMedia(1L)(p) == byMedia(3L)(p))
+    assert(matched12 >= 3, s"shared-head clips matched only $matched12/4")
+    assert(matched13 == 0, "disjoint clips must share no sampled frame")
+    // and the corpus-level operator has the declared shape
+    val out = graft.queries.MultimodalQueries
+      .queries("m12_frame_seq_neardup")(spark, sfDir)
+    assert(out.columns.toSeq ==
+      Seq("media_a", "media_b", "n_frames_matched"))
+  }
 }

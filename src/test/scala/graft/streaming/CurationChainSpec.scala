@@ -8,13 +8,14 @@ import org.apache.spark.sql.streaming.OutputMode
 
 /** The full-chain curation DRESS REHEARSAL (CurationFrontSpec covered
   * the first two stages; this replays the corpus through EVERY ingest
-  * gate the engine ships — Gopher → NB → chunk first-claimer → winnow
-  * decontamination → Min-K — into the pack/manifest tail, across
-  * micro-batch boundaries, and asserts the per-stage admitted SETS, the
-  * stage ledger, the shard assignments, and the FLUSHED manifest all
-  * equal the batch chain's). Stage boundaries are driven topic-style:
-  * each stage's streamed output feeds the next stage's MemoryStream —
-  * the multi-job topology a production feed actually runs. */
+  * gate the engine ships — per-source quota → Gopher → NB → chunk
+  * first-claimer → winnow decontamination → Min-K — into the
+  * pack/manifest tail, across micro-batch boundaries, and asserts the
+  * per-stage admitted SETS, the stage ledger, the shard assignments,
+  * and the FLUSHED manifest all equal the batch chain's). Stage
+  * boundaries are driven topic-style: each stage's streamed output
+  * feeds the next stage's MemoryStream — the multi-job topology a
+  * production feed actually runs. */
 class CurationChainSpec extends SparkSpecBase {
   import spark.implicits._
 
@@ -24,7 +25,42 @@ class CurationChainSpec extends SparkSpecBase {
     implicit val ctx = spark.sqlContext
     val basePred = col("doc_id") % 50 === 0
     val cfg = StreamingCurationChain.config(spark, sfDir, basePred)
-    val feedDf = Tables.documents(spark, sfDir).filter(!basePred)
+    val rawFeedDf = Tables.documents(spark, sfDir).filter(!basePred)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+
+    // ---- stage 0: per-source quota (t56's cap), batch reference --------
+    val offers = StreamingCurationChain.capOffers(rawFeedDf).collect()
+    val cap = StreamingCurationChain.derivedCap(rawFeedDf
+      .select(col("source")))
+    // batch selection: per-source top-cap under (q desc, doc_id asc)
+    val s0 = offers.groupBy(_.source).flatMap { case (_, os) =>
+      os.sortBy(o => (-o.q, o.docId)).take(cap).map(_.docId).toSeq
+    }.toSet
+    assert(s0.size < offers.length,
+      "cap must reject someone — corpus/split drifted")
+
+    // ---- stage 0 streamed: quota gate at ingest, shuffled arrival ------
+    val in0 = MemoryStream[StreamingSourceCap.CapOffer]
+    val q0 = StreamingSourceCap.sourceCapTws(spark, in0.toDS(), cap)
+      .toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("chain_cap").start()
+    try {
+      // arrival decorrelated from quality AND doc id so evictions fire
+      val arr = offers.sortBy(o =>
+        graft.ops.TextOps.hash60Scala(s"chain|${o.docId}"))
+      arr.grouped(math.max(1, arr.length / 3 + 1)).foreach { b =>
+        in0.addData(b.toSeq); q0.processAllAvailable()
+      }
+    } finally q0.stop()
+    val capDeltas = spark.table("chain_cap")
+    assert(capDeltas.filter(col("admitted") && col("evicted") >= 0)
+      .limit(1).count() == 1, "eviction never fired — cap too loose")
+    val str0 = StreamingCurationChain.capKept(capDeltas)
+      .as[Long].collect().toSet
+    assert(str0 == s0, "streamed quota kept set ≠ batch t56 selection")
+
+    // downstream stages consume the quota survivors (topic boundary)
+    val feedDf = rawFeedDf.filter(col("doc_id").isInCollection(s0))
       .select(col("doc_id"), col("lang"), col("text"))
 
     // ---- batch reference chain ---------------------------------------
@@ -108,6 +144,7 @@ class CurationChainSpec extends SparkSpecBase {
       "streamed chunk stage admitted a different set than the batch claim")
 
     // ---- per-stage admitted sets + ledger ------------------------------
+    val allRaw = offers.map(_.docId).toSet // the raw ingest set
     val str1 = all.filter(sg(_)._4)
     val str2 = str1.filter(sg(_)._5)
     val str3 = str2 -- streamRedundant
@@ -117,10 +154,11 @@ class CurationChainSpec extends SparkSpecBase {
       "per-stage admitted sets diverged")
     val mkLedger = (sets: Seq[Set[Long]]) => StreamingCurationChain.ledger(
       StreamingCurationChain.Stages.tail.zip(
-        (all +: sets).sliding(2).map(p => (p(0).size.toLong, p(1).size.toLong))
+        (allRaw +: sets).sliding(2)
+          .map(p => (p(0).size.toLong, p(1).size.toLong))
           .toSeq).map { case (n, (i, o)) => (n, i, o) })
-    assert(mkLedger(Seq(str1, str2, str3, str4, str5)) ==
-      mkLedger(Seq(s1, s2, s3, s4, s5)), "stage ledger diverged")
+    assert(mkLedger(Seq(str0, str1, str2, str3, str4, str5)) ==
+      mkLedger(Seq(s0, s1, s2, s3, s4, s5)), "stage ledger diverged")
 
     // ---- pack + manifest tail over the final admitted stream -----------
     val admitted = feed.filter(t => s5.contains(t._1))
