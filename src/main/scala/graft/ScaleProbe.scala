@@ -42,10 +42,12 @@ object ScaleProbe {
     * for §2.10's 100 TB claims. Kept to the families whose cost model
     * is worth the extra corpus: winnowing (per-doc windows), the Gopher
     * battery (9× gram melt), the sketched graph family (registers
-    * ∝ |E|), contrastive batches (the k ∝ N SemDeDup knob engages its
-    * growth path at this scale — expected cluster size stays ~2500, so
-    * the pair frame stays linear), and the composed curation chain
-    * (CurationIndex build + serve). */
+    * ∝ |E|), contrastive batches (the SemDeDup bucket-count knob
+    * engages its TWO-LEVEL growth path at this scale — expected bucket
+    * size stays ~2500 via coarse-Lloyd + LSH sign bits, so BOTH the
+    * pair frame and the assignment stay linear; the first decade run
+    * measured the single-level k∝N form at 20.8× and forced the fix),
+    * and the composed curation chain (CurationIndex build + serve). */
   val DecadeQueries = Seq("d43_winnowing", "t52_gopher_rules",
     "d9b_graph_stats_sketch", "m8_batch_negatives", "p1_curation_ledger")
   val ProbeQueries = Seq("d9b_graph_stats_sketch", "d33r_star_residual",
@@ -187,6 +189,32 @@ object ScaleProbe {
       spark.sparkContext.getPersistentRDDs
         .values.foreach(_.unpersist(blocking = true))
       System.gc()
+    }
+    // Diagnostic mode: `runMain graft.ScaleProbe matched <query>` times
+    // one decade query at the 10× corpus UNDER THE DECADE'S EXACT CONFIG
+    // (DISK_ONLY staging, 256 shuffle partitions, 1 MB scan bins,
+    // 256-way fanout) — the matched-medium denominator that decomposes
+    // a t100x/t10x ratio into data-scale vs storage-medium components
+    // (the headline 10× readings stage through memory; the decade's
+    // DISK_ONLY frames pay write+read I/O the denominator never paid).
+    if (args.length >= 2 && args(0) == "matched") {
+      ensureCorpus(spark, G10xDir, 10)
+      spark.conf.set("spark.sql.shuffle.partitions", "256")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+      spark.conf.set("spark.sql.files.openCostInBytes", "131072")
+      spark.conf.set("spark.graft.stageLevel", "DISK_ONLY")
+      val q = SparkEntry.queries(args(1))
+      val ts = (1 to 2).map { _ =>
+        val t = Tables.withFanoutParts(256) {
+          time(q(spark, G10xDir)
+            .write.format("noop").mode("overwrite").save())
+        }
+        dropPinned()
+        t
+      }
+      println(f"""{"metric":"matched_medium","query":"${args(1)}","t10x_decade_cfg":${ts.min}%.2f}""")
+      spark.stop()
+      return
     }
     ensureCorpus(spark, G1xDir, 1)
     ensureCorpus(spark, G10xDir, 10)

@@ -119,17 +119,35 @@ object SimilarityQueries {
     * within a cluster only): the 100 TB pair generation, never
     * all-pairs. Shared by [[semDedupRemovals]]' shape and m8. */
   private def clusterNearDupPairs(v: DataFrame, tau: Double): DataFrame = {
-    // SemDeDup's "k ∝ N" knob made executable: k grows so the EXPECTED
-    // cluster size stays ~2500, making the in-cluster pair count
-    // ~N·2500/2 — linear in N — instead of (N/k)²·k, quadratic at fixed
-    // k. Every oracle corpus (≤2500 vectors at sf ≤ 0.1) and the 10×
-    // probe corpus (20 000 / 2500 = 8 = KmK) land EXACTLY at KmK, so
-    // the unrolled DuckDB k-means oracle and the existing probe ratios
-    // are untouched; only the 100× decade engages the growth path.
+    // SemDeDup's "k ∝ N" knob made executable: the bucket count grows so
+    // the EXPECTED bucket size stays ~2500, making the in-bucket pair
+    // count ~N·2500/2 — linear in N — instead of (N/k)²·k, quadratic at
+    // fixed k. HOW the buckets grow matters as much as that they grow:
+    // running Lloyd at k ∝ N makes the assignment step itself N·k ∝ N²
+    // (measured: the first green g100x decade put m8 at 20.8× for 10×
+    // input — the assign leg, not the pairs). So the growth path is
+    // TWO-LEVEL: exact Lloyd stays at the KmK coarse cells every corpus
+    // trains today, and the extra resolution comes from hyperplane-LSH
+    // sign bits of the vector (n2's deterministic planes, a dedicated
+    // table seed) appended to the coarse cell — ceil(log2(k/KmK)) bits
+    // give ≥k buckets at O(N·(KmK+bits)·dims) total work, linear in N.
+    // Recall story unchanged in kind: near-identical vectors flip a
+    // sign bit with prob θ/π (θ≈0 for cos≥0.95), and the certification
+    // is measured, not assumed — m8b is the exact-truth twin, d23c the
+    // recall meter. Every oracle corpus (≤2500+twins vectors at
+    // sf ≤ 0.1) lands at k = KmK with ZERO sign bits, so the unrolled
+    // DuckDB k-means oracle sees the identical single-level plan; only
+    // the probe decades engage the second level.
     val k = math.max(KmK, (v.count() / 2500L).toInt)
-    val assigned = kmeansAssign(v, k, KmIters)
+    val hBits = math.max(0,
+      math.ceil(math.log(k.toDouble / KmK) / math.log(2)).toInt)
+    val assigned = kmeansAssign(v, KmK, KmIters)
       .select(col("id"), col("cluster"))
-    val av = v.join(assigned, "id")
+    val av0 = v.join(assigned, "id")
+    val av = if (hBits == 0) av0
+      else av0.withColumn("cluster",
+        concat(col("cluster").cast("string"), lit("|"),
+          lshSignature(col("emb"), 97, hBits, Dims).cast("string")))
     val a = av.select(col("cluster"), col("id").as("id_a"),
       col("emb").as("emb_a"), norm2(col("emb")).as("n2_a"))
     val b = av.select(col("cluster").as("cluster_b"), col("id").as("id_b"),
