@@ -12,9 +12,17 @@ spark-output diff entirely (only oracle_sql.json is needed), which is how
 the denominator is measured at sf0.1 where no Verify dump exists.
 
 Usage: python3 tools/check_oracle.py <sfDir> <outDir>
-           [--timing FILE] [--time-only] [--reps N]
+           [--timing FILE] [--time-only] [--reps N] [--max-sec S]
+
+--max-sec interrupts any single oracle execution after S seconds and
+SKIPS that query from the timing file (logged loudly — no silent cap).
+Only meaningful with --time-only at SFs above the correctness gate's:
+a from-scratch closure oracle can be quadratic in DuckDB at sf0.1
+(e.g. the DedupIndex consumers' recursive reach CTEs), and omitting it
+from the denominator is conservative — it removes a case where the
+Spark side wins by the largest margin.
 """
-import json, math, sys, time
+import json, math, sys, threading, time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -49,22 +57,40 @@ def norm(v):
         return tuple(norm(x) for x in v)
     return v
 
-def main(sf_dir, out_dir, timing_file=None, time_only=False, reps=1):
+def main(sf_dir, out_dir, timing_file=None, time_only=False, reps=1,
+         max_sec=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     timings = {}
     for name, sql in sorted(oracle.items()):
+        timed_out = False
         try:
             best = None
             for _ in range(max(1, reps)):
+                watchdog = None
+                if max_sec:
+                    watchdog = threading.Timer(max_sec, con.interrupt)
+                    watchdog.start()
                 t0 = time.monotonic()
-                exp = con.execute(sql).fetch_arrow_table()
+                try:
+                    exp = con.execute(sql).fetch_arrow_table()
+                except duckdb.InterruptException:
+                    timed_out = True
+                    break
+                finally:
+                    if watchdog:
+                        watchdog.cancel()
                 dt = time.monotonic() - t0
                 best = dt if best is None else min(best, dt)
+            if timed_out:
+                print(f"SKIP {name}: oracle exceeded --max-sec {max_sec}s "
+                      f"(omitted from timing file)")
+                n_skip += 1
+                continue
             timings[name] = round(best, 4)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
@@ -119,7 +145,7 @@ def main(sf_dir, out_dir, timing_file=None, time_only=False, reps=1):
                        "reps": reps, "queries": timings}, f, indent=0,
                       sort_keys=True)
         print(f"== duckdb timings ({len(timings)} queries) -> {timing_file}")
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+    print(f"== {n_pass} pass, {n_fail} fail, {n_skip} skipped ==")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
@@ -134,5 +160,10 @@ if __name__ == "__main__":
         r = flags[flags.index("--reps") + 1]
         reps = int(r)
         args.remove(r)
+    mx = None
+    if "--max-sec" in flags:
+        m = flags[flags.index("--max-sec") + 1]
+        mx = float(m)
+        args.remove(m)
     sys.exit(main(args[0], args[1], timing_file=tf,
-                  time_only="--time-only" in flags, reps=reps))
+                  time_only="--time-only" in flags, reps=reps, max_sec=mx))
