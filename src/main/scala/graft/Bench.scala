@@ -119,7 +119,7 @@ object Bench {
     "n17_matryoshka_recall", "n18_binary_ann", "n18b_binary_rerank",
     "n19_filtered_ann", "n20_mmr_rerank", "n21_nprobe_sweep",
     "n21b_nprobe_trained", "n22_jl_distortion", "n22b_jl_recall",
-    "n23_cluster_sample", "n24_ivf_rebalance",
+    "n23_cluster_sample", "n24_ivf_rebalance", "n25_twolevel_buckets",
     "m1_binary_meta", "m2_frame_windows", "m3_decode_features",
     "m4_patch_dedup", "m5_shared_patches", "m6_crossmodal_retrieval",
     "m7_modality_mix", "m8_batch_negatives", "m9_interleaved_pack",

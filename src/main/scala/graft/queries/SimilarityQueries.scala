@@ -118,7 +118,8 @@ object SimilarityQueries {
     * path (k-means clusters as the candidate filter, exact cosine
     * within a cluster only): the 100 TB pair generation, never
     * all-pairs. Shared by [[semDedupRemovals]]' shape and m8. */
-  private def clusterNearDupPairs(v: DataFrame, tau: Double): DataFrame = {
+  private def clusterNearDupPairs(v: DataFrame, tau: Double,
+      target: Long = 2500L, forceBits: Option[Int] = None): DataFrame = {
     // SemDeDup's "k ∝ N" knob made executable: the bucket count grows so
     // the EXPECTED bucket size stays ~2500, making the in-bucket pair
     // count ~N·2500/2 — linear in N — instead of (N/k)²·k, quadratic at
@@ -138,9 +139,14 @@ object SimilarityQueries {
     // sf ≤ 0.1) lands at k = KmK with ZERO sign bits, so the unrolled
     // DuckDB k-means oracle sees the identical single-level plan; only
     // the probe decades engage the second level.
-    val k = math.max(KmK, (v.count() / 2500L).toInt)
-    val hBits = math.max(0,
-      math.ceil(math.log(k.toDouble / KmK) / math.log(2)).toInt)
+    // forceBits pins the sign-bit count independent of N — n25's oracle
+    // gate needs a corpus-size-independent bucket layout because the
+    // mirror SQL is a fixed string run at more than one SF.
+    val hBits = forceBits.getOrElse {
+      val k = math.max(KmK, (v.count() / target).toInt)
+      math.max(0,
+        math.ceil(math.log(k.toDouble / KmK) / math.log(2)).toInt)
+    }
     val assigned = kmeansAssign(v, KmK, KmIters)
       .select(col("id"), col("cluster"))
     val av0 = v.join(assigned, "id")
@@ -408,6 +414,23 @@ object SimilarityQueries {
       val v = plantedVecs(s, d)
       batchNegativesAudit(v,
         cosineNearDupPairs(v, SemTauProd).select(col("id_a"), col("id_b")))
+    }),
+
+    // Oracle gate for the TWO-LEVEL bucket growth path (in production it
+    // engages only when SemDeDup's k∝N knob pushes k past KmK — i.e.
+    // never on the oracle corpora, which is exactly why this query
+    // FORCES it at oracle scale: 2 hyperplane-LSH sign bits pinned on
+    // top of the KmK coarse Lloyd cells, the layout a ~32·target
+    // corpus would derive; pinned rather than N-derived because the
+    // mirror SQL is one fixed string run at several SFs). The DuckDB
+    // mirror replays the same planted corpus, the same unrolled Lloyd
+    // chain (d23b's), the same md5-derived hyperplanes (dedicated table
+    // seed 97), the same d≥0 bit rule and the same in-bucket cosine
+    // verify — gating bit-for-bit the arithmetic the 100× decade runs.
+    "n25_twolevel_buckets" -> ((s, d) => {
+      clusterNearDupPairs(plantedVecs(s, d), SemTauProd,
+          forceBits = Some(2))
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // IVF ANN: label partitions as inverted lists, exact-decimal centroids
@@ -2615,6 +2638,38 @@ object SimilarityQueries {
          |  round(max(cos), 6) AS max_cos
          |FROM p WHERE cos >= $SemTauProd
          |GROUP BY cluster, id_b ORDER BY removed_id""".stripMargin,
+    // the two-level decade path pinned at 2 sign bits: d23b's planted
+    // Lloyd chain + seed-97 hyperplanes as VALUES + the same in-bucket
+    // cosine verify; bucket = cluster || '|' || signature, mirroring the
+    // Spark concat
+    "n25_twolevel_buckets" -> {
+      val w97 = (0 until 2).map { p =>
+        val w = graft.ops.SimilarityOps.planeWeights(97 * 1000 + p, Dims)
+          .map(_.toLong).mkString("[", ", ", "]")
+        s"($p, $w)"
+      }.mkString(",\n    ")
+      s"""WITH ${dkKmeansCtesOver(dkPlantedV)},
+         |hw(p, w) AS (VALUES
+         |    $w97),
+         |sig AS (
+         |  SELECT v.id,
+         |    CAST(SUM(CASE WHEN ${dot2("v.emb", "hw.w")} >= 0
+         |         THEN (CAST(1 AS BIGINT) << hw.p) ELSE 0 END) AS BIGINT)
+         |      AS sg
+         |  FROM v, hw GROUP BY v.id),
+         |bk AS (
+         |  SELECT a.id,
+         |    a.cluster::VARCHAR || '|' || s.sg::VARCHAR AS bucket, v.emb
+         |  FROM afinal a JOIN sig s ON s.id = a.id
+         |  JOIN v ON v.id = a.id),
+         |p AS (
+         |  SELECT x.id AS id_a, y.id AS id_b,
+         |    ${dot2("x.emb", "y.emb")}
+         |    / sqrt(${n2of("x.emb")} * ${n2of("y.emb")}) AS cos
+         |  FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.id < y.id)
+         |SELECT id_a, id_b FROM p WHERE cos >= $SemTauProd
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     "d23c_semdedup_eval" ->
       s"""WITH ${dkKmeansCtesOver(dkPlantedV)},
          |av AS (

@@ -189,8 +189,10 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       "m9_interleaved_pack", "m10_phash_neardup",
       // phash collapse (star-CC labels are split-invariant), frame-seq
       // near-dup (positional hash join), mixture loop (|sources|-row
-      // waterfill over the serve-only t57 frame)
-      "m11_phash_collapse", "m12_frame_seq_neardup", "p10_mixture_loop")
+      // waterfill over the serve-only t57 frame), two-level buckets
+      // (deterministic Lloyd init + literal hyperplanes)
+      "m11_phash_collapse", "m12_frame_seq_neardup", "p10_mixture_loop",
+      "n25_twolevel_buckets")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {
