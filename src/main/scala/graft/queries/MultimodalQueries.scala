@@ -238,7 +238,17 @@ object MultimodalQueries {
     // positional-match arithmetic is the operator under test).
     "m12_frame_seq_neardup" -> ((s, d) => {
       val base = Tables.documents(s, d)
-      val twins = base.filter(col("doc_id") % 29 === 0)
+      // Plant only where the window geometry GUARANTEES detection: the
+      // twin overwrites the last fifth, so windows 0..2 (stride =
+      // len div 4, width 12) must lie entirely inside the unchanged
+      // prefix — 2·stride + 12 ≤ len − len div 5. Short docs where the
+      // stride degenerates (windows overlapping the overwritten tail
+      // would match < 3 positions and silently vanish) are skipped
+      // rather than planted-and-lost, keeping the "every planted twin
+      // is detected" intent exact at any corpus size.
+      val twins = base.filter(col("doc_id") % 29 === 0 &&
+          expr("2 * greatest(length(text) div 4, 1) + 12 <= " +
+            "length(text) - length(text) div 5"))
         .select((col("doc_id") + 1000000L).as("doc_id"),
           expr("""concat(substring(text, 1, length(text) -
                 |          length(text) div 5),
@@ -494,7 +504,9 @@ object MultimodalQueries {
         |  SELECT doc_id + 1000000,
         |    substring(text, 1, length(text) - length(text) // 5) ||
         |      repeat('z', length(text) // 5)
-        |  FROM ascii_docs WHERE doc_id % 29 = 0),
+        |  FROM ascii_docs WHERE doc_id % 29 = 0
+        |    AND 2 * greatest(length(text) // 4, 1) + 12 <=
+        |        length(text) - length(text) // 5),
         |w AS (
         |  SELECT doc_id AS media_id, CAST(b.i AS BIGINT) AS pos,
         |    md5(substring(text,

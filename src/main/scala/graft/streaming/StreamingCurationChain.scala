@@ -119,8 +119,15 @@ object StreamingCurationChain {
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_stop", graft.ops.TextOps.wordSetCount(col("toks"),
         graft.ops.TextOps.stopwords))
+      // greatest(n_tokens, 1): this stage is the chain's ingest front
+      // door for arbitrary feeds, and under Spark 4's default ANSI mode
+      // an empty/whitespace arrival (n_tokens = 0) would otherwise fail
+      // the whole streaming query with a divide-by-zero. A degenerate
+      // doc scores q = 0 ppm — gated out first under any quota — instead
+      // of killing the topology. (The curated batch corpus has no
+      // zero-token docs, so t56's oracle arithmetic is unchanged.)
       .select(col("source"), col("doc_id").as("docId"),
-        expr("(n_stop * 1000000) div n_tokens").as("q"),
+        expr("(n_stop * 1000000) div greatest(n_tokens, 1L)").as("q"),
         col("n_tokens").as("nTokens"))
       .as[StreamingSourceCap.CapOffer]
   }

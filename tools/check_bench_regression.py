@@ -86,8 +86,11 @@ def duckdb_ratio(current, timing_path):
     per = sorted(((current[q] / duck[q] if duck[q] > 0 else float("inf"), q)
                   for q in both), reverse=True)
     med = per[len(per) // 2][0]
+    # sub-0.1ms oracles round to 0.0 — an intersection of only trivial
+    # queries would otherwise divide by zero on the total.
+    ratio = f"{s_tot / d_tot:.2f}x" if d_tot > 0 else "n/a (duckdb 0.0s)"
     print(f"duckdb ratio: spark {s_tot:.1f}s / duckdb {d_tot:.1f}s = "
-          f"{s_tot / d_tot:.2f}x total over {len(both)} shared queries "
+          f"{ratio} total over {len(both)} shared queries "
           f"(median per-query {med:.2f}x, sf_dir {tj.get('sf_dir', '?')})")
     worst = ", ".join(f"{q} {r:.1f}x" for r, q in per[:5])
     print(f"duckdb ratio worst-5: {worst}")
