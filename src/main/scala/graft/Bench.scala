@@ -124,6 +124,8 @@ object Bench {
     "m4_patch_dedup", "m5_shared_patches", "m6_crossmodal_retrieval",
     "m7_modality_mix", "m8_batch_negatives", "m9_interleaved_pack",
     "m10_phash_neardup", "m11_phash_collapse", "m12_frame_seq_neardup",
+    "m13_caption_align", "m14_modality_curriculum",
+    "m15_media_quality_gate", "m16_static_clip",
     "p1_curation_ledger", "p2_rag_serve", "p3_delta_refresh",
     "p4_disposition", "p5_manifest", "p6_shard_repack", "p7_run_report",
     "p8_train_order", "p9_resume_plan", "p10_mixture_loop")
@@ -188,12 +190,20 @@ object Bench {
     // parseable record survives truncation from either end.
     val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir"}"""
     println(compact)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson$errJson,"sf":"$sfDir"}""")
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson$errJson,"sf":"$sfDir"}"""
+    println(full)
     println(compact)
     val slowJson = timed.sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     println(f"""{"metric":"slowest20","value":$total%.3f,"unit":"sec","queries":$slowJson,"sf":"$sfDir"}""")
+    // The driver retains only a truncated stdout tail (~45 of the
+    // per-query timings survive); regression auditing wants ALL of them,
+    // so the full line is also written as a repo file artifact (the
+    // TIMING_*_duckdb.json pattern). Committed per round as
+    // BENCH_FULL_r{N}.json.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), full + "\n")
     spark.stop()
   }
 }

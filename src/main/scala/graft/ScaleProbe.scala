@@ -77,7 +77,10 @@ object ScaleProbe {
     // the |sources|×|q| histogram), DoReMi weights (serve joins +
     // |sources|-row windows), source-pair TV divergence (vocab-keyed
     // pair join; pairs-per-word bounded by |sources|²)
-    "t56_source_cap", "t57_doremi_weights", "t58_source_divergence")
+    "t56_source_cap", "t57_doremi_weights", "t58_source_divergence",
+    // round-13: modality curriculum (m9's per-lang packing window + a
+    // bounded reservoir — claims linear in items, §2.10)
+    "m14_modality_curriculum")
 
   private def h(c: Column): Column = graft.ops.TextOps.hash60(c)
 
@@ -197,6 +200,39 @@ object ScaleProbe {
     // a t100x/t10x ratio into data-scale vs storage-medium components
     // (the headline 10× readings stage through memory; the decade's
     // DISK_ONLY frames pay write+read I/O the denominator never paid).
+    // Diagnostic mode: `runMain graft.ScaleProbe decade <query> [reps]`
+    // times ONE decade query at the 100× corpus under the decade's
+    // exact config, `reps` times (default 3, each rep unpersisted and
+    // GC'd) and prints every rep. The corpus is hash-deterministic, so
+    // partition layout and AQE decisions are identical across reps —
+    // the repeated-measurement harness that separates a query's real
+    // decade cost from host state (page cache, dirty-page writeback
+    // from the preceding query, CPU contention): stable reps = the
+    // spread across probe RUNS was inter-query interference, not the
+    // operator.
+    if (args.length >= 2 && args(0) == "decade") {
+      ensureCorpus(spark, G100xDir, 100)
+      spark.conf.set("spark.sql.shuffle.partitions", "256")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1m")
+      spark.conf.set("spark.sql.files.openCostInBytes", "131072")
+      spark.conf.set("spark.graft.stageLevel", "DISK_ONLY")
+      val reps = if (args.length >= 3) args(2).toInt else 3
+      val q = SparkEntry.queries(args(1))
+      val ts = (1 to reps).map { i =>
+        val t = Tables.withFanoutParts(256) {
+          time(q(spark, G100xDir)
+            .write.format("noop").mode("overwrite").save())
+        }
+        dropPinned()
+        System.err.println(f"[scale-probe] ${args(1)} @100x rep $i: $t%.2f s")
+        t
+      }
+      println(s"""{"metric":"decade_reps","query":"${args(1)}",""" +
+        s""""reps":[${ts.map(t => f"$t%.2f").mkString(",")}],""" +
+        f""""min":${ts.min}%.2f,"max":${ts.max}%.2f}""")
+      spark.stop()
+      return
+    }
     if (args.length >= 2 && args(0) == "matched") {
       ensureCorpus(spark, G10xDir, 10)
       spark.conf.set("spark.sql.shuffle.partitions", "256")

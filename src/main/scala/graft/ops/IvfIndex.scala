@@ -42,6 +42,7 @@ object IvfIndex {
     def centroids: String = s"$root/centroids"
     def codebooks: String = s"$root/codebooks"
     def codes: String = s"$root/codes"
+    def stats: String = s"$root/stats"
   }
 
   private def corpusVecs(s: SparkSession, sfDir: String): DataFrame =
@@ -63,6 +64,18 @@ object IvfIndex {
   def build(s: SparkSession, sfDir: String, root: String): IndexPaths = {
     val p = IndexPaths(root)
     val v = corpusVecs(s, sfDir)
+    // Corpus-size stats ride with the index (1 row): consumers that size
+    // bucket layouts from N — the SemDeDup k∝N knob in
+    // [[graft.queries.SimilarityQueries]]' clusterNearDupPairs — read
+    // this row instead of paying a count() action over the corpus on
+    // every invocation. n_planted = |id % PlantMod == 0| so the planted
+    // twin corpus's exact cardinality is derivable without assuming id
+    // density.
+    v.agg(count(lit(1)).as("n_vecs"),
+        coalesce(sum(when(col("id") % graft.queries.SimilarityQueries
+          .PlantMod === 0, 1L).otherwise(0L)), lit(0L)).as("n_planted"),
+        coalesce(max(col("id")), lit(-1L)).as("max_id"))
+      .coalesce(1).write.mode("overwrite").parquet(p.stats)
     val (cents, assigned) = kmeansFit(v, KmK, KmIters)
     val cbs = trainedCodebooks(v)
     cents.select(col("cid").as("list_id"), col("cent").as("centroid"))
@@ -90,9 +103,20 @@ object IvfIndex {
     val p = IndexPaths(root)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sessionState.newHadoopConf())
-    val complete = Seq(p.centroids, p.codebooks, p.codes).forall(d =>
-      fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
+    val complete = Seq(p.centroids, p.codebooks, p.codes, p.stats)
+      .forall(d => fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
     if (complete) p else build(s, sfDir, root)
+  }
+
+  /** |plantedVecs| for this corpus from the persisted stats row — the
+    * corpus cardinality the SemDeDup bucket-growth knob needs, served
+    * as a 1-row index-metadata read (the n24/n15b discipline) instead
+    * of a per-query count() action over the vector corpus. */
+  def plantedCount(s: SparkSession, sfDir: String): Long = {
+    val p = ensure(s, sfDir)
+    val r = s.read.parquet(p.stats)
+      .select(col("n_vecs"), col("n_planted")).head()
+    r.getLong(0) + r.getLong(1)
   }
 
   /** Read the 64 codebook rows back into the literal-embedded form the

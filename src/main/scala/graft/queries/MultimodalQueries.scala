@@ -150,22 +150,7 @@ object MultimodalQueries {
     // window; the per-shard collapse is one combinable agg on the same
     // key prefix.
     "m9_interleaved_pack" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val media = Tables.fanout(Tables.documents(s, d))
-        .select(col("doc_id").as("media_id"), col("lang"),
-          expr("CASE doc_id % 3 WHEN 0 THEN 'text' WHEN 1 THEN 'image' " +
-            "ELSE 'audio' END").as("kind"),
-          length(col("text").cast("binary")).cast("long").as("byte_len"))
-        .withColumn("token_equiv",
-          expr("CASE kind WHEN 'text' THEN byte_len div 4 " +
-            "WHEN 'image' THEN 256 + byte_len div 1024 " +
-            "ELSE byte_len div 320 END"))
-      val w = Window.partitionBy(col("lang")).orderBy(col("media_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      media
-        .withColumn("prefix_toks",
-          coalesce(sum(col("token_equiv")).over(w), lit(0L)))
-        .withColumn("shard", expr("prefix_toks div 2048"))
+      packedMedia(s, d)
         .groupBy(col("lang"), col("shard"))
         .agg(count(lit(1)).as("n_media"),
           sum(when(col("kind") === "text", 1L).otherwise(0L)).as("n_text"),
@@ -274,8 +259,146 @@ object MultimodalQueries {
         .agg(count(lit(1)).as("n_frames_matched"))
         .filter(col("n_frames_matched") >= 3)
         .orderBy(col("media_a"), col("media_b"))
+    }),
+
+    // Decoded-feature quality gate — the LAION/DataComp image-filter
+    // shape (Schuhmann et al. 2021 keep an image iff its decoded
+    // dimensions clear floors and its aspect ratio is sane; DataComp
+    // inherits the same rules): width/height/frame-count come from the
+    // typed mapPartitions decode path ([[MultimodalOps.decodeStub]] —
+    // deterministic fake features, so SQL specifies them exactly and
+    // the oracle gates the real imperative plumbing), verdicts are
+    // integer comparisons (min-side ≥ 128 px, aspect within 3:1 both
+    // ways, ≥ 4 frames). Per media: features + per-rule verdicts +
+    // keep. Scale shape: one decode pass, one codegen'd projection —
+    // embarrassingly parallel, no shuffle at all before the output sort.
+    "m15_media_quality_gate" -> ((s, d) => {
+      val media = asMediaRecords(Tables.documents(s, d), "doc_id", "text", "doc")
+      decodeStub(s, media).toDF()
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"))
+        .withColumn("size_ok", least(col("width"), col("height")) >= 128L)
+        .withColumn("aspect_ok",
+          col("width") * 100L <= col("height") * 300L &&
+            col("height") * 100L <= col("width") * 300L)
+        .withColumn("frames_ok", col("n_frames") >= 4L)
+        .withColumn("keep",
+          col("size_ok") && col("aspect_ok") && col("frames_ok"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Static-clip detection — the frame-DIVERSITY signal a video
+    // curation pipeline drops screensaver/slate clips with: m2's 4
+    // evenly-spaced sampled frames hash to fingerprints, and a clip
+    // whose samples collapse to ≤2 distinct frames is flagged static
+    // (near-zero temporal information; its tokens-per-byte value is
+    // that of a single image). The corpus has no organic static clips,
+    // so every 31st doc plants one (text = a 16-char slice repeated —
+    // the window stride is a multiple of the period, so all 4 sampled
+    // frames are byte-identical; the m12/d23b planted-twin discipline).
+    // Per media: distinct sampled frames, dominant-frame count, the
+    // static verdict. Scale shape: 4 16-byte hashes per media through
+    // one per-media agg — payload bytes never shuffle.
+    "m16_static_clip" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+      val planted = base.filter(col("doc_id") % 31 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          expr("repeat(substring(text, 1, 16), 8)").as("text"))
+      val media = asMediaRecords(
+        base.select(col("doc_id"), col("text")).unionByName(planted),
+        "doc_id", "text", "doc")
+      sampleWindows(media, 4, 12)
+        .select(col("media_id"), explode(col("windows")).as("win"))
+        .select(col("media_id"), md5(col("win")).as("fh"))
+        .groupBy(col("media_id"), col("fh"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_distinct"),
+          max(col("cnt")).as("dom_count"))
+        .withColumn("is_static", col("n_distinct") <= 2L)
+        .orderBy(col("media_id"))
+    }),
+
+    // Modality CURRICULUM over m9's packed sequences — t42's curriculum
+    // logic reused on the multimodal frame: each packed sequence's
+    // difficulty is its NON-TEXT token share (ppm — curriculum designers
+    // schedule text-heavy sequences first and dense multimodal ones
+    // later), bins come from decile boundaries of a bounded md5-decided
+    // reservoir over the sequences (q91/t42's discipline: ≤640 rows
+    // through the rank window, never an ntile over the corpus; ≤9 longs
+    // reach the driver), and the readout per bin is what the scheduler
+    // consumes: sequence count, item volume, token volume, difficulty
+    // span. Scale shape: one per-lang packing window (m9's), one
+    // (lang, shard) agg, the bounded reservoir, then a literal-probe
+    // bin projection — no corpus-wide sort anywhere.
+    "m14_modality_curriculum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val sh = packedMedia(s, d)
+        .groupBy(col("lang"), col("shard"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("token_equiv")).as("tok_total"),
+          sum(when(col("kind") =!= "text", col("token_equiv"))
+            .otherwise(0L)).as("nontext_tok"))
+        .withColumn("diff_ppm",
+          expr("nontext_tok * 1000000 div greatest(tok_total, 1)"))
+        .transform(graft.Tables.stage) // sampled AND binned below
+      val smp = sh.withColumn("h", graft.ops.TextOps.hash60(
+          concat(lit("m14|"), col("lang"), lit("|"),
+            col("shard").cast("string"))))
+        .withColumn("brn", row_number().over(
+          Window.partitionBy(col("h") % 32)
+            .orderBy(col("h"), col("lang"), col("shard"))))
+        .filter(col("brn") <= 20)
+      val rk = smp.withColumn("rn", row_number().over(
+        Window.orderBy(col("diff_ppm"), col("lang"), col("shard"))))
+      val ns = rk.count() // ≤640 by construction — q91's bounded sample
+      val bounds = rk
+        .join(broadcast(s.range(1, 10).select(
+          expr(s"(id * ${ns}L) div 10").as("pos"))),
+          col("rn") === col("pos"))
+        .filter(col("pos") >= 1)
+        .select(col("diff_ppm")).as[Long]
+        .collect().sorted.toSeq // ≤9 longs on the driver (q91's budget)
+      val binExpr = bounds.map(b =>
+        when(col("diff_ppm") > lit(b), 1L).otherwise(0L))
+        .reduceOption[org.apache.spark.sql.Column](_ + _)
+        .getOrElse(lit(0L))
+      sh.withColumn("bin", binExpr)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_shards"),
+          sum(col("n_media")).as("n_media"),
+          sum(col("tok_total")).as("tok_total"),
+          min(col("diff_ppm")).as("min_diff_ppm"),
+          max(col("diff_ppm")).as("max_diff_ppm"))
+        .orderBy(col("bin"))
     })
   )
+
+  /** m9/m14's shared packed-item frame: each media item costed at m7's
+    * per-modality token-equivalent rate and assigned a fixed-budget
+    * sequence (shard) by t15's per-lang prefix-sum packing — the running
+    * sum partitions by lang, so no global single-partition window. */
+  private def packedMedia(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val media = Tables.fanout(Tables.documents(s, d))
+      .select(col("doc_id").as("media_id"), col("lang"),
+        expr("CASE doc_id % 3 WHEN 0 THEN 'text' WHEN 1 THEN 'image' " +
+          "ELSE 'audio' END").as("kind"),
+        length(col("text").cast("binary")).cast("long").as("byte_len"))
+      .withColumn("token_equiv",
+        expr("CASE kind WHEN 'text' THEN byte_len div 4 " +
+          "WHEN 'image' THEN 256 + byte_len div 1024 " +
+          "ELSE byte_len div 320 END"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("media_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    media
+      .withColumn("prefix_toks",
+        coalesce(sum(col("token_equiv")).over(w), lit(0L)))
+      .withColumn("shard", expr("prefix_toks div 2048"))
+  }
 
   /** m10/m11's shared pair kernel: the aHash-style 32-bit payload
     * fingerprint (bit_i = MSB of md5(tile_i), tiles = byte_len/32-wide
@@ -522,6 +645,112 @@ object MultimodalQueries {
         |  ON a.pos = b.pos AND a.fh = b.fh AND a.media_id < b.media_id
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY media_a, media_b""".stripMargin,
+    // m3's decode-stub feature mirror + the same integer rule battery
+    "m15_media_quality_gate" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(16 * (1 + ('0x' || substr(md5(text), 1, 2))::INT % 64)
+        |      AS BIGINT) AS width,
+        |    CAST(16 * (1 + ('0x' || substr(md5(text), 3, 2))::INT % 64)
+        |      AS BIGINT) AS height,
+        |    CAST(1 + ('0x' || substr(md5(text), 5, 2))::INT % 30
+        |      AS BIGINT) AS n_frames
+        |  FROM documents)
+        |SELECT media_id, width, height, n_frames,
+        |  least(width, height) >= 128 AS size_ok,
+        |  (width * 100 <= height * 300 AND height * 100 <= width * 300)
+        |    AS aspect_ok,
+        |  n_frames >= 4 AS frames_ok,
+        |  (least(width, height) >= 128
+        |   AND width * 100 <= height * 300 AND height * 100 <= width * 300
+        |   AND n_frames >= 4) AS keep
+        |FROM f ORDER BY media_id""".stripMargin,
+    // m2's window formula over the planted feed (repeat-period text —
+    // stride a multiple of the period, so samples collapse), then the
+    // two-level distinct/dominant agg.
+    "m16_static_clip" ->
+      s"""WITH $dkAsciiGuard,
+        |feed AS (
+        |  SELECT doc_id, text FROM ascii_docs
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, repeat(substring(text, 1, 16), 8)
+        |  FROM ascii_docs WHERE doc_id % 31 = 0),
+        |w AS (
+        |  SELECT doc_id AS media_id,
+        |    md5(substring(text,
+        |      1 + b.i * greatest(octet_length(encode(text)) // 4, 1), 12))
+        |      AS fh
+        |  FROM feed, (SELECT unnest([0,1,2,3]) AS i) b),
+        |c AS (SELECT media_id, fh, count(*) AS cnt FROM w GROUP BY 1, 2)
+        |SELECT media_id, CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(max(cnt) AS BIGINT) AS dom_count,
+        |  count(*) <= 2 AS is_static
+        |FROM c GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // m9's packing CTEs through the per-shard difficulty, then t42's
+    // reservoir/decile/strict-less bin mirror on the shard frame.
+    "m14_modality_curriculum" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id, lang,
+        |    CASE doc_id % 3 WHEN 0 THEN 'text' WHEN 1 THEN 'image'
+        |         ELSE 'audio' END AS kind,
+        |    octet_length(encode(text)) AS byte_len
+        |  FROM documents),
+        |tok AS (
+        |  SELECT media_id, lang, kind,
+        |    CASE kind WHEN 'text' THEN byte_len // 4
+        |      WHEN 'image' THEN 256 + byte_len // 1024
+        |      ELSE byte_len // 320 END AS token_equiv
+        |  FROM media),
+        |pre AS (
+        |  SELECT media_id, lang, kind, token_equiv,
+        |    CAST(coalesce(SUM(token_equiv) OVER (PARTITION BY lang
+        |      ORDER BY media_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS prefix_toks
+        |  FROM tok),
+        |sh AS (
+        |  SELECT lang, prefix_toks // 2048 AS shard,
+        |    CAST(COUNT(*) AS BIGINT) AS n_media,
+        |    CAST(SUM(token_equiv) AS BIGINT) AS tok_total,
+        |    CAST(SUM(CASE WHEN kind <> 'text' THEN token_equiv
+        |             ELSE 0 END) AS BIGINT) AS nontext_tok
+        |  FROM pre GROUP BY lang, shard),
+        |df AS (
+        |  SELECT lang, shard, n_media, tok_total,
+        |    (nontext_tok * 1000000) // greatest(tok_total, 1) AS diff_ppm
+        |  FROM sh),
+        |hs AS (
+        |  SELECT lang, shard, diff_ppm,
+        |    ('0x' || substr(md5('m14|' || lang || '|' || shard), 1, 15))
+        |      ::BIGINT AS h
+        |  FROM df),
+        |smp AS (
+        |  SELECT lang, shard, diff_ppm FROM (
+        |    SELECT lang, shard, diff_ppm,
+        |      ROW_NUMBER() OVER (PARTITION BY h % 32
+        |        ORDER BY h, lang, shard) AS brn
+        |    FROM hs) WHERE brn <= 20),
+        |rk AS (
+        |  SELECT diff_ppm, ROW_NUMBER() OVER (
+        |    ORDER BY diff_ppm, lang, shard) AS rn FROM smp),
+        |ns AS (SELECT CAST(max(rn) AS BIGINT) AS ns FROM rk),
+        |pos AS (
+        |  SELECT (g.i * n.ns) // 10 AS pos
+        |  FROM (SELECT unnest(generate_series(1, 9)) AS i) g, ns n),
+        |bounds AS (
+        |  SELECT rk.diff_ppm AS bval FROM pos p
+        |  JOIN rk ON rk.rn = p.pos WHERE p.pos >= 1),
+        |asg AS (
+        |  SELECT d.bin, d.n_media, d.tok_total, d.diff_ppm FROM (
+        |    SELECT df.*, (SELECT count(*) FROM bounds b
+        |                  WHERE b.bval < df.diff_ppm) AS bin
+        |    FROM df) d)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_shards,
+        |  CAST(sum(n_media) AS BIGINT) AS n_media,
+        |  CAST(sum(tok_total) AS BIGINT) AS tok_total,
+        |  CAST(min(diff_ppm) AS BIGINT) AS min_diff_ppm,
+        |  CAST(max(diff_ppm) AS BIGINT) AS max_diff_ppm
+        |FROM asg GROUP BY bin ORDER BY bin""".stripMargin,
     "m5_shared_patches" ->
       s"""WITH $dkAsciiGuard,
         |p AS (

@@ -100,6 +100,31 @@ object RelationalQueries {
     (lo, mid, hi)
   }
 
+  /** LB_Keogh lower bound (Keogh & Ratanamahatana 2002) matched to the
+    * band-1 DTW over `za`/`zb`: per column i, za_i clamps against zb's
+    * band envelope [least, greatest] over positions i−1..i+1. Every
+    * band-1 warping path visits every column i at some (i, j) with
+    * |i−j| ≤ 1, and (za_i − zb_j)² ≥ the clamped-envelope term there, so
+    * LB ≤ DTW² exactly — lb > τ² proves the DP would reject the pair.
+    * Emitted as a FLAT 8-term sum (no higher-order fold): fully
+    * codegen'd, so the interpreted 3-state DP fold runs only on LB
+    * survivors. The filter carries +1e-9 slack so float summation-order
+    * noise can never flip a boundary pair the DP keeps — the bound only
+    * discards pairs the τ-filter drops, leaving the oracle unchanged. */
+  private def lbKeoghExpr: String = {
+    val terms = (1 to 8).map { i =>
+      val nbrs = (math.max(1, i - 1) to math.min(8, i + 1))
+        .map(j => s"element_at(zb, $j)").mkString(", ")
+      val za = s"element_at(za, $i)"
+      s"(CASE WHEN $za > greatest($nbrs) THEN " +
+        s"($za - greatest($nbrs)) * ($za - greatest($nbrs)) " +
+        s"WHEN $za < least($nbrs) THEN " +
+        s"(least($nbrs) - $za) * (least($nbrs) - $za) " +
+        s"ELSE 0.0D END)"
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
   /** Spark expression string for the banded-DTW fold over columns
     * `za`/`zb` (ARRAY<DOUBLE>, 8 elements). */
   private def sparkDtwExpr: String = {
@@ -1587,10 +1612,19 @@ object RelationalQueries {
           s"ELSE (x - mean_$src) / std_$src END)")
       saxCandidatePairs(s, d)
         .withColumn("za", zn("a")).withColumn("zb", zn("b"))
+        // codegen'd LB_Keogh prune BEFORE the interpreted DP fold: the
+        // DP runs only on pairs the lower bound cannot reject
+        // ([[lbKeoghExpr]] — admission is provably unchanged).
+        .filter(expr(lbKeoghExpr) <= SaxDistTau2 + 1e-9)
         .withColumn("dtw2", expr(sparkDtwExpr))
         .filter(col("dtw2") <= SaxDistTau2)
         .select(col("user_a"), col("widx_a"), col("user_b"), col("widx_b"),
           round(col("dtw2"), 6).as("dtw2"))
+        // stage the (tiny) verified set before the global sort: orderBy
+        // plans a range exchange whose sampling pass evaluates the child
+        // — without the stage the interpreted DP fold runs TWICE over
+        // every candidate (measured as two ~30 s-CPU stages at sf0.1)
+        .transform(graft.Tables.stage)
         .orderBy(col("user_a"), col("widx_a"), col("user_b"), col("widx_b"))
     }),
 

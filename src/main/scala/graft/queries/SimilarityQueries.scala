@@ -18,6 +18,7 @@ object SimilarityQueries {
 
   val K = 10
   val NumQueries = 8       // query set = vec_id < 8
+  val AlignTauPpm = 280000L // m13 alignment-gate threshold (LAION shape)
   /** n21 sweep points: probe depths of the 8-list label index. */
   val NprobeSweep: Seq[Long] = Seq(1L, 2L, 4L)
   val NearDupTau = 0.9
@@ -119,7 +120,8 @@ object SimilarityQueries {
     * within a cluster only): the 100 TB pair generation, never
     * all-pairs. Shared by [[semDedupRemovals]]' shape and m8. */
   private def clusterNearDupPairs(v: DataFrame, tau: Double,
-      target: Long = 2500L, forceBits: Option[Int] = None): DataFrame = {
+      target: Long = 2500L, forceBits: Option[Int] = None,
+      knownN: Option[Long] = None): DataFrame = {
     // SemDeDup's "k ∝ N" knob made executable: the bucket count grows so
     // the EXPECTED bucket size stays ~2500, making the in-bucket pair
     // count ~N·2500/2 — linear in N — instead of (N/k)²·k, quadratic at
@@ -141,9 +143,14 @@ object SimilarityQueries {
     // the probe decades engage the second level.
     // forceBits pins the sign-bit count independent of N — n25's oracle
     // gate needs a corpus-size-independent bucket layout because the
-    // mirror SQL is a fixed string run at more than one SF.
+    // mirror SQL is a fixed string run at more than one SF. knownN feeds
+    // the corpus cardinality from persisted index stats
+    // ([[graft.ops.IvfIndex.plantedCount]]) so sizing the layout costs a
+    // 1-row metadata read, not a count() action over the corpus per
+    // invocation; the v.count() fallback remains for ad-hoc frames with
+    // no index behind them.
     val hBits = forceBits.getOrElse {
-      val k = math.max(KmK, (v.count() / target).toInt)
+      val k = math.max(KmK, (knownN.getOrElse(v.count()) / target).toInt)
       math.max(0,
         math.ceil(math.log(k.toDouble / KmK) / math.log(2)).toInt)
     }
@@ -403,7 +410,11 @@ object SimilarityQueries {
     // measures exactly that.
     "m8_batch_negatives" -> ((s, d) => {
       val v = plantedVecs(s, d)
-      batchNegativesAudit(v, clusterNearDupPairs(v, SemTauProd))
+      // bucket layout sized from the persisted index's 1-row stats
+      // (n_vecs + n_planted ≡ |plantedVecs| exactly) — no count() action
+      // over the corpus in this query's job graph.
+      batchNegativesAudit(v, clusterNearDupPairs(v, SemTauProd,
+        knownN = Some(graft.ops.IvfIndex.plantedCount(s, d))))
     }),
 
     // m8's exact-truth validator twin: the SAME audit over the
@@ -1184,6 +1195,41 @@ object SimilarityQueries {
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           col("lang").as("nbr_lang"), col("source").as("nbr_source"),
           col("cos_sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Cross-modal ALIGNMENT GATE over m6's retrieval pairs — the LAION
+    // CLIP-filter shape (Schuhmann et al. 2021: keep an (image, caption)
+    // pair iff its cross-modal similarity clears a fixed threshold),
+    // with the scorer a FIXED LINEAR combination so it is transcendental-
+    // free and engine-exact (t20's logit discipline): embedding cosine
+    // in ppm (floor — both engines compute the identical IEEE cosine, so
+    // the floor is bit-deterministic) + language-match and source-match
+    // prior bonuses − a capped length-mismatch penalty from the doc
+    // metadata both modalities share. Output per retrieval pair: the
+    // score and the keep verdict at [[AlignTauPpm]]. Scale shape: k·|Q|
+    // pairs (tiny) broadcast-join INTO the metadata table twice — the
+    // corpus is never shuffled; the gate itself is one codegen'd
+    // projection. */
+    "m13_caption_align" -> ((s, d) => {
+      val v = vecs(s, d)
+      val meta = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      bruteForceTopK(v.filter(col("id") < NumQueries), v, 3)
+        .join(meta.select(col("doc_id").as("query_id"),
+          col("lang").as("lang_q"), col("source").as("src_q"),
+          col("n_chars").as("nc_q")), "query_id")
+        .join(meta.select(col("doc_id").as("neighbor_id"),
+          col("lang").as("lang_n"), col("source").as("src_n"),
+          col("n_chars").as("nc_n")), "neighbor_id")
+        .withColumn("align_ppm",
+          expr("CAST(floor(cos_sim * 1000000.0D) AS BIGINT)")
+            + when(col("lang_q") === col("lang_n"), 100000L).otherwise(0L)
+            + when(col("src_q") === col("src_n"), 50000L).otherwise(0L)
+            - least(abs(col("nc_q") - col("nc_n")) * 1000L, lit(100000L)))
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("align_ppm"),
+          (col("align_ppm") >= AlignTauPpm).as("keep"))
         .orderBy(col("query_id"), col("rank"))
     })
   )
@@ -2850,6 +2896,38 @@ object SimilarityQueries {
          |  d.lang AS nbr_lang, d.source AS nbr_source,
          |  round(r.cos, 6) AS cos_sim
          |FROM ranked r JOIN documents d ON d.doc_id = r.neighbor_id
-         |WHERE r.rank <= 3 ORDER BY r.query_id, r.rank""".stripMargin
+         |WHERE r.rank <= 3 ORDER BY r.query_id, r.rank""".stripMargin,
+    // m6's brute-force chain + both sides' metadata + the identical
+    // fixed linear scorer (floor of the same IEEE cosine, integer
+    // bonuses/penalty) and threshold.
+    "m13_caption_align" ->
+      s"""WITH v AS (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT a.id AS query_id, b.id AS neighbor_id,
+         |         $dkDot / sqrt(${dkNorm2("a")} * ${dkNorm2("b")}) AS cos
+         |  FROM v a, v b
+         |  WHERE a.id < $NumQueries AND b.id <> a.id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, round(cos, 6) AS cos_sim,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored),
+         |al AS (
+         |  SELECT r.query_id, r.rank, r.neighbor_id,
+         |    CAST(floor(r.cos_sim * 1000000.0) AS BIGINT)
+         |      + CASE WHEN dq.lang = dn.lang THEN 100000 ELSE 0 END
+         |      + CASE WHEN dq.source = dn.source THEN 50000 ELSE 0 END
+         |      - least(abs(dq.n_chars - dn.n_chars) * 1000, 100000)
+         |      AS align_ppm
+         |  FROM ranked r
+         |  JOIN documents dq ON dq.doc_id = r.query_id
+         |  JOIN documents dn ON dn.doc_id = r.neighbor_id
+         |  WHERE r.rank <= 3)
+         |SELECT query_id, rank, neighbor_id, align_ppm,
+         |  align_ppm >= $AlignTauPpm AS keep
+         |FROM al ORDER BY query_id, rank""".stripMargin
   )
 }

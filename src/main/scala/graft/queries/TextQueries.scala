@@ -988,28 +988,37 @@ object TextQueries {
           struct(lit(n.toLong).as("n"), g.as("g"), col("s").as("gs"),
             col(s"e${n - 1}").as("ge")))
       }
-      // gram instances feed BOTH the top-gram agg and the dup-coverage
-      // join — checkpoint so the double windows upstream run once
-      val gi = l.select(col("doc_id"), explode(array(giStructs: _*)).as("gr"))
+      // FUSED gram stage: the top-gram stats and the dup-coverage rows
+      // previously took TWO corpus-sized materializations (the raw
+      // instance frame plus an aggregated (doc,n,g) count table) and a
+      // join shipping the instance frame through a third exchange. The
+      // per-gram stats now ride INTO each instance row through one
+      // window over (doc_id, n, g) — c (occurrences), cl (max span),
+      // grn (instance rank, so grn = 1 IS the distinct-gram row topp
+      // needs without re-aggregating) — and the single staged frame
+      // feeds both readouts. At the 100× decade the 9-way melt is
+      // ~250M rows; this halves what stages through the disk (the
+      // probe-measured t52 bottleneck was stage-frame I/O, not compute).
+      val wg = Window.partitionBy("doc_id", "n", "g")
+      val gw = l.select(col("doc_id"), explode(array(giStructs: _*)).as("gr"))
         .filter(col("gr").isNotNull)
         .select(col("doc_id"), col("gr.n").as("n"), col("gr.g").as("g"),
           col("gr.gs").as("s"), col("gr.ge").as("e"))
-        .transform(graft.Tables.stage)
-      val gc = gi.groupBy(col("doc_id"), col("n"), col("g"))
-        .agg(count(lit(1)).as("c"), max(col("e") - col("s")).as("cl"))
+        .withColumn("c", count(lit(1)).over(wg))
+        .withColumn("cl", max(col("e") - col("s")).over(wg))
+        .withColumn("grn", row_number().over(
+          wg.orderBy(col("s"), col("e"))))
         .transform(graft.Tables.stage)
       val wTop = Window.partitionBy("doc_id", "n")
         .orderBy(col("c").desc, col("cl").desc, col("g").asc)
-      val topp = gc.filter(col("n") <= 4)
+      val topp = gw.filter(col("n") <= 4 && col("grn") === 1)
         .withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
         .groupBy(col("doc_id"))
         .agg(max(when(col("n") === 2, col("c") * col("cl"))).as("top2_chars"),
           (3 to 4).map(n => max(when(col("n") === n, col("c") * col("cl")))
             .as(s"top${n}_chars")): _*)
       val wCov = Window.partitionBy("doc_id", "n").orderBy("s", "e")
-      val covp = gi
-        .join(gc.filter(col("c") >= 2 && col("n") >= 3)
-          .select("doc_id", "n", "g"), Seq("doc_id", "n", "g"))
+      val covp = gw.filter(col("c") >= 2 && col("n") >= 3)
         .withColumn("ni", when(col("s") > coalesce(
           max(col("e")).over(wCov.rowsBetween(Window.unboundedPreceding, -1)),
           lit(-1L)), 1L).otherwise(0L))

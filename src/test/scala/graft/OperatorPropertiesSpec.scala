@@ -192,7 +192,15 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       // waterfill over the serve-only t57 frame), two-level buckets
       // (deterministic Lloyd init + literal hyperplanes)
       "m11_phash_collapse", "m12_frame_seq_neardup", "p10_mixture_loop",
-      "n25_twolevel_buckets")
+      "n25_twolevel_buckets",
+      // caption-align gate (broadcast NLJ top-k + metadata joins — the
+      // scorer is a pure per-pair projection) and modality curriculum
+      // (m9's total (lang, media_id) pack order + md5-decided reservoir
+      // — both split-independent by construction)
+      "m13_caption_align", "m14_modality_curriculum",
+      // decode-feature gate (pure per-row projection over the typed
+      // decode path) and static-clip detection (per-media hash agg)
+      "m15_media_quality_gate", "m16_static_clip")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {

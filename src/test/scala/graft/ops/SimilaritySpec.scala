@@ -15,6 +15,17 @@ class SimilaritySpec extends SparkSpecBase {
     assert(dims.sameElements(Array(64)))
   }
 
+  test("persisted index stats carry the exact planted-corpus cardinality") {
+    // m8's bucket-growth knob sizes its layout from IvfIndex.plantedCount
+    // instead of a per-query count() action — the 1-row stats read must
+    // equal |plantedVecs| exactly (n_vecs + |id % PlantMod == 0|, no id-
+    // density assumption).
+    import graft.queries.SimilarityQueries.PlantMod
+    val n = vecs.count() +
+      vecs.filter(col("id") % PlantMod === 0).count()
+    assert(IvfIndex.plantedCount(spark, sfDir) == n)
+  }
+
   test("cosine of a vector with itself is 1.0") {
     val self = vecs.limit(5)
       .withColumn("cos", cosine(dot(col("emb"), col("emb")),
