@@ -169,6 +169,89 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Sakoe-Chiba band-1 DTW between two 8-point z-normalized windows —
+    * the native codegen twin of q79c's fold-expressed DP
+    * ([[graft.queries.RelationalQueries]], `sparkDtwExpr`). Arithmetic is
+    * IDENTICAL to the higher-order aggregate both engines run: the same
+    * 3-state recurrence
+    *   lo' = d(i,i−1) + min(mid, lo)
+    *   mid' = d(i,i)  + min(hi, lo', mid)
+    *   hi'  = i<8 ? d(i,i+1) + min(mid', hi) : ∞
+    * seeded (∞, d(1,1), d(1,2)+d(1,1)), answer = final mid. min picks one
+    * operand exactly and every addition pairs the same two values, so the
+    * result is BIT-identical to the interpreted fold (pinned in
+    * `PropertySpec`) — swapping it in changes no oracle bit. The win is
+    * evaluation strategy only: a tight primitive loop in the generated
+    * stage instead of 7 interpreted named_struct constructions per pair
+    * (measured ~1 ms/pair interpreted at sf0.1 — the q79c hot loop).
+    * Inputs must be 8-element ARRAY<DOUBLE>; anything else → null (the
+    * fold would produce garbage on ≠8 silently — null is stricter). */
+  case class BandedDtw8(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult = checkVecInputs(left, right)
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      if (x.numElements() != 8 || y.numElements() != 8) null
+      else {
+        @inline def d(i: Int, j: Int): Double = {
+          val t = x.getDouble(i - 1) - y.getDouble(j - 1); t * t
+        }
+        var lo = Double.PositiveInfinity
+        var mid = d(1, 1)
+        var hi = d(1, 2) + d(1, 1)
+        var i = 2
+        while (i <= 8) {
+          val nlo = d(i, i - 1) + math.min(mid, lo)
+          val nmid = d(i, i) + math.min(hi, math.min(nlo, mid))
+          val nhi = if (i < 8) d(i, i + 1) + math.min(nmid, hi)
+            else Double.PositiveInfinity
+          lo = nlo; mid = nmid; hi = nhi
+          i += 1
+        }
+        mid
+      }
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val (lo, mid, hi) = (ctx.freshName("lo"), ctx.freshName("mid"),
+          ctx.freshName("hi"))
+        val (nlo, nmid, nhi) = (ctx.freshName("nlo"), ctx.freshName("nmid"),
+          ctx.freshName("nhi"))
+        val (i, t) = (ctx.freshName("i"), ctx.freshName("t"))
+        def d(ii: String, jj: String) =
+          s"($t = $a.getDouble(($ii) - 1) - $b.getDouble(($jj) - 1)) * $t"
+        s"""
+           |if ($a.numElements() != 8 || $b.numElements() != 8) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $t;
+           |  double $lo = Double.POSITIVE_INFINITY;
+           |  double $mid = ${d("1", "1")};
+           |  double $hi = (${d("1", "2")}) + (${d("1", "1")});
+           |  for (int $i = 2; $i <= 8; $i++) {
+           |    double $nlo = (${d(i, s"$i - 1")}) + Math.min($mid, $lo);
+           |    double $nmid = (${d(i, i)})
+           |      + Math.min($hi, Math.min($nlo, $mid));
+           |    double $nhi = ($i < 8)
+           |      ? (${d(i, s"$i + 1")}) + Math.min($nmid, $hi)
+           |      : Double.POSITIVE_INFINITY;
+           |    $lo = $nlo; $mid = $nmid; $hi = $nhi;
+           |  }
+           |  ${ev.value} = $mid;
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   // Column-API surface
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
@@ -176,4 +259,6 @@ object VectorExpressions {
     Bridge.column(VecNorm2(Bridge.expression(a)))
   def cosine_sim(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
+  def banded_dtw8(a: Column, b: Column): Column =
+    Bridge.column(BandedDtw8(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -41,8 +41,10 @@ object RelationalQueries {
   val CusumH = 5         // q80 alarm threshold, in mean-absolute-deviations
 
   /** q79b/q79c's shared candidate pairs: capped-word SAX window pairs
-    * across users, carrying both windows' arrays and stats. */
-  private def saxCandidatePairs(s: SparkSession, d: String): DataFrame = {
+    * across users, carrying both windows' arrays and stats.
+    * (private[graft]: DtwKernelSpec pins the native DP kernel against
+    * the fold formulation over exactly this frame.) */
+  private[graft] def saxCandidatePairs(s: SparkSession, d: String): DataFrame = {
     val wins = saxWindows(s, d).transform(graft.Tables.stage)
     val hot = wins.groupBy(col("word_id")).agg(count(lit(1)).as("nw"))
       .filter(col("nw") <= SaxWordCap).select(col("word_id"))
@@ -126,8 +128,12 @@ object RelationalQueries {
   }
 
   /** Spark expression string for the banded-DTW fold over columns
-    * `za`/`zb` (ARRAY<DOUBLE>, 8 elements). */
-  private def sparkDtwExpr: String = {
+    * `za`/`zb` (ARRAY<DOUBLE>, 8 elements). Kept as the REFERENCE
+    * formulation: q79c's hot path runs the native codegen twin
+    * ([[graft.functions.VectorExpressions.BandedDtw8]] — bit-identical,
+    * pinned in `DtwKernelSpec`); this fold is what the DuckDB oracle
+    * mirrors symbol-for-symbol. */
+  private[graft] def sparkDtwExpr: String = {
     def d(i: String, j: String) =
       s"((element_at(za, $i) - element_at(zb, $j)) * " +
         s"(element_at(za, $i) - element_at(zb, $j)))"
@@ -1616,7 +1622,10 @@ object RelationalQueries {
         // DP runs only on pairs the lower bound cannot reject
         // ([[lbKeoghExpr]] — admission is provably unchanged).
         .filter(expr(lbKeoghExpr) <= SaxDistTau2 + 1e-9)
-        .withColumn("dtw2", expr(sparkDtwExpr))
+        // native codegen'd DP (bit-identical to the fold the oracle
+        // mirrors — DtwKernelSpec pins equality on this candidate set)
+        .withColumn("dtw2", graft.functions.VectorExpressions
+          .banded_dtw8(col("za"), col("zb")))
         .filter(col("dtw2") <= SaxDistTau2)
         .select(col("user_a"), col("widx_a"), col("user_b"), col("widx_b"),
           round(col("dtw2"), 6).as("dtw2"))
