@@ -218,6 +218,18 @@ object ScaleProbe {
       spark.conf.set("spark.graft.stageLevel", "DISK_ONLY")
       val reps = if (args.length >= 3) args(2).toInt else 3
       val q = SparkEntry.queries(args(1))
+      // optional 4th arg "warm10x": run the query once at the 10× corpus
+      // first (the full probe's execution order) — separates per-JVM
+      // warmup shared across scales (codegen/JIT of the same plan
+      // shapes) from genuinely scale-specific first-run cost.
+      if (args.length >= 4 && args(3) == "warm10x") {
+        ensureCorpus(spark, G10xDir, 10)
+        Tables.withFanoutParts(256) {
+          q(spark, G10xDir).write.format("noop").mode("overwrite").save()
+        }
+        dropPinned()
+        System.err.println(s"[scale-probe] ${args(1)} warmed at 10x")
+      }
       val ts = (1 to reps).map { i =>
         val t = Tables.withFanoutParts(256) {
           time(q(spark, G100xDir)
