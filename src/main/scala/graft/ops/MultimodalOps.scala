@@ -66,4 +66,16 @@ object MultimodalOps {
   def sampleWindows(media: DataFrame, n: Int, window: Int): DataFrame =
     media.withColumn("windows", array((0 until n).map(i =>
       expr(s"substring(payload, 1 + $i * CAST(greatest(byte_len DIV $n, 1) AS INT), $window)")): _*))
+
+  /** The aHash-style 32-bit payload fingerprint (m10/m11's spatial
+    * kernel, shared with the streaming admission gate): bit_i = MSB of
+    * md5(tile_i) over a fixed 32-tile grid — a local edit flips only the
+    * touched tiles' bits, so lightly-edited payloads of the same length
+    * land within small Hamming distance. Column-coupled: expects
+    * `payload` (BINARY) and `tw` (tile width, BIGINT) in scope. */
+  def phash32: org.apache.spark.sql.Column = expr(
+    """aggregate(sequence(0, 31), 0L, (acc, i) ->
+      |  acc + IF(substring(md5(substring(payload,
+      |        CAST(i * tw + 1 AS INT), CAST(tw AS INT))), 1, 1) >= '8',
+      |    shiftleft(1L, i), 0L))""".stripMargin)
 }

@@ -408,11 +408,7 @@ object MultimodalQueries {
     val media = asMediaRecords(Tables.documents(s, d), "doc_id", "text", "doc")
     val ph = media
       .withColumn("tw", greatest(expr("byte_len div 32"), lit(1L)))
-      .withColumn("phash", expr(
-        """aggregate(sequence(0, 31), 0L, (acc, i) ->
-          |  acc + IF(substring(md5(substring(payload,
-          |        CAST(i * tw + 1 AS INT), CAST(tw AS INT))), 1, 1) >= '8',
-          |    shiftleft(1L, i), 0L))""".stripMargin))
+      .withColumn("phash", phash32)
       .select(col("media_id").as("doc_id"), col("phash"))
     graft.ops.DedupOps.simhashPairs(
       graft.ops.DedupOps.simhashBands(ph, col("phash")), 3)
