@@ -126,6 +126,7 @@ object Bench {
     "m10_phash_neardup", "m11_phash_collapse", "m12_frame_seq_neardup",
     "m13_caption_align", "m14_modality_curriculum",
     "m15_media_quality_gate", "m16_static_clip",
+    "m17_crossmodal_consistency",
     "p1_curation_ledger", "p2_rag_serve", "p3_delta_refresh",
     "p4_disposition", "p5_manifest", "p6_shard_repack", "p7_run_report",
     "p8_train_order", "p9_resume_plan", "p10_mixture_loop")

@@ -527,6 +527,11 @@ object DedupQueries {
         .select(col("u").as("doc_id"), col("degree"),
           col("ball2_denom"), col("ball2_empty"), col("ball2_est"),
           coalesce(col("est_tri"), lit(0L)).as("est_tri"))
+        // NOT staged before the sort (unlike q79c): the heavy inputs
+        // (edges/regs1/sampled) are already checkpointed above, so the
+        // range-sampling re-eval repeats only the final merge — measured
+        // within noise at sf0.1 — and a stage here would hide the four
+        // pinned exchanges from PlanGuardSpec's AQE guard.
         .orderBy(col("doc_id"))
     }),
 
@@ -1787,7 +1792,9 @@ object DedupQueries {
     * named shared constant d7/d10/d21 all build on. Factored (rather than
     * string-replacing d7's final SELECT out) so a rewording of the tail
     * can never silently no-op the replace into malformed SQL. */
-  private val dkSimhashClosureCtes: String =
+  /** (private[graft]: m17's cross-modal consistency oracle composes this
+    * text-side closure with the payload-side phash closure.) */
+  private[graft] val dkSimhashClosureCtes: String =
     s"""WITH RECURSIVE h AS (SELECT doc_id, $dkTokenHashes AS hs FROM documents),
        |sh AS (SELECT doc_id, $dkSimhashExpr AS simhash FROM h),
        |bands AS (

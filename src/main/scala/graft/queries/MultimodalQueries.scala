@@ -321,6 +321,44 @@ object MultimodalQueries {
         .orderBy(col("media_id"))
     }),
 
+    // Cross-modal CONSISTENCY audit — do the caption-side and the
+    // payload-side near-dup signals agree? Text near-dup membership
+    // comes from the persisted DedupIndex star forest (d7's canonical
+    // labels, the d21/d27 serve discipline); payload membership from
+    // m11's phash components. Per doc: both flags plus the verdict
+    // ('both' / 'caption_only' / 'payload_only' / 'neither') — the
+    // disagreement classes are exactly the media a multimodal curation
+    // run routes to review (caption copied under a new image, image
+    // re-encoded under a new caption). Scale shape: two (id, flag)
+    // frames joined on doc_id — component sizes are |components|-row
+    // aggs on already-built label frames; no payload or token bytes
+    // move.
+    "m17_crossmodal_consistency" -> ((s, d) => {
+      val docsDf = Tables.documents(s, d)
+      val tCanon = graft.ops.DedupIndex.canonicalDf(s,
+        graft.ops.DedupIndex.ensure(s, d))
+      val tFlag = tCanon
+        .join(tCanon.groupBy(col("canon_id")).agg(count(lit(1)).as("tn")),
+          "canon_id")
+        .select(col("doc_id"), (col("tn") >= 2).as("t_dup"))
+      val media = asMediaRecords(docsDf, "doc_id", "text", "doc")
+      val pLabels = graft.ops.DedupOps.starComponents(
+        phashPairs(s, d).select(col("doc_a"), col("doc_b")),
+        media.select(col("media_id").as("doc_id")))
+      val pFlag = pLabels
+        .join(pLabels.groupBy(col("canon_id")).agg(count(lit(1)).as("pn")),
+          "canon_id")
+        .select(col("doc_id"), (col("pn") >= 2).as("p_dup"))
+      tFlag.join(pFlag, "doc_id")
+        .withColumn("verdict", expr(
+          """CASE WHEN t_dup AND p_dup THEN 'both'
+            |     WHEN t_dup THEN 'caption_only'
+            |     WHEN p_dup THEN 'payload_only'
+            |     ELSE 'neither' END""".stripMargin))
+        .select(col("doc_id"), col("t_dup"), col("p_dup"), col("verdict"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Modality CURRICULUM over m9's packed sequences — t42's curriculum
     // logic reused on the multimodal frame: each packed sequence's
     // difficulty is its NON-TEXT token share (ppm — curriculum designers
@@ -682,6 +720,62 @@ object MultimodalQueries {
         |  CAST(max(cnt) AS BIGINT) AS dom_count,
         |  count(*) <= 2 AS is_static
         |FROM c GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // BOTH closures from scratch in one statement (the d46 fresh-names
+    // discipline: the text side keeps d7's CTE names, the payload side
+    // is p-prefixed), then the per-side size flags and the CASE verdict.
+    // The Spark side serves the text labels from the persisted
+    // DedupIndex — byte-equality here proves the served forest matches
+    // the from-scratch closure, the d21/d27 contract.
+    "m17_crossmodal_consistency" ->
+      s"""${DedupQueries.dkSimhashClosureCtes},
+        |$dkAsciiGuard,
+        |pm AS (
+        |  SELECT doc_id AS media_id, text,
+        |    greatest(octet_length(encode(text)) // 32, 1) AS tw
+        |  FROM ascii_docs),
+        |pph AS (
+        |  SELECT media_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 31), i ->
+        |      CASE WHEN substr(md5(substring(text,
+        |             CAST(i * tw + 1 AS INT), CAST(tw AS INT))), 1, 1) >= '8'
+        |           THEN (CAST(1 AS BIGINT) << i) ELSE 0 END))
+        |      AS BIGINT) AS phash
+        |  FROM pm),
+        |pbands AS (
+        |  SELECT media_id, phash, b.band_idx,
+        |         (phash >> (b.band_idx * 8)) & 255 AS band_val
+        |  FROM pph, (SELECT unnest([0,1,2,3]) AS band_idx) b),
+        |pjp AS (
+        |  SELECT DISTINCT l.media_id AS media_a, r.media_id AS media_b
+        |  FROM pbands l JOIN pbands r
+        |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+        |   AND l.media_id < r.media_id
+        |  WHERE bit_count(xor(l.phash, r.phash)) <= 3),
+        |pedges AS (
+        |  SELECT media_a AS src, media_b AS dst FROM pjp
+        |  UNION ALL SELECT media_b, media_a FROM pjp),
+        |preach AS (
+        |  SELECT src, dst FROM pedges
+        |  UNION
+        |  SELECT r.src, e.dst FROM preach r JOIN pedges e ON r.dst = e.src),
+        |pcanon AS (
+        |  SELECT d.doc_id,
+        |    least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS canon_id
+        |  FROM documents d LEFT JOIN preach r ON r.src = d.doc_id
+        |  GROUP BY d.doc_id),
+        |tsz AS (SELECT canon_id, count(*) AS tn FROM canon GROUP BY canon_id),
+        |tflag AS (SELECT c.doc_id, s.tn >= 2 AS t_dup
+        |          FROM canon c JOIN tsz s USING (canon_id)),
+        |psz AS (SELECT canon_id, count(*) AS pn FROM pcanon GROUP BY canon_id),
+        |pflag AS (SELECT c.doc_id, s.pn >= 2 AS p_dup
+        |          FROM pcanon c JOIN psz s USING (canon_id))
+        |SELECT t.doc_id, t.t_dup, p.p_dup,
+        |  CASE WHEN t.t_dup AND p.p_dup THEN 'both'
+        |       WHEN t.t_dup THEN 'caption_only'
+        |       WHEN p.p_dup THEN 'payload_only'
+        |       ELSE 'neither' END AS verdict
+        |FROM tflag t JOIN pflag p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // m9's packing CTEs through the per-shard difficulty, then t42's
     // reservoir/decile/strict-less bin mirror on the shard frame.
     "m14_modality_curriculum" ->

@@ -200,7 +200,10 @@ class OperatorPropertiesSpec extends SparkSpecBase {
       "m13_caption_align", "m14_modality_curriculum",
       // decode-feature gate (pure per-row projection over the typed
       // decode path) and static-clip detection (per-media hash agg)
-      "m15_media_quality_gate", "m16_static_clip")
+      "m15_media_quality_gate", "m16_static_clip",
+      // cross-modal consistency (served star forest + phash star-CC —
+      // both label frames split-invariant)
+      "m17_crossmodal_consistency")
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def rows(parts: Int): Seq[String] = {
