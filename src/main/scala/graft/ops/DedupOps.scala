@@ -349,16 +349,35 @@ object DedupOps {
     // recomputed per round. Production CC does exactly this (edges to
     // stable storage first). persist + explicit unpersist (not
     // localCheckpoint) so the big cached table is FREED on return.
+    val stageLvl = pairs.sparkSession.conf
+      .getOption("spark.graft.stageLevel")
+      .map(org.apache.spark.storage.StorageLevel.fromString)
+      .getOrElse(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edges.count()
+    val nEdges = edges.count()
     var labels = docs.select(col("doc_id"), col("doc_id").as("canon_id"))
-    // the superseded round's localCheckpoint RDD — freed once the new round
-    // is materialized and compared, so at most ONE prior copy of the labels
-    // table sits in block-manager storage (not maxIters copies)
-    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
-    var converged = false
+    // Fixpoint detection rides the per-round materializing agg: canon
+    // labels are pointwise NON-INCREASING (every update is a least(...)
+    // against the node's own label), so Σ canon_id is strictly
+    // decreasing until the fixpoint and sum equality is EXACT
+    // convergence — one sum() per round replaces the earlier
+    // checkpoint-then-changed-count pair of driver actions per checked
+    // round. (No overflow: Σ id over n nodes is ≤ n·max_id ≈ 1e18 at
+    // 1e9 nodes — inside BIGINT.) `uncheckedRounds` is retained for API
+    // compatibility but superseded: the gate is free on every round.
+    val _ = uncheckedRounds
+    // No initial sum needed: a NONEMPTY edge set always decreases the
+    // sum in round 1 (its (a < b) edge drops b's label), so round 1 can
+    // never be the fixpoint of the initial labels; the sentinel keeps
+    // the first comparison trivially false (ids are non-negative).
+    var sumPrev = Long.MinValue
+    // the superseded round's checkpoint RDD — freed once the new round
+    // is materialized, so at most ONE prior copy of the labels table
+    // sits in block-manager storage (not maxIters copies)
+    var prevPin: Option[org.apache.spark.rdd.RDD[_]] = None
+    var converged = nEdges == 0L
     var i = 0
     while (!converged && i < maxIters) {
       val nbrMin = edges.join(labels, edges("src") === labels("doc_id"))
@@ -378,25 +397,26 @@ object DedupOps {
         .select(col("p.doc_id").as("doc_id"),
           least(col("p.canon_id"), coalesce(col("c_canon"), col("p.canon_id")))
             .as("canon_id"))
-      // materialize FIRST (truncates lineage), THEN run the fixpoint count
-      // against the materialized round — otherwise the count evaluates the
-      // edge join once and the checkpoint evaluates it again
-      val nextM = next.transform(graft.Tables.stage)
-      // fixpoint count only on checked rounds — each count is a driver
-      // round-trip; early rounds of a pointer-doubled propagation are
-      // known-unconverged, so counting them buys nothing
-      converged = i >= uncheckedRounds && {
-        nextM.alias("n")
-          .join(labels.alias("o"), col("n.doc_id") === col("o.doc_id"))
-          .filter(col("n.canon_id") < col("o.canon_id")).count() == 0
-      }
-      // the old round's last reader (the count, or the eager checkpoint's
-      // propagation join) is done — free its checkpoint storage before it
-      // piles up (the FINAL round's checkpoint intentionally stays
-      // persisted: the caller consumes it)
-      prevCkpt.foreach(_.unpersist(blocking = false))
-      prevCkpt = org.apache.spark.sql.graftbridge.Bridge.checkpointedRdd(nextM)
-      labels = nextM
+        // LAZY localCheckpoint, not persist: the round's plan truncates
+        // to a LogicalRDD immediately (each round references the
+        // previous one 4× — nbrMin×1 + prop self-join×2 — so an
+        // un-truncated lineage grows 4^k logical nodes and analysis +
+        // the per-action explainString go exponential; measured: d35's
+        // SECOND starComponents call spent >15 min of driver CPU in
+        // generateTreeString over the leaked tree), while eager=false
+        // keeps the round at ONE driver action — the convergence agg
+        // below is what materializes the checkpoint's partitions.
+        .localCheckpoint(false, stageLvl)
+      // ONE action: materializes the round's checkpoint (every
+      // partition — the next round consumes it twice and must hit the
+      // checkpoint cache, not lineage) and reads back the convergence sum
+      val s = next.agg(coalesce(sum(col("canon_id")), lit(0L)))
+        .first().getLong(0)
+      converged = s == sumPrev
+      prevPin.foreach(_.unpersist(blocking = false))
+      prevPin = org.apache.spark.sql.graftbridge.Bridge.checkpointedRdd(next)
+      sumPrev = s
+      labels = next
       i += 1
     }
     edges.unpersist()
@@ -427,31 +447,49 @@ object DedupOps {
     *    endpoint) links its smaller-or-equal neighborhood and itself to
     *    its minimum — collapsing chains into stars.
     *
-    * Convergence = edge set stable across a full round (set equality via
-    * ONE full-outer join on the canonical orientation — both sides are
-    * already-distinct, already-shrunk frames, so any null side is a
-    * difference). At the fixpoint the edge set IS the star forest
-    * (child → component-min), so the readout is one left join.
-    * `uncheckedRounds` skips the stability job for that many initial
-    * rounds (chains shorter than 3 are the only graphs that converge in
-    * ≤2 rounds — the connectedComponents uncheckedRounds discipline). */
+    * Convergence = edge set stable across a full round: the per-round
+    * materializing count() doubles as a free gate (|E| unchanged is
+    * necessary for stability), and only count-matching rounds pay the
+    * exact set-equality check (ONE full-outer join on the canonical
+    * orientation — both sides are already-distinct, already-shrunk
+    * frames, so any null side is a difference). At the fixpoint the edge
+    * set IS the star forest (child → component-min), so the readout is
+    * one left join. `uncheckedRounds` is retained for API compatibility
+    * but superseded by the count gate (see the loop comment). */
   def starComponents(pairs: DataFrame, docs: DataFrame,
       maxIters: Int = 30, uncheckedRounds: Int = 0): DataFrame = {
-    // canonical (small, large) orientation, self-loops dropped
+    // canonical (small, large) orientation, self-loops dropped. Each
+    // round costs exactly ONE driver action: the round's edge set is
+    // LAZILY localCheckpointed (plan truncation — see the loop comment)
+    // and materialized by a count(), and the count doubles as a
+    // FIXPOINT GATE — |ss| ≠ |e| proves the sets differ, so the
+    // full-outer set-equality join (a second action) runs only on
+    // rounds whose counts match, i.e. normally once, at the actual
+    // fixpoint. The earlier form paid 2 driver round-trips per round
+    // (an eager localCheckpoint + the equality join on every checked
+    // round), which DOMINATED the small-graph callers — d36's four
+    // contraction sweeps spent ~60 driver-latency-bound stages on ≤60k-
+    // edge graphs.
+    val stageLvl = pairs.sparkSession.conf
+      .getOption("spark.graft.stageLevel")
+      .map(org.apache.spark.storage.StorageLevel.fromString)
+      .getOrElse(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var e = pairs
       .select(least(col("doc_a"), col("doc_b")).as("lo"),
         greatest(col("doc_a"), col("doc_b")).as("hi"))
       .filter(col("lo") =!= col("hi")).distinct()
       .transform(graft.Tables.stage)
-    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
-    var converged = e.isEmpty
+    var prevPin: Option[org.apache.spark.rdd.RDD[_]] = None
+    var nPrev = e.count()
+    var converged = nPrev == 0L
     var i = 0
-    // clamp so the last in-budget round is always a CHECKED round: a
-    // fixpoint reached during the unchecked prefix is a no-op for every
-    // later round, so checking round maxIters-1 detects it — without the
-    // clamp, uncheckedRounds >= maxIters exits converged=false and the
-    // require below throws on an actually-converged edge set.
-    val uc = math.min(uncheckedRounds, maxIters - 1)
+    // uncheckedRounds is retained for API compatibility but SUPERSEDED
+    // by the count gate: its purpose was to skip known-futile equality
+    // joins on early rounds, and the count comparison now does that for
+    // free on every round (a non-fixpoint round almost always changes
+    // |e|), while still detecting an early fixpoint the fixed unchecked
+    // prefix would have run extra full rounds past.
+    val _ = uncheckedRounds
     while (!converged && i < maxIters) {
       // large-star over the symmetrized adjacency: per center c,
       // m = min(neighbors ∪ c); larger neighbors re-link to m. The
@@ -473,15 +511,33 @@ object DedupOps {
         .select(col("m").as("lo"), col("lo").as("hi"))
         .union(sMin.select(col("m").as("lo"), col("hi")))
         .distinct()
-        .transform(graft.Tables.stage)
+        // LAZY localCheckpoint, not persist: each round references the
+        // previous round's edge set 4× (sym×2 + the equality join +
+        // the readout), so an un-truncated lineage grows exponentially
+        // in logical nodes and BOTH analysis and the per-action
+        // explainString blow up — worse, a persist-only final frame
+        // leaks that whole tree to consumers (d35 feeds one CC's output
+        // into a second CC; measured >15 min of driver CPU in
+        // generateTreeString before this truncation). eager=false keeps
+        // the round at ONE driver action — the count below materializes
+        // the checkpoint's partitions.
+        .localCheckpoint(false, stageLvl)
+      // materialize the round (one action) and gate the set-equality
+      // join on count equality: |ss| ≠ |e| already proves non-fixpoint
+      val n = ss.count()
       // fixpoint: the round's output edge set equals its input edge set
-      converged = i >= uc &&
+      converged = n == nPrev &&
         ss.select(col("lo"), col("hi"), lit(1).as("a"))
           .join(e.select(col("lo"), col("hi"), lit(1).as("b")),
             Seq("lo", "hi"), "full_outer")
           .filter(col("a").isNull || col("b").isNull).isEmpty
-      prevCkpt.foreach(_.unpersist(blocking = false))
-      prevCkpt = org.apache.spark.sql.graftbridge.Bridge.checkpointedRdd(e)
+      // the superseded round's checkpoint has no further reader once
+      // the new round is materialized and compared — free it before it
+      // piles up; the FINAL round's checkpoint intentionally stays
+      // persisted for the readout join below.
+      prevPin.foreach(_.unpersist(blocking = false))
+      prevPin = org.apache.spark.sql.graftbridge.Bridge.checkpointedRdd(ss)
+      nPrev = n
       e = ss
       i += 1
     }
@@ -519,7 +575,8 @@ object DedupOps {
     * Returns one (τ, labels) pair per requested τ; labels has the
     * [[starComponents]] contract (doc_id, canon_id) over `docs`. */
   def sweepComponents(edges: DataFrame, docs: DataFrame, weight: Column,
-      taus: Seq[Int], uncheckedRounds: Int = 0): Seq[(Int, DataFrame)] = {
+      taus: Seq[Int], uncheckedRounds: Int = 0,
+      edgesWithinDocs: Boolean = false): Seq[(Int, DataFrame)] = {
     require(taus.nonEmpty && taus == taus.sorted,
       s"taus must be ascending, got $taus")
     // Edge endpoints outside `docs` still carry CONNECTIVITY in a
@@ -531,14 +588,20 @@ object DedupOps {
     // endpoints internally and filters back to `docs` at emit; when the
     // endpoints are a subset of docs (every in-repo caller) the extra
     // frame is empty and the fast path below is byte-identical to
-    // labeling over `docs` alone.
+    // labeling over `docs` alone. A caller whose edge frame GUARANTEES
+    // endpoints ⊆ docs (d36: persisted class edges joined from the
+    // persisted class table) passes edgesWithinDocs = true and skips the
+    // two driver actions (distinct + anti-join materialization and its
+    // isEmpty probe) the defensive check costs per invocation.
     val docIds = docs.select(col("doc_id"))
-    val extra = edges.select(col("doc_a").as("doc_id"))
-      .union(edges.select(col("doc_b").as("doc_id")))
-      .distinct()
-      .join(docIds, Seq("doc_id"), "left_anti")
-      .transform(graft.Tables.stage)
-    val hasExtra = !extra.isEmpty
+    val extra =
+      if (edgesWithinDocs) null
+      else edges.select(col("doc_a").as("doc_id"))
+        .union(edges.select(col("doc_b").as("doc_id")))
+        .distinct()
+        .join(docIds, Seq("doc_id"), "left_anti")
+        .transform(graft.Tables.stage)
+    val hasExtra = !edgesWithinDocs && !extra.isEmpty
     val nodes = if (hasExtra) docIds.union(extra) else docIds
     var labels: DataFrame = null
     var prev = Long.MinValue
@@ -1047,31 +1110,37 @@ object DedupOps {
     * the self-referential lineage (round k's plan would otherwise embed
     * k − 1 nested joins). */
   def labelPropagation(pairs: DataFrame, docs: DataFrame,
-      rounds: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      rounds: Int, assumeDistinct: Boolean = false): DataFrame = {
     // distinct: neighbor-vote counts assume each undirected edge appears
     // exactly once per direction. d29 feeds canonical (doc_a < doc_b,
     // DISTINCT) pairs where this is a no-op, but a caller passing
     // duplicated or pre-symmetrized edges would silently double-count
     // votes and flip majority/tie outcomes — one narrow 16-byte-row
-    // shuffle buys that invariant. (The oracle's UNION ALL over DISTINCT
-    // jpairs is equivalent.)
-    val edges = pairs
+    // shuffle buys that invariant. Callers whose edge frame is distinct
+    // BY CONSTRUCTION (the persisted DedupIndex pair artifacts — unique
+    // canonical pairs by the simhashPairs first-matching-band contract,
+    // re-checked in `DedupIndexSpec`) pass assumeDistinct = true and
+    // skip that |E|-row shuffle: the symmetrized union of a distinct
+    // a<b frame is disjoint, hence already distinct.
+    val sym = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
+    val edges = (if (assumeDistinct) sym else sym.distinct())
       .transform(graft.Tables.stage)
     var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
-    val byCount = Window.partitionBy(col("doc_id"))
-      .orderBy(col("c").desc, col("lbl").asc)
     for (_ <- 1 to rounds) {
       val counts = edges
         .join(labels.select(col("doc_id").as("dst"), col("lbl")), "dst")
         .groupBy(col("src").as("doc_id"), col("lbl"))
         .agg(count(lit(1)).as("c"))
-      val top = counts.withColumn("rn", row_number().over(byCount))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("lbl").as("new_lbl"))
+      // per-node argmax by (c DESC, lbl ASC) as a lexicographic min over
+      // (-c, lbl) structs: map-side-combinable hash aggregation instead
+      // of the earlier sort-based row_number window — same unique winner
+      // ((doc_id, lbl) is the grouping key, so no (c, lbl) ties exist),
+      // one less per-round sort of the full vote table.
+      val top = counts.groupBy(col("doc_id"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
+        .select(col("doc_id"), col("m.lbl").as("new_lbl"))
       labels = labels.join(top, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("new_lbl"), col("lbl")).as("lbl"))

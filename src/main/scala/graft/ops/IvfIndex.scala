@@ -60,22 +60,30 @@ object IvfIndex {
       s"-${java.lang.Long.toHexString(fp.getLong(2))}"
   }
 
-  /** Train coarse quantizer + PQ codebooks and materialize the index. */
-  def build(s: SparkSession, sfDir: String, root: String): IndexPaths = {
-    val p = IndexPaths(root)
-    val v = corpusVecs(s, sfDir)
-    // Corpus-size stats ride with the index (1 row): consumers that size
-    // bucket layouts from N — the SemDeDup k∝N knob in
-    // [[graft.queries.SimilarityQueries]]' clusterNearDupPairs — read
-    // this row instead of paying a count() action over the corpus on
-    // every invocation. n_planted = |id % PlantMod == 0| so the planted
-    // twin corpus's exact cardinality is derivable without assuming id
-    // density.
-    v.agg(count(lit(1)).as("n_vecs"),
+  /** Corpus-size stats ride with the index (1 row): consumers that size
+    * bucket layouts from N — the SemDeDup k∝N knob in
+    * [[graft.queries.SimilarityQueries]]' clusterNearDupPairs — read
+    * this row instead of paying a count() action over the corpus on
+    * every invocation. n_planted = |id % PlantMod == 0| so the planted
+    * twin corpus's exact cardinality is derivable without assuming id
+    * density. Factored out of [[build]] so [[ensure]] can BACKFILL the
+    * stats file alone onto an index persisted before stats existed —
+    * one corpus agg instead of a full retrain (k-means + codebooks +
+    * partitioned code write) just to learn a count. */
+  private def writeStats(s: SparkSession, sfDir: String,
+      p: IndexPaths): Unit =
+    corpusVecs(s, sfDir)
+      .agg(count(lit(1)).as("n_vecs"),
         coalesce(sum(when(col("id") % graft.queries.SimilarityQueries
           .PlantMod === 0, 1L).otherwise(0L)), lit(0L)).as("n_planted"),
         coalesce(max(col("id")), lit(-1L)).as("max_id"))
       .coalesce(1).write.mode("overwrite").parquet(p.stats)
+
+  /** Train coarse quantizer + PQ codebooks and materialize the index. */
+  def build(s: SparkSession, sfDir: String, root: String): IndexPaths = {
+    val p = IndexPaths(root)
+    val v = corpusVecs(s, sfDir)
+    writeStats(s, sfDir, p)
     val (cents, assigned) = kmeansFit(v, KmK, KmIters)
     val cbs = trainedCodebooks(v)
     cents.select(col("cid").as("list_id"), col("cent").as("centroid"))
@@ -97,15 +105,22 @@ object IvfIndex {
     p
   }
 
-  /** Build iff the index for this corpus doesn't exist yet. */
+  /** Build iff the index for this corpus doesn't exist yet. An index
+    * whose trained artifacts (centroids/codebooks/codes) are complete but
+    * which predates the stats file gets the stats row backfilled alone —
+    * never a full retrain for a 1-row count. */
   def ensure(s: SparkSession, sfDir: String): IndexPaths = {
     val root = indexRoot(s, sfDir)
     val p = IndexPaths(root)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sessionState.newHadoopConf())
-    val complete = Seq(p.centroids, p.codebooks, p.codes, p.stats)
-      .forall(d => fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")))
-    if (complete) p else build(s, sfDir, root)
+    def ok(d: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS"))
+    val trained = Seq(p.centroids, p.codebooks, p.codes).forall(ok)
+    if (trained) {
+      if (!ok(p.stats)) writeStats(s, sfDir, p)
+      p
+    } else build(s, sfDir, root)
   }
 
   /** |plantedVecs| for this corpus from the persisted stats row — the

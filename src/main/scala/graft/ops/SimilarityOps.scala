@@ -287,28 +287,41 @@ object SimilarityOps {
     *    partition-order-free — Spark's tree aggregation and DuckDB's
     *    sequential scan produce the same bits).
     *
-    * The centroid table is collected to the driver each round (k×dims
-    * doubles — always tiny; this is how every production Lloyd works, e.g.
-    * MLlib's) and re-embedded as LITERALS, so the assign step is a narrow
-    * per-row argmin with ZERO shuffle — no crossJoin, no re-aggregation.
-    * The only shuffle per iteration is the update's |vecs|×dims partial
-    * sums, map-side combined. `iters` is fixed (no convergence test) so the
-    * computation is expressible as unrolled SQL. Returns (trained centroids
-    * (cid, cent, c_n2), final assignment (id, cluster, d2)). */
+    * The whole training CHAINS LAZILY: between iterations the centroid
+    * table stays a DataFrame, aggregated to ONE row holding the k sorted
+    * (cid, cent, c_n2) structs and broadcast back into the corpus
+    * (`crossJoin(broadcast(1 row))` — a BroadcastNestedLoopJoin whose
+    * build side is k×dims doubles, the same bound as a driver collect),
+    * so the assign step stays a narrow per-row argmin with zero shuffle
+    * of the corpus and NO per-iteration driver action. The earlier form
+    * collected centroids to the driver and re-embedded them as literals
+    * each round, which cost one blocking collect job per iteration per
+    * training (n14's four concurrent PQ fits plus the coarse fit paid
+    * ~12 sequential job round-trips of pure scheduling latency at bench
+    * scale) AND fresh Janino codegen per round (literal doubles are
+    * baked into the generated source, defeating the codegen cache).
+    * Arithmetic is bit-identical to the literal form: same d2 expression
+    * against the same values (`c_n2` is [[norm2]]'s left fold — the same
+    * fold the Scala literal path computed), same lexicographic least().
+    * The only shuffle per iteration remains the update's |vecs|×dims
+    * partial sums, map-side combined. `iters` is fixed (no convergence
+    * test) so the computation is expressible as unrolled SQL.
+    *
+    * Returns (trained centroids (cid, cent, c_n2), final assignment
+    * (id, cluster, d2)). The centroid frame is STAGED (≤k rows) before
+    * the final assign so consumers of both outputs run the training
+    * chain exactly once. */
   def kmeansFit(vecs: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    val cents = kmeansCentroids(vecs, k, iters).transform(graft.Tables.stage)
+    (cents, kmeansAssignTo(vecs, k, cents).select(col("id"), col("cluster"), col("d2")))
+  }
+
+  /** The lazily-chained trained-centroid frame of [[kmeansFit]] — for
+    * callers that consume ONLY the centroids (e.g. PQ codebook training,
+    * which collects them once at the end): no staging action, one job
+    * total. */
+  def kmeansCentroids(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
     val v = vecs.select(col("id"), col("emb"), norm2(col("emb")).as("n2"))
-    def assign(centLits: Seq[(Long, Seq[Double])]): DataFrame = {
-      val cands = centLits.map { case (cid, cent) =>
-        val cn2 = cent.foldLeft(0.0)((a, x) => a + x * x)
-        struct(
-          ((col("n2") + lit(cn2)) - lit(2.0) * dot(col("emb"), typedLit(cent)))
-            .as("d2"),
-          lit(cid).as("cid"))
-      }
-      v.withColumn("m", least(cands: _*))
-        .select(col("id"), col("emb"),
-          col("m.cid").as("cluster"), col("m.d2").as("d2"))
-    }
     def update(assigned: DataFrame): DataFrame =
       assigned.select(col("cluster"), posexplode(col("emb")).as(Seq("dim", "x")))
         .groupBy(col("cluster"), col("dim"))
@@ -318,22 +331,48 @@ object SimilarityOps {
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
           s => s.getField("c")).as("cent"))
         .select(col("cluster").as("cid"), col("cent"), norm2(col("cent")).as("c_n2"))
-    def collectCents(df: DataFrame): Seq[(Long, Seq[Double])] =
-      df.select(col("cid"), col("cent")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
     var cents = v.filter(col("id") < k)
       .select(col("id").as("cid"), col("emb").as("cent"), col("n2").as("c_n2"))
     var i = 0
     while (i < iters) {
-      cents = update(assign(collectCents(cents)))
+      cents = update(kmeansAssignTo(vecs, k, cents))
       i += 1
     }
-    (cents, assign(collectCents(cents)).select(col("id"), col("cluster"), col("d2")))
+    cents
   }
 
-  /** Final per-vector assignment of [[kmeansFit]]. */
+  /** Assign every vector to its nearest centroid of the (cid, cent, c_n2)
+    * frame `cents` — the [[kmeansFit]] assign step as a pure plan:
+    * centroids collapse to one row of k sorted structs, broadcast, and
+    * each vector computes the same lexicographic least() over (d2, cid)
+    * structs the literal-embedded form computed. Missing clusters (an
+    * empty Lloyd cell drops its centroid row) contribute a null struct,
+    * which least() skips — exactly the literal form's behavior of not
+    * emitting a candidate. Returns (id, emb, cluster, d2). */
+  private def kmeansAssignTo(vecs: DataFrame, k: Int,
+      cents: DataFrame): DataFrame = {
+    val v = vecs.select(col("id"), col("emb"), norm2(col("emb")).as("n2"))
+    val carr = cents.agg(array_sort(
+      collect_list(struct(col("cid"), col("cent"), col("c_n2")))).as("carr"))
+    val cands = (0 until k).map { i =>
+      val c = element_at(col("carr"), i + 1)
+      when(lit(i) < size(col("carr")),
+        struct(
+          ((col("n2") + c.getField("c_n2")) -
+            lit(2.0) * dot(col("emb"), c.getField("cent"))).as("d2"),
+          c.getField("cid").as("cid")))
+    }
+    v.crossJoin(broadcast(carr))
+      .withColumn("m", least(cands: _*))
+      .select(col("id"), col("emb"),
+        col("m.cid").as("cluster"), col("m.d2").as("d2"))
+  }
+
+  /** Final per-vector assignment of [[kmeansFit]] — single lazy chain,
+    * no staging (the centroid subtree is consumed exactly once). */
   def kmeansAssign(vecs: DataFrame, k: Int, iters: Int): DataFrame =
-    kmeansFit(vecs, k, iters)._2
+    kmeansAssignTo(vecs, k, kmeansCentroids(vecs, k, iters))
+      .select(col("id"), col("cluster"), col("d2"))
 
   /** Embedding near-duplicate pairs: cosine ≥ tau. Exact all-pairs form —
     * ground truth at test scale; at 100 TB use `lshSignature` buckets as the

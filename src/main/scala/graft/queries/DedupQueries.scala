@@ -79,7 +79,16 @@ object DedupQueries {
     val e1 = dir.select(col("src").as("u"), col("dst").as("v"), col("deg_dst").as("dv"))
     val e2 = dir.select(col("src").as("u"), col("dst").as("w"), col("deg_dst").as("dw"))
     val closing = dir.select(col("src").as("v2"), col("dst").as("w2"))
-    e1.join(e2, Seq("u"))
+    // Wedge-join exchanges PINNED on the join key (the d9b/d5 lesson):
+    // the staged edge list is a few MB, so AQE's byte-based coalesce ran
+    // the wedge expansion — whose OUTPUT is p²·wedges rows, not its
+    // input size — on a single task (measured: a 4.3 s one-task stage
+    // under d8d at sf0.1, 75% of the query). REPARTITION_BY_NUM keeps
+    // all cores on the expansion; the closing join's exchange is left to
+    // AQE, which sizes it from the wedge join's real output stats.
+    val p = edges.sparkSession.sparkContext.defaultParallelism
+    e1.repartition(p, col("u"))
+      .join(e2.repartition(p, col("u")), Seq("u"))
       .filter(col("dv") < col("dw") ||
         (col("dv") === col("dw") && col("v") < col("w")))
       .join(closing, col("v") === col("v2") && col("w") === col("w2"))
@@ -250,7 +259,8 @@ object DedupQueries {
     "d29_label_propagation" -> ((s, d) => {
       val ds = docs(s, d)
       val pairs = servedEdges(s, d)
-      labelPropagation(pairs, ds.select(col("doc_id")), LpaRounds)
+      labelPropagation(pairs, ds.select(col("doc_id")), LpaRounds,
+        assumeDistinct = true)
         .select(col("doc_id"), col("lbl").as("community"))
         .orderBy(col("doc_id"))
     }),
@@ -431,7 +441,8 @@ object DedupQueries {
     // communities reflect BETWEEN-template structure.
     "d29r_lpa_residual" -> ((s, d) => {
       val (classes, edges) = residualClassGraph(s, d)
-      labelPropagation(edges, classes.select(col("doc_id")), LpaRounds)
+      labelPropagation(edges, classes.select(col("doc_id")), LpaRounds,
+        assumeDistinct = true)
         .select(col("doc_id"), col("lbl").as("community"))
         .orderBy(col("doc_id"))
     }),
@@ -932,7 +943,11 @@ object DedupQueries {
       // star rounds converge in 1-2 iterations — forcing a third
       // unchecked round costs more stages than the fixpoint check saves
       val byTau = sweepComponents(pairs, nodes, col("hamming"),
-        0 to MaxHamming, uncheckedRounds = 1)
+        0 to MaxHamming, uncheckedRounds = 1,
+        // class-edge endpoints come from the same persisted class table
+        // as `nodes` — subset by construction, so the sweep skips its
+        // defensive extra-endpoint probe (2 driver actions)
+        edgesWithinDocs = true)
       // ONE stats pass over the tau-tagged union of the four label
       // frames (2 shuffles total) instead of four independent
       // agg+crossJoin chains; the per-τ edge count is a cumsum over the

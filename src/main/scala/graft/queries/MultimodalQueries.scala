@@ -330,25 +330,39 @@ object MultimodalQueries {
     // disagreement classes are exactly the media a multimodal curation
     // run routes to review (caption copied under a new image, image
     // re-encoded under a new caption). Scale shape: two (id, flag)
-    // frames joined on doc_id — component sizes are |components|-row
-    // aggs on already-built label frames; no payload or token bytes
-    // move.
+    // frames joined on doc_id — no payload or token bytes move.
+    //
+    // The membership flags are DEGREE tests, not component readouts: a
+    // node sits in a ≥2-member component iff it has ≥1 incident edge
+    // (any co-member implies a path, hence an incident edge; any edge
+    // implies a co-member), so the payload flag is "appears as an
+    // endpoint of a verified phash pair" — the star-CC loop an earlier
+    // revision ran per invocation (~2 s of iterative rounds at sf0.1)
+    // computed labels this query then collapsed back to that boolean.
+    // m11/m12 still run the real collapse (they consume the labels);
+    // the audit only needs the degree bit. Same rows, same oracle.
     "m17_crossmodal_consistency" -> ((s, d) => {
       val docsDf = Tables.documents(s, d)
       val tCanon = graft.ops.DedupIndex.canonicalDf(s,
         graft.ops.DedupIndex.ensure(s, d))
+      // star-forest degree test: non-root ⇒ dup; a root is a dup iff it
+      // has a child (appears as someone else's canon_id)
+      val tParents = tCanon.filter(col("canon_id") =!= col("doc_id"))
+        .select(col("canon_id").as("doc_id")).distinct()
+        .withColumn("has_child", lit(true))
       val tFlag = tCanon
-        .join(tCanon.groupBy(col("canon_id")).agg(count(lit(1)).as("tn")),
-          "canon_id")
-        .select(col("doc_id"), (col("tn") >= 2).as("t_dup"))
+        .join(tParents, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (col("canon_id") =!= col("doc_id") ||
+            coalesce(col("has_child"), lit(false))).as("t_dup"))
       val media = asMediaRecords(docsDf, "doc_id", "text", "doc")
-      val pLabels = graft.ops.DedupOps.starComponents(
-        phashPairs(s, d).select(col("doc_a"), col("doc_b")),
-        media.select(col("media_id").as("doc_id")))
-      val pFlag = pLabels
-        .join(pLabels.groupBy(col("canon_id")).agg(count(lit(1)).as("pn")),
-          "canon_id")
-        .select(col("doc_id"), (col("pn") >= 2).as("p_dup"))
+      val pEnds = phashPairs(s, d)
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct().withColumn("has_pair", lit(true))
+      val pFlag = media.select(col("media_id").as("doc_id"))
+        .join(pEnds, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("has_pair"), lit(false)).as("p_dup"))
       tFlag.join(pFlag, "doc_id")
         .withColumn("verdict", expr(
           """CASE WHEN t_dup AND p_dup THEN 'both'

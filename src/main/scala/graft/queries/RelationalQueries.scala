@@ -2564,9 +2564,17 @@ object RelationalQueries {
     "q94_boundary_refresh" -> ((s, d) => {
       import graft.ops.RangePlanOps._
       val P = 32
+      // staged once: the planner reads this frame five times (the cut
+      // agg, the old-boundary sample, the base and delta reservoir legs
+      // of the refreshed sample, and the final migration agg) — without
+      // the checkpoint each pass re-paid the parquet scan + fanout
+      // exchange (~4 redundant full-table passes at bench scale; at
+      // 100 TB the equivalent is planning from a staged narrow
+      // projection instead of five scans of the fact table)
       val li = Tables.fanout(Tables.lineitem(s, d))
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice").as("v"))
+        .transform(graft.Tables.stage)
       val cut = li.agg(expr("((max(l_orderkey) + 1) * 4) div 5").as("c"))
         .head.getLong(0)
       val base = li.filter(col("l_orderkey") < cut)

@@ -1273,8 +1273,12 @@ object SimilarityQueries {
     val vc = v.transform(graft.Tables.stage)
     val fits = (0 until PqM).map { m => Future {
       val sv = vc.select(col("id"), pqSub(m).as("emb"))
-      val (cents, _) = kmeansFit(sv, PqKsub, KmIters)
-      cents.select(col("cid"), col("cent")).collect()
+      // kmeansCentroids, not kmeansFit: only the centroids are consumed
+      // (collected ONCE here, at the end of the lazily-chained training),
+      // so each subspace fit is a single job — no per-iteration collect,
+      // no staging action.
+      graft.ops.SimilarityOps.kmeansCentroids(sv, PqKsub, KmIters)
+        .select(col("cid"), col("cent")).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
         .map { case (cid, cent) =>
           (cid, cent, cent.foldLeft(0.0)((a, x) => a + x * x)) }

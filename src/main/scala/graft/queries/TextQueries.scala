@@ -124,7 +124,13 @@ object TextQueries {
     * learned merges (round, left, right, weight, symbols_after) plus
     * the FINAL per-word symbol table (word, pos, sym, cnt) — t48's
     * fertility audit consumes the latter. */
-  private[graft] def bpeTrain(s: SparkSession, d: String)
+  /** `needCounts = false` skips the per-round `sym.count()` driver action
+    * (one full pass over the symbol table per round): the count feeds only
+    * t46's `symbols_after` readout column — t48 consumes just the final
+    * rewrite and passes false, saving 4 of the trainer's ~16 driver
+    * round-trips. Merge selection and rewrites are identical either way. */
+  private[graft] def bpeTrain(s: SparkSession, d: String,
+      needCounts: Boolean = true)
       : (Seq[(Long, String, String, Long, Long)], DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val wc = Tables.fanout(Tables.documents(s, d))
@@ -171,7 +177,7 @@ object TextQueries {
           Window.partitionBy(col("word")).orderBy(col("pos")))
           .cast("long"))
         .transform(graft.Tables.stage)
-      (r.toLong, bl, br, bw, sym.count())
+      (r.toLong, bl, br, bw, if (needCounts) sym.count() else -1L)
     }
     (out, sym)
   }
@@ -2014,7 +2020,7 @@ object TextQueries {
     // symbol counts come from the |vocab|-row table, instances from one
     // (lang, word) agg, so cost is one corpus scan above the trainer.
     "t48_tokenizer_fertility" -> ((s, d) => {
-      val (_, sym) = bpeTrain(s, d)
+      val (_, sym) = bpeTrain(s, d, needCounts = false)
       val nsym = sym.groupBy(col("word")).agg(count(lit(1)).as("ns"))
       Tables.fanout(Tables.documents(s, d))
         .select(col("lang"), explode(tokens(col("text"))).as("word"))

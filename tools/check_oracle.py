@@ -101,6 +101,14 @@ def main(sf_dir, out_dir, timing_file=None, time_only=False, reps=1,
                 finally:
                     if watchdog:
                         watchdog.cancel()
+                if state["fired"]:
+                    # The timer fired in the gap between fetch returning
+                    # and done=True: con.interrupt() hit an idle connection
+                    # without raising, so the interrupt may still be
+                    # pending and would cancel the NEXT statement on this
+                    # connection. Reconnect to clear it; the rep itself
+                    # completed, so its timing stands.
+                    con = connect(sf_dir)
                 dt = time.monotonic() - t0
                 best = dt if best is None else min(best, dt)
             if timed_out:
@@ -108,21 +116,30 @@ def main(sf_dir, out_dir, timing_file=None, time_only=False, reps=1,
                 # interrupt state — reconnect so the next oracle starts
                 # clean.
                 con = connect(sf_dir)
-                if best is not None:
+                if best is not None and time_only:
                     # a prior rep DID complete — keep its measured time
-                    # instead of discarding a valid observation.
+                    # instead of discarding a valid observation. (Timing
+                    # shortcut ONLY: in verify mode the completed rep's
+                    # result still flows through the comparison below —
+                    # a mismatch must never be masked by a later-rep
+                    # timeout.)
                     timings[name] = round(best, 4)
                     print(f"TIME {name}: {timings[name]:.3f}s (rep "
                           f"{reps} exceeded --max-sec {max_sec}s; kept "
                           f"best completed rep)")
                     n_pass += 1
                     continue
-                print(f"SKIP {name}: oracle exceeded --max-sec {max_sec}s "
-                      f"(recorded as skipped in timing file)")
-                skipped[name] = f"exceeded_max_sec_{max_sec}"
-                n_skip += 1
-                continue
-            timings[name] = round(best, 4)
+                if best is None or exp is None:
+                    print(f"SKIP {name}: oracle exceeded --max-sec {max_sec}s "
+                          f"(recorded as skipped in timing file)")
+                    skipped[name] = f"exceeded_max_sec_{max_sec}"
+                    n_skip += 1
+                    continue
+                # verify mode with a completed earlier rep: record the
+                # time and fall through to the result comparison.
+                timings[name] = round(best, 4)
+            else:
+                timings[name] = round(best, 4)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
