@@ -355,6 +355,11 @@ object DedupOps {
       .getOrElse(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      // pre-partitioned on the per-round join key: InMemoryRelation
+      // preserves HashPartitioning(src), so every propagation round's
+      // edges⋈labels join reuses it and only the labels side shuffles —
+      // one build-time |2E| exchange instead of one per round
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEdges = edges.count()
     var labels = docs.select(col("doc_id"), col("doc_id").as("canon_id"))
@@ -1125,7 +1130,13 @@ object DedupOps {
     val sym = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Pre-partition the staged edge list on the per-round join key: the
+    // localCheckpoint preserves HashPartitioning(dst), so every round's
+    // edges⋈labels join reuses it and only the (small) labels side
+    // shuffles — one build-time |2E| exchange replaces `rounds` of them
+    // (guide "two operations keyed the same way share one exchange").
     val edges = (if (assumeDistinct) sym else sym.distinct())
+      .repartition(col("dst"))
       .transform(graft.Tables.stage)
     var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
     for (_ <- 1 to rounds) {
@@ -1135,9 +1146,14 @@ object DedupOps {
         .agg(count(lit(1)).as("c"))
       // per-node argmax by (c DESC, lbl ASC) as a lexicographic min over
       // (-c, lbl) structs: map-side-combinable hash aggregation instead
-      // of the earlier sort-based row_number window — same unique winner
+      // of a sort-based row_number window — same unique winner
       // ((doc_id, lbl) is the grouping key, so no (c, lbl) ties exist),
-      // one less per-round sort of the full vote table.
+      // no per-round sort of the full vote table. (A single-exchange
+      // mode(lbl, deterministic=true) variant was tried and REVERTED
+      // after measurement: same winner semantics, but the per-group
+      // frequency-map ObjectHashAggregate ran ~2.2 s in one
+      // AQE-coalesced task on d29's full doc graph — slower than the
+      // two codegen'd columnar aggregations it replaced.)
       val top = counts.groupBy(col("doc_id"))
         .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
         .select(col("doc_id"), col("m.lbl").as("new_lbl"))

@@ -368,10 +368,17 @@ object SimilarityOps {
         col("m.cid").as("cluster"), col("m.d2").as("d2"))
   }
 
-  /** Final per-vector assignment of [[kmeansFit]] — single lazy chain,
-    * no staging (the centroid subtree is consumed exactly once). */
+  /** Final per-vector assignment of [[kmeansFit]]. The trained ≤k-row
+    * centroid frame is STAGED before the assign — several consumers
+    * (semDedupRemovals, clusterNearDupPairs) SELF-JOIN the assignment,
+    * and without the checkpoint the whole nested Lloyd chain sits in
+    * BOTH sides of that join and trains twice per query (measured:
+    * m8 4.6 → 6.3 s, n25 2.8 → 4.0 s, d23b 3.1 → 3.9 s in the round's
+    * first full bench with the unstaged chain; staging restores the
+    * train-once shape at the cost of one ≤k-row action). */
   def kmeansAssign(vecs: DataFrame, k: Int, iters: Int): DataFrame =
-    kmeansAssignTo(vecs, k, kmeansCentroids(vecs, k, iters))
+    kmeansAssignTo(vecs, k,
+      kmeansCentroids(vecs, k, iters).transform(graft.Tables.stage))
       .select(col("id"), col("cluster"), col("d2"))
 
   /** Embedding near-duplicate pairs: cosine ≥ tau. Exact all-pairs form —

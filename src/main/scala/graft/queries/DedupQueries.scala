@@ -1354,7 +1354,10 @@ object DedupQueries {
     "d34_modularity" -> ((s, d) => {
       val (classes, ce0) = residualClassGraph(s, d)
       val ce = ce0.transform(graft.Tables.stage) // feeds LPA, m, intra, and degrees
-      val lab = labelPropagation(ce, classes.select(col("doc_id")), LpaRounds)
+      // same persisted class-edge frame as d29r: unique canonical pairs
+      // by construction, so LPA skips its defensive distinct
+      val lab = labelPropagation(ce, classes.select(col("doc_id")), LpaRounds,
+        assumeDistinct = true)
       val m = ce.agg(count(lit(1)).as("m"))
       val intra = ce
         .join(lab.select(col("doc_id").as("doc_a"), col("lbl")), "doc_a")

@@ -98,8 +98,13 @@ object SimilarityQueries {
     * keep-smallest-id. Shared by d23 (raw corpus, exploratory τ) and d23b
     * (planted corpus, production τ). */
   private def semDedupRemovals(v: DataFrame, tau: Double): DataFrame = {
+    // staged: the a×b in-cluster self-join below consumes the assignment
+    // on BOTH sides — materializing the narrow (id, cluster) frame once
+    // runs Lloyd + the assign scan once per query (16 B/row; the
+    // "decide with small rows" discipline)
     val assigned = kmeansAssign(v, KmK, KmIters)
       .select(col("id"), col("cluster"))
+      .transform(graft.Tables.stage)
     val av = v.join(assigned, "id")
     val a = av.select(col("cluster"), col("id").as("id_a"),
       col("emb").as("emb_a"), norm2(col("emb")).as("n2_a"))
@@ -154,8 +159,12 @@ object SimilarityQueries {
       math.max(0,
         math.ceil(math.log(k.toDouble / KmK) / math.log(2)).toInt)
     }
+    // staged for the same both-sides-of-the-self-join reason as
+    // semDedupRemovals: Lloyd + assign run once, the join legs read the
+    // 16 B/row checkpoint
     val assigned = kmeansAssign(v, KmK, KmIters)
       .select(col("id"), col("cluster"))
+      .transform(graft.Tables.stage)
     val av0 = v.join(assigned, "id")
     val av = if (hBits == 0) av0
       else av0.withColumn("cluster",

@@ -1113,11 +1113,16 @@ object TextQueries {
           .when(col("avg_ppm") > col("b1"), 1L).otherwise(0L))
         .withColumn("nb_bucket", when(col("margin") > col("c2"), 2L)
           .when(col("margin") > col("c1"), 1L).otherwise(0L))
-        .transform(graft.Tables.stage)
-      val lt = j.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      // per-lang totals as a window over the (lang, bucket, bucket)
+      // aggregate — the counts partition langs exactly, so
+      // sum(n_docs) over lang IS n_lang. Replaces a second corpus-side
+      // groupBy + join-back (and the staging action the double
+      // consumption of j required): the window runs over the ≤
+      // |langs|·9-row aggregate, not the corpus.
       j.groupBy(col("lang"), col("lm_bucket"), col("nb_bucket"))
         .agg(count(lit(1)).as("n_docs"))
-        .join(broadcast(lt), "lang")
+        .withColumn("n_lang", sum(col("n_docs")).over(
+          Window.partitionBy(col("lang"))))
         .select(col("lang"), col("lm_bucket"), col("nb_bucket"),
           col("n_docs"),
           expr("n_docs * 1000000 div n_lang").as("lang_share_ppm"))
